@@ -1,0 +1,71 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cost-balanced repartitioning — the reference's one genuinely
+  * interesting scheduling idea (`Parallel/Trajectory Clustering.py:60–136`)
+  * as a reusable helper.
+  *
+  * Problem: grouped work (per-line DBSCAN) is O(cost(key)) with wildly
+  * skewed costs; hash partitioning puts several heavy keys on one
+  * executor. AQE's skew handling splits *join/shuffle* skew but cannot
+  * split a `flatMapGroups` group, so the fix is placement: bin-pack keys
+  * by cost, then repartition by bin id.
+  *
+  * Plan (reference semantics): keys costing > outlierFactor × mean get a
+  * dedicated bin; the rest are first-fit-decreasing packed into
+  * `targetBins` bins of capacity overflowFactor × (total/targetBins).
+  * The driver-side plan is over per-KEY aggregates (thousands of rows at
+  * 100 TB — not data-scale).
+  */
+object Balance {
+
+  /** Pure planning: key → bin id. */
+  def plan(costs: Seq[(String, Double)], targetBins: Int,
+           overflowFactor: Double = 1.2, // TC-P:98 (20% overflow)
+           outlierFactor: Double = 3.0   // TC-P:83–86 (>3×avg isolated)
+          ): Map[String, Int] = {
+    if (costs.isEmpty) return Map.empty
+    val meanCost = costs.map(_._2).sum / costs.size
+    val (outliers, normal) = costs.partition(_._2 > outlierFactor * meanCost)
+
+    val assignment = mutable.Map.empty[String, Int]
+    // dedicated bins for outliers
+    outliers.zipWithIndex.foreach { case ((k, _), i) => assignment(k) = i }
+    val base = outliers.size
+
+    val bins = math.max(1, targetBins)
+    val capacity =
+      (normal.map(_._2).sum / bins) * overflowFactor
+    val load = Array.fill(bins)(0.0)
+    normal.sortBy(-_._2).foreach { case (k, c) =>
+      val fit = load.indexWhere(_ + c <= capacity)
+      val bin = if (fit >= 0) fit else load.indexOf(load.min) // spill to lightest
+      load(bin) += c
+      assignment(k) = base + bin
+    }
+    assignment.toMap
+  }
+
+  /** Attach a `_bin` column from a per-key cost frame `(key, cost)` and
+    * repartition on it. Cost frame is collected (per-key aggregate —
+    * small); the key→bin map rides a broadcast join. */
+  def costBalancedRepartition(df: DataFrame, keyCol: String,
+                              costs: DataFrame, targetBins: Int,
+                              overflowFactor: Double = 1.2,
+                              outlierFactor: Double = 3.0): DataFrame = {
+    val collected = costs.collect().map(r =>
+      r.get(0).toString -> r.get(1).toString.toDouble).toSeq
+    val assignment = plan(collected, targetBins, overflowFactor, outlierFactor)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mapping = broadcast(assignment.toSeq.toDF(keyCol, "_bin"))
+    val binCount = math.max(1, assignment.values.toSet.size)
+    df.join(mapping, Seq(keyCol), "left")
+      .na.fill(Map("_bin" -> 0))
+      .repartition(binCount, col("_bin"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import scala.collection.mutable
+
+/** DBSCAN over a precomputed distance matrix — native Scala replacement
+  * for the reference's sklearn call (`Standalone/Trajectory
+  * Clustering.py:176–184`, `metric='precomputed'`).
+  *
+  * sklearn-parity semantics:
+  *  - neighborhood is `d(i,j) <= eps`, *including* the point itself;
+  *  - a point is core iff its neighborhood size ≥ minSamples (the point
+  *    counts toward its own minSamples);
+  *  - labels are assigned by scanning points in index order and
+  *    BFS-expanding each new core point, so border points join the first
+  *    core cluster that reaches them — deterministic for a fixed row
+  *    order (callers sort groups before building the matrix);
+  *  - noise is −1.
+  */
+object Dbscan {
+
+  /** @param dist symmetric N×N distance matrix (diagonal 0)
+    * @return cluster label per index; −1 = noise */
+  def fit(dist: Array[Array[Double]], eps: Double, minSamples: Int): Array[Int] = {
+    val n = dist.length
+    val labels = Array.fill(n)(-2) // -2 = unvisited, -1 = noise
+    var cluster = -1
+
+    def neighbors(i: Int): Array[Int] = {
+      val buf = new mutable.ArrayBuffer[Int]
+      var j = 0
+      while (j < n) { if (dist(i)(j) <= eps) buf += j; j += 1 }
+      buf.toArray
+    }
+
+    var i = 0
+    while (i < n) {
+      if (labels(i) == -2) {
+        val seed = neighbors(i)
+        if (seed.length < minSamples) labels(i) = -1
+        else {
+          cluster += 1
+          labels(i) = cluster
+          val queue = mutable.Queue[Int](seed.filter(_ != i).toSeq: _*)
+          while (queue.nonEmpty) {
+            val j = queue.dequeue()
+            if (labels(j) == -1) labels(j) = cluster // noise → border
+            else if (labels(j) == -2) {
+              labels(j) = cluster
+              val jn = neighbors(j)
+              if (jn.length >= minSamples) queue ++= jn // j is core: expand
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    labels
+  }
+}

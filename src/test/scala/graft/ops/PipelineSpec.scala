@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** End-to-end: stage 1 → 2 → 3 on a synthetic two-line fleet. */
+class PipelineSpec extends SparkSpec {
+  import sqlImplicits._
+
+  // 4 vehicles × 2 lines; each runs terminus→terminus with two genuine
+  // signal-loss gaps (600s holes jumping ~8.2 km — beyond the stopped-bus
+  // guard), producing 3 patterns per vehicle whose trajectories are
+  // near-identical within a line → DBSCAN clusters them. Gap diffs
+  // [0,30×18,630,630] put the p95 threshold at 630.
+  private def fleet = {
+    val rows = for {
+      line <- Seq("L1", "L2")
+      v <- 1 to 4
+      n <- 0 to 20
+    } yield {
+      val id = s"$line-V$v"
+      val latBase = if (line == "L1") 22.50 else 22.60
+      val lng = 114.0 + n * 0.004 +
+        (if (n >= 10) 0.08 else 0.0) + (if (n >= 16) 0.08 else 0.0)
+      val sec = n * 30 +
+        (if (n >= 10) 600 else 0) + (if (n >= 16) 600 else 0)
+      val t = f"19-02-01 08:${sec / 60}%02d:${sec % 60}%02d"
+      (id, line, lng, latBase + (v - 1) * 1e-5, t)
+    }
+    rows.toDF("id", "linenumber", "lng", "lat", "t")
+  }
+
+  private val endLng = 114.0 + 20 * 0.004 + 0.16
+
+  private def termini = Seq(
+    ("L1", 1, 1, 22.50, 114.0), ("L1", 2, 1, 22.50, endLng),
+    ("L2", 1, 1, 22.60, 114.0), ("L2", 2, 1, 22.60, endLng)
+  ).toDF("existLine_id", "direction", "position", "x", "y")
+
+  private val params = Map(
+    "L1" -> TrajectoryClustering.Params(eps = 2.0, minSamples = 2),
+    "L2" -> TrajectoryClustering.Params(eps = 2.0, minSamples = 2))
+
+  test("stage 1: every vehicle qualifies and splits into 3 patterns") {
+    val pats = PatternExtraction.run(fleet, Some(termini))
+    assert(pats.select($"id").distinct().count() == 8)
+    val perVehicle = pats.groupBy($"id").agg(countDistinct($"patternID").as("n"))
+      .select($"n").as[Long].collect()
+    assert(perVehicle.forall(_ == 3), s"patterns per vehicle: ${perVehicle.toSeq}")
+  }
+
+  test("stage 2: similar trajectories cluster; clusters attach to points") {
+    val pats = PatternExtraction.run(fleet, Some(termini))
+    val clustered = TrajectoryClustering.run(pats, params)
+    assert(clustered.columns.contains("cluster"))
+    // near-identical trajectories per line → everything clustered, no noise
+    val labels = clustered.select($"cluster").distinct().as[Int].collect()
+    assert(labels.nonEmpty && !labels.contains(-1), s"labels=${labels.toSeq}")
+  }
+
+  test("stage 2: line without params is skipped (null cluster)") {
+    val pats = PatternExtraction.run(fleet, Some(termini))
+    val onlyL1 = Map("L1" -> TrajectoryClustering.Params(2.0, 2))
+    val clustered = TrajectoryClustering.run(pats, onlyL1)
+    assert(clustered.filter($"linenumber" === "L2" && $"cluster".isNotNull).count() == 0)
+    assert(clustered.filter($"linenumber" === "L1" && $"cluster".isNull).count() == 0)
+  }
+
+  test("stage 3: blind zones graded on clustered output") {
+    val pats = PatternExtraction.run(fleet, Some(termini))
+    val clustered = TrajectoryClustering.run(pats, params)
+    val out = BlindZone.run(clustered)
+    assert(out.count() > 0)
+    val signals = out.filter($"signal".isNotNull).select($"signal")
+      .as[Double].collect().toSet
+    assert(signals.subsetOf(Set(0.5, 0.75, 1.0)), s"signals=$signals")
+  }
+
+  test("cost-balanced repartition keeps all rows") {
+    val pats = PatternExtraction.run(fleet, Some(termini))
+    val costs = pats.groupBy($"linenumber")
+      .agg((countDistinct($"id") * countDistinct($"patternID")).cast("double").as("cost"))
+    val before = pats.count()
+    val binned = Balance.costBalancedRepartition(pats, "linenumber", costs, targetBins = 2)
+    assert(binned.count() == before)
+    assert(binned.columns.contains("_bin"))
+  }
+}
