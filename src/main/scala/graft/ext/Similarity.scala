@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k as the exact
+  * baseline, random-hyperplane LSH bucketing as the scale path.
+  *
+  * Vector math is pure `Column` composition (`zip_with` + left-fold
+  * `aggregate` in double) — codegen-fused, and bit-reproducible by the
+  * DuckDB oracle's sequential `list_reduce`, so cosine scores hash-match
+  * exactly with no rounding tolerance.
+  *
+  * Scale design: brute force is queries×corpus — right answer for small
+  * query sets over any corpus size when the query side broadcasts (corpus
+  * streams, never shuffles). For corpus×corpus or large query sets, the
+  * LSH variant buckets both sides so the join is equi on (band, bucket):
+  * cost moves from |Q|·|C| to Σ bucket². IVF is the same shape with
+  * learned centroids instead of random planes.
+  */
+object Similarity {
+
+  /** Sequential left-fold dot product in double (order-deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k by cosine for each query vector. Queries are broadcast;
+    * the corpus side never shuffles (ranking shuffles only queries×corpus
+    * candidate rows, grouped per query). Self-matches excluded. */
+  def bruteForceTopK(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (vec_id, embedding)
+      k: Int): DataFrame = {
+    val scored = corpus.join(broadcast(queries), col("qid") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qvec"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  // --- random-hyperplane LSH --------------------------------------------
+
+  /** Deterministic Gaussian hyperplanes (seeded), as literal arrays — the
+    * "trained index" shipped to executors inside the plan. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit signature under the given hyperplanes, as an int Column. */
+  def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeArr = array(p.map(lit): _*)
+      when(dot(vec, planeArr) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Banded buckets of an LSH signature: (band, bits) pairs; two vectors
+    * are candidates when any band matches. */
+  private def banded(df: DataFrame, sig: Column, bands: Int, bitsPerBand: Int) =
+    df.withColumn("sig", sig)
+      .select(col("*"),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("sig"), b * bitsPerBand)
+            .bitwiseAND(lit((1 << bitsPerBand) - 1))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+  /** Approximate top-k: exact cosine ranking restricted to LSH band-bucket
+    * candidates. Recall < 1 by construction; bands/bits trade recall for
+    * candidate count. */
+  def lshTopK(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (vec_id, embedding)
+      k: Int,
+      numPlanes: Int = 16,
+      bands: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val bitsPerBand = numPlanes / bands
+    val qb = banded(queries, lshSignature(col("qvec"), planes), bands, bitsPerBand)
+      .select(col("qid"), col("qvec"), col("band"), col("bucket"))
+    val cb = banded(corpus, lshSignature(col("embedding"), planes), bands, bitsPerBand)
+      .select(col("vec_id"), col("embedding"), col("band"), col("bucket"))
+    val cand = cb.join(broadcast(qb),
+        qb("band") === cb("band") && qb("bucket") === cb("bucket") &&
+          col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("qvec"), col("vec_id"), col("embedding"))
+      .distinct()
+      .withColumn("cos", cosine(col("qvec"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Embedding near-duplicate pairs: all unordered pairs within a blocking
+    * key above a cosine floor. The blocking column keeps the pair join
+    * equi-partitioned (label/cluster/LSH-bucket — never a full cross). */
+  def cosinePairs(
+      vectors: DataFrame, // (vec_id, embedding, block)
+      minCosine: Double): DataFrame =
+    vectors.as("a")
+      .join(vectors.as("b"),
+        col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= minCosine)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        col("a.block").as("block"), col("cos"))
+}

@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kit for large-scale training-data pipelines: tokenization,
+  * quality scoring, language identification, and document fingerprinting.
+  *
+  * All ops are pure `Column` compositions of built-in functions — no UDFs —
+  * so they stay inside whole-stage codegen and scan-vectorization at 100 TB.
+  * Each has an exact ANSI-SQL twin (see `queries.ExtOracle`) so the DuckDB
+  * oracle verifies semantics bit-for-bit.
+  */
+object Text {
+
+  /** Whitespace tokenizer: split on single spaces, drop empties. Matches
+    * `list_filter(string_split(text,' '), x -> x <> '')` in the oracle. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** BPE-ish subword split: lowercase word chunks, digit runs, or single
+    * non-alnum marks — the common pre-tokenizer regex shape. */
+  def subwordTokens(text: Column): Column =
+    filter(
+      split(regexp_replace(lower(text), "([a-z]+|[0-9]+|[^a-z0-9\\s])", " $1 "),
+        "\\s+"),
+      t => t =!= "")
+
+  /** Exact token count without materializing the token array (cheaper scan
+    * at scale: one pass, no array alloc). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  // --- language ID -------------------------------------------------------
+
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic.
+    * Deliberately small: language ID at pipeline scale is a cheap signal,
+    * not a classifier — callers with real corpora extend the lists. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pas"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "no"))
+
+  /** Number of tokens found in `words` (multiset hit count). */
+  def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Predicted language: argmax of stopword hit counts, ties and all-zero
+    * resolved to "und" / lexicographically-first max. Deterministic. */
+  def langId(toks: Column): Column = {
+    val scores = stopwords.toSeq.sortBy(_._1).map { case (l, ws) => l -> hitCount(toks, ws) }
+    val best = greatest(scores.map(_._2): _*)
+    val pick = scores.foldLeft(lit(null).cast("string")) { case (acc, (l, sc)) =>
+      coalesce(acc, when(sc === best, lit(l)))
+    }
+    when(best === 0, lit("und")).otherwise(pick)
+  }
+
+  // --- quality -----------------------------------------------------------
+
+  /** Composite document quality score in [0,1]:
+    * 0.5 × english-stopword ratio signal + 0.5 × length signal (saturating
+    * at 100 tokens). The standard cheap C4/Gopher-style heuristic shape. */
+  def qualityScore(toks: Column): Column = {
+    val n = size(toks)
+    val stopRatio = hitCount(toks, stopwords("en")) / n.cast("double")
+    val lenSignal = least(n, lit(100)).cast("double") * 0.005
+    round(stopRatio * 0.5 + lenSignal, 6)
+  }
+
+  // --- fingerprinting ----------------------------------------------------
+
+  /** Rolling polynomial hash over the token stream, mod 1e9+7: order-aware
+    * document fingerprint (same bag of words, different order → different
+    * fingerprint — complements order-blind MinHash). Per-token value is the
+    * first 60 bits of md5 so the oracle can reproduce it exactly
+    * (`CAST('0x'||substr(md5(t),1,15) AS BIGINT)`); mod keeps every
+    * intermediate below 2^63 under ANSI overflow checking. */
+  val FingerprintMod = 1000000007L
+
+  def tokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long") % FingerprintMod
+
+  def fingerprint(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => (acc * 31L + tokenHash(t)) % FingerprintMod)
+}

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, Text}
+
+/** North-star extension queries — the training-data-pipeline operator set
+  * (dedup ladder, similarity search, text analysis, multimodal plumbing,
+  * as-of/range joins) over the driver's `documents`/`embeddings`/`events`
+  * tables. Conventions follow [[Rel]] (deterministic ORDER BY, BIGINT
+  * widening, parity-safe rounding).
+  */
+object Ext {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  private def docsTok(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").withColumn("toks", Text.tokens(col("text")))
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+
+  // ===== text analysis =====
+
+  /** Token counting + quality scoring (C4/Gopher-style heuristics). */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    docsTok(s, dir).select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_unique"),
+        Text.hitCount(col("toks"), Text.stopwords("en")).cast("long").as("n_stop_en"),
+        aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("sum_tok_len"),
+        Text.qualityScore(col("toks")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic vs the labeled `lang` column (confusion count
+    * rollup — the text corpus is synthetic English-ish, so the point is the
+    * deterministic classifier shape, not accuracy). */
+  def textLangId(s: SparkSession, dir: String): DataFrame =
+    docsTok(s, dir)
+      .withColumn("lang_pred", Text.langId(col("toks")))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_pred"))
+
+  /** Order-aware rolling-hash document fingerprint. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    docsTok(s, dir).select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        Text.fingerprint(col("toks")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  // ===== deduplication =====
+
+  /** Exact dedup on content digest (keeper = min doc_id). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), col("doc_id"), col("text"))
+      .orderBy(col("keeper_id"))
+
+  /** Near-dup pairs by 3-gram shingle Jaccard via inverted index. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(
+        docsTok(s, dir).select(col("doc_id").as("id"),
+          Dedup.wordShingles(col("toks"), 3).as("shingles")),
+        minJaccard = 0.8)
+      .orderBy(col("id1"), col("id2"))
+
+  /** MinHash(32) + LSH(8×4) candidate pairs at est-Jaccard ≥ 0.5.
+    * Signature hashing is xxhash64 — not SQL-portable, so no oracle. */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(
+        docsTok(s, dir).select(col("doc_id").as("id"),
+          Dedup.wordShingles(col("toks"), 3).as("shingles")),
+        numHashes = 32, bands = 8)
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("id1"), col("id2"))
+
+  /** SimHash near-dup pairs (64-bit sketch, 16-bit band blocking). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+        Dedup.withSimhash(t(s, dir, "documents"), col("doc_id"), col("text")),
+        maxHamming = 10)
+      .orderBy(col("id1"), col("id2"))
+
+  /** Embedding-cosine near-dup pairs, label-blocked. */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+          col("label").cast("long").as("block")),
+        minCosine = 0.30)
+      .orderBy(col("id1"), col("id2"))
+
+  // ===== similarity search =====
+
+  private def queryVecs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  /** Exact cosine top-10 for 10 query vectors (brute force baseline). */
+  def simBruteforceTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(queryVecs(s, dir),
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")), k = 10)
+      .orderBy(col("qid"), col("rank"))
+
+  /** LSH-bucketed approximate top-10 (the scale path; no oracle —
+    * hyperplanes are engine-side state). */
+  def simLshTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(queryVecs(s, dir),
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")), k = 10)
+      .orderBy(col("qid"), col("rank"))
+
+  // ===== multimodal =====
+
+  /** Batched binary "decode" to typed metadata (stubbed codec). */
+  def mmDecodeMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeStub(Multimodal.withPayload(t(s, dir, "documents")))
+      .toDF().orderBy(col("doc_id"))
+
+  /** Strided frame sampling over payloads (64-char frames, every 4th). */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(t(s, dir, "documents"), frameLen = 64, stride = 4)
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  // ===== temporal joins =====
+
+  /** As-of join: each purchase matched to the latest signup at-or-before
+    * it per user (union + ordered forward-fill — one shuffle, no range
+    * explosion; ties pre-collapsed for determinism). */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val sgn = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("event_id"))
+      .select(col("user_id"), col("ts_us"), col("event_id"), lit(0).as("kind"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"), lit(1).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sgn.unionByName(pur)
+      .withColumn("last_s",
+        last(when(col("kind") === 0, struct(col("ts_us"), col("event_id"))),
+          ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(
+        col("event_id").as("p_event"),
+        col("user_id"),
+        col("ts_us").as("p_ts"),
+        coalesce(col("last_s.ts_us"), lit(-1L)).as("s_ts"),
+        coalesce(col("last_s.event_id"), lit(-1L)).as("s_event"))
+      .orderBy(col("p_event"))
+  }
+
+  /** Range join, bucketized: per click, count error events of the same user
+    * within ±10 min. Time-bucket equi-join (±1 bucket on the build side)
+    * replaces the unbounded inequality join — the band-join pattern that
+    * survives 100×. */
+  def joinRangeBucketed(s: SparkSession, dir: String): DataFrame = {
+    val W = 600000000L // 10 min in µs
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts_us").as("c_ts"), expr(s"ts_us div $W").as("bucket"))
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("err_id"),
+        col("ts_us").as("e_ts"), expr(s"ts_us div $W").as("b0"))
+      .withColumn("bucket", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+    clicks.join(errs,
+        col("c_user") === col("e_user") && clicks("bucket") === errs("bucket") &&
+          abs(col("e_ts") - col("c_ts")) <= W, "left")
+      .groupBy(col("click_id"), col("c_user").as("user_id"))
+      .agg(count(col("err_id")).as("n_near_errors"))
+      .orderBy(col("click_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> textStats _,
+    "text_lang_id" -> textLangId _,
+    "text_fingerprint" -> textFingerprint _,
+    "dedup_exact" -> dedupExact _,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "dedup_simhash" -> dedupSimhash _,
+    "dedup_embedding" -> dedupEmbedding _,
+    "sim_bruteforce_topk" -> simBruteforceTopk _,
+    "sim_lsh_topk" -> simLshTopk _,
+    "mm_decode_meta" -> mmDecodeMeta _,
+    "mm_frame_sample" -> mmFrameSample _,
+    "join_asof" -> joinAsof _,
+    "join_range_bucketed" -> joinRangeBucketed _,
+  )
+}

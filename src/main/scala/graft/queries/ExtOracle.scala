@@ -1,0 +1,157 @@
+package graft.queries
+
+/** DuckDB oracle SQL for [[Ext]]. Same parity rules as [[RelOracle]], plus:
+  *  - token arrays: `list_filter(string_split(text,' '), x -> x <> '')`
+  *    ≡ Spark `filter(split(text,' '), _ =!= "")`;
+  *  - sequential double folds: `list_reduce(list_prepend(0.0, …), +)`
+  *    ≡ Spark `aggregate(…, 0.0, +)` — identical operand order gives
+  *    bit-identical doubles, so cosine scores need no rounding;
+  *  - 60-bit md5 prefix: `CAST('0x'||substr(md5(t),1,15) AS BIGINT)`
+  *    ≡ Spark `conv(substring(md5(t),1,15),16,10)::long`.
+  *
+  * xxhash64-based sketches (minhash LSH) and engine-state queries
+  * (hyperplane LSH, SimHash) have no SQL twin → rows-only check.
+  */
+object ExtOracle {
+
+  private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  private def stopList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val en = stopList(Seq("the", "a", "and", "of", "to", "is", "in", "it"))
+  private val de = stopList(Seq("der", "die", "das", "und", "ist", "ein", "nicht"))
+  private val fr = stopList(Seq("le", "la", "les", "et", "est", "une", "pas"))
+  private val es = stopList(Seq("el", "los", "las", "y", "es", "una", "no"))
+
+  private def hits(list: String) =
+    s"len(list_filter(toks, t -> list_contains($list, t)))"
+
+  /** Sequential double dot product of two FLOAT[] lists. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
+        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"""
+
+  private def cosSql(a: String, b: String): String =
+    s"""(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"""
+
+  val all: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents)
+         SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+         CAST(${hits(en)} AS BIGINT) AS n_stop_en,
+         CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS sum_tok_len,
+         round((CAST(${hits(en)} AS DOUBLE) / len(toks)) * 0.5
+               + least(len(toks), 100) * 0.005, 6) AS quality
+         FROM tok ORDER BY doc_id""",
+
+    "text_lang_id" ->
+      s"""WITH tok AS (SELECT lang, $toks AS toks FROM documents),
+         sc AS (SELECT lang,
+           ${hits(de)} AS s_de, ${hits(en)} AS s_en,
+           ${hits(es)} AS s_es, ${hits(fr)} AS s_fr FROM tok),
+         pred AS (SELECT lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred FROM sc)
+         SELECT lang, lang_pred, count(*) AS n FROM pred
+         GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
+
+    "text_fingerprint" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents)
+         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks,
+             t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1000000007)),
+           (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+         FROM tok ORDER BY doc_id""",
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
+         count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY keeper_id""",
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH tok AS (SELECT doc_id AS id, $toks AS toks FROM documents),
+         sh AS (SELECT id, unnest(list_distinct(list_transform(
+             range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+           FROM tok WHERE len(toks) >= 3),
+         sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         common AS (SELECT a.id AS id1, b.id AS id2, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)
+         SELECT id1, id2, c, n1, n2,
+           round(c / CAST(n1 + n2 - c AS DOUBLE), 6) AS jaccard
+         FROM common
+         JOIN (SELECT id AS id1, n AS n1 FROM sizes) USING (id1)
+         JOIN (SELECT id AS id2, n AS n2 FROM sizes) USING (id2)
+         WHERE round(c / CAST(n1 + n2 - c AS DOUBLE), 6) >= 0.8
+         ORDER BY id1, id2""",
+
+    "dedup_embedding" ->
+      s"""WITH emb AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS block
+           FROM embeddings)
+         SELECT id1, id2, block, cos FROM (
+           SELECT a.vec_id AS id1, b.vec_id AS id2, a.block AS block,
+             ${cosSql("a.embedding", "b.embedding")} AS cos
+           FROM emb a JOIN emb b
+             ON a.block = b.block AND a.vec_id < b.vec_id)
+         WHERE cos >= 0.30 ORDER BY id1, id2""",
+
+    "sim_bruteforce_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+           WHERE vec_id % 50 = 0),
+         scored AS (SELECT qid, vec_id,
+             ${cosSql("qvec", "embedding")} AS cos
+           FROM embeddings CROSS JOIN q WHERE qid <> vec_id),
+         ranked AS (SELECT qid, vec_id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+               AS "rank"
+           FROM scored)
+         SELECT qid, "rank", vec_id, cos FROM ranked WHERE "rank" <= 10
+         ORDER BY qid, "rank"""",
+
+    "mm_decode_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         md5(text) AS content_md5,
+         CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+         CAST(octet_length(encode(text)) * 7 % 480 + 1 AS BIGINT) AS height
+         FROM documents ORDER BY doc_id""",
+
+    "mm_frame_sample" ->
+      """SELECT doc_id, i AS frame_idx,
+         CAST(length(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS BIGINT)
+           AS frame_len,
+         md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
+         FROM documents, unnest(range(0, (length(text) - 1) // 64 + 1)) t(i)
+         WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""",
+
+    "join_asof" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us,
+             max(event_id) AS s_event
+           FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+         p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id AS p_event, p.user_id, p.ts_us AS p_ts,
+           coalesce(s.ts_us, -1) AS s_ts,
+           coalesce(s.s_event, -1) AS s_event
+         FROM p ASOF LEFT JOIN s
+           ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
+         ORDER BY p_event""",
+
+    "join_range_bucketed" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'click'),
+         e AS (SELECT user_id, event_id AS err_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'error')
+         SELECT c.click_id, c.user_id, count(e.err_id) AS n_near_errors
+         FROM c LEFT JOIN e ON c.user_id = e.user_id
+           AND e.ts_us BETWEEN c.ts_us - 600000000 AND c.ts_us + 600000000
+         GROUP BY c.click_id, c.user_id ORDER BY c.click_id""",
+  )
+}

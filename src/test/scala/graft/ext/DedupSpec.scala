@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "tiny")).toDF("doc_id", "text")
+
+  private def shingled =
+    docs.select(col("doc_id").as("id"),
+      Dedup.wordShingles(Text.tokens(col("text")), 3).as("shingles"))
+
+  test("wordShingles: count, order-awareness, short-doc empty") {
+    val sh = shingled.withColumn("n", size(col("shingles")))
+    assert(sh.filter(col("id") === 1).select("n").as[Int].head() == 7)
+    assert(sh.filter(col("id") === 5).select("n").as[Int].head() == 0)
+  }
+
+  test("exact: groups identical texts under the min-id keeper") {
+    val r = Dedup.exact(docs, col("doc_id"), col("text"))
+      .orderBy(col("keeper_id"))
+      .select(col("keeper_id"), col("n_copies")).as[(Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L), (5L, 1L)))
+  }
+
+  test("jaccardPairs: finds the near-dup pair with correct jaccard") {
+    val pairs = Dedup.jaccardPairs(shingled, minJaccard = 0.5)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    // docs 1/2 and 1/4 and 2/4: 1 vs 4 identical (jac 1.0); 1 vs 2 share
+    // 6 of 8 distinct shingles (6/(7+7-6)=0.75)
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(pairs.find(p => (p._1, p._2) == (1L, 4L)).get._3 == 1.0)
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 0.75)
+  }
+
+  test("jaccardPairs: maxDocFreq prunes ubiquitous shingles") {
+    // shingle present in all three docs is pruned at maxDocFreq=2
+    val d = Seq(
+      (1L, Seq("x y z", "a b c")),
+      (2L, Seq("x y z", "a b c")),
+      (3L, Seq("x y z", "q r s"))).toDF("id", "shingles")
+    val withPrune = Dedup.jaccardPairs(d, 0.0, maxDocFreq = 2)
+      .select(col("id1"), col("id2")).as[(Long, Long)].collect().toSet
+    assert(withPrune == Set((1L, 2L))) // only the a-b-c evidence remains
+  }
+
+  test("minhashCandidates: exact dups always collide; est_jaccard = 1") {
+    val cand = Dedup.minhashCandidates(shingled, numHashes = 32, bands = 8)
+    val d14 = cand.filter(col("id1") === 1 && col("id2") === 4)
+      .select("est_jaccard").as[Double].collect()
+    assert(d14.sameElements(Array(1.0)))
+    // disjoint docs 3 and 5(empty) never pair with est 1.0
+    assert(cand.filter(col("id2") === 5).count() == 0)
+  }
+
+  test("simhash: identical texts give identical sketch; hamming pairs found") {
+    val sk = Dedup.withSimhash(docs, col("doc_id"), col("text"))
+    val m = sk.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(4L))
+    assert(m(1L) != m(3L))
+    val pairs = Dedup.simhashPairs(sk, maxHamming = 10)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1 && p._2 == 4 && p._3 == 0))
+  }
+
+  test("fnv1a64 is stable") {
+    assert(Dedup.fnv1a64("") == 0xcbf29ce484222325L)
+    assert(Dedup.fnv1a64("a") == 0xaf63dc4c8601ec8cL)
+  }
+}

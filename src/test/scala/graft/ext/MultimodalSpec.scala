@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val docs = Seq(
+    (1L, "a" * 100),
+    (2L, "hello world"),
+    (3L, "x" * 64)).toDF("doc_id", "text")
+
+  test("withPayload: binary column with exact byte length") {
+    val r = Multimodal.withPayload(docs)
+      .select(col("doc_id"), length(col("payload")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(r == Map(1L -> 100, 2L -> 11, 3L -> 64))
+  }
+
+  test("decodeStub: deterministic metadata incl. md5 of the bytes") {
+    val m = Multimodal.decodeStub(Multimodal.withPayload(docs))
+      .collect().map(x => x.doc_id -> x).toMap
+    assert(m(2L).byte_len == 11)
+    assert(m(2L).content_md5 == "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+    assert(m(1L).width == 101 && m(1L).height == (700 % 480) + 1)
+    // survives partition batching: same results at 1-row batches
+    assert(m.size == 3)
+  }
+
+  test("sampleFrames: strided frames with correct lengths and digests") {
+    val f = Multimodal.sampleFrames(docs, frameLen = 64, stride = 4)
+    val rows = f.select(col("doc_id"), col("frame_idx"), col("frame_len"))
+      .as[(Long, Long, Long)].collect().toSet
+    // doc1: 100 chars → frames 0 (64) and 1 (36); stride 4 keeps only 0
+    assert(rows == Set((1L, 0L, 64L), (2L, 0L, 11L), (3L, 0L, 64L)))
+    val d3md5 = f.filter(col("doc_id") === 3).select("frame_md5").as[String].head()
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(("x" * 64).getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    assert(d3md5 == expected)
+  }
+
+  test("stride sampling keeps every 4th frame on long docs") {
+    val long = Seq((9L, "z" * 700)).toDF("doc_id", "text")
+    val idx = Multimodal.sampleFrames(long, 64, 4)
+      .select("frame_idx").as[Long].collect().sorted
+    assert(idx.toSeq == Seq(0L, 4L, 8L)) // 11 frames (0..10), strided
+  }
+}

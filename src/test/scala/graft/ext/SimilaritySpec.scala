@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("dot/cosine column math") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val (d, c) = df.select(
+      Similarity.dot(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("b"))).as[(Double, Double)].head()
+    assert(d == 32.0)
+    assert(math.abs(c - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-12)
+  }
+
+  private val corpus = Seq(
+    (1L, Seq(1.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f)),
+    (3L, Seq(0.0f, 1.0f)),
+    (4L, Seq(-1.0f, 0.0f)),
+    (5L, Seq(0.7f, 0.7f))).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK: correct ranking, self excluded") {
+    val q = corpus.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val r = Similarity.bruteForceTopK(q, corpus, k = 3)
+      .orderBy(col("rank"))
+      .select(col("vec_id")).as[Long].collect()
+    assert(r.toSeq == Seq(2L, 5L, 3L)) // by cosine to (1,0): .994, .707, 0
+  }
+
+  test("lshTopK: subset of brute-force candidates, ranked consistently") {
+    // 64-dim vectors from the real test table
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.limit(2).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val approx = Similarity.lshTopK(q, emb, k = 5)
+    val exact = Similarity.bruteForceTopK(q, emb, k = emb.count().toInt)
+    // every LSH hit exists in the exact ranking with the identical score
+    val a = approx.select(col("qid"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    val e = exact.select(col("qid"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a.nonEmpty && a.subsetOf(e))
+  }
+
+  test("hyperplanes deterministic across calls") {
+    assert(Similarity.hyperplanes(4, 8) == Similarity.hyperplanes(4, 8))
+  }
+
+  test("cosinePairs respects blocking and threshold") {
+    val v = Seq(
+      (1L, Seq(1.0f, 0.0f), 0L),
+      (2L, Seq(0.99f, 0.01f), 0L),
+      (3L, Seq(1.0f, 0.0f), 1L)) // same direction, different block
+      .toDF("vec_id", "embedding", "block")
+    val pairs = Similarity.cosinePairs(v, 0.9)
+      .select(col("id1"), col("id2")).as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

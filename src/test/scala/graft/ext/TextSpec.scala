@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def one(text: String) =
+    Seq(text).toDF("text").select(Text.tokens(col("text")).as("toks"))
+
+  test("tokens: splits on spaces, drops empties") {
+    val toks = one("a  b c ").select("toks").as[Seq[String]].head()
+    assert(toks == Seq("a", "b", "c"))
+  }
+
+  test("subword tokens: splits words, digits, marks") {
+    val toks = Seq("Hello world42!").toDF("text")
+      .select(Text.subwordTokens(col("text")).as("t")).as[Seq[String]].head()
+    assert(toks == Seq("hello", "world", "42", "!"))
+  }
+
+  test("langId: picks dominant stopword language; und when no hits") {
+    val df = Seq(
+      ("the cat and the dog of it", "en"),
+      ("der hund und die katze ist", "de"),
+      ("le chat et la chienne est", "fr"),
+      ("xyzzy plugh", "und")).toDF("text", "expected")
+      .withColumn("pred", Text.langId(Text.tokens(col("text"))))
+    assert(df.filter(col("pred") =!= col("expected")).count() == 0)
+  }
+
+  test("fingerprint: order-aware, deterministic, in range") {
+    val fp = Seq("a b c", "c b a", "a b c").toDF("text")
+      .select(Text.fingerprint(Text.tokens(col("text"))).as("fp"))
+      .as[Long].collect()
+    assert(fp(0) == fp(2), "same text, same fingerprint")
+    assert(fp(0) != fp(1), "order must matter")
+    assert(fp.forall(v => v >= 0 && v < Text.FingerprintMod))
+  }
+
+  test("quality: saturates and stays within [0,1]") {
+    val q = Seq(
+      "the of and to is in it a the of", // all stopwords
+      "qq ww ee rr").toDF("text")
+      .select(Text.qualityScore(Text.tokens(col("text"))).as("q"))
+      .as[Double].collect()
+    assert(q(0) == 0.5 + 10 * 0.005)
+    assert(q(1) == 4 * 0.005)
+  }
+}
