@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expressions of the batch sessionization kit
+  * (`core.Sessionize`) — the reference is batch-only (SURVEY.md §2.9), so
+  * this is the forward-looking surface: the same gaps-and-islands semantics
+  * as an incremental, watermarked, stateful stream.
+  *
+  * Scale design: state is one small record per active key; watermark +
+  * event-time timeout bound state size (no unbounded session buffers —
+  * aggregates are folded incrementally, events are never retained).
+  */
+object StreamOps {
+
+  /** One keyed event on the stream; `t` must be an event-time timestamp
+    * column for watermarking, `ts_us` its exact integer form. */
+  case class KeyedEvent(user_id: Long, t: java.sql.Timestamp, ts_us: Long, value: Double)
+
+  /** Completed (or force-flushed) session. */
+  case class Session(
+      user_id: Long,
+      session_id: Long,
+      n_events: Long,
+      start_us: Long,
+      end_us: Long,
+      value_sum: Double)
+
+  /** Per-key incremental session state (one record per active key). */
+  case class SessState(
+      sessionId: Long, n: Long, startUs: Long, lastUs: Long, sum: Double)
+
+  /** Streaming sessionization: same semantics as
+    * `Sessionize.withSessionId` + per-session rollup — a session closes
+    * when `gapMicros` passes with no event (decided by the event-time
+    * watermark, so late data within the watermark still extends sessions).
+    *
+    * Emits each session once, on close (Append mode). State per key is a
+    * single [[SessState]] — O(active keys), not O(events).
+    */
+  def sessionize(
+      events: Dataset[KeyedEvent],
+      gapMicros: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def fold(st: SessState, e: KeyedEvent): SessState =
+      if (e.ts_us - st.lastUs > gapMicros)
+        SessState(st.sessionId + 1, 1L, e.ts_us, e.ts_us, e.value)
+      else
+        SessState(st.sessionId, st.n + 1, st.startUs, math.max(st.lastUs, e.ts_us), st.sum + e.value)
+
+    events
+      .withWatermark("t", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[KeyedEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(key, st.sessionId, st.n, st.startUs, st.lastUs, st.sum))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts_us))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case None =>
+                  cur = Some(SessState(1L, 1L, e.ts_us, e.ts_us, e.value))
+                case Some(st) =>
+                  val next = fold(st, e)
+                  if (next.sessionId != st.sessionId)
+                    closed ::= Session(key, st.sessionId, st.n, st.startUs, st.lastUs, st.sum)
+                  cur = Some(next)
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              // close the open session once the watermark passes its gap
+              state.setTimeoutTimestamp((st.lastUs + gapMicros) / 1000L + 1L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Watermarked tumbling-window count/sum — the streaming form of a
+    * time-bucketed groupBy (Append mode: a window emits once, when the
+    * watermark passes its end). */
+  def tumblingCounts(
+      events: DataFrame, // needs (t: timestamp, user_id, value)
+      windowLen: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("t", watermarkDelay)
+      .groupBy(col("user_id"), window(col("t"), windowLen))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("user_id"),
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("n_events"), col("value_sum"))
+
+  /** Native streaming session_window agg — the built-in twin of
+    * [[sessionize]] for when per-session custom state isn't needed. */
+  def sessionWindowCounts(
+      events: DataFrame, // needs (t: timestamp, user_id)
+      gap: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("t", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("t"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"))
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Sessionize
+import graft.streaming.StreamOps.{KeyedEvent, Session}
+
+class StreamOpsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  /** Events offset to minute 1000: rows at event-time 0 sit exactly on the
+    * initial watermark and are dropped by stateful operators. */
+  private val BaseUs = 1000L * 60L * 1000000L
+
+  private def ev(user: Long, minute: Long, value: Double): KeyedEvent = {
+    val us = BaseUs + minute * 60L * 1000000L
+    KeyedEvent(user, new Timestamp(us / 1000L), us, value)
+  }
+
+  private def runBatches[T](
+      batches: Seq[Seq[KeyedEvent]],
+      build: org.apache.spark.sql.Dataset[KeyedEvent] => org.apache.spark.sql.DataFrame) = {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[KeyedEvent]
+    val out = build(mem.toDS())
+    val qname = s"q${System.nanoTime()}"
+    val query = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b); query.processAllAvailable() }
+      // one empty batch: the watermark computed from the last data batch is
+      // applied (and state flushed) in the following micro-batch
+      mem.addData(Seq.empty[KeyedEvent])
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table(qname).collect()
+  }
+
+  // gap = 10 min; watermark 1 min
+  private val gapUs = 10L * 60L * 1000000L
+
+  test("streaming sessionize matches batch sessionize on closed sessions") {
+    val batch1 = Seq(ev(1, 0, 1.0), ev(1, 5, 2.0), ev(2, 0, 5.0))
+    val batch2 = Seq(ev(1, 30, 3.0), ev(2, 31, 6.0)) // closes session 1 for both
+    val batch3 = Seq(ev(1, 90, 4.0)) // advances watermark past session 2's gap
+    val rows = runBatches(Seq(batch1, batch2, batch3),
+      ds => StreamOps.sessionize(ds, gapUs, "1 minute").toDF())
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+
+    // batch oracle over the same events (sessions closed by stream so far)
+    val all = (batch1 ++ batch2 ++ batch3)
+      .toDF("user_id", "t", "ts_us", "value")
+    val batchSessions = Sessionize.withSessionId(
+        all, Seq("user_id"), col("ts_us"), gapUs)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    info(s"stream rows: ${rows.toList}")
+    info(s"batch sessions: ${batchSessions.toList.sorted}")
+    // every emitted streaming session appears identically in the batch run
+    assert(rows.nonEmpty)
+    assert(rows.toSet.subsetOf(batchSessions))
+    // user 1's first session (2 events, sum 3.0) must have closed
+    assert(rows.contains((1L, 1L, 2L, 3.0)))
+    assert(rows.contains((2L, 1L, 1L, 5.0)))
+  }
+
+  test("tumbling window counts emit finalized windows only") {
+    val rows = runBatches(
+      Seq(Seq(ev(1, 0, 1.0), ev(1, 3, 2.0), ev(1, 7, 4.0)),
+        Seq(ev(1, 60, 9.0))), // watermark jumps far past the first windows
+      ds => StreamOps.tumblingCounts(ds.toDF(), "5 minutes", "1 minute"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows == Set(
+      (1L, BaseUs, 2L, 3.0), // [0,5): minutes 0,3
+      (1L, BaseUs + 5L * 60L * 1000000L, 1L, 4.0))) // [5,10): minute 7
+  }
+
+  test("streaming session_window agrees with batch session_window") {
+    val rows = runBatches(
+      Seq(Seq(ev(1, 0, 1.0), ev(1, 5, 1.0), ev(1, 40, 1.0)),
+        Seq(ev(1, 120, 1.0))),
+      ds => StreamOps.sessionWindowCounts(ds.toDF(), "10 minutes", "1 minute"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      (1L, BaseUs, 2L), // minutes 0+5 merge (gap 5 < 10)
+      (1L, BaseUs + 40L * 60L * 1000000L, 1L)))
+  }
+}
