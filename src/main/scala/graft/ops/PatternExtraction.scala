@@ -56,7 +56,8 @@ object PatternExtraction {
   case class Config(
       gapPercentile: Double = 0.95,
       terminusRadiusM: Double = 100.0,
-      guardSpeedMps: Double = 11.11)
+      guardSpeedMps: Double = 11.11,
+      qualify: Boolean = true)
 
   private val byVehicle = Window.partitionBy("id").orderBy("t")
 
@@ -168,8 +169,11 @@ object PatternExtraction {
 
     // vehicle qualification (Standalone:104–121): keep vehicles seen at
     // both travel directions' termini or mid-route during a gap —
-    // EXISTS-aggregation + semi join, not inner-join-on-distinct
-    val qualified = guarded.join(
+    // EXISTS-aggregation + semi join, not inner-join-on-distinct.
+    // `cfg.qualify = false` skips the gate for feeds without terminus
+    // geography (the reference's Standalone variant substitutes a
+    // hardcoded vehicle allowlist here, Standalone:11–16).
+    val qualified = if (!cfg.qualify) guarded else guarded.join(
       guarded.groupBy("id").agg(
         max(when(
           (col("direction") === 1 && col("position") === 1) ||

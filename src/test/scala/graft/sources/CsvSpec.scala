@@ -1,0 +1,67 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.core.TimeOps
+
+class CsvSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("csvspec").toString + "/out"
+
+  private val schema = StructType(Seq(
+    StructField("id", StringType),
+    StructField("linenumber", StringType),
+    StructField("v", DoubleType)))
+
+  test("round trip with explicit schema; partitioned layout replaces per-key loop") {
+    val dir = tmpDir()
+    val df = Seq(("a", "L1", 1.5), ("b", "L1", 2.5), ("c", "L2", 3.5))
+      .toDF("id", "linenumber", "v")
+    Csv.write(df, dir, partitionCols = Seq("linenumber"))
+    // one directory per line — the reference wrote these via a driver loop
+    val parts = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("linenumber=")).sorted
+    assert(parts.toSeq == Seq("linenumber=L1", "linenumber=L2"))
+    val back = spark.read.option("header", "true")
+      .option("basePath", dir).csv(s"$dir/linenumber=*")
+    assert(back.count() == 3)
+    assert(back.columns.toSet == Set("id", "v", "linenumber"))
+  }
+
+  test("custom delimiter round trip (reference bus_line uses ';')") {
+    val dir = tmpDir()
+    Seq(("x", "L9", 1.0)).toDF("id", "linenumber", "v")
+      .coalesce(1).write.option("header", "true").option("sep", ";").csv(dir)
+    val back = Csv.read(spark, dir, schema, delimiter = ";")
+    assert(back.as[(String, String, Double)].head() == (("x", "L9", 1.0)))
+  }
+
+  test("singleFile write produces exactly one part file") {
+    val dir = tmpDir()
+    Csv.write(Seq(("a", "L1", 1.0), ("b", "L2", 2.0)).toDF("id", "linenumber", "v"),
+      dir, singleFile = true)
+    val parts = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".csv"))
+    assert(parts.length == 1)
+  }
+
+  test("mixed yy-/yyyy- timestamps in one file normalize via parseMulti") {
+    val dir = tmpDir()
+    Seq(("a", "19-02-01 05:26:00"), ("b", "2019-02-01 05:27:00"),
+        ("c", "not a time")).toDF("id", "t")
+      .coalesce(1).write.option("header", "true").csv(dir)
+    val back = Csv.readDynamic(spark, dir)
+      .withColumn("ts", TimeOps.parseMulti(col("t")))
+      .withColumn("us", unix_micros(col("ts")))
+    val m = back.select(col("id"), col("us")).as[(String, Option[Long])]
+      .collect().toMap
+    assert(m("a").isDefined && m("b").isDefined && m("c").isEmpty)
+    assert(m("b").get - m("a").get == 60L * 1000000L) // one minute apart
+  }
+}
