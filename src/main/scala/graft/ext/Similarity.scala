@@ -108,6 +108,93 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  // --- IVF (inverted-file) index -----------------------------------------
+
+  /** Train `nlist` coarse centroids with `iters` Lloyd iterations.
+    * Deterministic init: the `nlist` lowest-id vectors seed the centroids.
+    * Assignment/update are DataFrame ops (posexplode + per-dim avg); only
+    * the k×dim centroid table ever reaches the driver.
+    *
+    * At corpus scale this is the standard IVF training loop: centroids are
+    * a broadcast-sized model, each iteration is one scan + one shuffle of
+    * (cid, dim, component) rows.
+    */
+  def trainCentroids(
+      corpus: DataFrame, // (vec_id, embedding)
+      nlist: Int,
+      iters: Int = 2): Seq[(Int, Seq[Double])] = {
+    var centroids: Seq[(Int, Seq[Double])] = corpus
+      .orderBy(col("vec_id")).limit(nlist).collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        i -> r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toSeq
+      }.toSeq
+    (0 until iters).foreach { _ =>
+      val assigned = corpus.withColumn("cid", nearestCentroid(col("embedding"), centroids))
+      val dims = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val updated = dims.groupBy(_.getInt(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      // empty cells keep their previous centroid
+      centroids = centroids.map { case (cid, c) => cid -> updated.getOrElse(cid, c) }
+    }
+    centroids
+  }
+
+  /** Index of the nearest centroid by cosine (ties → lowest cid). */
+  def nearestCentroid(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    val scored = centroids.map { case (cid, c) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      (cid, dot(vec, array(c.map(lit): _*)) / lit(cn))
+    }
+    val best = greatest(scored.map(_._2): _*)
+    scored.foldLeft(lit(null).cast("int")) { case (acc, (cid, s)) =>
+      coalesce(acc, when(s === best, lit(cid)))
+    }
+  }
+
+  /** The `nprobe` nearest centroid ids for a query vector, as an array. */
+  private def probeCentroids(
+      vec: Column, centroids: Seq[(Int, Seq[Double])], nprobe: Int): Column = {
+    val scored = centroids.map { case (cid, c) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct((dot(vec, array(c.map(lit): _*)) / lit(cn)).as("s"), lit(cid).as("cid"))
+    }
+    slice(reverse(array_sort(array(scored: _*))), 1, nprobe).getField("cid")
+  }
+
+  /** IVF top-k: corpus partitioned by nearest centroid (the inverted
+    * file); each query probes its `nprobe` closest cells and ranks
+    * exactly within them. Equi-join on cell id — cost |Q|·(corpus/nlist)
+    * ·nprobe instead of |Q|·|C|. */
+  def ivfTopK(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (vec_id, embedding)
+      k: Int,
+      nlist: Int = 8,
+      nprobe: Int = 2,
+      iters: Int = 2): DataFrame = {
+    val centroids = trainCentroids(corpus, nlist, iters)
+    val cells = corpus
+      .withColumn("cid", nearestCentroid(col("embedding"), centroids))
+      .withColumn("c_norm", l2Norm(col("embedding")))
+    val probes = queries
+      .withColumn("cid", explode(probeCentroids(col("qvec"), centroids, nprobe)))
+      .withColumn("q_norm", l2Norm(col("qvec")))
+    val cand = cells.join(broadcast(probes),
+        probes("cid") === cells("cid") && col("qid") =!= col("vec_id"))
+      .withColumn("cos",
+        dot(col("qvec"), col("embedding")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /** Embedding near-duplicate pairs: all unordered pairs within a blocking
     * key above a cosine floor. The blocking column keeps the pair join
     * equi-partitioned (label/cluster/LSH-bucket — never a full cross). */

@@ -111,6 +111,14 @@ object Ext {
         t(s, dir, "embeddings").select(col("vec_id"), col("embedding")), k = 10)
       .orderBy(col("qid"), col("rank"))
 
+  /** IVF approximate top-10: trained coarse quantizer (8 cells, 2 Lloyd
+    * iterations), 2-cell probes. No oracle — the model is engine state. */
+  def simIvfTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(queryVecs(s, dir),
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        k = 10, nlist = 8, nprobe = 2)
+      .orderBy(col("qid"), col("rank"))
+
   // ===== multimodal =====
 
   /** Batched binary "decode" to typed metadata (stubbed codec). */
@@ -186,6 +194,7 @@ object Ext {
     "dedup_embedding" -> dedupEmbedding _,
     "sim_bruteforce_topk" -> simBruteforceTopk _,
     "sim_lsh_topk" -> simLshTopk _,
+    "sim_ivf_topk" -> simIvfTopk _,
     "mm_decode_meta" -> mmDecodeMeta _,
     "mm_frame_sample" -> mmFrameSample _,
     "join_asof" -> joinAsof _,

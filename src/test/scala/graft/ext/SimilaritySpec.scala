@@ -51,6 +51,39 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.hyperplanes(4, 8) == Similarity.hyperplanes(4, 8))
   }
 
+  test("IVF: centroids separate obvious clusters; topK stays in-cell") {
+    // three tight clusters along distinct axes
+    val vecs = (for {
+      c <- 0 until 3
+      i <- 0 until 6
+    } yield {
+      val base = Array.fill(4)(0.05f)
+      base(c) = 1.0f + i * 0.01f
+      (c * 10L + i, base.toSeq)
+    }).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(vecs, nlist = 3, iters = 2)
+    assert(cents.size == 3)
+    val q = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val hits = Similarity.ivfTopK(q, vecs, k = 5, nlist = 3, nprobe = 1, iters = 2)
+      .select(col("vec_id")).as[Long].collect().toSet
+    // everything retrieved is from cluster 0 (ids 1..5), never 10+/20+
+    assert(hits.nonEmpty && hits.forall(_ < 10L), s"hits=$hits")
+  }
+
+  test("IVF results carry exact cosine scores (subset of brute force)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.limit(2).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val ivf = Similarity.ivfTopK(q, emb, k = 5, nlist = 4, nprobe = 2)
+      .select(col("qid"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Similarity.bruteForceTopK(q, emb, k = emb.count().toInt)
+      .select(col("qid"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ivf.nonEmpty && ivf.subsetOf(exact))
+  }
+
   test("cosinePairs respects blocking and threshold") {
     val v = Seq(
       (1L, Seq(1.0f, 0.0f), 0L),
