@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, ScalaUDF}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.functions.Haversine
+
+/** Optimizer rule: promote the SQL-registered haversine Scala UDF
+  * (`Geo.register` installs it as `haversine_m`, mirroring the reference's
+  * `fastHaversine`, `Parallel/Pattern Extraction.scala:56`) to the native
+  * codegen'd [[Haversine]] expression. Plans written against the UDF —
+  * including `expr("CASE WHEN haversine_m(...)")` SQL fragments — execute
+  * with fused code and no boxing. */
+object NativeHaversineRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case u: ScalaUDF if u.udfName.contains("haversine_m") && u.children.size == 4 =>
+        Haversine(u.children(0), u.children(1), u.children(2), u.children(3))
+    }
+}
+
+/** Session extension installer:
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. Registers the
+  * native function and the UDF-promotion rule. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("haversine_native"),
+      new ExpressionInfo(classOf[Haversine].getName, "haversine_native"),
+      (args: Seq[Expression]) => {
+        require(args.size == 4, "haversine_native(lat1, lng1, lat2, lng2)")
+        Haversine(args(0), args(1), args(2), args(3))
+      }))
+    ext.injectOptimizerRule(_ => NativeHaversineRule)
+  }
+}
