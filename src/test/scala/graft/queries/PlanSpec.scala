@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan regressions: the scale-critical plan shapes asserted, so
+  * a future edit that silently loses a pushdown, broadcast, or exchange
+  * reuse fails here rather than at 100 TB. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(q: String): String =
+    graft.SparkEntry.queries(q)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("proj_filter: predicates and projection reach the parquet scan") {
+    val p = planOf("proj_filter")
+    assert(p.contains("PushedFilters:"), "no pushdown section")
+    assert(p.contains("l_returnflag"), p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+    // only selected columns read (no full-width struct)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment"), s"over-wide scan: $readSchema")
+  }
+
+  test("join_broadcast_dims: all dim joins broadcast, fact side never shuffles to join") {
+    val p = planOf("join_broadcast_dims")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast hash joins")
+    assert(!p.contains("SortMergeJoin"), "fact-side SMJ crept in")
+  }
+
+  test("q1_agg: two-phase aggregation (map-side partial combine)") {
+    val p = planOf("q1_agg")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs")
+  }
+
+  test("win_sessionize: the window chain reuses one exchange on the key") {
+    val p = planOf("win_sessionize")
+    // one shuffle for the per-user window work + one for the final rollup
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 3, s"window chain fragmented into $exchanges exchanges:\n$p")
+  }
+
+  test("dedup_ngram_jaccard: the shingle self-join reuses the build side") {
+    val p = planOf("dedup_ngram_jaccard")
+    assert(p.contains("ReusedExchange") || p.contains("BroadcastHashJoin"),
+      "self-join recomputes both sides")
+  }
+
+  test("sim_bruteforce_topk: query side broadcasts; corpus never shuffles pre-join") {
+    val p = planOf("sim_bruteforce_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "queries not broadcast")
+  }
+}
