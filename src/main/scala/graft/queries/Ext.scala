@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Skew, Tables}
 import graft.ext.{Dedup, Multimodal, Similarity, Text}
+import graft.ops.Balance
 
 /** North-star extension queries — the training-data-pipeline operator set
   * (dedup ladder, similarity search, text analysis, multimodal plumbing,
@@ -183,6 +184,48 @@ object Ext {
       .orderBy(col("click_id"))
   }
 
+  // ===== partitioning / skew =====
+
+  /** O4: cost-balanced repartition — per-supplier row counts bin-packed
+    * into 8 bins (outliers isolated), then the fact table repartitioned by
+    * bin. Output: per-bin load summary. No SQL twin (driver-side
+    * bin-packing plan) → rows-only check. */
+  def balanceBins(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val costs = li.groupBy(col("l_suppkey").cast("string").as("key"))
+      .agg(count(lit(1)).cast("double").as("cost"))
+      .orderBy(col("cost").desc, col("key")) // deterministic plan input
+    Balance.costBalancedRepartition(
+        li.withColumn("l_suppkey", col("l_suppkey").cast("string")),
+        "l_suppkey", costs, targetBins = 8)
+      .groupBy(col("_bin"))
+      .agg(countDistinct(col("l_suppkey")).as("n_keys"), count(lit(1)).as("n_rows"))
+      .orderBy(col("_bin"))
+  }
+
+  /** Salted two-phase aggregation over a skew-prone key — result equals
+    * the direct groupBy exactly, so the DuckDB oracle is the UNSALTED
+    * aggregate (verifying the rewrite is result-transparent). */
+  def skewSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedCountSum(
+        t(s, dir, "lineitem"),
+        Seq(col("l_returnflag")),
+        col("l_quantity"),
+        Skew.saltOf(16, col("l_orderkey"), col("l_linenumber")))
+      .select(col("l_returnflag"), col("n"), round(col("s"), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** Sketch aggregates (approx percentile + HLL distinct) — algorithms are
+    * engine-specific, so no value oracle; rows-only check. */
+  def aggApprox(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_approx(l_extendedprice, 0.95)").as("p95_approx"),
+        approx_count_distinct(col("l_partkey")).as("parts_hll"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats _,
     "text_lang_id" -> textLangId _,
@@ -199,5 +242,8 @@ object Ext {
     "mm_frame_sample" -> mmFrameSample _,
     "join_asof" -> joinAsof _,
     "join_range_bucketed" -> joinRangeBucketed _,
+    "balance_bins" -> balanceBins _,
+    "skew_salted_agg" -> skewSaltedAgg _,
+    "agg_approx" -> aggApprox _,
   )
 }

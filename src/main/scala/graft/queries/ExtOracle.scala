@@ -144,6 +144,11 @@ object ExtOracle {
            ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
          ORDER BY p_event""",
 
+    "skew_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+         round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "join_range_bucketed" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts_us
            FROM events WHERE event_type = 'click'),
