@@ -162,6 +162,52 @@ object Dedup {
       .select(col("id1"), col("id2"), col("est_jaccard"))
   }
 
+  // --- duplicate-cluster formation --------------------------------------
+
+  /** Connected components over an undirected pair graph `(id1, id2)` —
+    * the step that turns near-dup PAIRS into dedup GROUPS (keep one doc
+    * per component). Iterative min-label propagation: each round every
+    * node adopts the smallest label among itself and its neighbors;
+    * converges in graph-diameter rounds (near-dup components are
+    * near-cliques — diameter 1–3 in practice).
+    *
+    * Scale notes: each round is one equi-join + one agg on the edge list
+    * (no driver-side graph); labels persist round-to-round; the
+    * convergence check is a cheap count. `maxIter` caps pathological
+    * chains.
+    *
+    * Returns `(id, component)` where component = min node id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sym = pairs
+      .select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbor = sym
+        .join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src").as("id2")).agg(min(col("component")).as("nc"))
+      val next = labels.join(viaNeighbor, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nc"), col("component")))
+            .as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") < col("old")).isEmpty
+      labels.unpersist(false)
+      labels = next
+      iter += 1
+    }
+    sym.unpersist(false)
+    labels
+  }
+
   // --- SimHash -----------------------------------------------------------
 
   /** FNV-1a 64-bit string hash — self-contained, deterministic across JVMs;

@@ -78,6 +78,17 @@ object Ext {
       .filter(col("est_jaccard") >= 0.5)
       .orderBy(col("id1"), col("id2"))
 
+  /** Duplicate groups: connected components over the Jaccard ≥ 0.8 pair
+    * graph — pairs → transitive dedup clusters (keep min-id per group).
+    * Oracle: recursive CTE computing min reachable id. */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.jaccardPairs(
+          docsTok(s, dir).select(col("doc_id").as("id"), col("toks")),
+          k = 3, minJaccard = 0.8)
+          .select(col("id1"), col("id2")))
+      .orderBy(col("id"))
+
   /** SimHash near-dup pairs (64-bit sketch, 16-bit band blocking). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(
@@ -234,6 +245,7 @@ object Ext {
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
+    "dedup_components" -> dedupComponents _,
     "dedup_embedding" -> dedupEmbedding _,
     "sim_bruteforce_topk" -> simBruteforceTopk _,
     "sim_lsh_topk" -> simLshTopk _,
