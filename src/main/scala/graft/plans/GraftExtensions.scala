@@ -36,5 +36,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Haversine(args(0), args(1), args(2), args(3))
       }))
     ext.injectOptimizerRule(_ => NativeHaversineRule)
+    ext.injectPlannerStrategy(_ => AsOfStrategy)
   }
 }
