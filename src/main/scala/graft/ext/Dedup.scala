@@ -208,6 +208,18 @@ object Dedup {
     labels
   }
 
+  /** Apply dedup: keep one document per duplicate component (the smallest
+    * id — the component label), drop the rest. Docs not in any pair pass
+    * through. This is the end-user operation the pair/component mining
+    * feeds: corpus in → smaller corpus out. */
+  def deduplicate(
+      docs: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("_loser"))
+    docs.join(broadcast(losers), id === col("_loser"), "left_anti")
+  }
+
   // --- SimHash -----------------------------------------------------------
 
   /** FNV-1a 64-bit string hash — self-contained, deterministic across JVMs;

@@ -89,6 +89,20 @@ object Ext {
           .select(col("id1"), col("id2")))
       .orderBy(col("id"))
 
+  /** Applied dedup: the corpus with near-dup losers removed (keep the
+    * min-id representative per component). The user-facing result of the
+    * whole dedup ladder. */
+  def dedupApply(s: SparkSession, dir: String): DataFrame =
+    Dedup.deduplicate(
+        t(s, dir, "documents"),
+        col("doc_id"),
+        Dedup.jaccardPairs(
+          docsTok(s, dir).select(col("doc_id").as("id"), col("toks")),
+          k = 3, minJaccard = 0.8)
+          .select(col("id1"), col("id2")))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** SimHash near-dup pairs (64-bit sketch, 16-bit band blocking). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(
@@ -246,6 +260,7 @@ object Ext {
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_components" -> dedupComponents _,
+    "dedup_apply" -> dedupApply _,
     "dedup_embedding" -> dedupEmbedding _,
     "sim_bruteforce_topk" -> simBruteforceTopk _,
     "sim_lsh_topk" -> simLshTopk _,

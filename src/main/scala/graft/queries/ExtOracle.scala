@@ -116,6 +116,33 @@ object ExtOracle {
          SELECT v AS id, min(label) AS component
          FROM reach GROUP BY v ORDER BY id""",
 
+    "dedup_apply" ->
+      s"""WITH RECURSIVE
+         tok AS (SELECT doc_id AS id, $toks AS toks FROM documents),
+         sh AS (SELECT id, unnest(list_distinct(list_transform(
+             range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+           FROM tok WHERE len(toks) >= 3),
+         sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         pairs AS (
+           SELECT id1, id2 FROM (
+             SELECT a.id AS id1, b.id AS id2, count(*) AS c
+             FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)
+           JOIN (SELECT id AS id1, n AS n1 FROM sizes) USING (id1)
+           JOIN (SELECT id AS id2, n AS n2 FROM sizes) USING (id2)
+           WHERE round(c / CAST(n1 + n2 - c AS DOUBLE), 6) >= 0.8),
+         e AS (SELECT id1 AS src, id2 AS dst FROM pairs
+               UNION ALL SELECT id2, id1 FROM pairs),
+         reach(v, label) AS (
+           SELECT DISTINCT src, src FROM e
+           UNION
+           SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.v),
+         losers AS (
+           SELECT v FROM reach GROUP BY v HAVING v <> min(label))
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT v FROM losers)
+         ORDER BY doc_id""",
+
     "dedup_embedding" ->
       s"""WITH emb AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS block
            FROM embeddings)

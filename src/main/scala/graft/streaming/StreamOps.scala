@@ -102,6 +102,18 @@ object StreamOps {
         unix_micros(col("window.start")).as("window_start_us"),
         col("n_events"), col("value_sum"))
 
+  /** Streaming exact dedup: drop rows whose key was already seen, with
+    * state expired by the watermark — the incremental twin of the batch
+    * `Dedup.exact` pass (at 100 TB of events/day, dedup happens on the
+    * stream, not in a nightly batch). */
+  def dedupStream(
+      events: DataFrame, // needs (t: timestamp) + key cols
+      keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("t", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Native streaming session_window agg — the built-in twin of
     * [[sessionize]] for when per-session custom state isn't needed. */
   def sessionWindowCounts(

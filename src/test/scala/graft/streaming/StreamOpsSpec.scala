@@ -73,6 +73,18 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.contains((2L, 1L, 1L, 5.0)))
   }
 
+  test("streaming dedup drops within-watermark repeats, keeps the first") {
+    val e1 = ev(1, 0, 7.0)
+    val e1dup = ev(1, 1, 7.0).copy(ts_us = e1.ts_us) // same key fields
+    val rows = runBatches(
+      Seq(Seq(e1, ev(1, 5, 8.0)), Seq(e1dup), Seq(ev(2, 30, 9.0))),
+      ds => StreamOps.dedupStream(ds.toDF(), Seq("user_id", "ts_us")))
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.length == 3) // the duplicate re-send was dropped
+    assert(rows.toSet == Set(e1, ev(1, 5, 8.0), ev(2, 30, 9.0))
+      .map(e => (e.user_id, e.ts_us)))
+  }
+
   test("tumbling window counts emit finalized windows only") {
     val rows = runBatches(
       Seq(Seq(ev(1, 0, 1.0), ev(1, 3, 2.0), ev(1, 7, 4.0)),
