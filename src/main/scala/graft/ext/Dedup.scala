@@ -180,9 +180,12 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val sym = pairs
+    // pairs feeds both union branches — persist it or the (possibly
+    // expensive) pair-mining lineage runs twice
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = p
       .select(col("id1").as("src"), col("id2").as("dst"))
-      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .union(p.select(col("id2").as("src"), col("id1").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
@@ -205,6 +208,7 @@ object Dedup {
       iter += 1
     }
     sym.unpersist(false)
+    p.unpersist(false)
     labels
   }
 
