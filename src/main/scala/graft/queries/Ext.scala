@@ -240,6 +240,31 @@ object Ext {
       .select(col("l_returnflag"), col("n"), round(col("s"), 2).as("sum_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Typed bounded top-k Aggregator (U6): top-3 prices per returnflag via
+    * a k-capped typed UDAF — the shuffle carries ≤ k rows per map
+    * partition per group, vs a window sort materializing every row.
+    * Oracle: the equivalent row_number window query. */
+  def aggTopkTyped(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKAggregator
+    import s.implicits._
+    val rows = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber").cast("long"))
+      .as[(String, Double, Long, Long)]
+    rows
+      .groupByKey(_._1)
+      .mapValues(r => TopKAggregator.Entry(r._2, r._3, r._4))
+      .agg(new TopKAggregator.TopK(3).toColumn.name("top"))
+      .flatMap { case (flag, top) =>
+        top.zipWithIndex.map { case (e, i) =>
+          (flag, (i + 1).toLong, e.tie1, e.tie2, e.score)
+        }
+      }
+      .toDF("l_returnflag", "rank", "l_orderkey", "l_linenumber", "price")
+      .withColumn("price", round(col("price"), 2))
+      .orderBy(col("l_returnflag"), col("rank"))
+  }
+
   /** Sketch aggregates (approx percentile + HLL distinct) — algorithms are
     * engine-specific, so no value oracle; rows-only check. */
   def aggApprox(s: SparkSession, dir: String): DataFrame =
@@ -272,5 +297,6 @@ object Ext {
     "balance_bins" -> balanceBins _,
     "skew_salted_agg" -> skewSaltedAgg _,
     "agg_approx" -> aggApprox _,
+    "agg_topk_typed" -> aggTopkTyped _,
   )
 }

@@ -195,6 +195,19 @@ object ExtOracle {
            ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
          ORDER BY p_event""",
 
+    "agg_topk_typed" ->
+      """SELECT l_returnflag, "rank", l_orderkey, l_linenumber,
+           round(price, 2) AS price
+         FROM (
+           SELECT l_returnflag, l_orderkey,
+             CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             l_extendedprice AS price,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+               AS "rank"
+           FROM lineitem)
+         WHERE "rank" <= 3 ORDER BY l_returnflag, "rank"""",
+
     "skew_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n,
          round(sum(l_quantity), 2) AS sum_qty
