@@ -37,6 +37,19 @@ object Ext {
         Text.qualityScore(col("toks")).as("quality"))
       .orderBy(col("doc_id"))
 
+  /** BPE-ish subword tokenization — per-doc counts plus an md5 of the
+    * joined token stream, so the oracle verifies the regex pre-tokenizer
+    * byte-for-byte across engines. */
+  def textSubword(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("sub", Text.subwordTokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("sub")).cast("long").as("n_subwords"),
+        size(array_distinct(col("sub"))).cast("long").as("n_unique"),
+        md5(array_join(col("sub"), " ")).as("stream_md5"))
+      .orderBy(col("doc_id"))
+
   /** Language-ID heuristic vs the labeled `lang` column (confusion count
     * rollup — the text corpus is synthetic English-ish, so the point is the
     * deterministic classifier shape, not accuracy). */
@@ -279,6 +292,7 @@ object Ext {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats _,
     "text_lang_id" -> textLangId _,
+    "text_subword" -> textSubword _,
     "text_fingerprint" -> textFingerprint _,
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,

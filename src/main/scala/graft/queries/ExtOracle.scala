@@ -61,6 +61,19 @@ object ExtOracle {
          SELECT lang, lang_pred, count(*) AS n FROM pred
          GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
 
+    "text_subword" ->
+      """WITH sub AS (SELECT doc_id,
+           list_filter(string_split_regex(
+             regexp_replace(lower(text),
+               '([a-z]+|[0-9]+|[^a-z0-9\s])', ' \1 ', 'g'),
+             '\s+'), x -> x <> '') AS toks
+         FROM documents)
+         SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_subwords,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+           md5(array_to_string(toks, ' ')) AS stream_md5
+         FROM sub ORDER BY doc_id""",
+
     "text_fingerprint" ->
       s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents)
          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
