@@ -77,13 +77,17 @@ object TrajectoryClustering {
             val pts = trajs.map(_._4.map { case (lng, lat) =>
               TrajectoryDistance.P(lng, lat) }.toIndexedSeq)
             val n = pts.length
+            // polyline lengths once per trajectory, not once per pair —
+            // the O(T²) loop then does O(1) work per pair
+            val lens = pts.map(TrajectoryDistance.lengthKm)
             val dist = Array.ofDim[Double](n, n)
             var maxFinite = 0.0
             var i = 0
             while (i < n) {
               var j = i + 1
               while (j < n) {
-                val d = TrajectoryDistance.total(pts(i), pts(j))
+                val d = TrajectoryDistance.totalWithLengths(
+                  pts(i), pts(j), lens(i), lens(j))
                 val v = if (java.lang.Double.isFinite(d)) d else Double.NaN
                 dist(i)(j) = v; dist(j)(i) = v
                 if (!v.isNaN && v > maxFinite) maxFinite = v

@@ -65,7 +65,15 @@ object TrajectoryDistance {
 
   /** Angular component (TC-S:110–132): angle between the two chords in
     * raw-degree space; degenerate chords count as 90°. */
-  def angularKm(tr1: IndexedSeq[P], tr2: IndexedSeq[P]): Double = {
+  def angularKm(tr1: IndexedSeq[P], tr2: IndexedSeq[P]): Double =
+    angularKmWithLengths(tr1, tr2, lengthKm(tr1), lengthKm(tr2))
+
+  /** [[angularKm]] with the polyline lengths precomputed by the caller —
+    * inside an O(T²) pair loop this turns the distance from
+    * O(points-per-trajectory) to O(1) per pair. */
+  def angularKmWithLengths(
+      tr1: IndexedSeq[P], tr2: IndexedSeq[P],
+      len1: Double, len2: Double): Double = {
     val (v1x, v1y) = (tr1.last.lng - tr1.head.lng, tr1.last.lat - tr1.head.lat)
     val (v2x, v2y) = (tr2.last.lng - tr2.head.lng, tr2.last.lat - tr2.head.lat)
     val n1 = math.sqrt(v1x * v1x + v1y * v1y)
@@ -77,9 +85,9 @@ object TrajectoryDistance {
         math.toDegrees(math.acos(cos))
       }
     if (thetaDeg > 0 && thetaDeg <= 90)
-      math.min(lengthKm(tr1), lengthKm(tr2)) * math.sin(math.toRadians(thetaDeg))
+      math.min(len1, len2) * math.sin(math.toRadians(thetaDeg))
     else if (thetaDeg > 90 && thetaDeg <= 180)
-      math.max(lengthKm(tr1), lengthKm(tr2))
+      math.max(len1, len2)
     else 0.0
   }
 
@@ -87,4 +95,11 @@ object TrajectoryDistance {
     * horizontal/vertical term counted twice, plus the angular term. */
   def total(tr1: IndexedSeq[P], tr2: IndexedSeq[P]): Double =
     2.0 * endpointProjectionKm(tr1, tr2) + angularKm(tr1, tr2)
+
+  /** [[total]] with caller-precomputed polyline lengths (pair-loop form). */
+  def totalWithLengths(
+      tr1: IndexedSeq[P], tr2: IndexedSeq[P],
+      len1: Double, len2: Double): Double =
+    2.0 * endpointProjectionKm(tr1, tr2) +
+      angularKmWithLengths(tr1, tr2, len1, len2)
 }
