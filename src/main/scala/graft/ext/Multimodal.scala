@@ -60,6 +60,32 @@ object Multimodal {
       }
   }
 
+  /** Feature extraction: 16-bin byte-value histogram per payload — the
+    * shape of a real embedding/feature step (fixed-width vector per item,
+    * computed scan-side, only (id, features) flows downstream). Output is
+    * long-form `(doc_id, bucket, n)` so the oracle can verify exactly. */
+  def byteHistogram(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
+      .filter(col("ch") =!= "")
+      .select(col("doc_id"), (ascii(col("ch")) / 16).cast("int").as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Resize stub: strided downsample (every `stride`-th char) standing in
+    * for image resize — emits the resized length and content digest, the
+    * metadata a real resize would attach. */
+  def resizeStub(docs: DataFrame, stride: Int): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        array_join(
+          transform(
+            sequence(lit(1), length(col("text")), lit(stride)),
+            i => col("text").substr(i, lit(1))),
+          "").as("resized"))
+      .select(col("doc_id"),
+        length(col("resized")).cast("long").as("resized_len"),
+        md5(col("resized")).as("resized_md5"))
+
   /** Frame sampling over a payload treated as fixed-size frames: keep every
     * `stride`-th frame of `frameLen` chars with its digest. Pure relational
     * (sequence + explode + substring) — the shape a video pipeline uses to

@@ -170,6 +170,16 @@ object Ext {
     Multimodal.sampleFrames(t(s, dir, "documents"), frameLen = 64, stride = 4)
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Fixed-width feature extraction (16-bin byte histogram, long form). */
+  def mmByteHistogram(s: SparkSession, dir: String): DataFrame =
+    Multimodal.byteHistogram(t(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("bucket"))
+
+  /** Strided resize stub: downsampled content length + digest. */
+  def mmResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeStub(t(s, dir, "documents"), stride = 4)
+      .orderBy(col("doc_id"))
+
   // ===== temporal joins =====
 
   /** As-of join: each purchase matched to the latest signup at-or-before
@@ -306,6 +316,8 @@ object Ext {
     "sim_ivf_topk" -> simIvfTopk _,
     "mm_decode_meta" -> mmDecodeMeta _,
     "mm_frame_sample" -> mmFrameSample _,
+    "mm_byte_histogram" -> mmByteHistogram _,
+    "mm_resize" -> mmResize _,
     "join_asof" -> joinAsof _,
     "join_range_bucketed" -> joinRangeBucketed _,
     "balance_bins" -> balanceBins _,

@@ -195,6 +195,22 @@ object ExtOracle {
          FROM documents, unnest(range(0, (length(text) - 1) // 64 + 1)) t(i)
          WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""",
 
+    "mm_byte_histogram" ->
+      """SELECT doc_id, CAST(ord(ch) // 16 AS INT) AS bucket, count(*) AS n
+         FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+               FROM documents)
+         WHERE ch <> '' GROUP BY 1, 2 ORDER BY doc_id, bucket""",
+
+    "mm_resize" ->
+      """SELECT doc_id,
+         CAST(length(resized) AS BIGINT) AS resized_len,
+         md5(resized) AS resized_md5
+         FROM (SELECT doc_id, array_to_string(list_transform(
+             range(1, length(text) + 1, 4),
+             i -> substr(text, CAST(i AS INT), 1)), '') AS resized
+           FROM documents)
+         ORDER BY doc_id""",
+
     "join_asof" ->
       """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us,
              max(event_id) AS s_event
