@@ -114,6 +114,23 @@ object StreamOps {
       .withWatermark("t", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: pair each left event with right events
+    * of the same key within ±`window` — the streaming twin of the batch
+    * bucketized range join (`queries.Ext.joinRangeBucketed`). Watermarks
+    * on BOTH sides + the time-range join condition let Spark bound the
+    * buffered state to the interval, so state is O(events per window),
+    * not O(stream). */
+  def intervalJoin(
+      left: DataFrame, // (l_user, l_t: timestamp, l_id)
+      right: DataFrame, // (r_user, r_t: timestamp, r_id)
+      window: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    left.withWatermark("l_t", watermarkDelay)
+      .join(
+        right.withWatermark("r_t", watermarkDelay),
+        expr(s"""l_user = r_user AND
+                 r_t BETWEEN l_t - INTERVAL $window AND l_t + INTERVAL $window"""))
+
   /** Native streaming session_window agg — the built-in twin of
     * [[sessionize]] for when per-session custom state isn't needed. */
   def sessionWindowCounts(

@@ -96,6 +96,34 @@ class StreamOpsSpec extends SparkSpec {
       (1L, BaseUs + 5L * 60L * 1000000L, 1L, 4.0))) // [5,10): minute 7
   }
 
+  test("stream-stream interval join pairs events within the window only") {
+    implicit val sq = spark.sqlContext
+    val lMem = MemoryStream[KeyedEvent]
+    val rMem = MemoryStream[KeyedEvent]
+    val joined = StreamOps.intervalJoin(
+      lMem.toDS().toDF().selectExpr("user_id AS l_user", "t AS l_t", "ts_us AS l_id"),
+      rMem.toDS().toDF().selectExpr("user_id AS r_user", "t AS r_t", "ts_us AS r_id"),
+      window = "10 minutes", watermarkDelay = "1 minute")
+    val qname = s"ij${System.nanoTime()}"
+    val query = joined.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      lMem.addData(Seq(ev(1, 0, 1.0), ev(1, 60, 2.0), ev(2, 5, 3.0)))
+      rMem.addData(Seq(ev(1, 5, 9.0), ev(1, 58, 8.0), ev(2, 40, 7.0)))
+      query.processAllAvailable()
+      lMem.addData(Seq(ev(1, 200, 0.0))); rMem.addData(Seq(ev(1, 200, 0.0)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val pairs = spark.table(qname)
+      .selectExpr("l_user", "(l_id - " + BaseUs + ") div 60000000 AS lm",
+        "(r_id - " + BaseUs + ") div 60000000 AS rm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // minute pairs within ±10: (0,5), (60,58), plus the flush events (200,200)
+    assert(pairs.contains((1L, 0L, 5L)) && pairs.contains((1L, 60L, 58L)))
+    assert(!pairs.contains((2L, 5L, 40L)), "35-minute gap must not join")
+    assert(!pairs.exists(p => p._1 == 1 && p._2 == 0 && p._3 == 58))
+  }
+
   test("streaming session_window agrees with batch session_window") {
     val rows = runBatches(
       Seq(Seq(ev(1, 0, 1.0), ev(1, 5, 1.0), ev(1, 40, 1.0)),
