@@ -397,6 +397,47 @@ object Rel {
         col("n_events"))
       .orderBy(col("user_id"), col("session_start_us"))
 
+  /** Ranking-window completeness (absent in the reference — rank /
+    * dense_rank / ntile over a total order). */
+  def winRankNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    events(s, dir)
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .filter(col("rnk") <= 8)
+      .select(col("user_id"), col("event_id"), col("rnk").cast("long").as("rnk"),
+        col("drnk").cast("long").as("drnk"), col("quartile").cast("long").as("quartile"))
+      .orderBy(col("user_id"), col("rnk"), col("event_id"))
+  }
+
+  /** U7 generator surface: sequence + posexplode (UDTF-style row
+    * generation). */
+  def genExplode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"),
+        posexplode(sequence(lit(1L), col("o_orderkey") % 5 + 1)))
+      .select(col("o_orderkey"), col("pos").cast("long").as("pos"), col("col").as("i"))
+      .orderBy(col("o_orderkey"), col("pos"))
+
+  /** SQL-text entry path: the same engine surface through `spark.sql`
+    * over registered temp views (the reference drove everything through
+    * `expr()` strings; this is the full-statement form). */
+  def sqlTextRollup(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("v_orders")
+    t(s, dir, "customer").createOrReplaceTempView("v_customer")
+    s.sql("""
+      SELECT c_mktsegment,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+      WHERE o_orderstatus = 'O'
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")
+  }
+
   /** W9 exact: change-point segmentation on a derived 0/1 flag. */
   def winChangePoints(s: SparkSession, dir: String): DataFrame =
     Sessionize.withChangePointId(
@@ -459,6 +500,9 @@ object Rel {
     "win_sessionize" -> winSessionize _,
     "win_session_window" -> winSessionWindow _,
     "win_change_points" -> winChangePoints _,
+    "win_rank_ntile" -> winRankNtile _,
+    "gen_explode" -> genExplode _,
+    "sql_text_rollup" -> sqlTextRollup _,
     "sort_limit" -> sortLimit _,
     "set_ops" -> setOps _,
   )

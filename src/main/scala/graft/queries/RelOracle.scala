@@ -253,6 +253,28 @@ object RelOracle {
          SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events
          FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_us""",
 
+    "win_rank_ntile" ->
+      """SELECT user_id, event_id, rnk, drnk, quartile FROM (
+           SELECT user_id, event_id,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk,
+             ntile(4) OVER w AS quartile
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id))
+         WHERE rnk <= 8 ORDER BY user_id, rnk, event_id""",
+
+    "gen_explode" ->
+      """SELECT o_orderkey, CAST(i - 1 AS BIGINT) AS pos, i
+         FROM orders, unnest(range(1, o_orderkey % 5 + 2)) AS t(i)
+         WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey, pos""",
+
+    "sql_text_rollup" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderstatus = 'O'
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
     "win_change_points" ->
       """WITH f AS (
            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
