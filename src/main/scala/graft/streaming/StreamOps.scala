@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming re-expressions of the batch sessionization kit
   * (`core.Sessionize`) — the reference is batch-only (SURVEY.md §2.9), so
@@ -101,6 +101,75 @@ object StreamOps {
       .select(col("user_id"),
         unix_micros(col("window.start")).as("window_start_us"),
         col("n_events"), col("value_sum"))
+
+  /** [[sessionize]] on the `transformWithState` API (Spark 4's arbitrary
+    * stateful processing v2): explicit `ValueState` + event-time timers
+    * instead of `GroupState` — state lives in the (RocksDB-backed) store,
+    * timers replace the single timeout slot, and state schema can evolve.
+    * Same semantics as [[sessionize]].
+    */
+  class SessionProcessor(gapMicros: Long)
+    extends StatefulProcessor[Long, KeyedEvent, Session] {
+
+    @transient private var state: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessState](
+        "sess", Encoders.product[SessState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[KeyedEvent],
+        tv: TimerValues): Iterator[Session] = {
+      var closed = List.empty[Session]
+      var cur = if (state.exists()) Option(state.get()) else None
+      rows.toSeq.sortBy(_.ts_us).foreach { e =>
+        cur match {
+          case None =>
+            cur = Some(SessState(1L, 1L, e.ts_us, e.ts_us, e.value))
+          case Some(st) =>
+            if (e.ts_us - st.lastUs > gapMicros) {
+              closed ::= Session(key, st.sessionId, st.n, st.startUs, st.lastUs, st.sum)
+              cur = Some(SessState(st.sessionId + 1, 1L, e.ts_us, e.ts_us, e.value))
+            } else {
+              cur = Some(SessState(st.sessionId, st.n + 1, st.startUs,
+                math.max(st.lastUs, e.ts_us), st.sum + e.value))
+            }
+        }
+      }
+      cur.foreach { st =>
+        state.update(st)
+        getHandle.registerTimer(st.lastUs / 1000L + gapMicros / 1000L + 1L)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Session] =
+      if (state.exists()) {
+        val st = state.get()
+        // stale timers from superseded sessions fire too — only close if
+        // this expiry really covers the current session's gap
+        if (st.lastUs / 1000L + gapMicros / 1000L < info.getExpiryTimeInMs()) {
+          state.clear()
+          Iterator.single(Session(key, st.sessionId, st.n, st.startUs, st.lastUs, st.sum))
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  /** [[sessionize]] via [[SessionProcessor]] (requires the RocksDB state
+    * store provider — see the spec for the session config). */
+  def sessionizeTws(
+      events: Dataset[KeyedEvent],
+      gapMicros: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("t", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionProcessor(gapMicros), TimeMode.EventTime(), OutputMode.Append())
+  }
 
   /** Streaming exact dedup: drop rows whose key was already seen, with
     * state expired by the watermark — the incremental twin of the batch

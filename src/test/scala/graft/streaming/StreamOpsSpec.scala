@@ -96,6 +96,31 @@ class StreamOpsSpec extends SparkSpec {
       (1L, BaseUs + 5L * 60L * 1000000L, 1L, 4.0))) // [5,10): minute 7
   }
 
+  test("transformWithState sessionize matches the flatMapGroupsWithState form") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batches = Seq(
+        Seq(ev(1, 0, 1.0), ev(1, 5, 2.0), ev(2, 0, 5.0)),
+        Seq(ev(1, 30, 3.0), ev(2, 31, 6.0)),
+        Seq(ev(1, 90, 4.0)))
+      val rows = runBatches(batches,
+        ds => StreamOps.sessionizeTws(ds, gapUs, "1 minute").toDF())
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5))).toSet
+      val viaFmgws = runBatches(batches,
+        ds => StreamOps.sessionize(ds, gapUs, "1 minute").toDF())
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5))).toSet
+      assert(rows.nonEmpty)
+      assert(rows == viaFmgws, s"tws=$rows fmgws=$viaFmgws")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join pairs events within the window only") {
     implicit val sq = spark.sqlContext
     val lMem = MemoryStream[KeyedEvent]
