@@ -83,4 +83,22 @@ object Text {
 
   def fingerprint(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) => (acc * 31L + tokenHash(t)) % FingerprintMod)
+
+  // --- reproducible sampling / splitting ---------------------------------
+
+  /** Deterministic content-hash bucket in [0, buckets): the reproducible
+    * sampling/splitting primitive — rerunning over a grown corpus keeps
+    * every previously-sampled document in the same bucket (unlike
+    * rand()/sampleBy, which reshuffle on every change). md5-based so any
+    * engine can reproduce it. */
+  def hashBucket(c: Column, buckets: Int): Column =
+    (conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+      % buckets).cast("int")
+
+  /** Train/val/test split label from a key column: 0–7 → train,
+    * 8 → val, 9 → test (the standard 80/10/10 content-stable split). */
+  def splitLabel(key: Column): Column = {
+    val b = hashBucket(key, 10)
+    when(b <= 7, "train").when(b === 8, "val").otherwise("test")
+  }
 }

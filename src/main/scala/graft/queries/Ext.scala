@@ -68,6 +68,23 @@ object Ext {
         Text.fingerprint(col("toks")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** Reproducible 1-in-10 systematic sample by content hash — the
+    * downsampling op a corpus pipeline reruns without reshuffling
+    * previously selected docs. */
+  def sampleSystematic(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(Text.hashBucket(col("text"), 10) === 0)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Content-stable 80/10/10 train/val/test split with per-split stats. */
+  def splitTrainTest(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("split", Text.splitLabel(col("doc_id")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("split"))
+
   // ===== deduplication =====
 
   /** Exact dedup on content digest (keeper = min doc_id). */
@@ -303,6 +320,8 @@ object Ext {
     "text_stats" -> textStats _,
     "text_lang_id" -> textLangId _,
     "text_subword" -> textSubword _,
+    "sample_systematic" -> sampleSystematic _,
+    "split_train_test" -> splitTrainTest _,
     "text_fingerprint" -> textFingerprint _,
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,

@@ -83,6 +83,23 @@ object ExtOracle {
            (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
          FROM tok ORDER BY doc_id""",
 
+    "sample_systematic" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 10 = 0
+         ORDER BY doc_id""",
+
+    "split_train_test" ->
+      """SELECT split, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+         FROM (SELECT n_chars,
+           CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
+                ELSE 'test' END AS split
+           FROM (SELECT n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 10 AS b
+             FROM documents))
+         GROUP BY split ORDER BY split""",
+
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
          count(*) AS n_copies
