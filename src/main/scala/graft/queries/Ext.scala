@@ -167,6 +167,24 @@ object Ext {
         t(s, dir, "embeddings").select(col("vec_id"), col("embedding")), k = 10)
       .orderBy(col("qid"), col("rank"))
 
+  /** Int8-quantized top-10: exact integer dot-product ranking over
+    * per-vector floor-quantized embeddings — bit-exact in any engine, so
+    * unlike the float paths this ANN scoring has a full value oracle. */
+  def simQuantizedTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val scored = emb.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .withColumn("idot", Similarity.intDot(col("qq.q"), col("qv.q")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("idot").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("idot"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** IVF approximate top-10: trained coarse quantizer (8 cells, 2 Lloyd
     * iterations), 2-cell probes. No oracle — the model is engine state. */
   def simIvfTopk(s: SparkSession, dir: String): DataFrame =
@@ -333,6 +351,7 @@ object Ext {
     "sim_bruteforce_topk" -> simBruteforceTopk _,
     "sim_lsh_topk" -> simLshTopk _,
     "sim_ivf_topk" -> simIvfTopk _,
+    "sim_quantized_topk" -> simQuantizedTopk _,
     "mm_decode_meta" -> mmDecodeMeta _,
     "mm_frame_sample" -> mmFrameSample _,
     "mm_byte_histogram" -> mmByteHistogram _,

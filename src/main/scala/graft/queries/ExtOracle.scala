@@ -196,6 +196,27 @@ object ExtOracle {
          SELECT qid, "rank", vec_id, cos FROM ranked WHERE "rank" <= 10
          ORDER BY qid, "rank"""",
 
+    "sim_quantized_topk" ->
+      """WITH qv AS (SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 /
+               list_max(list_transform(embedding,
+                 y -> abs(CAST(y AS DOUBLE))))) AS INT)) AS q
+         FROM embeddings),
+         q AS (SELECT vec_id AS qid, q AS qq FROM qv WHERE vec_id % 50 = 0),
+         scored AS (SELECT qid, vec_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_zip(qq, qv.q),
+                 p -> CAST(p[1] * p[2] AS BIGINT))),
+               (a, b) -> a + b) AS idot
+           FROM qv CROSS JOIN q WHERE qid <> vec_id),
+         ranked AS (SELECT qid, vec_id, idot,
+             row_number() OVER (PARTITION BY qid ORDER BY idot DESC, vec_id)
+               AS "rank"
+           FROM scored)
+         SELECT qid, "rank", vec_id, idot FROM ranked WHERE "rank" <= 10
+         ORDER BY qid, "rank"""",
+
     "mm_decode_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
