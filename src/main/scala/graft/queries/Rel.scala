@@ -133,6 +133,34 @@ object Rel {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Hierarchical rollup (absent in the reference — API completeness):
+    * per (returnflag, linestatus) + per returnflag + grand total. */
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Range-based window frame (absent in the reference): sum of events
+    * within the last 30 minutes of each row, per user — value-range frame,
+    * not row count. */
+  def winRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-1800L * 1000000L, 0L)
+    // count/max only: engines disagree on fp addition order inside
+    // range-frame sums (DuckDB uses segment trees), so keep the frame
+    // aggregates order-insensitive for exact parity
+    events(s, dir)
+      .withColumn("n_30m", count(lit(1)).over(w))
+      .withColumn("max_30m", max(col("value")).over(w))
+      .select(col("event_id"), col("user_id"), col("n_30m"), col("max_30m"))
+      .orderBy(col("event_id"))
+  }
+
   // ===== projection / filter / scalar =====
 
   /** P1/P5/P13/P14: projection, predicate, cast, literal. */
@@ -480,6 +508,8 @@ object Rel {
     "agg_sorted_collect" -> aggSortedCollect _,
     "agg_distinct" -> aggDistinct _,
     "agg_dedup_rows" -> aggDedupRows _,
+    "agg_rollup" -> aggRollup _,
+    "win_range_frame" -> winRangeFrame _,
     "proj_filter" -> projFilter _,
     "proj_case_when" -> projCaseWhen _,
     "proj_null_fill" -> projNullFill _,

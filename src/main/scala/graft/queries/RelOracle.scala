@@ -253,6 +253,23 @@ object RelOracle {
          SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events
          FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_us""",
 
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+         coalesce(l_linestatus, 'ALL') AS l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "win_range_frame" ->
+      """SELECT event_id, user_id,
+           count(*) OVER w AS n_30m,
+           max(value) OVER w AS max_30m
+         FROM (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us
+               FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+           RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
     "win_rank_ntile" ->
       """SELECT user_id, event_id, rnk, drnk, quartile FROM (
            SELECT user_id, event_id,
