@@ -145,6 +145,30 @@ object Rel {
         col("sum_qty"), col("n"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** Full cube with grouping() markers (distinguishes subtotal rows from
+    * genuine null keys). */
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_prio"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n"), col("g_status"), col("g_prio"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  /** Pivot: event-type counts as columns per user (wide-format rollup). */
+  def aggPivot(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot(col("event_type"),
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
   /** Range-based window frame (absent in the reference): sum of events
     * within the last 30 minutes of each row, per user — value-range frame,
     * not row count. */
@@ -509,6 +533,8 @@ object Rel {
     "agg_distinct" -> aggDistinct _,
     "agg_dedup_rows" -> aggDedupRows _,
     "agg_rollup" -> aggRollup _,
+    "agg_cube" -> aggCube _,
+    "agg_pivot" -> aggPivot _,
     "win_range_frame" -> winRangeFrame _,
     "proj_filter" -> projFilter _,
     "proj_case_when" -> projCaseWhen _,
