@@ -169,6 +169,33 @@ object Rel {
       .na.fill(0L)
       .orderBy(col("user_id"))
 
+  /** Unpivot/melt: wide per-part measures to long (column, value) rows. */
+  def aggUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") % 40 === 0)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("size"),
+        round(col("p_retailprice"), 2).as("retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+        "measure", "value")
+      .orderBy(col("p_partkey"), col("measure"))
+
+  /** Scalar-subquery threshold — the reference computes a driver-side
+    * scalar and embeds it as a literal (`Standalone/Blind Zone
+    * Detection.scala:58–59`, a two-pass plan with a collect between);
+    * here the scalar stays in-plan via a broadcast cross join, so one job
+    * covers both passes. Integral-valued quantities make the avg
+    * bit-deterministic for the oracle. */
+  def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val thr = li.agg(avg(col("l_quantity")).as("avg_qty"))
+    li.crossJoin(broadcast(thr))
+      .filter(col("l_quantity") > col("avg_qty"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_above"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Range-based window frame (absent in the reference): sum of events
     * within the last 30 minutes of each row, per user — value-range frame,
     * not row count. */
@@ -535,6 +562,8 @@ object Rel {
     "agg_rollup" -> aggRollup _,
     "agg_cube" -> aggCube _,
     "agg_pivot" -> aggPivot _,
+    "agg_unpivot" -> aggUnpivot _,
+    "scalar_subquery" -> scalarSubquery _,
     "win_range_frame" -> winRangeFrame _,
     "proj_filter" -> projFilter _,
     "proj_case_when" -> projCaseWhen _,

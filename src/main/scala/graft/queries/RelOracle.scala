@@ -278,6 +278,20 @@ object RelOracle {
          count(*) FILTER (event_type = 'view') AS view
          FROM events GROUP BY user_id ORDER BY user_id""",
 
+    "agg_unpivot" ->
+      """SELECT p_partkey, measure, value FROM (
+           SELECT p_partkey, 'size' AS measure,
+             CAST(p_size AS DOUBLE) AS value FROM part
+           UNION ALL
+           SELECT p_partkey, 'retailprice', round(p_retailprice, 2) FROM part)
+         WHERE p_partkey % 40 = 0 ORDER BY p_partkey, measure""",
+
+    "scalar_subquery" ->
+      """SELECT l_returnflag, count(*) AS n_above
+         FROM lineitem
+         WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "win_range_frame" ->
       """SELECT event_id, user_id,
            count(*) OVER w AS n_30m,
