@@ -281,6 +281,20 @@ object Rel {
         date_format(col("t"), "yyyy-MM-dd").as("day"))
       .orderBy(col("event_id"))
 
+  /** JSON functions: typed `from_json` parse + path extraction over the
+    * events `props` payload (semi-structured column surface). */
+  def fnJson(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("parsed", from_json(col("props"), lit("k BIGINT")))
+      .withColumn("k_path", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("parsed.k")).as("sum_k"),
+        sum(col("k_path")).as("sum_k_path"),
+        max(col("parsed.k")).as("max_k"),
+        count(col("parsed.k")).as("n_parsed"))
+      .orderBy(col("event_type"))
+
   /** F4: concat_ws composite key (`Parallel/Trajectory
     * Clustering.py:227–228`). */
   def fnConcat(s: SparkSession, dir: String): DataFrame =
@@ -570,6 +584,7 @@ object Rel {
     "proj_null_fill" -> projNullFill _,
     "proj_isin_compound" -> projIsinCompound _,
     "fn_datetime" -> fnDatetime _,
+    "fn_json" -> fnJson _,
     "fn_concat" -> fnConcat _,
     "fn_haversine" -> fnHaversine _,
     "join_semi" -> joinSemi _,

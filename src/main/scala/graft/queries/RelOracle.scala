@@ -260,6 +260,16 @@ object RelOracle {
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag, l_linestatus""",
 
+    "fn_json" ->
+      """SELECT event_type,
+         CAST(sum(k) AS BIGINT) AS sum_k,
+         CAST(sum(k) AS BIGINT) AS sum_k_path,
+         max(k) AS max_k,
+         count(k) AS n_parsed
+         FROM (SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+         GROUP BY event_type ORDER BY event_type""",
+
     "agg_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
          coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
