@@ -37,5 +37,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectOptimizerRule(_ => NativeHaversineRule)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
+    ext.injectPlannerStrategy(_ => IntervalStrategy)
   }
 }
