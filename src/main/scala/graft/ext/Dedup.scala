@@ -187,24 +187,30 @@ object Dedup {
       .select(col("id1").as("src"), col("id2").as("dst"))
       .union(p.select(col("id2").as("src"), col("id1").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the edge list before iterating: every round joins it, and
+    // the upstream mining lineage must be paid exactly once
+    sym.count()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
       val viaNeighbor = sym
         .join(labels, sym("dst") === labels("id"))
-        .groupBy(col("src").as("id2")).agg(min(col("component")).as("nc"))
-      val next = labels.join(viaNeighbor, labels("id") === col("id2"), "left")
-        .select(col("id"),
+        .groupBy(col("src").as("nid")).agg(min(col("component")).as("nc"))
+      // carry the old label through the step so convergence is decided by
+      // the SAME action that materializes the step — one job per round,
+      // not a second join-and-scan
+      val stepped = labels.join(viaNeighbor, labels("id") === col("nid"), "left")
+        .select(labels("id"),
+          col("component").as("_old"),
           least(col("component"), coalesce(col("nc"), col("component")))
             .as("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") < col("old")).isEmpty
+      changed = stepped.filter(col("component") < col("_old")).count()
       labels.unpersist(false)
-      labels = next
+      labels = stepped.select(col("id"), col("component"))
       iter += 1
     }
     sym.unpersist(false)
@@ -221,7 +227,10 @@ object Dedup {
     val losers = connectedComponents(pairs)
       .filter(col("id") =!= col("component"))
       .select(col("id").as("_loser"))
-    docs.join(broadcast(losers), id === col("_loser"), "left_anti")
+    // plain shuffle anti-join: the loser set is O(duplicate docs) — on a
+    // crawl corpus that's 30–60% of rows, unboundable as a broadcast. AQE
+    // still promotes to broadcast at runtime when it actually fits.
+    docs.join(losers, id === col("_loser"), "left_anti")
   }
 
   // --- SimHash -----------------------------------------------------------

@@ -46,14 +46,25 @@ object Text {
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
   /** Predicted language: argmax of stopword hit counts, ties and all-zero
-    * resolved to "und" / lexicographically-first max. Deterministic. */
+    * resolved to "und" / lexicographically-first max. Deterministic.
+    *
+    * All per-language counts accumulate in ONE fold over the tokens. The
+    * obvious per-language `hitCount` composition re-evaluates its
+    * interpreted HOF once per reference (~8 full array scans after
+    * `greatest` + the pick chain — Catalyst does not CSE interpreted
+    * lambdas), which made lang-ID cost ~20× a comparable single-pass stat. */
   def langId(toks: Column): Column = {
-    val scores = stopwords.toSeq.sortBy(_._1).map { case (l, ws) => l -> hitCount(toks, ws) }
-    val best = greatest(scores.map(_._2): _*)
-    val pick = scores.foldLeft(lit(null).cast("string")) { case (acc, (l, sc)) =>
-      coalesce(acc, when(sc === best, lit(l)))
-    }
-    when(best === 0, lit("und")).otherwise(pick)
+    val langs = stopwords.keys.toSeq.sorted
+    val counts = aggregate(toks,
+      array(langs.map(_ => lit(0)): _*),
+      (acc, t) => array(langs.zipWithIndex.map { case (l, i) =>
+        element_at(acc, i + 1) +
+          when(t.isin(stopwords(l).map(lit): _*), 1).otherwise(0)
+      }: _*))
+    val best = array_max(counts)
+    when(best === 0, lit("und"))
+      .otherwise(element_at(array(langs.map(lit): _*),
+        array_position(counts, best).cast("int")))
   }
 
   // --- quality -----------------------------------------------------------

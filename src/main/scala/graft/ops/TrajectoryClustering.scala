@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Stage 2 — per-line trajectory clustering, re-expressed Spark-first.
@@ -49,54 +50,102 @@ object TrajectoryClustering {
     * (their rows get null cluster after [[attach]], TC-S:153–155); a
     * line whose clustering throws falls back to all-zeros
     * (TC-P:309–312); non-finite pair distances are clamped to 2× the max
-    * finite distance (TC-P:298–303). */
-  def cluster(patterns: DataFrame, params: Map[String, Params]): DataFrame = {
+    * finite distance (TC-P:298–303).
+    *
+    * Scale design (round-2 rework — parallelism used to be capped at
+    * #lines by a single `groupByKey(line).flatMapGroups`):
+    *
+    *  1. The TRACLUS total distance reads only each trajectory's chord
+    *     endpoints and polyline length ([[TrajectoryDistance]] — endpoint
+    *     projection + angular term), so each trajectory reduces to a
+    *     7-field summary before any pairing. Point arrays never enter the
+    *     pair stage.
+    *  2. The O(T²) pair grid is a SALTED equi-join over those summaries
+    *     (probe keyed by `tid % pairSalts`, build side replicated
+    *     `pairSalts` ways): one giant line's pair work spreads over
+    *     `pairSalts` tasks instead of serializing in one — the "sub-split
+    *     oversized lines" the reference's driver-side bin-packing
+    *     (TC-P:60–136) could not do. Replication is of 56-byte summary
+    *     rows, not data.
+    *  3. Only the DBSCAN scan itself — irreducibly whole-line state under
+    *     the reference's full-matrix semantics — runs per line, fed the
+    *     precomputed (i, j, d) triples by a cogroup.
+    */
+  def cluster(patterns: DataFrame, params: Map[String, Params],
+              pairSalts: Int = 16): DataFrame = {
     val assembled = assemble(patterns)
     val spark = assembled.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(params)
 
-    val grouped: Dataset[(String, String, String, Seq[(Double, Double)])] =
-      assembled.select(
-        col("linenumber").cast("string"), col("id").cast("string"),
-        col("patternID"),
+    // dense per-line trajectory index in deterministic (id, patternID)
+    // order — the reference relies on pandas groupby order; this pins it
+    val byLine = Window.partitionBy(col("line")).orderBy(col("id"), col("patternID"))
+    val roster = assembled.select(
+        col("linenumber").cast("string").as("line"),
+        col("id").cast("string").as("id"),
+        col("patternID"), col("points"))
+      .withColumn("tid", (row_number().over(byLine) - 1).cast("int"))
+
+    // O(1)-per-pair summary: chord endpoints + polyline length; lines
+    // without parameters drop out before any pair is formed (TC-S:153)
+    val summaries = roster
+      .select(col("line"), col("tid"),
         transform(col("points"), p => p.getField("lng")).as("lngs"),
         transform(col("points"), p => p.getField("lat")).as("lats"))
-        .as[(String, String, String, Seq[Double], Seq[Double])]
-        .map { case (ln, id, pid, lngs, lats) => (ln, id, pid, lngs.zip(lats)) }
+      .as[(String, Int, Seq[Double], Seq[Double])]
+      .flatMap { case (line, tid, lngs, lats) =>
+        if (!bc.value.contains(line)) None
+        else {
+          val pts = lngs.lazyZip(lats).map { (g, a) =>
+            TrajectoryDistance.P(g, a) }.toIndexedSeq
+          Some((line, tid, pts.head.lng, pts.head.lat,
+            pts.last.lng, pts.last.lat, TrajectoryDistance.lengthKm(pts)))
+        }
+      }
+      .toDF("line", "tid", "hlng", "hlat", "llng", "llat", "len")
 
-    grouped
-      .groupByKey(_._1)
-      .flatMapGroups { (line, it) =>
+    def packed(side: String) = array(
+      col(s"$side.hlng"), col(s"$side.hlat"),
+      col(s"$side.llng"), col(s"$side.llat"), col(s"$side.len"))
+    val probe = summaries.withColumn("salt", pmod(col("tid"), lit(pairSalts)))
+    val build = summaries.withColumn("salt",
+      explode(sequence(lit(0), lit(pairSalts - 1))))
+    val triples = probe.as("a")
+      .join(build.as("b"),
+        col("a.line") === col("b.line") && col("a.salt") === col("b.salt") &&
+          col("a.tid") < col("b.tid"))
+      .select(col("a.line").as("line"), col("a.tid").as("i"),
+        col("b.tid").as("j"), packed("a").as("sa"), packed("b").as("sb"))
+      .as[(String, Int, Int, Seq[Double], Seq[Double])]
+      .map { case (line, i, j, sa, sb) =>
+        // 2-point summary trajectories reproduce the full-trajectory
+        // distance bit-for-bit: every term reads head/last/length only
+        val tr1 = IndexedSeq(
+          TrajectoryDistance.P(sa(0), sa(1)), TrajectoryDistance.P(sa(2), sa(3)))
+        val tr2 = IndexedSeq(
+          TrajectoryDistance.P(sb(0), sb(1)), TrajectoryDistance.P(sb(2), sb(3)))
+        val d = TrajectoryDistance.totalWithLengths(tr1, tr2, sa(4), sb(4))
+        (line, i, j, if (java.lang.Double.isFinite(d)) d else Double.NaN)
+      }
+
+    val rosterLite = roster.select(col("line"), col("tid"), col("id"), col("patternID"))
+      .as[(String, Int, String, String)]
+    rosterLite.groupByKey(_._1)
+      .cogroup(triples.groupByKey(_._1)) { (line, rs, ds) =>
         bc.value.get(line) match {
           case None => Iterator.empty // no params → skip line (TC-S:153)
           case Some(p) =>
-            // deterministic trajectory order (reference relies on pandas
-            // groupby order) → stable DBSCAN labels
-            val trajs = it.toArray.sortBy(r => (r._2, r._3))
-            val pts = trajs.map(_._4.map { case (lng, lat) =>
-              TrajectoryDistance.P(lng, lat) }.toIndexedSeq)
-            val n = pts.length
-            // polyline lengths once per trajectory, not once per pair —
-            // the O(T²) loop then does O(1) work per pair
-            val lens = pts.map(TrajectoryDistance.lengthKm)
+            val rows = rs.toArray.sortBy(_._2)
+            val n = rows.length
             val dist = Array.ofDim[Double](n, n)
             var maxFinite = 0.0
-            var i = 0
-            while (i < n) {
-              var j = i + 1
-              while (j < n) {
-                val d = TrajectoryDistance.totalWithLengths(
-                  pts(i), pts(j), lens(i), lens(j))
-                val v = if (java.lang.Double.isFinite(d)) d else Double.NaN
-                dist(i)(j) = v; dist(j)(i) = v
-                if (!v.isNaN && v > maxFinite) maxFinite = v
-                j += 1
-              }
-              i += 1
+            ds.foreach { case (_, i, j, d) =>
+              dist(i)(j) = d; dist(j)(i) = d
+              if (!d.isNaN && d > maxFinite) maxFinite = d
             }
             // clamp non-finite to 2×max finite (TC-P:298–303)
-            i = 0
+            var i = 0
             while (i < n) {
               var j = 0
               while (j < n) {
@@ -108,8 +157,8 @@ object TrajectoryClustering {
             val labels =
               try Dbscan.fit(dist, p.eps, p.minSamples)
               catch { case _: Exception => Array.fill(n)(0) } // TC-P:309–312
-            trajs.indices.iterator.map { k =>
-              (line, trajs(k)._2, trajs(k)._3, labels(k))
+            rows.iterator.map { case (_, tid, id, pid) =>
+              (line, id, pid, labels(tid))
             }
         }
       }

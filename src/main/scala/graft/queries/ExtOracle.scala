@@ -27,6 +27,26 @@ object ExtOracle {
   private def hits(list: String) =
     s"len(list_filter(toks, t -> list_contains($list, t)))"
 
+  /** Shared shingle CTE body for the Jaccard dedup family: distinct 3-gram
+    * shingle rows with the hot-shingle guard (docFreq ≤ 100) — mirrors
+    * `Ext.JaccardMaxDocFreq` exactly. */
+  private val shingleCtes =
+    s"""tok AS (SELECT doc_id AS id, $toks AS toks FROM documents),
+       sh0 AS (SELECT id, unnest(list_distinct(list_transform(
+           range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+         FROM tok WHERE len(toks) >= 3),
+       sh AS (SELECT id, s FROM sh0
+         WHERE s NOT IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 100)),
+       sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       pairs0 AS (
+         SELECT id1, id2, c, n1, n2 FROM (
+           SELECT a.id AS id1, b.id AS id2, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)
+         JOIN (SELECT id AS id1, n AS n1 FROM sizes) USING (id1)
+         JOIN (SELECT id AS id2, n AS n2 FROM sizes) USING (id2)
+         WHERE round(c / CAST(n1 + n2 - c AS DOUBLE), 6) >= 0.8)"""
+
   /** Sequential double dot product of two FLOAT[] lists. */
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
@@ -106,39 +126,17 @@ object ExtOracle {
          FROM documents GROUP BY md5(text) ORDER BY keeper_id""",
 
     "dedup_ngram_jaccard" ->
-      s"""WITH tok AS (SELECT doc_id AS id, $toks AS toks FROM documents),
-         sh AS (SELECT id, unnest(list_distinct(list_transform(
-             range(1, len(toks) - 1),
-             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
-           FROM tok WHERE len(toks) >= 3),
-         sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-         common AS (SELECT a.id AS id1, b.id AS id2, count(*) AS c
-           FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)
+      s"""WITH $shingleCtes
          SELECT id1, id2, c, n1, n2,
            round(c / CAST(n1 + n2 - c AS DOUBLE), 6) AS jaccard
-         FROM common
-         JOIN (SELECT id AS id1, n AS n1 FROM sizes) USING (id1)
-         JOIN (SELECT id AS id2, n AS n2 FROM sizes) USING (id2)
-         WHERE round(c / CAST(n1 + n2 - c AS DOUBLE), 6) >= 0.8
+         FROM pairs0
          ORDER BY id1, id2""",
 
     "dedup_components" ->
       s"""WITH RECURSIVE
-         tok AS (SELECT doc_id AS id, $toks AS toks FROM documents),
-         sh AS (SELECT id, unnest(list_distinct(list_transform(
-             range(1, len(toks) - 1),
-             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
-           FROM tok WHERE len(toks) >= 3),
-         sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-         pairs AS (
-           SELECT id1, id2 FROM (
-             SELECT a.id AS id1, b.id AS id2, count(*) AS c
-             FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)
-           JOIN (SELECT id AS id1, n AS n1 FROM sizes) USING (id1)
-           JOIN (SELECT id AS id2, n AS n2 FROM sizes) USING (id2)
-           WHERE round(c / CAST(n1 + n2 - c AS DOUBLE), 6) >= 0.8),
-         e AS (SELECT id1 AS src, id2 AS dst FROM pairs
-               UNION ALL SELECT id2, id1 FROM pairs),
+         $shingleCtes,
+         e AS (SELECT id1 AS src, id2 AS dst FROM pairs0
+               UNION ALL SELECT id2, id1 FROM pairs0),
          reach(v, label) AS (
            SELECT DISTINCT src, src FROM e
            UNION
@@ -148,21 +146,9 @@ object ExtOracle {
 
     "dedup_apply" ->
       s"""WITH RECURSIVE
-         tok AS (SELECT doc_id AS id, $toks AS toks FROM documents),
-         sh AS (SELECT id, unnest(list_distinct(list_transform(
-             range(1, len(toks) - 1),
-             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
-           FROM tok WHERE len(toks) >= 3),
-         sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-         pairs AS (
-           SELECT id1, id2 FROM (
-             SELECT a.id AS id1, b.id AS id2, count(*) AS c
-             FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)
-           JOIN (SELECT id AS id1, n AS n1 FROM sizes) USING (id1)
-           JOIN (SELECT id AS id2, n AS n2 FROM sizes) USING (id2)
-           WHERE round(c / CAST(n1 + n2 - c AS DOUBLE), 6) >= 0.8),
-         e AS (SELECT id1 AS src, id2 AS dst FROM pairs
-               UNION ALL SELECT id2, id1 FROM pairs),
+         $shingleCtes,
+         e AS (SELECT id1 AS src, id2 AS dst FROM pairs0
+               UNION ALL SELECT id2, id1 FROM pairs0),
          reach(v, label) AS (
            SELECT DISTINCT src, src FROM e
            UNION
