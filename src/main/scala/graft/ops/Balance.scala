@@ -51,8 +51,17 @@ object Balance {
   }
 
   /** Attach a `_bin` column from a per-key cost frame `(key, cost)` and
-    * repartition on it. Cost frame is collected (per-key aggregate —
-    * small); the key→bin map rides a broadcast join. */
+    * place each bin on its own partition. Cost frame is collected (per-key
+    * aggregate — small); the key→bin map rides a broadcast join.
+    *
+    * Placement is an IDENTITY partitioner (partition index == bin id), not
+    * `repartition(n, col)`: hash-mod placement is not a bijection, so two
+    * heavy bins — including dedicated outlier bins — could collide on one
+    * partition while others sit empty, silently undoing the packing. Keys
+    * absent from the cost frame go to a fresh overflow bin, never bin 0
+    * (which may be a dedicated outlier bin). The RDD round-trip is the
+    * price of exact placement; this op feeds grouped per-partition work,
+    * not further Catalyst optimization. */
   def costBalancedRepartition(df: DataFrame, keyCol: String,
                               costs: DataFrame, targetBins: Int,
                               overflowFactor: Double = 1.2,
@@ -62,10 +71,20 @@ object Balance {
     val assignment = plan(collected, targetBins, overflowFactor, outlierFactor)
     val spark = df.sparkSession
     import spark.implicits._
+    val overflowBin =
+      if (assignment.isEmpty) 0 else assignment.values.max + 1
     val mapping = broadcast(assignment.toSeq.toDF(keyCol, "_bin"))
-    val binCount = math.max(1, assignment.values.toSet.size)
-    df.join(mapping, Seq(keyCol), "left")
-      .na.fill(Map("_bin" -> 0))
-      .repartition(binCount, col("_bin"))
+    val joined = df.join(mapping, Seq(keyCol), "left")
+      .na.fill(Map("_bin" -> overflowBin))
+    val schema = joined.schema
+    val binIdx = schema.fieldIndex("_bin")
+    val placed = joined.rdd
+      .map(r => (r.getInt(binIdx), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = overflowBin + 1
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .values
+    spark.createDataFrame(placed, schema)
   }
 }

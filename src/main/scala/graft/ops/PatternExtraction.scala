@@ -53,11 +53,19 @@ object PatternExtraction {
     * @param guardSpeedMps    distance guard factor: a "gap" whose
     *                         endpoints moved < guard×(threshold−1) m is a
     *                         stop, not a blind zone (Standalone:93) */
+  /** @param restoredNumbering true (default) = the gaps-and-islands
+    *                           numbering restoring the reference's evident
+    *                           intent (class doc); false = bug-compatible
+    *                           with the reference AS COMMITTED, whose
+    *                           numbering machinery is dead code — mirrors
+    *                           the preserve-don't-silently-fix discipline
+    *                           of `BlindZone.Config.lineScoped`. */
   case class Config(
       gapPercentile: Double = 0.95,
       terminusRadiusM: Double = 100.0,
       guardSpeedMps: Double = 11.11,
-      qualify: Boolean = true)
+      qualify: Boolean = true,
+      restoredNumbering: Boolean = true)
 
   private val byVehicle = Window.partitionBy("id").orderBy("t")
 
@@ -186,6 +194,17 @@ object PatternExtraction {
         .filter(col("c1") === 1 && col("c2") === 1)
         .select("id"),
       Seq("id"), "left_semi")
+
+    // bug-compatible mode (Standalone:123–172 AS COMMITTED): the bound
+    // machinery branches on a lag-state of 2 that the flag computation
+    // (Standalone:74, lag ∈ {0,1}) can never produce, so pattern_id stays
+    // 0, pattern_lower_bound stays null, and the null-bound row filter
+    // (Standalone:156–161) drops every row. Preserved verbatim behind the
+    // flag; the restored numbering below is the default.
+    if (!cfg.restoredNumbering)
+      return qualified
+        .withColumn("patternID", lit(0L))
+        .filter(lit(null).cast("boolean"))
 
     // pattern numbering: a new pattern starts at the first normal ping
     // after a completed signal-loss episode; gap pings close out the

@@ -20,6 +20,13 @@ import org.apache.spark.sql.graft.Bridge
   * key — O(1) state, no window materialization.
   *
   * Left-outer semantics: unmatched left rows emit nulls on the right.
+  * Null join keys never match (SQL equi-join semantics): null-key probe
+  * rows emit null-extended output, null-key build rows are skipped.
+  *
+  * @param tolerance maximum probe−build time distance in the time
+  *                  column's unit for a match (< 0 = unbounded): a stale
+  *                  build row beyond the bound yields nulls — the
+  *                  standard "as-of within" refinement.
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -27,7 +34,8 @@ case class AsOfJoin(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    tolerance: Long = -1L) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -41,7 +49,8 @@ case class AsOfJoinExec(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression) extends BinaryExecNode {
+    rightTime: Expression,
+    tolerance: Long) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -76,29 +85,43 @@ case class AsOfJoinExec(
       // per-current-key state: the latest right row at-or-before the probe
       var curKey: Any = null
       var lastRight: InternalRow = null
+      var lastRightTime = Long.MinValue
 
       lIter.map { lRow =>
         val k = lKey.eval(lRow)
         val t = lTime.eval(lRow).asInstanceOf[Long]
-        if (k != curKey) { curKey = k; lastRight = null }
-        // advance the right side through (key < k) and (key == k, time <= t)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val hk = rKey.eval(head)
-          val cmp = ordCompare(hk, k)
-          if (cmp < 0) { rBuf.next(); advancing = true } // drained keys
-          else if (cmp == 0 && rTime.eval(head).asInstanceOf[Long] <= t) {
-            lastRight = rBuf.next().copy()
-            advancing = true
-          } else advancing = false
+        if (k == null) {
+          // null never equi-matches: null-key probes are unmatched
+          proj(joiner(lRow, nullRight))
+        } else {
+          if (k != curKey) { curKey = k; lastRight = null }
+          // advance the right side through (key < k) and (key == k, time <= t)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val hk = rKey.eval(head)
+            if (hk == null) { rBuf.next() } // null build keys never match
+            else {
+              val cmp = ordCompare(hk, k)
+              if (cmp < 0) { rBuf.next() } // drained keys
+              else if (cmp == 0 && rTime.eval(head).asInstanceOf[Long] <= t) {
+                lastRight = rBuf.next().copy()
+                lastRightTime = rTime.eval(lastRight).asInstanceOf[Long]
+              } else advancing = false
+            }
+          }
+          val r =
+            if (lastRight != null && (tolerance < 0L || t - lastRightTime <= tolerance))
+              lastRight
+            else nullRight
+          proj(joiner(lRow, r))
         }
-        val r = if (lastRight != null) lastRight else nullRight
-        proj(joiner(lRow, r))
       }
     }
   }
 
+  // callers filter nulls before comparing (null never equi-matches); the
+  // null arms remain only for sort-order consistency with nulls-first input
   private def ordCompare(a: Any, b: Any): Int = (a, b) match {
     case (null, null) => 0
     case (null, _) => -1
@@ -117,20 +140,22 @@ case class AsOfJoinExec(
 
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
     case _ => Nil
   }
 }
 
 object AsOfJoinApi {
   /** Dataset-level entry: as-of join `probe` with `build` on equal key,
-    * latest `build.timeCol <= probe.timeCol` (long/µs columns). Requires
-    * [[AsOfStrategy]] injected (see [[GraftExtensions]]). */
+    * latest `build.timeCol <= probe.timeCol` (long/µs columns), optionally
+    * within `tolerance` time units. Requires [[AsOfStrategy]] injected
+    * (see [[GraftExtensions]]). */
   def asofJoin(
       probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String,
-      probeTime: String, buildTime: String): DataFrame = {
+      probeTime: String, buildTime: String,
+      tolerance: Long = -1L): DataFrame = {
     val spark = probe.sparkSession
     val lPlan = probe.queryExecution.analyzed
     val rPlan = build.queryExecution.analyzed
@@ -140,6 +165,6 @@ object AsOfJoinApi {
     Bridge.ofRows(spark,
       AsOfJoin(lPlan, rPlan,
         attr(lPlan, probeKey), attr(rPlan, buildKey),
-        attr(lPlan, probeTime), attr(rPlan, buildTime)))
+        attr(lPlan, probeTime), attr(rPlan, buildTime), tolerance))
   }
 }

@@ -40,3 +40,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => IntervalStrategy)
   }
 }
+
+object GraftExtensions {
+  /** Install the custom-operator strategies on an already-built session —
+    * for hosts that construct a plain `SparkSession` (the driver's
+    * Verify/Bench harness) where builder-time `withExtensions` isn't
+    * reachable. Idempotent. */
+  def ensureStrategies(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.synchronized {
+      val cur = spark.experimental.extraStrategies
+      val add = Seq(AsOfStrategy, IntervalStrategy).filterNot(cur.contains)
+      if (add.nonEmpty) spark.experimental.extraStrategies = cur ++ add
+    }
+}

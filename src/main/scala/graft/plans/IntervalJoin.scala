@@ -22,6 +22,10 @@ import org.apache.spark.sql.graft.Bridge
   * memory is O(rows within 2·window of the probe), the optimum for this
   * join, and nothing is replicated.
   */
+/** @param leftOuter true → unmatched (or null-key) left rows emit one
+  *                   null-extended output row instead of being dropped.
+  *                   Null join keys never match in either mode (SQL
+  *                   equi-join semantics). */
 case class IntervalJoin(
     left: LogicalPlan,
     right: LogicalPlan,
@@ -29,8 +33,11 @@ case class IntervalJoin(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    window: Long) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+    window: Long,
+    leftOuter: Boolean = false) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoin =
     copy(left = newLeft, right = newRight)
@@ -43,9 +50,12 @@ case class IntervalJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    window: Long) extends BinaryExecNode {
+    window: Long,
+    leftOuter: Boolean) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
@@ -64,9 +74,13 @@ case class IntervalJoinExec(
     val out = output
     val w = window
 
+    val outer = leftOuter
+
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val proj = UnsafeProjection.create(out, leftOut ++ rightOut)
+      val proj = UnsafeProjection.create(out,
+        leftOut ++ (if (outer) rightOut.map(_.withNullability(true)) else rightOut))
       val joiner = new JoinedRow
+      val nullRight = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightOut.size)
       val rBuf = rIter.buffered
       val active = ArrayDeque.empty[(Long, InternalRow)] // in-window right rows
       var curKey: Any = null
@@ -74,22 +88,34 @@ case class IntervalJoinExec(
       lIter.flatMap { lRow =>
         val k = lKey.eval(lRow)
         val t = lTime.eval(lRow).asInstanceOf[Long]
-        if (k != curKey) { curKey = k; active.clear() }
-        // pull right rows: skip keys before k, buffer key-k rows ≤ t+w
-        var pulling = true
-        while (pulling && rBuf.hasNext) {
-          val head = rBuf.head
-          val cmp = ordCompare(rKey.eval(head), k)
-          if (cmp < 0) rBuf.next()
-          else if (cmp == 0 && rTime.eval(head).asInstanceOf[Long] <= t + w) {
-            val r = rBuf.next().copy()
-            active += ((rTime.eval(r).asInstanceOf[Long], r))
-          } else pulling = false
+        if (k == null) {
+          // null never equi-matches; in outer mode the row still surfaces
+          if (outer) Iterator.single(proj(joiner(lRow, nullRight)))
+          else Iterator.empty
+        } else {
+          if (k != curKey) { curKey = k; active.clear() }
+          // pull right rows: skip keys before k (and null keys, which sort
+          // first and never match), buffer key-k rows ≤ t+w
+          var pulling = true
+          while (pulling && rBuf.hasNext) {
+            val head = rBuf.head
+            val hk = rKey.eval(head)
+            if (hk == null) rBuf.next()
+            else {
+              val cmp = ordCompare(hk, k)
+              if (cmp < 0) rBuf.next()
+              else if (cmp == 0 && rTime.eval(head).asInstanceOf[Long] <= t + w) {
+                val r = rBuf.next().copy()
+                active += ((rTime.eval(r).asInstanceOf[Long], r))
+              } else pulling = false
+            }
+          }
+          // evict rows that fell behind the window (left times ascending)
+          while (active.nonEmpty && active.head._1 < t - w) active.removeHead()
+          // everything remaining is within [t−w, t+w]
+          if (active.isEmpty && outer) Iterator.single(proj(joiner(lRow, nullRight)))
+          else active.toArray.iterator.map { case (_, r) => proj(joiner(lRow, r)) }
         }
-        // evict rows that fell behind the window (left times ascending)
-        while (active.nonEmpty && active.head._1 < t - w) active.removeHead()
-        // everything remaining is within [t−w, t+w]
-        active.toArray.iterator.map { case (_, r) => proj(joiner(lRow, r)) }
       }
     }
   }
@@ -112,21 +138,23 @@ case class IntervalJoinExec(
 
 object IntervalStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case IntervalJoin(l, r, lk, rk, lt, rt, w) =>
-      IntervalJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, w) :: Nil
+    case IntervalJoin(l, r, lk, rk, lt, rt, w, lo) =>
+      IntervalJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, w, lo) :: Nil
     case _ => Nil
   }
 }
 
 object IntervalJoinApi {
-  /** Inner interval join on equal `key` and `|probeTime − buildTime| ≤
-    * windowMicros` (long/µs time columns). Requires [[IntervalStrategy]]
+  /** Interval join on equal `key` and `|probeTime − buildTime| ≤
+    * windowMicros` (long/µs time columns); `leftOuter = true` keeps
+    * unmatched probe rows with nulls. Requires [[IntervalStrategy]]
     * injected (see [[GraftExtensions]]). */
   def intervalJoin(
       probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String,
       probeTime: String, buildTime: String,
-      windowMicros: Long): DataFrame = {
+      windowMicros: Long,
+      leftOuter: Boolean = false): DataFrame = {
     val lPlan = probe.queryExecution.analyzed
     val rPlan = build.queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String): Expression =
@@ -135,6 +163,6 @@ object IntervalJoinApi {
     Bridge.ofRows(probe.sparkSession,
       IntervalJoin(lPlan, rPlan,
         attr(lPlan, probeKey), attr(rPlan, buildKey),
-        attr(lPlan, probeTime), attr(rPlan, buildTime), windowMicros))
+        attr(lPlan, probeTime), attr(rPlan, buildTime), windowMicros, leftOuter))
   }
 }

@@ -283,6 +283,91 @@ object Ext {
       .orderBy(col("click_id"))
   }
 
+  /** As-of join through the custom `AsOfJoinExec` (plans.AsOfJoin) — same
+    * semantics, output columns, and DuckDB oracle as [[joinAsof]], so the
+    * driver's hash gate proves the native operator, not just its spec. */
+  def joinAsofNative(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureStrategies(s)
+    val ev = events(s, dir)
+    val sgn = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("s_event"))
+      .select(col("user_id").as("s_user"), col("ts_us").as("s_ts0"),
+        col("s_event"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    graft.plans.AsOfJoinApi
+      .asofJoin(pur, sgn, "user_id", "s_user", "ts_us", "s_ts0")
+      .select(
+        col("event_id").as("p_event"),
+        col("user_id"),
+        col("ts_us").as("p_ts"),
+        coalesce(col("s_ts0"), lit(-1L)).as("s_ts"),
+        coalesce(col("s_event"), lit(-1L)).as("s_event"))
+      .orderBy(col("p_event"))
+  }
+
+  /** Range join through the custom `IntervalJoinExec` in left-outer mode —
+    * same result and oracle as [[joinRangeBucketed]] (per-click near-error
+    * counts, zero-count clicks kept), with no build-side replication:
+    * the sliding merge buffer holds only in-window rows. */
+  def joinIntervalNative(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureStrategies(s)
+    val W = 600000000L // 10 min in µs
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts_us").as("c_ts"))
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("err_id"),
+        col("ts_us").as("e_ts"))
+    graft.plans.IntervalJoinApi
+      .intervalJoin(clicks, errs, "c_user", "e_user", "c_ts", "e_ts", W,
+        leftOuter = true)
+      .groupBy(col("click_id"), col("c_user").as("user_id"))
+      .agg(count(col("err_id")).as("n_near_errors"))
+      .orderBy(col("click_id"))
+  }
+
+  /** CSV surface (S1–S9) under the driver oracle: write a GPS-shaped slice
+    * of events as partitioned, `;`-delimited header CSV with MIXED
+    * `yy-`/`yyyy-` timestamp strings (the reference feed's real property,
+    * `Sample Data/gps.csv`), re-read with an explicit schema, multi-format
+    * parse, aggregate. The oracle computes the same aggregate straight
+    * from parquet — equal hashes prove the sink→source round-trip
+    * lossless, including the two-digit-year normalization. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.core.TimeOps
+    import graft.sources.Csv
+    val staged = events(s, dir).filter(col("event_type") === "click")
+      .withColumn("ts_s", expr("ts_us div 1000000"))
+      .select(
+        col("event_id"), col("user_id"),
+        concat(lit("L"), col("user_id") % 8).as("linenumber"),
+        when(col("event_id") % 2 === 0,
+          date_format(timestamp_seconds(col("ts_s")), "yy-MM-dd HH:mm:ss"))
+          .otherwise(
+            date_format(timestamp_seconds(col("ts_s")), "yyyy-MM-dd HH:mm:ss"))
+          .as("t"))
+    val out = System.getProperty("java.io.tmpdir") +
+      s"/graft_csv_roundtrip_${Integer.toHexString(dir.hashCode)}"
+    Csv.write(staged, out, partitionCols = Seq("linenumber"),
+      overwrite = true, delimiter = ";")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("t", StringType)))
+    Csv.read(s, out, schema, delimiter = ";")
+      .withColumn("pt", TimeOps.parseMulti(col("t")))
+      .withColumn("pt_s", expr("unix_micros(pt) div 1000000"))
+      .groupBy(col("linenumber"))
+      .agg(count(lit(1)).as("n"),
+        min(col("pt_s")).as("min_ts_s"),
+        max(col("pt_s")).as("max_ts_s"),
+        sum(col("event_id")).as("sum_event"))
+      .orderBy(col("linenumber"))
+  }
+
   // ===== partitioning / skew =====
 
   /** O4: cost-balanced repartition — per-supplier row counts bin-packed
@@ -373,7 +458,10 @@ object Ext {
     "mm_byte_histogram" -> mmByteHistogram _,
     "mm_resize" -> mmResize _,
     "join_asof" -> joinAsof _,
+    "join_asof_native" -> joinAsofNative _,
     "join_range_bucketed" -> joinRangeBucketed _,
+    "join_interval_native" -> joinIntervalNative _,
+    "csv_roundtrip" -> csvRoundtrip _,
     "balance_bins" -> balanceBins _,
     "skew_salted_agg" -> skewSaltedAgg _,
     "agg_approx" -> aggApprox _,

@@ -248,6 +248,45 @@ object ExtOracle {
            ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
          ORDER BY p_event""",
 
+    // the spark side of csv_roundtrip goes through a partitioned
+    // ;-delimited CSV sink and a mixed-format timestamp re-parse; the
+    // oracle aggregates the same slice straight from parquet — matching
+    // hashes prove the round-trip lossless
+    "csv_roundtrip" ->
+      """WITH e AS (SELECT event_id, user_id,
+             'L' || CAST(user_id % 8 AS VARCHAR) AS linenumber,
+             epoch_us(ts) // 1000000 AS ts_s
+           FROM events WHERE event_type = 'click')
+         SELECT linenumber, count(*) AS n,
+           min(ts_s) AS min_ts_s, max(ts_s) AS max_ts_s,
+           CAST(sum(event_id) AS BIGINT) AS sum_event
+         FROM e GROUP BY linenumber ORDER BY linenumber""",
+
+    // the native custom-exec twins share their composable siblings' oracles:
+    // identical semantics, two physical plans, both under the hash gate
+    "join_asof_native" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us,
+             max(event_id) AS s_event
+           FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+         p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id AS p_event, p.user_id, p.ts_us AS p_ts,
+           coalesce(s.ts_us, -1) AS s_ts,
+           coalesce(s.s_event, -1) AS s_event
+         FROM p ASOF LEFT JOIN s
+           ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
+         ORDER BY p_event""",
+
+    "join_interval_native" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'click'),
+         e AS (SELECT user_id, event_id AS err_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'error')
+         SELECT c.click_id, c.user_id, count(e.err_id) AS n_near_errors
+         FROM c LEFT JOIN e ON c.user_id = e.user_id
+           AND e.ts_us BETWEEN c.ts_us - 600000000 AND c.ts_us + 600000000
+         GROUP BY c.click_id, c.user_id ORDER BY c.click_id""",
+
     "agg_topk_typed" ->
       """SELECT l_returnflag, "rank", l_orderkey, l_linenumber,
            round(price, 2) AS price

@@ -37,9 +37,10 @@ object Csv {
   def write(df: DataFrame, path: String,
             partitionCols: Seq[String] = Nil,
             singleFile: Boolean = false,
-            overwrite: Boolean = true): Unit = {
+            overwrite: Boolean = true,
+            delimiter: String = ","): Unit = {
     val d = if (singleFile) df.coalesce(1) else df
-    val w0 = d.write.option("header", "true")
+    val w0 = d.write.option("header", "true").option("sep", delimiter)
     val w1 = if (overwrite) w0.mode("overwrite") else w0
     val w2 = if (partitionCols.nonEmpty) w1.partitionBy(partitionCols: _*) else w1
     w2.csv(path)

@@ -39,6 +39,13 @@ object StreamOps {
     *
     * Emits each session once, on close (Append mode). State per key is a
     * single [[SessState]] — O(active keys), not O(events).
+    *
+    * Session-id scope: ids are per-key ordinals that restart at 1 after a
+    * timeout clears the key's state (keeping a counter alive forever would
+    * make state O(all keys ever seen), defeating watermark expiry). So
+    * `(user_id, session_id)` is unique within a state lifetime, not over
+    * the stream's whole history — consumers needing a forever-unique
+    * session key should use `(user_id, start_us)`.
     */
   def sessionize(
       events: Dataset[KeyedEvent],
@@ -46,11 +53,14 @@ object StreamOps {
       watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
 
+    // late-but-in-watermark events may precede the stored session's start:
+    // min the start as well as maxing the end
     def fold(st: SessState, e: KeyedEvent): SessState =
       if (e.ts_us - st.lastUs > gapMicros)
         SessState(st.sessionId + 1, 1L, e.ts_us, e.ts_us, e.value)
       else
-        SessState(st.sessionId, st.n + 1, st.startUs, math.max(st.lastUs, e.ts_us), st.sum + e.value)
+        SessState(st.sessionId, st.n + 1, math.min(st.startUs, e.ts_us),
+          math.max(st.lastUs, e.ts_us), st.sum + e.value)
 
     events
       .withWatermark("t", watermarkDelay)
@@ -79,8 +89,14 @@ object StreamOps {
             }
             cur.foreach { st =>
               state.update(st)
-              // close the open session once the watermark passes its gap
-              state.setTimeoutTimestamp((st.lastUs + gapMicros) / 1000L + 1L)
+              // close the open session once the watermark passes its gap.
+              // A late-but-in-watermark event can extend a session whose
+              // gap already elapsed, putting lastUs+gap at-or-before the
+              // watermark — GroupState rejects such timeouts, so clamp to
+              // watermark+1 (the session then closes next microbatch).
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1L,
+                (st.lastUs + gapMicros) / 1000L + 1L))
             }
             closed.reverseIterator
           }
@@ -131,7 +147,8 @@ object StreamOps {
               closed ::= Session(key, st.sessionId, st.n, st.startUs, st.lastUs, st.sum)
               cur = Some(SessState(st.sessionId + 1, 1L, e.ts_us, e.ts_us, e.value))
             } else {
-              cur = Some(SessState(st.sessionId, st.n + 1, st.startUs,
+              cur = Some(SessState(st.sessionId, st.n + 1,
+                math.min(st.startUs, e.ts_us),
                 math.max(st.lastUs, e.ts_us), st.sum + e.value))
             }
         }

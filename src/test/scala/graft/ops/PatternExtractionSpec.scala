@@ -61,6 +61,15 @@ class PatternExtractionSpec extends SparkSpec {
     assert(v1.toSeq == Seq(1L, 1L, 1L, 1L, 2L, 2L, 3L), s"got ${v1.toSeq}")
   }
 
+  test("bug-compatible numbering reproduces the reference as committed") {
+    // the committed machinery's pattern_id stays 0 and its null lower
+    // bound drops every row (see extractPatterns doc) — preserved verbatim
+    val out = PatternExtraction.run(gpsFixture, Some(busLineFixture),
+      PatternExtraction.Config(restoredNumbering = false))
+    assert(out.count() == 0)
+    assert(out.columns.contains("patternID"))
+  }
+
   test("patternID is monotone non-decreasing per vehicle") {
     val out = PatternExtraction.run(gpsFixture, Some(busLineFixture))
     val v1 = out.filter($"id" === "V1").orderBy($"t")

@@ -76,4 +76,32 @@ class AsOfJoinSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(custom.nonEmpty && custom == composed)
   }
+
+  test("tolerance bound: a stale latest match beyond the bound yields nulls") {
+    import extSpark.implicits._
+    val probe = Seq((1L, 100L, "p1"), (1L, 300L, "p2")).toDF("user", "pt", "pname")
+    val build = Seq((1L, 90L, "a")).toDF("buser", "bt", "bname")
+    val got = AsOfJoinApi.asofJoin(probe, build,
+        "user", "buser", "pt", "bt", tolerance = 50L)
+      .select(col("pt"), col("bname"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSet
+    assert(got == Set((100L, "a"), (300L, null))) // 300−90 = 210 > 50
+  }
+
+  test("null keys never match (SQL equi-join semantics)") {
+    import extSpark.implicits._
+    val probe = Seq((Option(1L), 100L, "p1"), (Option.empty[Long], 100L, "pn"))
+      .toDF("user", "pt", "pname")
+    val build = Seq((Option(1L), 90L, "a"), (Option.empty[Long], 50L, "bn"))
+      .toDF("buser", "bt", "bname")
+    val got = AsOfJoinApi.asofJoin(probe, build, "user", "buser", "pt", "bt")
+      .select(col("pname"), col("bname"))
+      .collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSet
+    // the null-key probe row surfaces (left outer) but pairs with nothing
+    assert(got == Set(("p1", "a"), ("pn", null)))
+  }
 }

@@ -62,4 +62,38 @@ class IntervalJoinSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(custom.nonEmpty && custom == direct)
   }
+
+  test("left-outer mode keeps unmatched probes with nulls") {
+    import extSpark.implicits._
+    val probe = Seq((1L, 100L, "p1"), (1L, 900L, "p2"), (2L, 100L, "q1"))
+      .toDF("user", "pt", "pname")
+    val build = Seq((1L, 120L, "a")).toDF("buser", "bt", "bname")
+    val got = IntervalJoinApi.intervalJoin(probe, build,
+        "user", "buser", "pt", "bt", windowMicros = 50L, leftOuter = true)
+      .select(col("pname"), col("bname"))
+      .collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSet
+    assert(got == Set(("p1", "a"), ("p2", null), ("q1", null)))
+  }
+
+  test("null keys never match, in either mode") {
+    import extSpark.implicits._
+    val probe = Seq((Option(1L), 100L, "p1"), (Option.empty[Long], 100L, "pn"))
+      .toDF("user", "pt", "pname")
+    val build = Seq((Option(1L), 110L, "a"), (Option.empty[Long], 100L, "bn"))
+      .toDF("buser", "bt", "bname")
+    val inner = IntervalJoinApi.intervalJoin(probe, build,
+        "user", "buser", "pt", "bt", windowMicros = 50L)
+      .select(col("pname"), col("bname"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(inner == Set(("p1", "a")))
+    val outer = IntervalJoinApi.intervalJoin(probe, build,
+        "user", "buser", "pt", "bt", windowMicros = 50L, leftOuter = true)
+      .select(col("pname"), col("bname"))
+      .collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSet
+    assert(outer == Set(("p1", "a"), ("pn", null)))
+  }
 }
