@@ -25,9 +25,8 @@ object Scratch {
     // warmup
     queries.Rel.q1Agg(spark, sfDir).count()
 
-    time("joinAsofNative")(queries.Ext.joinAsofNative(spark, sfDir).show(5, false))
-    time("joinIntervalNative")(queries.Ext.joinIntervalNative(spark, sfDir).show(5, false))
-    time("csvRoundtrip")(queries.Ext.csvRoundtrip(spark, sfDir).show(10, false))
+    time("pipeline_blindzone full")(
+      println("bz=" + queries.Pipeline.blindZone(spark, sfDir).count()))
 
     // pipeline stages
     import graft.ops.{PatternExtraction, TrajectoryClustering}

@@ -21,10 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential left-fold dot product in double (order-deterministic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sequential left-fold dot product in double (order-deterministic).
+    * Runs as the native codegen'd [[graft.functions.SeqDot]] — the
+    * equivalent `aggregate(zip_with(...))` HOF is interpreted and
+    * dominates O(pairs) similarity joins; the expression keeps the exact
+    * accumulation order, so oracle scores remain bit-identical. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.SeqDot(Bridge.expression(a), Bridge.expression(b)))
+  }
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
