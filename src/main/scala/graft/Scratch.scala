@@ -25,8 +25,10 @@ object Scratch {
     // warmup
     queries.Rel.q1Agg(spark, sfDir).count()
 
-    time("pipeline_blindzone full")(
-      println("bz=" + queries.Pipeline.blindZone(spark, sfDir).count()))
+    time("balance_bins")(
+      println("bins=" + queries.Ext.balanceBins(spark, sfDir).count()))
+    time("balance_bins again")(
+      println("bins=" + queries.Ext.balanceBins(spark, sfDir).count()))
 
     // pipeline stages
     import graft.ops.{PatternExtraction, TrajectoryClustering}

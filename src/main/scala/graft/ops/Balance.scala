@@ -78,13 +78,16 @@ object Balance {
       .na.fill(Map("_bin" -> overflowBin))
     val schema = joined.schema
     val binIdx = schema.fieldIndex("_bin")
-    val placed = joined.rdd
-      .map(r => (r.getInt(binIdx), r))
+    // stay in Tungsten format through the placement shuffle: external Row
+    // conversion tripled the op's cost; InternalRow.copy() is one memcpy
+    // (required — the scan reuses its row buffer)
+    val placed = joined.queryExecution.toRdd
+      .mapPartitions(_.map(r => (r.getInt(binIdx), r.copy())))
       .partitionBy(new org.apache.spark.Partitioner {
         override def numPartitions: Int = overflowBin + 1
         override def getPartition(key: Any): Int = key.asInstanceOf[Int]
       })
-      .values
-    spark.createDataFrame(placed, schema)
+      .map(_._2)
+    org.apache.spark.sql.graft.Bridge.ofInternalRows(spark, placed, schema)
   }
 }

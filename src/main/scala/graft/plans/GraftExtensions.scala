@@ -35,6 +35,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.size == 4, "haversine_native(lat1, lng1, lat2, lng2)")
         Haversine(args(0), args(1), args(2), args(3))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("seq_dot"),
+      new ExpressionInfo(classOf[graft.functions.SeqDot].getName, "seq_dot"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "seq_dot(array, array)")
+        graft.functions.SeqDot(args(0), args(1))
+      }))
     ext.injectOptimizerRule(_ => NativeHaversineRule)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
     ext.injectPlannerStrategy(_ => IntervalStrategy)

@@ -217,6 +217,18 @@ object StreamOps {
         expr(s"""l_user = r_user AND
                  r_t BETWEEN l_t - INTERVAL $window AND l_t + INTERVAL $window"""))
 
+  /** Stream-static enrichment join: each streaming event picks up its
+    * key's static dimension row — the streaming twin of the batch
+    * broadcast dim join (J2/J3). Stateless: the static side is (re)read
+    * and broadcast per micro-batch, so a dim refresh (new parquet files)
+    * is picked up without restarting the query, and no watermark or
+    * join state accumulates. */
+  def enrichStream(
+      events: DataFrame, // streaming side, carries `keys`
+      dim: DataFrame, // static side (batch DataFrame)
+      keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   /** Native streaming session_window agg — the built-in twin of
     * [[sessionize]] for when per-session custom state isn't needed. */
   def sessionWindowCounts(

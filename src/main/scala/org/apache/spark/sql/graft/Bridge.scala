@@ -20,4 +20,14 @@ object Bridge {
 
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** DataFrame from an InternalRow RDD — lets RDD-level repartitioning
+    * (custom partitioners) stay in Tungsten binary format instead of
+    * round-tripping through external `Row` objects. */
+  def ofInternalRows(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

@@ -77,4 +77,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect()
     assert(r(0).isNullAt(0))
   }
+
+  test("seq_dot is SQL-callable via the extension") {
+    import extSpark.implicits._
+    val r = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f)))
+      .toDF("a", "b")
+      .selectExpr("seq_dot(a, b) AS d")
+      .head()
+    assert(r.getDouble(0) == 11.0)
+  }
 }
