@@ -71,23 +71,39 @@ object Dedup {
       docToks: DataFrame /* (id, toks) */,
       k: Int,
       minJaccard: Double,
-      maxDocFreq: Int = 0): DataFrame =
-    jaccardPairsFromRows(shingleRows(docToks, k), minJaccard, maxDocFreq)
+      maxDocFreq: Int = 0,
+      hashShingles: Boolean = false): DataFrame =
+    jaccardPairsFromRows(shingleRows(docToks, k), minJaccard, maxDocFreq,
+      hashShingles)
 
   /** Pair mining over prebuilt distinct shingle rows `(id, s)`. Set sizes
     * ride along every row (window count — no separate sizes relation to
     * join back), so the self-join's two sides are identical subplans and
-    * Catalyst reuses one shuffle exchange for both. */
+    * Catalyst reuses one shuffle exchange for both.
+    *
+    * @param hashShingles shuffle 8-byte xxhash64 keys instead of shingle
+    *                     strings — roughly halves the inverted-index
+    *                     shuffle at corpus scale. Tradeoff: a 64-bit
+    *                     collision (birthday ≈ n²/2⁶⁵ over n distinct
+    *                     shingles — negligible below ~10⁸, real at 10¹⁰)
+    *                     counts one spurious shared shingle for an
+    *                     unrelated doc pair, perturbing that pair's
+    *                     Jaccard by ~1/n. Off by default: the registered
+    *                     queries are oracle-hash-exact. */
   def jaccardPairsFromRows(
       shingles: DataFrame /* (id, s) distinct */,
       minJaccard: Double,
-      maxDocFreq: Int = 0): DataFrame = {
+      maxDocFreq: Int = 0,
+      hashShingles: Boolean = false): DataFrame = {
+    val keyed =
+      if (hashShingles) shingles.select(col("id"), xxhash64(col("s")).as("s"))
+      else shingles
     val pruned =
-      if (maxDocFreq <= 0) shingles
+      if (maxDocFreq <= 0) keyed
       else {
-        val hot = shingles.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        val hot = keyed.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select(col("s"))
-        shingles.join(broadcast(hot), Seq("s"), "left_anti")
+        keyed.join(broadcast(hot), Seq("s"), "left_anti")
       }
     val sh = pruned.withColumn("n",
       count(lit(1)).over(Window.partitionBy(col("id"))))

@@ -63,6 +63,17 @@ class DedupSpec extends SparkSpec {
     assert(withPrune == Set((1L, 2L))) // only the a-b-c evidence remains
   }
 
+  test("hashShingles mode mines the same pairs as the string path") {
+    val str = Dedup.jaccardPairs(toked, k = 3, minJaccard = 0.5)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    val hashed = Dedup.jaccardPairs(toked, k = 3, minJaccard = 0.5,
+        hashShingles = true)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(hashed == str)
+  }
+
   test("minhashCandidates: exact dups always collide; est_jaccard = 1") {
     val cand = Dedup.minhashCandidates(toked, k = 3, numHashes = 32, bands = 8)
     val d14 = cand.filter(col("id1") === 1 && col("id2") === 4)

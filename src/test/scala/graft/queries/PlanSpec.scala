@@ -49,4 +49,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "queries not broadcast")
   }
+
+  test("dedup_embedding: dot products run as the native seq_dot expression") {
+    val p = planOf("dedup_embedding")
+    assert(p.contains("seq_dot"),
+      s"expected the codegen'd SeqDot, not the interpreted HOF fold:\n$p")
+    // the HOF forms would print as aggregate(zip_with(...)) lambdas
+    assert(!p.contains("zip_with"), "interpreted zip_with crept back in")
+  }
+
+  test("join_asof_native / join_interval_native: the custom execs plan in") {
+    val asof = planOf("join_asof_native")
+    assert(asof.contains("AsOfJoin"), s"AsOfJoinExec missing:\n$asof")
+    val ivl = planOf("join_interval_native")
+    assert(ivl.contains("IntervalJoin"), s"IntervalJoinExec missing:\n$ivl")
+  }
+
+  test("dedup_apply: the anti-join is not hint-forced to broadcast") {
+    // AQE may still pick broadcast at runtime when the loser set fits —
+    // the regression is a *hint* (unbounded at 100 TB), visible as a
+    // ResolvedHint surviving to the optimized plan
+    val q = graft.SparkEntry.queries("dedup_apply")(spark, sf001)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("ResolvedHint"),
+      "broadcast hint on the dedup anti-join is back")
+  }
 }
