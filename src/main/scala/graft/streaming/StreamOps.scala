@@ -217,6 +217,80 @@ object StreamOps {
         expr(s"""l_user = r_user AND
                  r_t BETWEEN l_t - INTERVAL $window AND l_t + INTERVAL $window"""))
 
+  /** Tagged input event for [[asofJoinStream]]: side 0 = build,
+    * side 1 = probe; `ref_id` is the caller's row id. */
+  case class AsOfEvent(
+      user_id: Long, t: java.sql.Timestamp, ts_us: Long, side: Int, ref_id: Long)
+
+  /** One as-of match: the latest build at-or-before the probe
+    * (−1/−1 when none — left-outer semantics). */
+  case class AsOfMatched(
+      user_id: Long, probe_id: Long, probe_us: Long, build_id: Long, build_us: Long)
+
+  /** Per-key as-of state: builds sorted ascending by time; probes waiting
+    * for the watermark to pass their event time. */
+  case class AsOfBuffer(builds: List[(Long, Long)], probes: List[(Long, Long)])
+
+  /** STREAM-STREAM AS-OF JOIN — Spark has stream-stream equi/interval
+    * joins but no as-of; this is the streaming twin of
+    * `plans.AsOfJoin` / `queries.Ext.joinAsof`.
+    *
+    * Correctness under disorder: a probe at time p is final only once the
+    * event-time watermark passes p — any build that could still arrive
+    * with time ≤ p would itself be behind the watermark and dropped. So
+    * probes buffer until `watermark > p`, then emit exactly once with the
+    * latest build ≤ p (Append mode).
+    *
+    * State bound per key: pending probes within the watermark window,
+    * plus builds within the window and ONE older build (the latest
+    * at-or-before the watermark — still the potential match for a future
+    * probe); everything older is evicted each invocation. No timers when
+    * nothing is pending.
+    */
+  def asofJoinStream(
+      probes: DataFrame, // (user_id, t: timestamp, ts_us, ref_id)
+      builds: DataFrame, // same shape
+      watermarkDelay: String = "10 minutes"): Dataset[AsOfMatched] = {
+    import probes.sparkSession.implicits._
+    val tagged = probes.withColumn("side", lit(1))
+      .unionByName(builds.withColumn("side", lit(0)))
+      .select(col("user_id"), col("t"), col("ts_us"), col("side"), col("ref_id"))
+      .as[AsOfEvent]
+    tagged
+      .withWatermark("t", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfBuffer, AsOfMatched](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[AsOfEvent], state: GroupState[AsOfBuffer]) =>
+          val st0 = state.getOption.getOrElse(AsOfBuffer(Nil, Nil))
+          val evs = it.toSeq
+          val allBuilds = (st0.builds ++
+            evs.filter(_.side == 0).map(e => (e.ts_us, e.ref_id)))
+            .sortBy(identity)
+          val allProbes = st0.probes ++
+            evs.filter(_.side == 1).map(e => (e.ts_us, e.ref_id))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = allProbes.partition(_._1 < wmUs)
+          val out = ready.sortBy(identity).map { case (pUs, pid) =>
+            val m = allBuilds.takeWhile(_._1 <= pUs).lastOption
+            AsOfMatched(key, pid, pUs,
+              m.map(_._2).getOrElse(-1L), m.map(_._1).getOrElse(-1L))
+          }
+          // evict: keep the latest build at-or-before the watermark + all after
+          val (behind, ahead) = allBuilds.partition(_._1 <= wmUs)
+          val kept = behind.lastOption.toList ++ ahead
+          if (kept.isEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update(AsOfBuffer(kept, pending))
+            pending.map(_._1).minOption.foreach { nextUs =>
+              state.setTimeoutTimestamp(
+                math.max(wmUs / 1000L + 1L, nextUs / 1000L + 1L))
+            }
+          }
+          out.iterator
+      }
+  }
+
   /** Stream-static enrichment join: each streaming event picks up its
     * key's static dimension row — the streaming twin of the batch
     * broadcast dim join (J2/J3). Stateless: the static side is (re)read

@@ -173,6 +173,74 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows == Set((1L, 1.0, "gold"), (2L, 2.0, "basic"), (3L, 3.0, null)))
   }
 
+  test("stream-stream as-of join matches the batch as-of on finalized probes") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.Row
+    def row(user: Long, minute: Long, id: Long) = {
+      val us = BaseUs + minute * 60L * 1000000L
+      (user, new Timestamp(us / 1000L), us, id)
+    }
+    val probeMem = MemoryStream[(Long, Timestamp, Long, Long)]
+    val buildMem = MemoryStream[(Long, Timestamp, Long, Long)]
+    def df(m: MemoryStream[(Long, Timestamp, Long, Long)]) =
+      m.toDS().toDF("user_id", "t", "ts_us", "ref_id")
+    val out = StreamOps.asofJoinStream(df(probeMem), df(buildMem), "1 minute")
+    val qname = s"asof${System.nanoTime()}"
+    val query = out.toDF().writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      buildMem.addData(row(1, 0, 100), row(1, 20, 101))
+      probeMem.addData(row(1, 5, 200), row(2, 6, 202)) // u2 has no builds
+      query.processAllAvailable()
+      probeMem.addData(row(1, 25, 201)) // matches the minute-20 build
+      query.processAllAvailable()
+      buildMem.addData(row(9, 100, 999)) // watermark driver: wm → minute 99
+      query.processAllAvailable()
+      probeMem.addData(Seq.empty[(Long, Timestamp, Long, Long)]: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table(qname).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // probe 200 @5 → build 100 @0; probe 201 @25 → build 101 @20;
+    // probe 202 (user 2) → no build (-1). All finalized by wm=99.
+    assert(got == Set((1L, 200L, 100L), (1L, 201L, 101L), (2L, 202L, -1L)))
+  }
+
+  test("as-of stream: a probe is not emitted before the watermark passes it") {
+    implicit val sq = spark.sqlContext
+    def row(user: Long, minute: Long, id: Long) = {
+      val us = BaseUs + minute * 60L * 1000000L
+      (user, new Timestamp(us / 1000L), us, id)
+    }
+    val probeMem = MemoryStream[(Long, Timestamp, Long, Long)]
+    val buildMem = MemoryStream[(Long, Timestamp, Long, Long)]
+    def df(m: MemoryStream[(Long, Timestamp, Long, Long)]) =
+      m.toDS().toDF("user_id", "t", "ts_us", "ref_id")
+    val out = StreamOps.asofJoinStream(df(probeMem), df(buildMem), "30 minutes")
+    val qname = s"asofhold${System.nanoTime()}"
+    val query = out.toDF().writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      buildMem.addData(row(1, 0, 100))
+      probeMem.addData(row(1, 5, 200)) // wm after batch: max(5)−30 < 5
+      query.processAllAvailable()
+      probeMem.addData(Seq.empty[(Long, Timestamp, Long, Long)]: _*)
+      query.processAllAvailable()
+      assert(spark.table(qname).isEmpty,
+        "probe emitted before its time was final — a late build could still change the match")
+      // now a late-but-in-watermark build arrives BEFORE the probe's time
+      // and must win over build 100
+      buildMem.addData(row(1, 3, 101))
+      probeMem.addData(row(1, 60, 201)) // advances wm past minute 5
+      query.processAllAvailable()
+      probeMem.addData(Seq.empty[(Long, Timestamp, Long, Long)]: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table(qname).collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSet
+    assert(got == Set((200L, 101L))) // the late build is the match
+  }
+
   test("late in-watermark event extending an elapsed-gap session does not kill the query") {
     // regression: the session's lastUs+gap can sit at-or-before the
     // watermark after a late event extends it; the timeout must clamp to
