@@ -28,6 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] is a whole-cluster-in-one-JVM: storage + execution memory
   // for 32 task threads share this heap, so size it like a fat executor
-  // (the box has 128 GiB; 8g caused GC/eviction thrash at sf0.1)
+  // (the box has 128 GiB; 8g caused GC/eviction thrash at sf0.1).
+  // Xms pinned to Xmx: lazy heap growth fired full GCs at random points
+  // mid-bench, inflating whichever query they landed on by 2-3x.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

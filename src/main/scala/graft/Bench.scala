@@ -36,7 +36,14 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // untimed, between queries: with a large fixed heap the JVM may not
+      // GC for the whole run, so Spark's ContextCleaner (weak-ref driven)
+      // never releases finished queries' shuffle/broadcast state — by the
+      // ~50th query the accumulated bookkeeping inflated later queries up
+      // to 4x. This is spark.cleaner.periodicGC at bench cadence.
+      System.gc()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -25,10 +25,10 @@ object Scratch {
     // warmup
     queries.Rel.q1Agg(spark, sfDir).count()
 
-    time("balance_bins")(
-      println("bins=" + queries.Ext.balanceBins(spark, sfDir).count()))
-    time("balance_bins again")(
-      println("bins=" + queries.Ext.balanceBins(spark, sfDir).count()))
+    time("pipeline 1")(
+      println("bz=" + queries.Pipeline.blindZone(spark, sfDir).count()))
+    time("pipeline 2")(
+      println("bz=" + queries.Pipeline.blindZone(spark, sfDir).count()))
 
     // pipeline stages
     import graft.ops.{PatternExtraction, TrajectoryClustering}

@@ -154,10 +154,19 @@ object Dedup {
       docToks: DataFrame /* (id, toks) */,
       k: Int = 3,
       numHashes: Int = 32,
+      bands: Int = 8): DataFrame =
+    minhashCandidatesFromRows(shingleRows(docToks, k), numHashes, bands)
+
+  /** [[minhashCandidates]] over prebuilt shingle rows — lets a pipeline
+    * stage the (expensive) shingle relation once and feed both the exact
+    * Jaccard miner and the MinHash sketch path from it. */
+  def minhashCandidatesFromRows(
+      shingles: DataFrame /* (id, s) distinct */,
+      numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
-    val signed = minhashSignatures(shingleRows(docToks, k), numHashes)
+    val signed = minhashSignatures(shingles, numHashes)
     val banded = signed.select(
       col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),

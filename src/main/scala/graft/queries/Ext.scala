@@ -93,23 +93,32 @@ object Ext {
     * join. Mirrored exactly in the DuckDB oracles. */
   val JaccardMaxDocFreq = 100
 
-  /** The Jaccard ≥ 0.8 pair relation is the shared input of three
-    * registered queries (pairs, components, applied dedup). Stage it once
-    * per (session, sf-dir): mined on first use, persisted, reused — a
-    * pipeline materializes this relation once, and so does the bench. */
-  private val stagedPairs =
-    scala.collection.mutable.Map.empty[(Int, String), DataFrame]
+  /** The distinct 3-gram shingle relation and the Jaccard ≥ 0.8 pair
+    * relation are shared inputs of four registered queries (pairs,
+    * components, applied dedup, MinHash candidates). Stage each once per
+    * (session, sf-dir): built on first use, persisted, reused — a real
+    * pipeline materializes these relations once, and so does the bench. */
+  private val staged =
+    scala.collection.mutable.Map.empty[(String, Int, String), DataFrame]
 
-  private def jaccardPairs08(s: SparkSession, dir: String): DataFrame =
-    stagedPairs.synchronized {
-      stagedPairs.getOrElseUpdate((System.identityHashCode(s), dir), {
+  private def stage(what: String, s: SparkSession, dir: String)
+                   (build: => DataFrame): DataFrame =
+    staged.synchronized {
+      staged.getOrElseUpdate((what, System.identityHashCode(s), dir), {
         import org.apache.spark.storage.StorageLevel
-        Dedup.jaccardPairs(
-            docsTok(s, dir).select(col("doc_id").as("id"), col("toks")),
-            k = 3, minJaccard = 0.8, maxDocFreq = JaccardMaxDocFreq)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        build.persist(StorageLevel.MEMORY_AND_DISK)
       })
     }
+
+  private def shingles3(s: SparkSession, dir: String): DataFrame =
+    stage("shingles3", s, dir)(
+      Dedup.shingleRows(
+        docsTok(s, dir).select(col("doc_id").as("id"), col("toks")), 3))
+
+  private def jaccardPairs08(s: SparkSession, dir: String): DataFrame =
+    stage("pairs08", s, dir)(
+      Dedup.jaccardPairsFromRows(shingles3(s, dir),
+        minJaccard = 0.8, maxDocFreq = JaccardMaxDocFreq))
 
   /** Exact dedup on content digest (keeper = min doc_id). */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -124,9 +133,8 @@ object Ext {
   /** MinHash(32) + LSH(8×4) candidate pairs at est-Jaccard ≥ 0.5.
     * Signature hashing is xxhash64 — not SQL-portable, so no oracle. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidates(
-        docsTok(s, dir).select(col("doc_id").as("id"), col("toks")),
-        k = 3, numHashes = 32, bands = 8)
+    Dedup.minhashCandidatesFromRows(shingles3(s, dir),
+        numHashes = 32, bands = 8)
       .filter(col("est_jaccard") >= 0.5)
       .orderBy(col("id1"), col("id2"))
 

@@ -67,6 +67,28 @@ class PipelineSpec extends SparkSpec {
     assert(clustered.filter($"linenumber" === "L1" && $"cluster".isNull).count() == 0)
   }
 
+  test("stage 2: single-trajectory line is noise under minSamples=2, not a crash") {
+    // n=1 per line: the pair stage produces zero triples; the DBSCAN side
+    // must still build a 1×1 matrix and label the lone trajectory noise
+    val lone = Seq(
+      ("V1", "L9", 114.00, 22.50, "19-02-01 08:00:00"),
+      ("V1", "L9", 114.01, 22.50, "19-02-01 08:01:00"))
+      .toDF("id", "linenumber", "lng", "lat", "t")
+      .withColumn("t", to_timestamp($"t", "yy-MM-dd HH:mm:ss"))
+      .withColumn("patternID", lit(1L))
+    val out = TrajectoryClustering.cluster(lone,
+      Map("L9" -> TrajectoryClustering.Params(5.0, 2)))
+    assert(out.select($"cluster").as[Int].collect().toSeq == Seq(-1))
+  }
+
+  test("stage 2: empty params map yields an empty, well-formed result") {
+    val pats = PatternExtraction.run(fleet, Some(termini))
+    val out = TrajectoryClustering.cluster(pats, Map.empty)
+    assert(out.columns.toSeq ==
+      Seq("linenumber", "id", "patternID", "cluster"))
+    assert(out.count() == 0)
+  }
+
   test("stage 3: blind zones graded on clustered output") {
     val pats = PatternExtraction.run(fleet, Some(termini))
     val clustered = TrajectoryClustering.run(pats, params)
