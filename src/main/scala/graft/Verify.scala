@@ -25,6 +25,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // let the ContextCleaner release finished queries' shuffle state —
+      // without a GC tick a 74-query session accumulates driver
+      // bookkeeping that slows the late queries (see Bench.scala)
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

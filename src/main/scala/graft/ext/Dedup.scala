@@ -118,6 +118,42 @@ object Dedup {
       .select(col("id1"), col("id2"), col("c"), col("n1"), col("n2"), col("jaccard"))
   }
 
+  /** Incremental near-dup: Jaccard pairs between a NEW batch and the
+    * EXISTING corpus without re-mining corpus×corpus — the daily-crawl
+    * increment pattern: only the new docs' shingles probe the inverted
+    * index, so cost is Σ df(new)·df(old) per shingle instead of the full
+    * quadratic re-mine. Doc-freq pruning (`maxDocFreq`) counts over the
+    * COMBINED corpus (a shingle hot across old docs is just as
+    * evidence-free for a new doc). Inputs are distinct `(id, s)` shingle
+    * rows (see [[shingleRows]]); ids must not overlap between sides.
+    * Returns `(new_id, old_id, c, n_new, n_old, jaccard)`. */
+  def jaccardPairsBetween(
+      newShingles: DataFrame /* (id, s) distinct */,
+      oldShingles: DataFrame /* (id, s) distinct */,
+      minJaccard: Double,
+      maxDocFreq: Int = 0): DataFrame = {
+    def prune(df: DataFrame): DataFrame =
+      if (maxDocFreq <= 0) df
+      else {
+        val hot = newShingles.union(oldShingles)
+          .groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select(col("s"))
+        df.join(broadcast(hot), Seq("s"), "left_anti")
+      }
+    def sized(df: DataFrame): DataFrame =
+      df.withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
+    sized(prune(newShingles)).as("a")
+      .join(sized(prune(oldShingles)).as("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.id").as("new_id"), col("b.id").as("old_id"),
+        col("a.n").as("n_new"), col("b.n").as("n_old"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard",
+        round(col("c") / (col("n_new") + col("n_old") - col("c")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("new_id"), col("old_id"), col("c"),
+        col("n_new"), col("n_old"), col("jaccard"))
+  }
+
   // --- MinHash + LSH -----------------------------------------------------
 
   /** MinHash signature: element i = min over shingles of xxhash64(i, s).

@@ -68,6 +68,52 @@ object Ext {
         Text.fingerprint(col("toks")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** Gopher-style duplicate-n-gram repetition score: fraction of a doc's
+    * 3-grams that are repeats (1 − distinct/total). The cheap
+    * within-document quality signal complementing the cross-document
+    * dedup ladder; docs under 3 tokens are skipped (no 3-grams). */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    docsTok(s, dir)
+      .filter(size(col("toks")) >= 3)
+      .select(
+        col("doc_id"),
+        (size(col("toks")) - 2).cast("long").as("n_3grams"),
+        size(Dedup.wordShingles(col("toks"), 3)).cast("long").as("n_distinct"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_distinct") / col("n_3grams").cast("double"), 6))
+      .orderBy(col("doc_id"))
+
+  /** Benchmark decontamination: corpus docs sharing any 3-gram shingle
+    * with the held-out benchmark set (synthetically: doc_id % 97 == 0) and
+    * how many they share. The benchmark shingle set is broadcast — at
+    * 100 TB the corpus side streams, the (small) test set never shuffles
+    * it. Reads the staged shingle relation. */
+  def textContamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles3(s, dir)
+    val bench = sh.filter(col("id") % 97 === 0).select(col("s")).distinct()
+    sh.filter(col("id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("s"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stratified content-hash sampling: per-language quotas (5% of English,
+    * 20% of everything else) with the same rerun-stable hash-bucket
+    * primitive as [[sampleSystematic]] — per-stratum rollup of kept docs. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val bucket = Text.hashBucket(col("text"), 1000)
+    val quota = when(col("lang") === "en", 50).otherwise(200)
+    t(s, dir, "documents")
+      .withColumn("_kept", (bucket < quota).cast("int"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(col("_kept")).as("n_kept"),
+        sum(when(col("_kept") === 1, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Reproducible 1-in-10 systematic sample by content hash — the
     * downsampling op a corpus pipeline reruns without reshuffling
     * previously selected docs. */
@@ -156,6 +202,19 @@ object Ext {
         jaccardPairs08(s, dir).select(col("id1"), col("id2")))
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
+
+  /** Incremental dedup: a synthetic "new batch" (doc_id % 10 == 0) probes
+    * the existing corpus's inverted shingle index for near-dups — the
+    * daily-increment pattern that avoids re-mining corpus×corpus. Reads
+    * the staged shingle relation. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles3(s, dir)
+    Dedup.jaccardPairsBetween(
+        sh.filter(col("id") % 10 === 0),
+        sh.filter(col("id") % 10 =!= 0),
+        minJaccard = 0.5, maxDocFreq = JaccardMaxDocFreq)
+      .orderBy(col("new_id"), col("old_id"))
+  }
 
   /** SimHash near-dup pairs (64-bit sketch, 16-bit band blocking). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
@@ -448,6 +507,9 @@ object Ext {
     "text_lang_id" -> textLangId _,
     "text_subword" -> textSubword _,
     "sample_systematic" -> sampleSystematic _,
+    "sample_stratified" -> sampleStratified _,
+    "text_repetition" -> textRepetition _,
+    "text_contamination" -> textContamination _,
     "split_train_test" -> splitTrainTest _,
     "text_fingerprint" -> textFingerprint _,
     "dedup_exact" -> dedupExact _,
@@ -456,6 +518,7 @@ object Ext {
     "dedup_simhash" -> dedupSimhash _,
     "dedup_components" -> dedupComponents _,
     "dedup_apply" -> dedupApply _,
+    "dedup_incremental" -> dedupIncremental _,
     "dedup_embedding" -> dedupEmbedding _,
     "sim_bruteforce_topk" -> simBruteforceTopk _,
     "sim_lsh_topk" -> simLshTopk _,

@@ -103,6 +103,44 @@ object ExtOracle {
            (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
          FROM tok ORDER BY doc_id""",
 
+    "text_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents)
+         SELECT doc_id,
+           CAST(len(toks) - 2 AS BIGINT) AS n_3grams,
+           CAST(len(list_distinct(list_transform(
+             range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS BIGINT)
+             AS n_distinct,
+           round(1.0 - CAST(len(list_distinct(list_transform(
+             range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE)
+             / (len(toks) - 2), 6) AS dup_ratio
+         FROM tok WHERE len(toks) >= 3 ORDER BY doc_id""",
+
+    "text_contamination" ->
+      s"""WITH tok AS (SELECT doc_id AS id, $toks AS toks FROM documents),
+         sh0 AS (SELECT id, unnest(list_distinct(list_transform(
+             range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+           FROM tok WHERE len(toks) >= 3),
+         bench AS (SELECT DISTINCT s FROM sh0 WHERE id % 97 = 0)
+         SELECT id AS doc_id, count(*) AS n_shared
+         FROM sh0 JOIN bench USING (s)
+         WHERE id % 97 <> 0
+         GROUP BY id ORDER BY doc_id""",
+
+    "sample_stratified" ->
+      """SELECT lang, count(*) AS n_total,
+         CAST(sum(kept) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+           AS kept_chars
+         FROM (SELECT lang, n_chars,
+           CASE WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 1000
+                  < (CASE WHEN lang = 'en' THEN 50 ELSE 200 END)
+                THEN 1 ELSE 0 END AS kept
+           FROM documents)
+         GROUP BY lang ORDER BY lang""",
+
     "sample_systematic" ->
       """SELECT doc_id, n_chars FROM documents
          WHERE CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 10 = 0
@@ -158,6 +196,28 @@ object ExtOracle {
          SELECT doc_id, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT v FROM losers)
          ORDER BY doc_id""",
+
+    "dedup_incremental" ->
+      s"""WITH tok AS (SELECT doc_id AS id, $toks AS toks FROM documents),
+         sh0 AS (SELECT id, unnest(list_distinct(list_transform(
+             range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+           FROM tok WHERE len(toks) >= 3),
+         sh AS (SELECT id, s FROM sh0
+           WHERE s NOT IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 100)),
+         sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         common AS (SELECT a.id AS new_id, b.id AS old_id, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s
+           WHERE a.id % 10 = 0 AND b.id % 10 <> 0
+           GROUP BY 1, 2)
+         SELECT new_id, old_id, c,
+           sn.n AS n_new, so.n AS n_old,
+           round(c / CAST(sn.n + so.n - c AS DOUBLE), 6) AS jaccard
+         FROM common
+         JOIN sizes sn ON sn.id = new_id
+         JOIN sizes so ON so.id = old_id
+         WHERE round(c / CAST(sn.n + so.n - c AS DOUBLE), 6) >= 0.5
+         ORDER BY new_id, old_id""",
 
     "dedup_embedding" ->
       s"""WITH emb AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS block
