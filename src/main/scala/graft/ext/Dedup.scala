@@ -267,6 +267,8 @@ object Dedup {
     if (edgeCount <= localEdgeThreshold) {
       val spark = pairs.sparkSession
       val idType = pairs.schema.head.dataType
+      require(idType == pairs.schema(1).dataType,
+        s"id1/id2 types differ: $idType vs ${pairs.schema(1).dataType}")
       val edges = p.select(col("id1"), col("id2")).collect()
       sym.unpersist(false)
       if (!prePersisted) p.unpersist(false)
@@ -280,8 +282,15 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      def lt(a: Any, b: Any): Boolean =
-        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      // order must agree with the distributed path's min() — Spark compares
+      // strings in UTF-8 BYTE order, which differs from String.compareTo
+      // (UTF-16 code units) beyond the BMP; compare via UTF8String
+      def lt(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: String, y: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(x)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+        case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      }
       edges.foreach { row =>
         parent.getOrElseUpdate(row.get(0), row.get(0))
         parent.getOrElseUpdate(row.get(1), row.get(1))

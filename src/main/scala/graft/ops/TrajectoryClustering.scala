@@ -82,15 +82,18 @@ object TrajectoryClustering {
     // order — the reference relies on pandas groupby order; this pins it
     val byLine = Window.partitionBy(col("line")).orderBy(col("id"), col("patternID"))
     // roster branches twice (summaries + the DBSCAN-side roster) and
-    // summaries branches twice more (probe + build) — persist both so the
-    // assemble + window lineage is paid once, not four times
-    import org.apache.spark.storage.StorageLevel
+    // summaries branches twice more (probe + build), so the assemble +
+    // window lineage is scanned up to 4×. Deliberately NOT persisted here:
+    // a Dataset-level persist inside a library operator pins CacheManager
+    // entries the caller can never release (every call would leak cached
+    // blocks). Callers running the stage repeatedly should persist the
+    // PATTERNS input (as queries.Pipeline does), which bounds the rescans
+    // to the cheap assemble+summarize projections.
     val roster = assembled.select(
         col("linenumber").cast("string").as("line"),
         col("id").cast("string").as("id"),
         col("patternID"), col("points"))
       .withColumn("tid", (row_number().over(byLine) - 1).cast("int"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // O(1)-per-pair summary: chord endpoints + polyline length; lines
     // without parameters drop out before any pair is formed (TC-S:153)
@@ -109,7 +112,6 @@ object TrajectoryClustering {
         }
       }
       .toDF("line", "tid", "hlng", "hlat", "llng", "llat", "len")
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
     def packed(side: String) = array(
       col(s"$side.hlng"), col(s"$side.hlat"),

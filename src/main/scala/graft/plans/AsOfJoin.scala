@@ -87,6 +87,14 @@ case class AsOfJoinExec(
       var lastRight: InternalRow = null
       var lastRightTime = Long.MinValue
 
+      // eval() results can alias a reused buffer (sort-spill readers
+      // recycle one byte[] per record) — anything cached across rows must
+      // be copied or key-change detection silently fails at spill scale
+      def own(k: Any): Any = k match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+        case other => other
+      }
+
       lIter.map { lRow =>
         val k = lKey.eval(lRow)
         val t = lTime.eval(lRow).asInstanceOf[Long]
@@ -94,7 +102,7 @@ case class AsOfJoinExec(
           // null never equi-matches: null-key probes are unmatched
           proj(joiner(lRow, nullRight))
         } else {
-          if (k != curKey) { curKey = k; lastRight = null }
+          if (k != curKey) { curKey = own(k); lastRight = null }
           // advance the right side through (key < k) and (key == k, time <= t)
           var advancing = true
           while (advancing && rBuf.hasNext) {

@@ -85,6 +85,12 @@ case class IntervalJoinExec(
       val active = ArrayDeque.empty[(Long, InternalRow)] // in-window right rows
       var curKey: Any = null
 
+      // copy cached keys: eval() may alias a reused sort-spill buffer
+      def own(k: Any): Any = k match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+        case other => other
+      }
+
       lIter.flatMap { lRow =>
         val k = lKey.eval(lRow)
         val t = lTime.eval(lRow).asInstanceOf[Long]
@@ -93,7 +99,7 @@ case class IntervalJoinExec(
           if (outer) Iterator.single(proj(joiner(lRow, nullRight)))
           else Iterator.empty
         } else {
-          if (k != curKey) { curKey = k; active.clear() }
+          if (k != curKey) { curKey = own(k); active.clear() }
           // pull right rows: skip keys before k (and null keys, which sort
           // first and never match), buffer key-k rows ≤ t+w
           var pulling = true

@@ -144,13 +144,21 @@ object Ext {
     * components, applied dedup, MinHash candidates). Stage each once per
     * (session, sf-dir): built on first use, persisted, reused — a real
     * pipeline materializes these relations once, and so does the bench. */
-  private val staged =
-    scala.collection.mutable.Map.empty[(String, Int, String), DataFrame]
+  // weak keys: a stopped session's staged frames become collectable with
+  // it (a plain map would pin dead sessions forever, and identity-hash
+  // keys could collide with a new session after GC)
+  private val staged = new java.util.WeakHashMap[
+    SparkSession, scala.collection.mutable.Map[(String, String), DataFrame]]()
 
   private def stage(what: String, s: SparkSession, dir: String)
                    (build: => DataFrame): DataFrame =
     staged.synchronized {
-      staged.getOrElseUpdate((what, System.identityHashCode(s), dir), {
+      val perSession = Option(staged.get(s)).getOrElse {
+        val m = scala.collection.mutable.Map.empty[(String, String), DataFrame]
+        staged.put(s, m)
+        m
+      }
+      perSession.getOrElseUpdate((what, dir), {
         import org.apache.spark.storage.StorageLevel
         build.persist(StorageLevel.MEMORY_AND_DISK)
       })

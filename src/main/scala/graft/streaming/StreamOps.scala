@@ -54,7 +54,9 @@ object StreamOps {
     import events.sparkSession.implicits._
 
     // late-but-in-watermark events may precede the stored session's start:
-    // min the start as well as maxing the end
+    // within the gap they extend it backwards (min the start). Gap-disjoint
+    // BEFORE the start they must not merge — callers emit those immediately
+    // as out-of-band islands (see below), they never reach fold.
     def fold(st: SessState, e: KeyedEvent): SessState =
       if (e.ts_us - st.lastUs > gapMicros)
         SessState(st.sessionId + 1, 1L, e.ts_us, e.ts_us, e.value)
@@ -80,6 +82,15 @@ object StreamOps {
               cur match {
                 case None =>
                   cur = Some(SessState(1L, 1L, e.ts_us, e.ts_us, e.value))
+                case Some(st) if st.startUs - e.ts_us > gapMicros =>
+                  // late-but-in-watermark island strictly before the open
+                  // session: merging would corrupt the session's span, so
+                  // emit it immediately as an out-of-band single-event
+                  // session with the reserved id 0 (in-order ids are
+                  // already assigned). Documented deviation: batch
+                  // gaps-and-islands would renumber and could merge two
+                  // such islands.
+                  closed ::= Session(key, 0L, 1L, e.ts_us, e.ts_us, e.value)
                 case Some(st) =>
                   val next = fold(st, e)
                   if (next.sessionId != st.sessionId)
@@ -142,6 +153,11 @@ object StreamOps {
         cur match {
           case None =>
             cur = Some(SessState(1L, 1L, e.ts_us, e.ts_us, e.value))
+          case Some(st) if st.startUs - e.ts_us > gapMicros =>
+            // gap-disjoint late island before the open session — emit
+            // out-of-band (id 0) instead of corrupting the span; see
+            // the flatMapGroupsWithState twin
+            closed ::= Session(key, 0L, 1L, e.ts_us, e.ts_us, e.value)
           case Some(st) =>
             if (e.ts_us - st.lastUs > gapMicros) {
               closed ::= Session(key, st.sessionId, st.n, st.startUs, st.lastUs, st.sum)

@@ -67,11 +67,12 @@ class PlanSpec extends SparkSpec {
 
   test("dedup_apply: the anti-join is not hint-forced to broadcast") {
     // AQE may still pick broadcast at runtime when the loser set fits —
-    // the regression is a *hint* (unbounded at 100 TB), visible as a
-    // ResolvedHint surviving to the optimized plan
+    // the regression is a *hint* (unbounded at 100 TB). EliminateResolvedHint
+    // folds hints into the Join's JoinHint, printed as strategy=broadcast,
+    // so assert on that (a ResolvedHint node never survives optimization).
     val q = graft.SparkEntry.queries("dedup_apply")(spark, sf001)
     val optimized = q.queryExecution.optimizedPlan.toString
-    assert(!optimized.contains("ResolvedHint"),
-      "broadcast hint on the dedup anti-join is back")
+    assert(!optimized.contains("strategy=broadcast"),
+      s"broadcast hint on the dedup anti-join is back:\n$optimized")
   }
 }

@@ -241,6 +241,26 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Set((200L, 101L))) // the late build is the match
   }
 
+  test("gap-disjoint late event before the open session emits as an island, not a merge") {
+    // session [30,35] open; a late-but-in-watermark event at minute 0 is
+    // gap-disjoint (10 min gap) from its start — absorbing it would
+    // corrupt the session span; it must emit as an out-of-band island
+    val rows = runBatches(
+      Seq(
+        Seq(ev(1, 30, 1.0), ev(1, 35, 2.0)),
+        Seq(ev(1, 0, 9.0)), // late island, 30 min before the session start
+        Seq(ev(1, 120, 4.0))), // flushes everything
+      ds => StreamOps.sessionize(ds, gapUs, "40 minutes").toDF())
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5)))
+      .toSet
+    // island: id 0, single event at minute 0; main session intact [30,35]
+    val base = BaseUs
+    assert(rows.contains((0L, 1L, base, 9.0)), s"island missing in $rows")
+    assert(rows.exists { case (id, n, start, sum) =>
+      id >= 1L && n == 2L && start == base + 30L * 60L * 1000000L && sum == 3.0
+    }, s"main session corrupted: $rows")
+  }
+
   test("late in-watermark event extending an elapsed-gap session does not kill the query") {
     // regression: the session's lastUs+gap can sit at-or-before the
     // watermark after a late event extends it; the timeout must clamp to
