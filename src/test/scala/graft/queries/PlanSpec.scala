@@ -65,6 +65,28 @@ class PlanSpec extends SparkSpec {
     assert(ivl.contains("IntervalJoin"), s"IntervalJoinExec missing:\n$ivl")
   }
 
+  test("hot relational queries stay inside whole-stage codegen") {
+    // the '*(n)' prefix marks operators fused into a codegen stage; a
+    // query whose final plan shows none has fallen out of codegen
+    // entirely (e.g. an interpreted expression crept into the hot path).
+    // AQE assigns codegen stages during execution, so run the query and
+    // read the finalized adaptive plan.
+    Seq("q1_agg", "text_stats", "proj_filter", "win_running_sum",
+        "dedup_embedding").foreach { q =>
+      val df = graft.SparkEntry.queries(q)(spark, sf001)
+      df.collect() // count() would execute a different plan; the adaptive
+      // plan only finalizes (and assigns codegen stages) on ITS execution
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("*("), s"$q lost whole-stage codegen:\n$p")
+    }
+  }
+
+  test("text_contamination: the benchmark shingle set broadcasts") {
+    val p = planOf("text_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark side should broadcast, corpus side stream:\n$p")
+  }
+
   test("dedup_apply: the anti-join is not hint-forced to broadcast") {
     // AQE may still pick broadcast at runtime when the loser set fits —
     // the regression is a *hint* (unbounded at 100 TB). EliminateResolvedHint
