@@ -304,26 +304,33 @@ object Dedup {
         StructType(Seq(StructField("id", idType, nullable = false),
           StructField("component", idType, nullable = false))))
     }
+    // each round's labels are localCheckpoint'ed, NOT persisted: a persist
+    // keeps the full logical lineage, so round N's plan nests N cached
+    // subtrees and the planner cost of each persist grows super-linearly —
+    // a 20-round chain graph hung for minutes in planning alone. The
+    // checkpoint truncates to a leaf, making per-round planning O(1).
+    // (At cluster scale an executor loss under localCheckpoint fails the
+    // job instead of recomputing; swap in reliable checkpointing via
+    // sparkContext.setCheckpointDir for fault-tolerant runs.)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
       val viaNeighbor = sym
         .join(labels, sym("dst") === labels("id"))
         .groupBy(col("src").as("nid")).agg(min(col("component")).as("nc"))
-      // carry the old label through the step so convergence is decided by
-      // the SAME action that materializes the step — one job per round,
-      // not a second join-and-scan
+      // carry the old label through the step so convergence is decided
+      // over the SAME materialized result — the checkpoint is the
+      // materializing action, the count is a cheap scan of it
       val stepped = labels.join(viaNeighbor, labels("id") === col("nid"), "left")
         .select(labels("id"),
           col("component").as("_old"),
           least(col("component"), coalesce(col("nc"), col("component")))
             .as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       changed = stepped.filter(col("component") < col("_old")).count()
-      labels.unpersist(false)
       labels = stepped.select(col("id"), col("component"))
       iter += 1
     }

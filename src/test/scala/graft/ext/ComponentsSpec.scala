@@ -32,4 +32,24 @@ class ComponentsSpec extends SparkSpec {
     assert(m.values.toSet == Set(1L))
     assert(m.keySet == Set(1L, 3L, 5L, 7L, 9L))
   }
+
+  test("distributed label propagation agrees with the driver union-find") {
+    // the hybrid sends every test-sized graph to the union-find; force the
+    // distributed path (threshold 0) so the iterative plan stays covered
+    val edges = {
+      val rnd = new scala.util.Random(41)
+      // random graph + a long chain (forces multiple propagation rounds)
+      val rand = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      val chain = (100L to 120L).sliding(2).map(s => (s.head, s.last)).toSeq
+      (rand ++ chain).distinct
+    }
+    val viaLoop = Dedup.connectedComponents(
+        edges.toDF("id1", "id2"), localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    val viaUnionFind = cc(edges)
+    assert(viaLoop == viaUnionFind)
+    assert(viaLoop((100L to 120L).last) == 100L) // chain collapsed
+  }
 }
