@@ -304,17 +304,28 @@ object Dedup {
         StructType(Seq(StructField("id", idType, nullable = false),
           StructField("component", idType, nullable = false))))
     }
-    // each round's labels are localCheckpoint'ed, NOT persisted: a persist
-    // keeps the full logical lineage, so round N's plan nests N cached
-    // subtrees and the planner cost of each persist grows super-linearly —
-    // a 20-round chain graph hung for minutes in planning alone. The
-    // checkpoint truncates to a leaf, making per-round planning O(1).
-    // (At cluster scale an executor loss under localCheckpoint fails the
-    // job instead of recomputing; swap in reliable checkpointing via
-    // sparkContext.setCheckpointDir for fault-tolerant runs.)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
+    // Each round materializes to an explicitly-managed InternalRow RDD
+    // wrapped back as a leaf DataFrame. Two reasons:
+    //  - LINEAGE: a per-round Dataset.persist keeps the full logical
+    //    lineage, so round N's plan nests N cached subtrees and planning
+    //    cost grows super-linearly (a 20-round chain graph hung for
+    //    minutes in CacheManager planning alone). A leaf plan keeps
+    //    per-round planning O(1).
+    //  - STORAGE: explicit RDD handles let each round release the
+    //    previous round's blocks immediately instead of accumulating
+    //    maxIter copies of the label set until a GC-driven cleanup.
+    // RDD lineage (not plan lineage) still reaches back to the cached
+    // edges, so an evicted block recomputes rather than failing.
+    val spark = pairs.sparkSession
+    import org.apache.spark.sql.graft.Bridge
+    def leaf(df: DataFrame) = {
+      val r = df.queryExecution.toRdd.map(_.copy())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (Bridge.ofInternalRows(spark, r, df.schema), r)
+    }
+    var (labels, labelsStore) = leaf(
+      sym.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
@@ -322,20 +333,23 @@ object Dedup {
         .join(labels, sym("dst") === labels("id"))
         .groupBy(col("src").as("nid")).agg(min(col("component")).as("nc"))
       // carry the old label through the step so convergence is decided
-      // over the SAME materialized result — the checkpoint is the
-      // materializing action, the count is a cheap scan of it
-      val stepped = labels.join(viaNeighbor, labels("id") === col("nid"), "left")
-        .select(labels("id"),
-          col("component").as("_old"),
-          least(col("component"), coalesce(col("nc"), col("component")))
-            .as("component"))
-        .localCheckpoint()
+      // over the SAME materialized result — one job per round
+      val (stepped, steppedStore) = leaf(
+        labels.join(viaNeighbor, labels("id") === col("nid"), "left")
+          .select(labels("id"),
+            col("component").as("_old"),
+            least(col("component"), coalesce(col("nc"), col("component")))
+              .as("component")))
       changed = stepped.filter(col("component") < col("_old")).count()
+      labelsStore.unpersist(false)
       labels = stepped.select(col("id"), col("component"))
+      labelsStore = steppedStore
       iter += 1
     }
     sym.unpersist(false)
     if (!prePersisted) p.unpersist(false)
+    // the final round's store stays cached, backing the returned frame;
+    // it recomputes from the RDD chain if evicted
     labels
   }
 

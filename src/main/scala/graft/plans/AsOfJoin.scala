@@ -87,14 +87,6 @@ case class AsOfJoinExec(
       var lastRight: InternalRow = null
       var lastRightTime = Long.MinValue
 
-      // eval() results can alias a reused buffer (sort-spill readers
-      // recycle one byte[] per record) — anything cached across rows must
-      // be copied or key-change detection silently fails at spill scale
-      def own(k: Any): Any = k match {
-        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
-        case other => other
-      }
-
       lIter.map { lRow =>
         val k = lKey.eval(lRow)
         val t = lTime.eval(lRow).asInstanceOf[Long]
@@ -102,7 +94,7 @@ case class AsOfJoinExec(
           // null never equi-matches: null-key probes are unmatched
           proj(joiner(lRow, nullRight))
         } else {
-          if (k != curKey) { curKey = own(k); lastRight = null }
+          if (k != curKey) { curKey = MergeJoinSupport.own(k); lastRight = null }
           // advance the right side through (key < k) and (key == k, time <= t)
           var advancing = true
           while (advancing && rBuf.hasNext) {
@@ -110,7 +102,7 @@ case class AsOfJoinExec(
             val hk = rKey.eval(head)
             if (hk == null) { rBuf.next() } // null build keys never match
             else {
-              val cmp = ordCompare(hk, k)
+              val cmp = MergeJoinSupport.ordCompare(hk, k)
               if (cmp < 0) { rBuf.next() } // drained keys
               else if (cmp == 0 && rTime.eval(head).asInstanceOf[Long] <= t) {
                 lastRight = rBuf.next().copy()
@@ -126,19 +118,6 @@ case class AsOfJoinExec(
         }
       }
     }
-  }
-
-  // callers filter nulls before comparing (null never equi-matches); the
-  // null arms remain only for sort-order consistency with nulls-first input
-  private def ordCompare(a: Any, b: Any): Int = (a, b) match {
-    case (null, null) => 0
-    case (null, _) => -1
-    case (_, null) => 1
-    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
-    case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
-    case (x: org.apache.spark.unsafe.types.UTF8String, y: org.apache.spark.unsafe.types.UTF8String) =>
-      x.compareTo(y)
-    case (x: Comparable[Any] @unchecked, y) => x.compareTo(y)
   }
 
   override protected def withNewChildrenInternal(

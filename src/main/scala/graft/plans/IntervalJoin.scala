@@ -85,12 +85,6 @@ case class IntervalJoinExec(
       val active = ArrayDeque.empty[(Long, InternalRow)] // in-window right rows
       var curKey: Any = null
 
-      // copy cached keys: eval() may alias a reused sort-spill buffer
-      def own(k: Any): Any = k match {
-        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
-        case other => other
-      }
-
       lIter.flatMap { lRow =>
         val k = lKey.eval(lRow)
         val t = lTime.eval(lRow).asInstanceOf[Long]
@@ -99,7 +93,7 @@ case class IntervalJoinExec(
           if (outer) Iterator.single(proj(joiner(lRow, nullRight)))
           else Iterator.empty
         } else {
-          if (k != curKey) { curKey = own(k); active.clear() }
+          if (k != curKey) { curKey = MergeJoinSupport.own(k); active.clear() }
           // pull right rows: skip keys before k (and null keys, which sort
           // first and never match), buffer key-k rows ≤ t+w
           var pulling = true
@@ -108,7 +102,7 @@ case class IntervalJoinExec(
             val hk = rKey.eval(head)
             if (hk == null) rBuf.next()
             else {
-              val cmp = ordCompare(hk, k)
+              val cmp = MergeJoinSupport.ordCompare(hk, k)
               if (cmp < 0) rBuf.next()
               else if (cmp == 0 && rTime.eval(head).asInstanceOf[Long] <= t + w) {
                 val r = rBuf.next().copy()
@@ -124,17 +118,6 @@ case class IntervalJoinExec(
         }
       }
     }
-  }
-
-  private def ordCompare(a: Any, b: Any): Int = (a, b) match {
-    case (null, null) => 0
-    case (null, _) => -1
-    case (_, null) => 1
-    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
-    case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
-    case (x: org.apache.spark.unsafe.types.UTF8String, y: org.apache.spark.unsafe.types.UTF8String) =>
-      x.compareTo(y)
-    case (x: Comparable[Any] @unchecked, y) => x.compareTo(y)
   }
 
   override protected def withNewChildrenInternal(

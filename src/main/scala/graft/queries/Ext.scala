@@ -144,24 +144,33 @@ object Ext {
     * components, applied dedup, MinHash candidates). Stage each once per
     * (session, sf-dir): built on first use, persisted, reused — a real
     * pipeline materializes these relations once, and so does the bench. */
-  // weak keys: a stopped session's staged frames become collectable with
-  // it (a plain map would pin dead sessions forever, and identity-hash
-  // keys could collide with a new session after GC)
+  // weak keys AND weak frame values: a Dataset strongly references its
+  // session, so holding frames strongly would keep the weak key reachable
+  // through the map's own values and nothing would ever collect. With
+  // WeakReference values a stopped, dereferenced session really does
+  // become collectable along with its staged frames. If the GC claims a
+  // frame mid-session we just rebuild the (cheap) plan — the persisted
+  // data itself lives in the session's CacheManager, which dedupes by
+  // plan, so the rebuild re-attaches to the existing cache.
   private val staged = new java.util.WeakHashMap[
-    SparkSession, scala.collection.mutable.Map[(String, String), DataFrame]]()
+    SparkSession,
+    scala.collection.mutable.Map[(String, String), java.lang.ref.WeakReference[DataFrame]]]()
 
   private def stage(what: String, s: SparkSession, dir: String)
                    (build: => DataFrame): DataFrame =
     staged.synchronized {
       val perSession = Option(staged.get(s)).getOrElse {
-        val m = scala.collection.mutable.Map.empty[(String, String), DataFrame]
+        val m = scala.collection.mutable.Map
+          .empty[(String, String), java.lang.ref.WeakReference[DataFrame]]
         staged.put(s, m)
         m
       }
-      perSession.getOrElseUpdate((what, dir), {
+      Option(perSession.get((what, dir)).map(_.get).orNull).getOrElse {
         import org.apache.spark.storage.StorageLevel
-        build.persist(StorageLevel.MEMORY_AND_DISK)
-      })
+        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+        perSession((what, dir)) = new java.lang.ref.WeakReference(df)
+        df
+      }
     }
 
   private def shingles3(s: SparkSession, dir: String): DataFrame =

@@ -42,10 +42,13 @@ object StreamOps {
     *
     * Session-id scope: ids are per-key ordinals that restart at 1 after a
     * timeout clears the key's state (keeping a counter alive forever would
-    * make state O(all keys ever seen), defeating watermark expiry). So
-    * `(user_id, session_id)` is unique within a state lifetime, not over
-    * the stream's whole history — consumers needing a forever-unique
-    * session key should use `(user_id, start_us)`.
+    * make state O(all keys ever seen), defeating watermark expiry), and
+    * session id 0 is RESERVED for out-of-band islands — late-but-in-
+    * watermark events gap-disjoint from the open session even after
+    * transitive backward extension, emitted immediately as single-event
+    * sessions (batch gaps-and-islands would renumber, and would merge two
+    * gap-close islands). So `(user_id, session_id)` is NOT a unique key:
+    * consumers needing one should use `(user_id, start_us)`.
     */
   def sessionize(
       events: Dataset[KeyedEvent],
@@ -78,19 +81,28 @@ object StreamOps {
             val sorted = it.toSeq.sortBy(e => (e.ts_us))
             var closed = List.empty[Session]
             var cur = state.getOption
-            sorted.foreach { e =>
+            // late-but-in-watermark events BEFORE the stored session's
+            // start first try to extend it backwards TRANSITIVELY
+            // (descending walk: each event within the gap of the current
+            // start joins and moves the start down — an 850 can bridge in
+            // through a 950). Only events that fail the chain emit as
+            // out-of-band single-event islands (reserved session id 0 —
+            // in-order ids are already assigned). Documented deviation:
+            // batch gaps-and-islands would renumber, and would merge two
+            // gap-close islands into one.
+            val (early, tail) = cur match {
+              case Some(st) => sorted.partition(_.ts_us < st.startUs)
+              case None => (Seq.empty[KeyedEvent], sorted)
+            }
+            early.reverseIterator.foreach { e =>
+              val st = cur.get
+              if (st.startUs - e.ts_us <= gapMicros) cur = Some(fold(st, e))
+              else closed ::= Session(key, 0L, 1L, e.ts_us, e.ts_us, e.value)
+            }
+            tail.foreach { e =>
               cur match {
                 case None =>
                   cur = Some(SessState(1L, 1L, e.ts_us, e.ts_us, e.value))
-                case Some(st) if st.startUs - e.ts_us > gapMicros =>
-                  // late-but-in-watermark island strictly before the open
-                  // session: merging would corrupt the session's span, so
-                  // emit it immediately as an out-of-band single-event
-                  // session with the reserved id 0 (in-order ids are
-                  // already assigned). Documented deviation: batch
-                  // gaps-and-islands would renumber and could merge two
-                  // such islands.
-                  closed ::= Session(key, 0L, 1L, e.ts_us, e.ts_us, e.value)
                 case Some(st) =>
                   val next = fold(st, e)
                   if (next.sessionId != st.sessionId)
@@ -149,15 +161,25 @@ object StreamOps {
         tv: TimerValues): Iterator[Session] = {
       var closed = List.empty[Session]
       var cur = if (state.exists()) Option(state.get()) else None
-      rows.toSeq.sortBy(_.ts_us).foreach { e =>
+      val sorted = rows.toSeq.sortBy(_.ts_us)
+      // transitive backward extension, then islands — see the
+      // flatMapGroupsWithState twin for the rationale
+      val (early, tail) = cur match {
+        case Some(st) => sorted.partition(_.ts_us < st.startUs)
+        case None => (Seq.empty[KeyedEvent], sorted)
+      }
+      early.reverseIterator.foreach { e =>
+        val st = cur.get
+        if (st.startUs - e.ts_us <= gapMicros)
+          cur = Some(SessState(st.sessionId, st.n + 1,
+            math.min(st.startUs, e.ts_us),
+            math.max(st.lastUs, e.ts_us), st.sum + e.value))
+        else closed ::= Session(key, 0L, 1L, e.ts_us, e.ts_us, e.value)
+      }
+      tail.foreach { e =>
         cur match {
           case None =>
             cur = Some(SessState(1L, 1L, e.ts_us, e.ts_us, e.value))
-          case Some(st) if st.startUs - e.ts_us > gapMicros =>
-            // gap-disjoint late island before the open session — emit
-            // out-of-band (id 0) instead of corrupting the span; see
-            // the flatMapGroupsWithState twin
-            closed ::= Session(key, 0L, 1L, e.ts_us, e.ts_us, e.value)
           case Some(st) =>
             if (e.ts_us - st.lastUs > gapMicros) {
               closed ::= Session(key, st.sessionId, st.n, st.startUs, st.lastUs, st.sum)

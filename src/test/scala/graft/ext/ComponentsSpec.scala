@@ -42,7 +42,9 @@ class ComponentsSpec extends SparkSpec {
       val rand = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
         .filter { case (a, b) => a != b }
         .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
-      val chain = (100L to 120L).sliding(2).map(s => (s.head, s.last)).toSeq
+      // diameter 12 — needs several rounds but stays safely BELOW the
+      // default maxIter=20, so the loop exits on CONVERGENCE, not the cap
+      val chain = (100L to 112L).sliding(2).map(s => (s.head, s.last)).toSeq
       (rand ++ chain).distinct
     }
     val viaLoop = Dedup.connectedComponents(
@@ -50,6 +52,6 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     val viaUnionFind = cc(edges)
     assert(viaLoop == viaUnionFind)
-    assert(viaLoop((100L to 120L).last) == 100L) // chain collapsed
+    assert(viaLoop(112L) == 100L) // chain collapsed
   }
 }

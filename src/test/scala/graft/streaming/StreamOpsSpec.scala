@@ -261,6 +261,25 @@ class StreamOpsSpec extends SparkSpec {
     }, s"main session corrupted: $rows")
   }
 
+  test("late events that transitively bridge into the session extend it, not island") {
+    // session opens [30,35]; lates at minutes 14 and 22 arrive together:
+    // 22 is within gap of 30, 14 within gap of 22 — the descending walk
+    // must chain BOTH in (a naive ascending check would island 14)
+    val rows = runBatches(
+      Seq(
+        Seq(ev(1, 30, 1.0), ev(1, 35, 2.0)),
+        Seq(ev(1, 14, 4.0), ev(1, 22, 8.0)),
+        Seq(ev(1, 120, 0.5))), // flush
+      ds => StreamOps.sessionize(ds, gapUs, "40 minutes").toDF())
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5)))
+      .toSet
+    val base14 = BaseUs + 14L * 60L * 1000000L
+    assert(rows.exists { case (id, n, start, sum) =>
+      id >= 1L && n == 4L && start == base14 && sum == 15.0
+    }, s"bridged session wrong: $rows")
+    assert(!rows.exists(_._1 == 0L), s"spurious island: $rows")
+  }
+
   test("late in-watermark event extending an elapsed-gap session does not kill the query") {
     // regression: the session's lastUs+gap can sit at-or-before the
     // watermark after a late event extends it; the timeout must clamp to
