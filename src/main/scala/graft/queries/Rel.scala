@@ -531,6 +531,23 @@ object Rel {
       ORDER BY c_mktsegment""")
   }
 
+  /** Explicit GROUPING SETS (the general form behind cube/rollup):
+    * per-returnflag totals, per-linestatus totals, and the grand total in
+    * one pass — `grouping()` markers disambiguate the null slots and
+    * make the ORDER BY total (null keys never sort against non-null). */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+             grouping(l_returnflag) AS g_rf,
+             grouping(l_linestatus) AS g_ls,
+             count(*) AS n,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM v_lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""")
+  }
+
   /** W9 exact: change-point segmentation on a derived 0/1 flag. */
   def winChangePoints(s: SparkSession, dir: String): DataFrame =
     Sessionize.withChangePointId(
@@ -603,6 +620,7 @@ object Rel {
     "win_rank_ntile" -> winRankNtile _,
     "gen_explode" -> genExplode _,
     "sql_text_rollup" -> sqlTextRollup _,
+    "agg_grouping_sets" -> aggGroupingSets _,
     "sort_limit" -> sortLimit _,
     "set_ops" -> setOps _,
   )

@@ -327,6 +327,14 @@ object RelOracle {
          FROM orders, unnest(range(1, o_orderkey % 5 + 2)) AS t(i)
          WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey, pos""",
 
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+         grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+         count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""",
+
     "sql_text_rollup" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
          round(sum(o_totalprice), 2) AS revenue
