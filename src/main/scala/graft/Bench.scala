@@ -2,22 +2,31 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every SparkEntry query timed at
-  * SPARK_GRAFT_SF_DIR, one JSON line to stdout.
+  * SPARK_GRAFT_SF_DIR, one JSON line to stdout AND to a known file.
   *
-  * Measurement discipline (round-2 verdict items):
+  * Measurement discipline (round-2/3 verdict items):
   *  - queries run in SORTED name order — per-query numbers are comparable
   *    across rounds (a HashMap walk made round-1 order, and thus which
   *    query absorbed JVM warmup, nondeterministic);
   *  - one untimed warmup action first (JIT + codegen + parquet footer
   *    caches), so the first timed query isn't charged for JVM startup;
-  *  - caches persist ACROSS queries by design: the dedup ladder stages its
-  *    pair relation once (queries.Ext) and the later dedup queries reuse
-  *    it — the bench measures the suite the way a real pipeline runs it.
+  *  - the dedup ladder's shared pair relation is staged EXPLICITLY as its
+  *    own timed entry (`_dedup_stage`, sorts first) instead of being
+  *    silently absorbed by whichever dedup query runs first
+  *    alphabetically — round 2's `dedup_apply` was bimodal (6 s builder /
+  *    49 s driver) precisely because it paid shingle mining + pair join +
+  *    components + anti-join in one opaque timed block. The stage cost
+  *    stays in the total (nothing is hidden); it is just attributed.
+  *  - the JSON line is also written to `SPARK_GRAFT_BENCH_OUT` (default
+  *    /tmp/graft_bench.json) and printed with a `GRAFT_BENCH_JSON:`
+  *    prefix — round 1/2 artifacts show the bare stdout line drowned in
+  *    sbt noise and the driver recorded `"parsed": null`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,13 +39,22 @@ object Bench {
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // untimed warmup: the flagship aggregate touches parquet scan, shuffle,
-    // codegen, and AQE once before anything is timed
-    try { SparkEntry.queries("q1_agg")(spark, sfDir).count() } catch { case _: Throwable => () }
+    // codegen, and AQE once before anything is timed. Fallback to the first
+    // query if the flagship was ever renamed (a swallowed NoSuchElement
+    // would silently drop the warmup and re-introduce JVM-startup skew).
+    val warm = SparkEntry.queries.get("q1_agg").orElse {
+      System.err.println("[bench] warmup query q1_agg missing; using first")
+      ordered.headOption.map(_._2)
+    }
+    try { warm.foreach(_(spark, sfDir).count()) }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
 
-    val results = ordered.map { case (name, fn) =>
+    def timed(name: String)(body: => Unit): (String, Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { body; true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
@@ -50,12 +68,31 @@ object Bench {
       System.gc()
       (name, dt, ok)
     }
+
+    // explicit, separately-timed staging of the dedup ladder's shared
+    // relations (shingles + Jaccard pairs); the dedup_* queries then
+    // measure their own work against the warm cache, the way a real
+    // pipeline runs the ladder. The underscore sorts this entry first.
+    val stageEntry = timed("_dedup_stage") {
+      graft.queries.Ext.stageDedupRelations(spark, sfDir)
+    }
+
+    val results = stageEntry +: ordered.map { case (name, fn) =>
+      timed(name) { fn(spark, sfDir).count() }
+    }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    println(s"GRAFT_BENCH_JSON: $json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -24,6 +24,14 @@ object TimeOps {
   def parseMulti(c: Column, formats: Seq[String] = GpsFormats): Column =
     coalesce(formats.map(f => try_to_timestamp(c, lit(f))): _*)
 
+  /** The format string that [[parseMulti]] would match (first match wins),
+    * null when none parse — aggregate it per feed batch to watch format
+    * drift (a new upstream format shows up as a growing null/unknown
+    * bucket long before it corrupts downstream time arithmetic). */
+  def matchedFormat(c: Column, formats: Seq[String] = GpsFormats): Column =
+    coalesce(formats.map(f =>
+      when(try_to_timestamp(c, lit(f)).isNotNull, lit(f))): _*)
+
   /** Exact whole microseconds since epoch. */
   def micros(c: Column): Column = unix_micros(c)
 

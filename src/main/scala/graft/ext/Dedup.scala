@@ -252,6 +252,9 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           localEdgeThreshold: Long = 4000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val ccT0 = System.nanoTime()
+    def logPhase(tag: String): Unit =
+      println(f"[graft] cc $tag at ${(System.nanoTime() - ccT0) / 1e9}%.2f s")
     // pairs feeds both union branches — persist it (unless the caller
     // already staged it) or the expensive pair-mining lineage runs twice
     val prePersisted = pairs.storageLevel != StorageLevel.NONE
@@ -263,13 +266,22 @@ object Dedup {
     // materialize the edge list before iterating: every round joins it, and
     // the upstream mining lineage must be paid exactly once
     val edgeCount = sym.count() / 2
+    logPhase(s"edges=$edgeCount")
 
-    if (edgeCount <= localEdgeThreshold) {
+    val idType = pairs.schema.head.dataType
+    // the collect() bound is really a BYTE bound (~100 MB at 4M long
+    // pairs); variable-width ids (string/binary) can blow far past the
+    // estimate at the same row count, so scale the row threshold down
+    val effectiveThreshold = idType match {
+      case _: org.apache.spark.sql.types.NumericType => localEdgeThreshold
+      case _ => localEdgeThreshold / 8
+    }
+    if (edgeCount <= effectiveThreshold) {
       val spark = pairs.sparkSession
-      val idType = pairs.schema.head.dataType
       require(idType == pairs.schema(1).dataType,
         s"id1/id2 types differ: $idType vs ${pairs.schema(1).dataType}")
       val edges = p.select(col("id1"), col("id2")).collect()
+      logPhase("union-find collect")
       sym.unpersist(false)
       if (!prePersisted) p.unpersist(false)
       // union-find keeping the MIN element as every root: attach the
@@ -299,8 +311,13 @@ object Dedup {
       }
       val rows = parent.keys.toSeq.map(id => org.apache.spark.sql.Row(id, find(id)))
       import org.apache.spark.sql.types.{StructField, StructType}
+      logPhase(s"union-find done nodes=${rows.size}")
+      // spread the label set over the cluster (≤ 2·edges nodes — a single
+      // partition would serialize every downstream join on one task)
+      val slices = math.max(1, math.min(
+        spark.sparkContext.defaultParallelism, rows.size / 10000 + 1))
       return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1),
+        spark.sparkContext.parallelize(rows, slices),
         StructType(Seq(StructField("id", idType, nullable = false),
           StructField("component", idType, nullable = false))))
     }
@@ -345,6 +362,7 @@ object Dedup {
       labels = stepped.select(col("id"), col("component"))
       labelsStore = steppedStore
       iter += 1
+      logPhase(s"propagation round $iter changed=$changed")
     }
     sym.unpersist(false)
     if (!prePersisted) p.unpersist(false)

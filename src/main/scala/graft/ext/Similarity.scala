@@ -95,18 +95,23 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(numPlanes, dim, seed)
     val bitsPerBand = numPlanes / bands
-    val qb = banded(queries, lshSignature(col("qvec"), planes), bands, bitsPerBand)
-      .select(col("qid"), col("qvec"), col("band"), col("bucket"))
-    val cb = banded(corpus, lshSignature(col("embedding"), planes), bands, bitsPerBand)
-      .select(col("vec_id"), col("embedding"), col("band"), col("bucket"))
+    // norms folded once per row before banding (a vector appears in
+    // `bands` buckets and then in every candidate pair — recomputing the
+    // norm per candidate re-ran the fold O(bands·candidates) times)
+    val qb = banded(queries.withColumn("q_norm", l2Norm(col("qvec"))),
+        lshSignature(col("qvec"), planes), bands, bitsPerBand)
+      .select(col("qid"), col("qvec"), col("q_norm"), col("band"), col("bucket"))
+    val cb = banded(corpus.withColumn("c_norm", l2Norm(col("embedding"))),
+        lshSignature(col("embedding"), planes), bands, bitsPerBand)
+      .select(col("vec_id"), col("embedding"), col("c_norm"), col("band"), col("bucket"))
     val cand = cb.join(broadcast(qb),
         qb("band") === cb("band") && qb("bucket") === cb("bucket") &&
           col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("qvec"), col("vec_id"), col("embedding"))
+      .select(col("qid"), col("qvec"), col("q_norm"),
+        col("vec_id"), col("embedding"), col("c_norm"))
       .distinct()
       .withColumn("cos",
-        dot(col("qvec"), col("embedding")) /
-          (l2Norm(col("qvec")) * l2Norm(col("embedding"))))
+        dot(col("qvec"), col("embedding")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -129,10 +134,15 @@ object Similarity {
   }
 
   /** Exact integer dot product of two quantized vectors (≤ 127²·dim —
-    * never overflows, never rounds: bit-exact across engines). */
-  def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    * never overflows, never rounds: bit-exact across engines). Runs as the
+    * codegen'd [[graft.functions.SeqDotLong]]; the interpreted
+    * `aggregate(zip_with)` HOF it replaces dominated the O(pairs)
+    * quantized ranking loop. */
+  def intDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(
+      graft.functions.SeqDotLong(Bridge.expression(a), Bridge.expression(b)))
+  }
 
   // --- IVF (inverted-file) index -----------------------------------------
 

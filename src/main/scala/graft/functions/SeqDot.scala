@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** Static loops behind [[SeqDot]] — sequential left-fold accumulation,
   * bit-identical to `aggregate(zip_with(a, b, (x,y) => x*y), 0.0, _+_)`
@@ -55,6 +55,70 @@ object VectorMath {
 
   def seqDotDF(a: ArrayData, b: ArrayData): java.lang.Double =
     seqDotFD(b, a)
+
+  /** Element-type codes for the widening compat path (any numeric array
+    * combination outside the four float/double fast paths above). */
+  def typeCode(dt: DataType): Int = dt match {
+    case FloatType => 0
+    case DoubleType => 1
+    case IntegerType => 2
+    case LongType => 3
+    case ShortType => 4
+    case _ => 5 // ByteType
+  }
+
+  @inline private def elemD(arr: ArrayData, i: Int, c: Int): Double = c match {
+    case 0 => arr.getFloat(i).toDouble
+    case 1 => arr.getDouble(i)
+    case 2 => arr.getInt(i).toDouble
+    case 3 => arr.getLong(i).toDouble
+    case 4 => arr.getShort(i).toDouble
+    case _ => arr.getByte(i).toDouble
+  }
+
+  /** Generic widening fold: every element cast to double before the
+    * multiply, exactly like the HOF form's per-element cast("double") —
+    * preserves the old `aggregate(zip_with(...))` contract for integral
+    * arrays (the per-element switch is on a loop-constant code; branch
+    * prediction makes it near-free, and the fast paths above cover the
+    * hot float/double similarity loops). */
+  def seqDotGen(a: ArrayData, b: ArrayData, ac: Int, bc: Int): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += elemD(a, i, ac) * elemD(b, i, bc)
+      i += 1
+    }
+    acc
+  }
+
+  @inline private def elemL(arr: ArrayData, i: Int, c: Int): Long = c match {
+    case 2 => arr.getInt(i).toLong
+    case 3 => arr.getLong(i)
+    case 4 => arr.getShort(i).toLong
+    case _ => arr.getByte(i).toLong
+  }
+
+  /** Exact integer dot product with a long accumulator — each element
+    * widens to long BEFORE the multiply (the HOF it replaces multiplied in
+    * int then cast, which could wrap on large inputs; for the int8
+    * quantization domain both are exact, and integer addition is
+    * order-insensitive so the result is engine-independent). */
+  def seqDotLong(a: ArrayData, b: ArrayData, ac: Int, bc: Int): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += elemL(a, i, ac) * elemL(b, i, bc)
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Native sequential dot product over two float/double array columns.
@@ -75,43 +139,53 @@ case class SeqDot(left: Expression, right: Expression) extends BinaryExpression 
   override def nullable: Boolean = true
   override def prettyName: String = "seq_dot"
 
-  private def isFloat(dt: DataType): Boolean =
-    dt.asInstanceOf[ArrayType].elementType == FloatType
+  private def elemType(dt: DataType): DataType =
+    dt.asInstanceOf[ArrayType].elementType
 
-  private lazy val fnName: String =
-    (isFloat(left.dataType), isFloat(right.dataType)) match {
-      case (true, true) => "seqDotFF"
-      case (false, false) => "seqDotDD"
-      case (true, false) => "seqDotFD"
-      case (false, true) => "seqDotDF"
+  // fast-path call for the four float/double combinations; widening
+  // generic call (with element-type codes) for every other numeric pair
+  private lazy val callSuffix: String =
+    (elemType(left.dataType), elemType(right.dataType)) match {
+      case (FloatType, FloatType) => "seqDotFF(%s, %s)"
+      case (DoubleType, DoubleType) => "seqDotDD(%s, %s)"
+      case (FloatType, DoubleType) => "seqDotFD(%s, %s)"
+      case (DoubleType, FloatType) => "seqDotDF(%s, %s)"
+      case (lt, rt) =>
+        s"seqDotGen(%s, %s, ${VectorMath.typeCode(lt)}, ${VectorMath.typeCode(rt)})"
     }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType) = dt match {
-      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType |
+                     ShortType | ByteType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"seq_dot needs array<float>/array<double> inputs, " +
+        s"seq_dot needs numeric array inputs, " +
           s"got ${left.dataType.sql} / ${right.dataType.sql}")
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = fnName match {
-    case "seqDotFF" => VectorMath.seqDotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    case "seqDotDD" => VectorMath.seqDotDD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    case "seqDotFD" => VectorMath.seqDotFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    case _ => VectorMath.seqDotDF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (ad, bd) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    (elemType(left.dataType), elemType(right.dataType)) match {
+      case (FloatType, FloatType) => VectorMath.seqDotFF(ad, bd)
+      case (DoubleType, DoubleType) => VectorMath.seqDotDD(ad, bd)
+      case (FloatType, DoubleType) => VectorMath.seqDotFD(ad, bd)
+      case (DoubleType, FloatType) => VectorMath.seqDotDF(ad, bd)
+      case (lt, rt) => VectorMath.seqDotGen(ad, bd,
+        VectorMath.typeCode(lt), VectorMath.typeCode(rt))
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val fn = fnName
+    val call = callSuffix
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val tmp = ctx.freshName("dot")
       s"""
-         |java.lang.Double $tmp = graft.functions.VectorMath.$fn($a, $b);
+         |java.lang.Double $tmp = graft.functions.VectorMath.${call.format(a, b)};
          |if ($tmp == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = $tmp.doubleValue(); }
        """.stripMargin
@@ -120,5 +194,56 @@ case class SeqDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SeqDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact integer dot product over two integral array columns, long
+  * accumulator — the codegen'd sibling of [[SeqDot]] for quantized
+  * vectors (`Similarity.intDot`): integer addition is order-insensitive,
+  * so the result is bit-exact in any engine, and the fused loop replaces
+  * the interpreted `aggregate(zip_with(...))` HOF that dominated the
+  * O(pairs) quantized ranking. Null on length mismatch / null elements. */
+@ExpressionDescription(
+  usage = "seq_dot_long(a, b) - exact integer dot product of two integral arrays")
+case class SeqDotLong(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "seq_dot_long"
+
+  private def code(e: Expression): Int =
+    VectorMath.typeCode(e.dataType.asInstanceOf[ArrayType].elementType)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(IntegerType | LongType | ShortType | ByteType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"seq_dot_long needs integral array inputs, " +
+          s"got ${left.dataType.sql} / ${right.dataType.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.seqDotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      code(left), code(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (ac, bc) = (code(left), code(right))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("idot")
+      s"""
+         |java.lang.Long $tmp = graft.functions.VectorMath.seqDotLong($a, $b, $ac, $bc);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SeqDotLong =
     copy(left = newLeft, right = newRight)
 }

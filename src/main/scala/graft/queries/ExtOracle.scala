@@ -170,6 +170,18 @@ object ExtOracle {
          FROM pairs0
          ORDER BY id1, id2""",
 
+    // the hashed-shingle scale path shares the exact miner's oracle: a
+    // 64-bit xxhash64 collision is the only way they could diverge, and
+    // at ~10^5 distinct shingles the birthday bound (~n²/2^65) is far
+    // below any realistic failure rate — a mismatch here would mean the
+    // hashed rewrite broke, not that a collision happened
+    "dedup_ngram_hashed" ->
+      s"""WITH $shingleCtes
+         SELECT id1, id2, c, n1, n2,
+           round(c / CAST(n1 + n2 - c AS DOUBLE), 6) AS jaccard
+         FROM pairs0
+         ORDER BY id1, id2""",
+
     "dedup_components" ->
       s"""WITH RECURSIVE
          $shingleCtes,
@@ -336,6 +348,40 @@ object ExtOracle {
          FROM p ASOF LEFT JOIN s
            ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
          ORDER BY p_event""",
+
+    // tolerance variant: same ASOF join, staleness bound applied post-join
+    // (DuckDB ASOF has no tolerance clause; the CASE reproduces the
+    // exec's "stale build yields nulls → -1" exactly)
+    "join_asof_tolerance" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us,
+             max(event_id) AS s_event
+           FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+         p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id AS p_event, p.user_id, p.ts_us AS p_ts,
+           CASE WHEN s.ts_us IS NOT NULL AND p.ts_us - s.ts_us <= 3600000000
+                THEN s.ts_us ELSE -1 END AS s_ts,
+           CASE WHEN s.ts_us IS NOT NULL AND p.ts_us - s.ts_us <= 3600000000
+                THEN s.s_event ELSE -1 END AS s_event
+         FROM p ASOF LEFT JOIN s
+           ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
+         ORDER BY p_event""",
+
+    // format-drift report: the mixed feed's format is decidable from the
+    // string shape (17 chars = 2-digit year), which is what the Spark
+    // side's try_to_timestamp coalesce discovers by actually parsing
+    "fn_time_format_stats" ->
+      """WITH e AS (SELECT user_id,
+             CASE WHEN event_id % 2 = 0
+                  THEN strftime(make_timestamp((epoch_us(ts) // 1000000)
+                         * 1000000), '%y-%m-%d %H:%M:%S')
+                  ELSE strftime(make_timestamp((epoch_us(ts) // 1000000)
+                         * 1000000), '%Y-%m-%d %H:%M:%S') END AS t
+           FROM events WHERE event_type = 'click')
+         SELECT CASE WHEN length(t) = 17 THEN 'yy-MM-dd HH:mm:ss'
+                     ELSE 'yyyy-MM-dd HH:mm:ss' END AS fmt,
+           count(*) AS n, count(DISTINCT user_id) AS n_users
+         FROM e GROUP BY 1 ORDER BY fmt""",
 
     "join_interval_native" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts_us

@@ -320,10 +320,19 @@ object StreamOps {
           if (kept.isEmpty && pending.isEmpty) state.remove()
           else {
             state.update(AsOfBuffer(kept, pending))
-            pending.map(_._1).minOption.foreach { nextUs =>
-              state.setTimeoutTimestamp(
-                math.max(wmUs / 1000L + 1L, nextUs / 1000L + 1L))
-            }
+            val nextProbe = pending.map(_._1).minOption.map(us =>
+              math.max(wmUs / 1000L + 1L, us / 1000L + 1L))
+            // an idle key (no pending probes) with builds still AHEAD of
+            // the watermark must get re-invoked as the watermark advances
+            // or those builds are never evicted (event-time timeouts are
+            // cleared on every invocation, so a key that stops receiving
+            // events otherwise keeps its full build list forever). Once
+            // only the single behind-watermark build remains — the
+            // potential match for a future probe, the documented state
+            // floor — no timer: that state is O(1) per key by design.
+            val shrink =
+              if (ahead.nonEmpty) Some(wmUs / 1000L + 1L) else None
+            nextProbe.orElse(shrink).foreach(state.setTimeoutTimestamp)
           }
           out.iterator
       }
