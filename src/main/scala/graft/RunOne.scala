@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Focused timing loop for one query:
+  * `runMain graft.RunOne <queryName> [sfDir] [reps]` — runs the query
+  * `reps` times in one session (first run shows cold cost incl. JVM/
+  * codegen warmup, later runs the warm cost), printing wall time each
+  * rep. The single-query complement to [[Bench]] when iterating on one
+  * operator's plan.
+  */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"[graft] run $i: $name rows=$n in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      System.gc()
+    }
+    spark.stop()
+  }
+}

@@ -69,14 +69,49 @@ object TrajectoryClustering {
     *     rows, not data.
     *  3. Only the DBSCAN scan itself — irreducibly whole-line state under
     *     the reference's full-matrix semantics — runs per line, fed the
-    *     precomputed (i, j, d) triples by a cogroup.
+    *     precomputed (i, j, d) triples by a cogroup. Round 3: the cogroup
+    *     is keyed by COST-BALANCED BIN, not raw line — per-line pair
+    *     counts (T²) feed [[Balance.plan]] and the bins map to
+    *     hash-distinct labels ([[Balance.hashDistinctLabels]]), so a hot
+    *     line's matrix scan gets a dedicated shuffle partition instead of
+    *     hash-colliding behind other heavy lines.
+    *
+    * Small-input hybrid (same reasoning as
+    * `Dedup.connectedComponents`'s union-find branch): when the total
+    * pair count — known from a cheap per-line count over the (cached,
+    * per the class contract) input — is at most `maxLocalPairs`, the
+    * salted join + cogroup machinery would spend ~4 shuffle barriers
+    * orchestrating work that fits comfortably in one task per line, so
+    * a direct `groupByKey(line).flatMapGroups` computes the identical
+    * summaries/distances/DBSCAN in-JVM. Same tid order (UTF8 binary,
+    * matching the window sort), same 2-point-summary distances —
+    * `TrajectoryClusteringSpec` asserts both paths bit-equal.
     */
   def cluster(patterns: DataFrame, params: Map[String, Params],
-              pairSalts: Int = 16): DataFrame = {
+              pairSalts: Int = 16,
+              maxLocalPairs: Long = 4000000L): DataFrame = {
     val assembled = assemble(patterns)
     val spark = assembled.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(params)
+
+    // per-line trajectory counts (one pass over the cached input): drives
+    // the small-input branch AND the DBSCAN-stage bin placement. Collected
+    // set is O(#lines) — per-key aggregate scale, the Balance contract.
+    val lineCounts: Array[(String, Long)] = patterns
+      .select(col("linenumber").cast("string").as("line"),
+        col("id").cast("string").as("id"),
+        col("patternID").cast("string").as("patternID"))
+      .groupBy(col("line"))
+      .agg(countDistinct(col("id"), col("patternID")).as("t"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .filter { case (l, _) => params.contains(l) }
+      .sortBy(_._1)
+    val totalPairs = lineCounts.map { case (_, t) => t * t }.sum
+
+    if (totalPairs <= maxLocalPairs)
+      return clusterLocal(assembled, bc)
 
     // dense per-line trajectory index in deterministic (id, patternID)
     // order — the reference relies on pandas groupby order; this pins it
@@ -137,23 +172,129 @@ object TrajectoryClustering {
         (line, i, j, if (java.lang.Double.isFinite(d)) d else Double.NaN)
       }
 
+    // cost-balanced DBSCAN placement: per-line pair cost T² bin-packed
+    // (outlier lines get dedicated bins), bins mapped to hash-distinct
+    // labels so the cogroup's ordinary hash shuffle realizes the exact
+    // placement. Lines without parameters key to label -1 (skipped).
+    val costs = lineCounts.map { case (l, t) => l -> (t.toDouble * t) }
+      .sortBy { case (l, c) => (-c, l) }.toSeq // deterministic plan input
+    val numParts = spark.sessionState.conf.numShufflePartitions
+    val assignment = Balance.plan(costs,
+      targetBins = math.max(1, math.min(numParts, costs.size)))
+    val nBins = if (assignment.isEmpty) 1 else assignment.values.max + 1
+    val labels = Balance.hashDistinctLabels(nBins, numParts)
+    val labelOf: Map[String, Int] =
+      assignment.map { case (l, b) => l -> labels(b) }
+    val bcLabel = spark.sparkContext.broadcast(labelOf)
+
     val rosterLite = roster.select(col("line"), col("tid"), col("id"), col("patternID"))
       .as[(String, Int, String, String)]
-    rosterLite.groupByKey(_._1)
-      .cogroup(triples.groupByKey(_._1)) { (line, rs, ds) =>
+    rosterLite.groupByKey(r => bcLabel.value.getOrElse(r._1, -1))
+      .cogroup(triples.groupByKey(t => bcLabel.value.getOrElse(t._1, -1))) {
+        (bin, rs, ds) =>
+          if (bin == -1) Iterator.empty // no params → skip line (TC-S:153)
+          else {
+            // a bin holds whole lines (one, or several small ones packed
+            // together). Roster rows are tiny; matrices are preallocated
+            // per line so the (large) triple stream fills them without
+            // buffering.
+            val byLine = rs.toArray.groupBy(_._1)
+            final class LineBuf(val rows: Array[(String, Int, String, String)]) {
+              val dist: Array[Array[Double]] =
+                Array.ofDim[Double](rows.length, rows.length)
+              var maxFinite = 0.0
+            }
+            val bufs = byLine.map { case (line, rows) =>
+              line -> new LineBuf(rows.sortBy(_._2))
+            }
+            ds.foreach { case (line, i, j, d) =>
+              val b = bufs(line)
+              b.dist(i)(j) = d; b.dist(j)(i) = d
+              if (!d.isNaN && d > b.maxFinite) b.maxFinite = d
+            }
+            bufs.toArray.sortBy(_._1).iterator.flatMap { case (line, b) =>
+              val p = bc.value(line)
+              val n = b.rows.length
+              // clamp non-finite to 2×max finite (TC-P:298–303)
+              var i = 0
+              while (i < n) {
+                var j = 0
+                while (j < n) {
+                  if (b.dist(i)(j).isNaN) b.dist(i)(j) = 2 * b.maxFinite
+                  j += 1
+                }
+                i += 1
+              }
+              val labels =
+                try Dbscan.fit(b.dist, p.eps, p.minSamples)
+                catch { case _: Exception => Array.fill(n)(0) } // TC-P:309–312
+              b.rows.iterator.map { case (_, tid, id, pid) =>
+                (line, id, pid, labels(tid))
+              }
+            }
+          }
+      }
+      .toDF("linenumber", "id", "patternID", "cluster")
+  }
+
+  /** Small-input path: whole-line clustering in one task per line —
+    * identical summaries (chord endpoints + polyline length), identical
+    * 2-point-summary distances, identical tid order (UTF8 binary, the
+    * window sort's collation) as the distributed path. */
+  private def clusterLocal(
+      assembled: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Map[String, Params]]): DataFrame = {
+    val spark = assembled.sparkSession
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    assembled
+      .select(col("linenumber").cast("string").as("line"),
+        col("id").cast("string").as("id"), col("patternID"), col("points"))
+      .groupByKey(_.getString(0))
+      .flatMapGroups { (line, it) =>
         bc.value.get(line) match {
           case None => Iterator.empty // no params → skip line (TC-S:153)
           case Some(p) =>
-            val rows = rs.toArray.sortBy(_._2)
+            val rows = it.map { r =>
+              val pts = r.getSeq[org.apache.spark.sql.Row](3)
+                .map(pr => TrajectoryDistance.P(pr.getDouble(0), pr.getDouble(1)))
+                .toIndexedSeq
+              (r.getString(1), r.getString(2), pts)
+            }.toArray
+            // (id, patternID) in UTF8-binary order = the window's sort
+            java.util.Arrays.sort(rows,
+              new java.util.Comparator[(String, String, IndexedSeq[TrajectoryDistance.P])] {
+                def compare(a: (String, String, IndexedSeq[TrajectoryDistance.P]),
+                            b: (String, String, IndexedSeq[TrajectoryDistance.P])): Int = {
+                  val c = UTF8String.fromString(a._1)
+                    .compareTo(UTF8String.fromString(b._1))
+                  if (c != 0) c
+                  else UTF8String.fromString(a._2)
+                    .compareTo(UTF8String.fromString(b._2))
+                }
+              })
             val n = rows.length
+            val sums = rows.map { case (_, _, pts) =>
+              (pts.head, pts.last, TrajectoryDistance.lengthKm(pts))
+            }
             val dist = Array.ofDim[Double](n, n)
             var maxFinite = 0.0
-            ds.foreach { case (_, i, j, d) =>
-              dist(i)(j) = d; dist(j)(i) = d
-              if (!d.isNaN && d > maxFinite) maxFinite = d
-            }
-            // clamp non-finite to 2×max finite (TC-P:298–303)
             var i = 0
+            while (i < n) {
+              var j = i + 1
+              while (j < n) {
+                val (h1, l1, len1) = sums(i)
+                val (h2, l2, len2) = sums(j)
+                val d = TrajectoryDistance.totalWithLengths(
+                  IndexedSeq(h1, l1), IndexedSeq(h2, l2), len1, len2)
+                val dd = if (java.lang.Double.isFinite(d)) d else Double.NaN
+                dist(i)(j) = dd; dist(j)(i) = dd
+                if (!dd.isNaN && dd > maxFinite) maxFinite = dd
+                j += 1
+              }
+              i += 1
+            }
+            i = 0
             while (i < n) {
               var j = 0
               while (j < n) {
@@ -165,7 +306,7 @@ object TrajectoryClustering {
             val labels =
               try Dbscan.fit(dist, p.eps, p.minSamples)
               catch { case _: Exception => Array.fill(n)(0) } // TC-P:309–312
-            rows.iterator.map { case (_, tid, id, pid) =>
+            rows.iterator.zipWithIndex.map { case ((id, pid, _), tid) =>
               (line, id, pid, labels(tid))
             }
         }

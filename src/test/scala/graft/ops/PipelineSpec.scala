@@ -89,6 +89,49 @@ class PipelineSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("stage 2: binned-cogroup path equals the local path on a 10x-skewed fleet") {
+    // LH carries 10× LS's trajectories (40 vs 4) → its T² cost is an
+    // outlier and Balance gives it a dedicated bin; forcing
+    // maxLocalPairs = 0 runs the salted join + binned cogroup, which must
+    // produce bit-identical labels to the small-input path
+    val rows = for {
+      (line, nv) <- Seq(("LH", 20), ("LS", 2))
+      v <- 1 to nv
+      p <- 1 to 2
+      n <- 0 to 2
+    } yield (s"$line-V$v%02d".format(v), line,
+      114.0 + n * 0.01 + v * 1e-5,
+      if (line == "LH") 22.5 else 22.6,
+      f"19-02-01 08:0$p:${n * 10}%02d", p.toLong)
+    val pats = rows.toDF("id", "linenumber", "lng", "lat", "t", "patternID")
+      .withColumn("t", to_timestamp($"t", "yy-MM-dd HH:mm:ss"))
+    val prm = Map(
+      "LH" -> TrajectoryClustering.Params(5.0, 2),
+      "LS" -> TrajectoryClustering.Params(5.0, 2))
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getInt(3))).sortBy(t => (t._1, t._2, t._3))
+    val local = sortedRows(TrajectoryClustering.cluster(pats, prm))
+    val dist = sortedRows(
+      TrajectoryClustering.cluster(pats, prm, maxLocalPairs = 0))
+    assert(local.nonEmpty && local.toSeq == dist.toSeq)
+    // and the hot line's cost really is bin-isolated in the plan
+    val plan = Balance.plan(Seq("LH" -> 1600.0, "LS" -> 16.0), targetBins = 2)
+    assert(plan("LH") != plan("LS"))
+  }
+
+  test("stage 2: single-trajectory line survives the distributed path too") {
+    val lone = Seq(
+      ("V1", "L9", 114.00, 22.50, "19-02-01 08:00:00"),
+      ("V1", "L9", 114.01, 22.50, "19-02-01 08:01:00"))
+      .toDF("id", "linenumber", "lng", "lat", "t")
+      .withColumn("t", to_timestamp($"t", "yy-MM-dd HH:mm:ss"))
+      .withColumn("patternID", lit(1L))
+    val out = TrajectoryClustering.cluster(lone,
+      Map("L9" -> TrajectoryClustering.Params(5.0, 2)), maxLocalPairs = 0)
+    assert(out.select($"cluster").as[Int].collect().toSeq == Seq(-1))
+  }
+
   test("stage 3: blind zones graded on clustered output") {
     val pats = PatternExtraction.run(fleet, Some(termini))
     val clustered = TrajectoryClustering.run(pats, params)
