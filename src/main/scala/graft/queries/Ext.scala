@@ -519,6 +519,63 @@ object Ext {
       .orderBy(col("linenumber"))
   }
 
+  /** Streaming-sink round-trip under the driver oracle: the events table
+    * streamed through the stateful sessionizer
+    * (`streaming.StreamOps.sessionize` — watermark + event-time timeouts)
+    * into a parquet sink via foreachBatch, read back, and hash-compared
+    * to the batch gaps-and-islands oracle. Proves the streaming operator
+    * computes the batch semantics, not just its spec fixtures.
+    *
+    * Harness notes (correctness of the comparison, not the operator):
+    *  - one far-future sentinel row per user closes that user's last
+    *    session inline on arrival — no reliance on a post-input timer
+    *    micro-batch, which `Trigger.AvailableNow` does not guarantee;
+    *    sentinel-started sessions stay open in state and never emit;
+    *  - the staged input is written as ONE file so the run is a single
+    *    micro-batch: across batches the file order would be unspecified,
+    *    and a sentinel processed before its user's real events would
+    *    corrupt the session bounds (and the advanced watermark would
+    *    drop the rest). A production stream has ordered arrival and no
+    *    sentinels — this is test-harness scaffolding, labeled as such.
+    *  - value_sum sums integer-valued doubles (event ids ≪ 2⁵³), so the
+    *    fold order difference between engines cannot produce drift. */
+  def streamSessionizeSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    import s.implicits._
+    val gapUs = 1800000000L // 30 min — same gap as the batch win_sessionize
+    val ev = events(s, dir)
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").cast("double").as("value"))
+    val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0)
+    val sentinels = ev.groupBy(col("user_id"))
+      .agg(lit(maxTs + 10 * gapUs).as("ts_us"), lit(0.0).as("value"))
+    val inDir = java.nio.file.Files.createTempDirectory("graft_stream_in_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out_").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_stream_ck_").toString
+    ev.unionByName(sentinels).coalesce(1).write.mode("overwrite").parquet(inDir)
+
+    val stream = s.readStream
+      .schema("user_id BIGINT, ts_us BIGINT, value DOUBLE")
+      .parquet(inDir)
+      .withColumn("t", timestamp_micros(col("ts_us")))
+      .select(col("user_id"), col("t"), col("ts_us"), col("value"))
+      .as[StreamOps.KeyedEvent]
+    val q = StreamOps.sessionize(stream, gapUs)
+      .writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamOps.Session], _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_us"), col("end_us"), round(col("value_sum"), 2).as("value_sum"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** Feed-drift report over the mixed-format timestamp feed: per-format
     * row counts from `TimeOps.matchedFormat` (the same generated
     * `yy-`/`yyyy-` mix as [[csvRoundtrip]]) — the monitoring surface that
@@ -641,6 +698,7 @@ object Ext {
     "join_interval_native" -> joinIntervalNative _,
     "csv_roundtrip" -> csvRoundtrip _,
     "fn_time_format_stats" -> fnTimeFormatStats _,
+    "stream_sessionize_sink" -> streamSessionizeSink _,
     "balance_bins" -> balanceBins _,
     "skew_salted_agg" -> skewSaltedAgg _,
     "agg_approx" -> aggApprox _,

@@ -383,6 +383,30 @@ object ExtOracle {
            count(*) AS n, count(DISTINCT user_id) AS n_users
          FROM e GROUP BY 1 ORDER BY fmt""",
 
+    // batch gaps-and-islands twin of the STREAMING sessionize round-trip
+    // (same 30-min gap and numbering as win_sessionize; per-session
+    // aggregates are tie-insensitive, so the streaming fold's ts-only
+    // sort and this window's (ts, event_id) sort agree)
+    "stream_sessionize_sink" ->
+      """WITH g AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         sess AS (
+           SELECT *, CAST(sum(brk) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+           FROM g)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(ts_us) AS start_us, max(ts_us) AS end_us,
+           round(sum(CAST(event_id AS DOUBLE)), 2) AS value_sum
+         FROM sess GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+
     "join_interval_native" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts_us
            FROM events WHERE event_type = 'click'),
