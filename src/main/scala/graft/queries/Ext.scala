@@ -178,10 +178,26 @@ object Ext {
       Dedup.shingleRows(
         docsTok(s, dir).select(col("doc_id").as("id"), col("toks")), 3))
 
+  /** The doc-freq-pruned shingle relation, staged once: the hot-shingle
+    * guard is identical for the pair miner and the incremental probe
+    * (both prune against the FULL corpus's doc freq), so pruning at the
+    * staging layer removes a per-query df aggregation + broadcast —
+    * and for the incremental query, a recompute over a self-union of
+    * this very relation. `textContamination` and the MinHash sketch
+    * deliberately read the UNpruned [[shingles3]] (contamination wants
+    * every shared 3-gram; the sketch hashes whole shingle sets). */
+  private def shingles3Pruned(s: SparkSession, dir: String): DataFrame =
+    stage("pruned100", s, dir) {
+      val sh = shingles3(s, dir)
+      val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > JaccardMaxDocFreq).select(col("s"))
+      sh.join(broadcast(hot), Seq("s"), "left_anti")
+    }
+
   private def jaccardPairs08(s: SparkSession, dir: String): DataFrame =
     stage("pairs08", s, dir)(
-      Dedup.jaccardPairsFromRows(shingles3(s, dir),
-        minJaccard = 0.8, maxDocFreq = JaccardMaxDocFreq))
+      Dedup.jaccardPairsFromRows(shingles3Pruned(s, dir),
+        minJaccard = 0.8, maxDocFreq = 0))
 
   /** Eagerly materialize the staged dedup relations (shingles, then the
     * Jaccard pair relation), logging each phase's rows and wall time.
@@ -200,6 +216,7 @@ object Ext {
       println(f"[graft] staged $tag: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     phase("shingles3")(shingles3(s, dir).count())
+    phase("pruned100")(shingles3Pruned(s, dir).count())
     phase("pairs08")(jaccardPairs08(s, dir).count())
   }
 
@@ -259,13 +276,15 @@ object Ext {
   /** Incremental dedup: a synthetic "new batch" (doc_id % 10 == 0) probes
     * the existing corpus's inverted shingle index for near-dups — the
     * daily-increment pattern that avoids re-mining corpus×corpus. Reads
-    * the staged shingle relation. */
+    * the staged PRUNED shingle relation: new ∪ old is exactly the full
+    * corpus, so the combined-corpus doc-freq guard `jaccardPairsBetween`
+    * would compute is the already-staged one. */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles3(s, dir)
+    val sh = shingles3Pruned(s, dir)
     Dedup.jaccardPairsBetween(
         sh.filter(col("id") % 10 === 0),
         sh.filter(col("id") % 10 =!= 0),
-        minJaccard = 0.5, maxDocFreq = JaccardMaxDocFreq)
+        minJaccard = 0.5, maxDocFreq = 0)
       .orderBy(col("new_id"), col("old_id"))
   }
 
