@@ -7,14 +7,15 @@ import org.apache.spark.sql.SparkSession
   * `reps` times in one session (first run shows cold cost incl. JVM/
   * codegen warmup, later runs the warm cost), printing wall time each
   * rep. The single-query complement to [[Bench]] when iterating on one
-  * operator's plan.
+  * operator's plan — reads the SAME `SPARK_GRAFT_CPUS` env with the same
+  * default, so its numbers are comparable to the bench's.
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 2
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

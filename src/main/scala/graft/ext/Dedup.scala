@@ -252,9 +252,7 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           localEdgeThreshold: Long = 4000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val ccT0 = System.nanoTime()
-    def logPhase(tag: String): Unit =
-      println(f"[graft] cc $tag at ${(System.nanoTime() - ccT0) / 1e9}%.2f s")
+    val logPhase = graft.core.PhaseLog.start("cc")
     // pairs feeds both union branches — persist it (unless the caller
     // already staged it) or the expensive pair-mining lineage runs twice
     val prePersisted = pairs.storageLevel != StorageLevel.NONE
@@ -333,13 +331,9 @@ object Dedup {
     //    maxIter copies of the label set until a GC-driven cleanup.
     // RDD lineage (not plan lineage) still reaches back to the cached
     // edges, so an evicted block recomputes rather than failing.
-    val spark = pairs.sparkSession
-    import org.apache.spark.sql.graft.Bridge
-    def leaf(df: DataFrame) = {
-      val r = df.queryExecution.toRdd.map(_.copy())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      (Bridge.ofInternalRows(spark, r, df.schema), r)
-    }
+    // (leaf-materialization now lives in core.Stage — same pattern, used
+    // by the blind-zone pipeline's stage barriers too)
+    def leaf(df: DataFrame) = graft.core.Stage.materialize(df)
     var (labels, labelsStore) = leaf(
       sym.select(col("src").as("id")).distinct()
         .withColumn("component", col("id")))

@@ -175,25 +175,43 @@ object TrajectoryClustering {
     // cost-balanced DBSCAN placement: per-line pair cost T² bin-packed
     // (outlier lines get dedicated bins), bins mapped to hash-distinct
     // labels so the cogroup's ordinary hash shuffle realizes the exact
-    // placement. Lines without parameters key to label -1 (skipped).
+    // placement. AQE may still coalesce byte-SMALL bins' partitions —
+    // acceptable by construction: this operator's compute is the matrix
+    // scan, O(triple rows), so cost is proportional to shuffle bytes and
+    // partitions merged under the advisory size are cheap ones; bins
+    // whose work matters exceed it and keep their dedicated task.
     val costs = lineCounts.map { case (l, t) => l -> (t.toDouble * t) }
       .sortBy { case (l, c) => (-c, l) }.toSeq // deterministic plan input
     val numParts = spark.sessionState.conf.numShufflePartitions
-    val assignment = Balance.plan(costs,
-      targetBins = math.max(1, math.min(numParts, costs.size)))
-    val nBins = if (assignment.isEmpty) 1 else assignment.values.max + 1
+    // Balance.plan adds dedicated outlier bins ON TOP of targetBins, so
+    // a first plan can exceed the partition count; shrink the normal-bin
+    // target by the overflow and re-plan (outlier count depends only on
+    // the cost distribution, not targetBins, so one correction lands
+    // unless outliers alone exceed the partitions — then label reuse
+    // degrades round-robin, which no placement can avoid).
+    var targetBins = math.max(1, math.min(numParts, costs.size))
+    var assignment = Balance.plan(costs, targetBins)
+    var nBins = if (assignment.isEmpty) 1 else assignment.values.max + 1
+    if (nBins > numParts && targetBins > 1) {
+      targetBins = math.max(1, targetBins - (nBins - numParts))
+      assignment = Balance.plan(costs, targetBins)
+      nBins = if (assignment.isEmpty) 1 else assignment.values.max + 1
+    }
     val labels = Balance.hashDistinctLabels(nBins, numParts)
     val labelOf: Map[String, Int] =
       assignment.map { case (l, b) => l -> labels(b) }
     val bcLabel = spark.sparkContext.broadcast(labelOf)
 
+    // lines without parameters are dropped BEFORE the shuffle (the old
+    // per-line keying at least spread them; a shared "skip" key would
+    // funnel every dropped row through one task just to discard it)
     val rosterLite = roster.select(col("line"), col("tid"), col("id"), col("patternID"))
       .as[(String, Int, String, String)]
-    rosterLite.groupByKey(r => bcLabel.value.getOrElse(r._1, -1))
-      .cogroup(triples.groupByKey(t => bcLabel.value.getOrElse(t._1, -1))) {
+      .filter(r => bcLabel.value.contains(r._1))
+    rosterLite.groupByKey(r => bcLabel.value(r._1))
+      .cogroup(triples.groupByKey(t => bcLabel.value(t._1))) {
         (bin, rs, ds) =>
-          if (bin == -1) Iterator.empty // no params → skip line (TC-S:153)
-          else {
+          {
             // a bin holds whole lines (one, or several small ones packed
             // together). Roster rows are tiny; matrices are preallocated
             // per line so the (large) triple stream fills them without

@@ -210,14 +210,13 @@ object Ext {
     * pair join + components + anti-join; the per-phase log lines below
     * make any future discrepancy diagnosable from the bench tail alone). */
   def stageDedupRelations(s: SparkSession, dir: String): Unit = {
-    def phase(tag: String)(action: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = action
-      println(f"[graft] staged $tag: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
-    phase("shingles3")(shingles3(s, dir).count())
-    phase("pruned100")(shingles3Pruned(s, dir).count())
-    phase("pairs08")(jaccardPairs08(s, dir).count())
+    val log = graft.core.PhaseLog.start("staged")
+    val n1 = shingles3(s, dir).count()
+    log(s"shingles3 rows=$n1")
+    val n2 = shingles3Pruned(s, dir).count()
+    log(s"pruned100 rows=$n2")
+    val n3 = jaccardPairs08(s, dir).count()
+    log(s"pairs08 rows=$n3")
   }
 
   /** Exact dedup on content digest (keeper = min doc_id). */
@@ -517,11 +516,10 @@ object Ext {
           .otherwise(
             date_format(timestamp_seconds(col("ts_s")), "yyyy-MM-dd HH:mm:ss"))
           .as("t"))
-    // fresh dir per invocation: a fixed path keyed by dir.hashCode raced
-    // between write(overwrite) and read when two sessions/processes ran
-    // the query concurrently (and distinct dirs can collide on hashCode)
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_csv_roundtrip_").toString
+    // JVM-scoped stable path + overwrite: bounded disk across repeated
+    // invocations (a fresh temp dir per call leaked one CSV export per
+    // rep), no cross-process race (the round-2 fixed path had one)
+    val out = graft.core.Tmp.jvmScopedDir("csv_roundtrip", dir)
     Csv.write(staged, out, partitionCols = Seq("linenumber"),
       overwrite = true, delimiter = ";")
     val schema = StructType(Seq(
@@ -568,9 +566,19 @@ object Ext {
     val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0)
     val sentinels = ev.groupBy(col("user_id"))
       .agg(lit(maxTs + 10 * gapUs).as("ts_us"), lit(0.0).as("value"))
-    val inDir = java.nio.file.Files.createTempDirectory("graft_stream_in_").toString
-    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out_").toString
-    val ckDir = java.nio.file.Files.createTempDirectory("graft_stream_ck_").toString
+    // JVM-scoped stable dirs keep disk bounded across invocations (a
+    // fresh temp dir per call leaked a full events copy per bench rep).
+    // The checkpoint dir must be CLEARED each run — resuming offsets from
+    // a previous run would see no new files and emit nothing — and both
+    // it and the (large) input staging dir are deleted right after the
+    // stream terminates; only the small session output outlives the call
+    // (the returned DataFrame reads it lazily) until the next run's clear.
+    import graft.core.Tmp
+    val inDir = Tmp.jvmScopedDir("stream_in", dir)
+    val outDir = Tmp.jvmScopedDir("stream_out", dir)
+    val ckDir = Tmp.jvmScopedDir("stream_ck", dir)
+    Tmp.deleteRecursively(outDir)
+    Tmp.deleteRecursively(ckDir)
     ev.unionByName(sentinels).coalesce(1).write.mode("overwrite").parquet(inDir)
 
     val stream = s.readStream
@@ -589,6 +597,8 @@ object Ext {
       }
       .start()
     q.awaitTermination()
+    Tmp.deleteRecursively(inDir)
+    Tmp.deleteRecursively(ckDir)
     s.read.parquet(outDir)
       .select(col("user_id"), col("session_id"), col("n_events"),
         col("start_us"), col("end_us"), round(col("value_sum"), 2).as("value_sum"))

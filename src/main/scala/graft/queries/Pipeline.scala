@@ -33,27 +33,27 @@ object Pipeline {
         timestamp_micros(col("ts_us")).as("t"))
 
   def blindZone(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Stage
     import s.implicits._
-    // Stage boundaries are localCheckpoint (eager), not persist: each
-    // stage's consumers branch several times (clustering scans patterns
-    // 4x, grading scans clusters across ~10 window/agg subtrees), and
-    // with plain persist every branch re-ANALYZES the full upstream
-    // lineage — measured ~3 s of driver-side Catalyst work at sf0.1 on
-    // top of the cached execution. A checkpoint truncates each stage to
-    // a leaf plan: O(1) analysis/planning per consumer, blocks released
-    // eagerly at the end. The tradeoff (lost lineage = no recompute on
-    // executor loss) is the standard one for iterative/stage-barrier
-    // pipelines; a cluster deployment would use reliable checkpointing.
+    // Stage boundaries are leaf-materialized (Stage.materialize), not
+    // plain persist: each stage's consumers branch several times
+    // (clustering scans patterns 4x, grading scans clusters across ~10
+    // window/agg subtrees), and with persist every branch re-ANALYZES
+    // the full upstream lineage — measured ~3 s of driver-side Catalyst
+    // work at sf0.1 on top of the cached execution. The leaf plan makes
+    // analysis/planning O(1) per consumer, and the explicit RDD handles
+    // release the blocks deterministically below (weak-ref cleaning
+    // alone may never run under a large fixed heap — NOTES.md).
     // no terminus geography in the synthetic feed → qualification off
     // (the reference's standalone variant uses an allowlist here)
-    val pats = PatternExtraction.run(syntheticFleet(s, dir), busLine = None,
-        cfg = PatternExtraction.Config(qualify = false))
-      .localCheckpoint()
+    val (pats, patsStore) = Stage.materialize(
+      PatternExtraction.run(syntheticFleet(s, dir), busLine = None,
+        cfg = PatternExtraction.Config(qualify = false)))
     val params = (0 until 8)
       .map(i => s"L$i" -> TrajectoryClustering.Params(eps = 5.0, minSamples = 2))
       .toMap
-    val clustered = TrajectoryClustering.run(pats, params)
-      .localCheckpoint()
+    val (clustered, clusteredStore) = Stage.materialize(
+      TrajectoryClustering.run(pats, params))
     val signals = BlindZone.run(clustered)
     // stable per-stage rollup — ONE aggregate action per stage
     // (countDistinct(when(...)) ≡ filter+distinct+count, null-ignoring)
@@ -61,9 +61,7 @@ object Pipeline {
       val r = df.agg(countDistinct(group).as("g"), count(lit(1)).as("n")).head()
       (r.getLong(0), r.getLong(1))
     }
-    val t0 = System.nanoTime()
-    def logPhase(tag: String): Unit =
-      println(f"[graft] pipeline $tag at ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val logPhase = graft.core.PhaseLog.start("pipeline")
     val s1 = stats(pats, struct(col("id"), col("patternID")))
     logPhase("patterns")
     val s2 = stats(clustered, when(col("cluster") =!= -1, col("cluster")))
@@ -75,9 +73,10 @@ object Pipeline {
       ("2_clustered", s2._1, s2._2),
       ("3_signals", s3._1, s3._2))
       .toDF("stage", "n_groups", "n_rows")
-    // checkpoint blocks are weak-ref cleaned (ContextCleaner) once `pats`/
-    // `clustered` drop out of scope — Bench/Verify force a GC tick between
-    // queries precisely so this reclamation actually happens
+    // every consumer of the staged frames has executed (the stats above
+    // are eager), so the blocks can be released deterministically
+    patsStore.unpersist(false)
+    clusteredStore.unpersist(false)
     out
   }
 
