@@ -22,36 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct k-word shingles of the token array (order-aware n-grams).
-    * Empty when the doc has fewer than k tokens.
-    *
-    * NOTE: array-valued convenience form. Higher-order functions run
-    * interpreted (outside codegen) — for corpus-scale pipelines use
-    * [[shingleRows]], which builds the same shingles relationally at
-    * ~20× the throughput.
-    */
+  /** Distinct k-word shingles of the token array (order-aware n-grams,
+    * first-occurrence order). Empty when the doc has fewer than k tokens.
+    * Runs as the native codegen'd [[graft.functions.WordShingles]] — the
+    * `array_distinct(transform(...))` HOF composition it replaces ran
+    * interpreted. */
   def wordShingles(toks: Column, k: Int): Column = {
-    val n = size(toks)
-    when(n >= k,
-      array_distinct(transform(sequence(lit(1), n - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k))))))
-      .otherwise(array().cast("array<string>"))
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(
+      graft.functions.WordShingles(Bridge.expression(toks), k))
   }
 
-  /** Distinct k-word shingles as rows `(id, s)` — the codegen-friendly
-    * formulation: posexplode tokens, `lead` window per doc, concat, dedup.
-    * One shuffle on id (the window), one on (id, s) (the distinct); every
-    * operator whole-stage-codegens, unlike the array/HOF form. */
-  def shingleRows(docToks: DataFrame /* (id, toks) */, k: Int): DataFrame = {
+  /** Distinct k-word shingles as rows `(id, s)`, SCAN-LOCAL: the native
+    * [[wordShingles]] expression computes each doc's distinct shingle set
+    * in one pass, so exploding it yields distinct `(id, s)` rows BY
+    * CONSTRUCTION (input contract: one row per id) — zero shuffles,
+    * where the previous windowed build (posexplode → `lead` per doc →
+    * concat_ws → distinct) paid a full shuffle + per-doc sort and a
+    * distinct exchange before the first real join. At corpus scale the
+    * first shuffle of the dedup ladder is now the inverted index itself. */
+  def shingleRows(docToks: DataFrame /* (id, toks); one row per id */,
+                  k: Int): DataFrame = {
     require(k >= 2, "k >= 2 (use tokens directly for k = 1)")
-    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val parts = col("tok") +: (1 until k).map(i => lead(col("tok"), i).over(w))
-    docToks.select(col("id"), posexplode(col("toks")).as(Seq("pos", "tok")))
-      .withColumn("s", concat_ws(" ", parts: _*))
-      .withColumn("full", parts.last.isNotNull)
-      .filter(col("full"))
-      .select(col("id"), col("s"))
-      .distinct()
+    docToks.select(col("id"), explode(wordShingles(col("toks"), k)).as("s"))
   }
 
   /** Exact dedup on content digest: one row per distinct text, keeping the
