@@ -173,10 +173,17 @@ object Ext {
       }
     }
 
+  // staged hash-partitioned by id: InMemoryRelation preserves the cached
+  // plan's output partitioning, so every per-doc computation downstream
+  // (the set-size windows in the pair miner and the incremental probe)
+  // reads the cache with NO exchange — one shuffle paid once at staging
+  // instead of per consumer. (The scan-local shingle explode alone would
+  // also leave the cache as narrow as the parquet scan at small SF.)
   private def shingles3(s: SparkSession, dir: String): DataFrame =
     stage("shingles3", s, dir)(
       Dedup.shingleRows(
-        docsTok(s, dir).select(col("doc_id").as("id"), col("toks")), 3))
+        docsTok(s, dir).select(col("doc_id").as("id"), col("toks")), 3)
+        .repartition(col("id")))
 
   /** The doc-freq-pruned shingle relation, staged once: the hot-shingle
     * guard is identical for the pair miner and the incremental probe
