@@ -87,6 +87,28 @@ class PlanSpec extends SparkSpec {
       s"benchmark side should broadcast, corpus side stream:\n$p")
   }
 
+  test("shingleRows is scan-local: no exchange, no window below the explode") {
+    // the round-3 native WordShingles expression deleted the windowed
+    // build's shuffle + sort + distinct exchange; a regression to any
+    // relational formulation would re-insert an Exchange or Window here
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+      .select(col("doc_id").as("id"),
+        graft.ext.Text.tokens(col("text")).as("toks"))
+    val p = graft.ext.Dedup.shingleRows(docs, 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"shingle build shuffles:\n$p")
+    assert(!p.contains("Window"), s"shingle build re-grew a window:\n$p")
+    assert(p.contains("word_shingles"), s"native expression missing:\n$p")
+  }
+
+  test("sim_quantized_topk: integer ranking runs as the native seq_dot_long") {
+    val p = planOf("sim_quantized_topk")
+    assert(p.contains("seq_dot_long"),
+      s"expected the codegen'd SeqDotLong, not the interpreted HOF:\n$p")
+    assert(!p.contains("zip_with"), "interpreted zip_with crept back in")
+  }
+
   test("dedup_apply: the anti-join is not hint-forced to broadcast") {
     // AQE may still pick broadcast at runtime when the loser set fits —
     // the regression is a *hint* (unbounded at 100 TB). EliminateResolvedHint
