@@ -112,4 +112,36 @@ object Text {
     val b = hashBucket(key, 10)
     when(b <= 7, "train").when(b === 8, "val").otherwise("test")
   }
+
+  // --- PII scrubbing / link extraction -----------------------------------
+
+  /** Redaction rules `(tag, pattern, replacement)`, applied in order.
+    * Patterns stay inside the RE2 ∩ java.util.regex common subset (no
+    * backreferences, no lookaround, explicit classes only) so the DuckDB
+    * oracle evaluates the IDENTICAL pattern strings — regex-engine parity
+    * is a stated test-strategy constraint (SURVEY §5), not an accident.
+    * Conservative by design: a corpus scrubber prefers misses over
+    * mangling prose; real deployments extend the list. */
+  val PiiRules: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"))
+
+  /** Count of matches of one PII rule (scan-local, codegen). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Text with every [[PiiRules]] match replaced by its tag, in rule
+    * order (order matters only when patterns overlap; these don't on
+    * well-formed text, and both engines apply the same order). */
+  def redactPii(text: Column): Column =
+    PiiRules.foldLeft(text) { case (c, (_, p, r)) => regexp_replace(c, p, r) }
+
+  /** First capture group = domain of an http(s) URL; null when absent. */
+  val UrlDomainPattern = "https?://([A-Za-z0-9.-]+)[/ ]"
+
+  def urlDomain(text: Column): Column = {
+    val d = regexp_extract(text, UrlDomainPattern, 1)
+    when(d =!= "", d) // regexp_extract returns "" on no match; null is honest
+  }
 }

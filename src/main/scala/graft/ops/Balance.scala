@@ -101,8 +101,13 @@ object Balance {
                               costs: DataFrame, targetBins: Int,
                               overflowFactor: Double = 1.2,
                               outlierFactor: Double = 3.0): DataFrame = {
+    // deterministic plan input is established HERE, driver-side: bin ids
+    // depend on input order, and collect() order is not stable — callers
+    // used to pay a distributed orderBy (a range-partition exchange) for
+    // what is a sort of a per-key aggregate that fits on the driver
     val collected = costs.collect().map(r =>
       r.get(0).toString -> r.get(1).toString.toDouble).toSeq
+      .sortBy { case (k, c) => (-c, k) }
     val assignment = plan(collected, targetBins, overflowFactor, outlierFactor)
     val spark = df.sparkSession
     import spark.implicits._

@@ -98,6 +98,49 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** PII scrubbing: per-doc match counts and the digest of the redacted
+    * text. The synthetic corpus carries no PII, so a deterministic
+    * suffix (email / phone / IPv4 by doc_id mod 3, reproduced verbatim
+    * in the oracle) exercises every rule — matching digests prove the
+    * redaction itself, not just the counting, is engine-exact. */
+  def textRedactPii(s: SparkSession, dir: String): DataFrame = {
+    val suffix =
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-4567 today")))
+        .otherwise(
+          concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7 up")))
+    t(s, dir, "documents")
+      .withColumn("txt", concat(col("text"), suffix))
+      .select(
+        col("doc_id"),
+        Text.piiCount(col("txt"), Text.PiiRules(0)._2).as("n_email"),
+        Text.piiCount(col("txt"), Text.PiiRules(1)._2).as("n_phone"),
+        Text.piiCount(col("txt"), Text.PiiRules(2)._2).as("n_ip"),
+        md5(Text.redactPii(col("txt"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Link-domain rollup: extract each doc's URL domain (synthetic URLs on
+    * doc_id mod 5, oracle-mirrored), count docs per domain — the
+    * provenance/dedup-by-source signal of a web corpus pipeline. */
+  def textUrlDomains(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("txt",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" see https://site"),
+            (col("doc_id") % 50).cast("string"), lit(".example.org/page ok")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), Text.urlDomain(col("txt")).as("domain"))
+      .filter(col("domain").isNotNull)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("domain"))
+
   /** Stratified content-hash sampling: per-language quotas (5% of English,
     * 20% of everything else) with the same rerun-stable hash-bucket
     * primitive as [[sampleSystematic]] — per-stratum rollup of kept docs. */
@@ -641,9 +684,10 @@ object Ext {
     * bin-packing plan) → rows-only check. */
   def balanceBins(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
+    // no orderBy: costBalancedRepartition sorts the collected aggregates
+    // driver-side (determinism without a range-partition exchange)
     val costs = li.groupBy(col("l_suppkey").cast("string").as("key"))
       .agg(count(lit(1)).cast("double").as("cost"))
-      .orderBy(col("cost").desc, col("key")) // deterministic plan input
     Balance.costBalancedRepartition(
         li.withColumn("l_suppkey", col("l_suppkey").cast("string")),
         "l_suppkey", costs, targetBins = 8)
@@ -708,6 +752,8 @@ object Ext {
     "sample_stratified" -> sampleStratified _,
     "text_repetition" -> textRepetition _,
     "text_contamination" -> textContamination _,
+    "text_redact_pii" -> textRedactPii _,
+    "text_url_domains" -> textUrlDomains _,
     "split_train_test" -> splitTrainTest _,
     "text_fingerprint" -> textFingerprint _,
     "dedup_exact" -> dedupExact _,

@@ -129,6 +129,44 @@ object ExtOracle {
          WHERE id % 97 <> 0
          GROUP BY id ORDER BY doc_id""",
 
+    // identical pattern strings as Text.PiiRules (RE2 ∩ java.util.regex
+    // subset); the synthetic PII suffix is reproduced verbatim
+    "text_redact_pii" ->
+      """WITH p AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 3 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                WHEN doc_id % 3 = 1
+                  THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4567 today'
+                ELSE ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 up'
+           END AS txt
+         FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(txt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(txt,
+             '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(txt,
+             '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip,
+           md5(regexp_replace(regexp_replace(regexp_replace(txt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
+         FROM p ORDER BY doc_id""",
+
+    "text_url_domains" ->
+      """WITH p AS (SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN text || ' see https://site' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.example.org/page ok'
+                ELSE text END AS txt
+         FROM documents),
+         d AS (SELECT doc_id,
+             regexp_extract(txt, 'https?://([A-Za-z0-9.-]+)[/ ]', 1) AS domain
+           FROM p)
+         SELECT domain, count(*) AS n_docs, min(doc_id) AS first_doc
+         FROM d WHERE domain IS NOT NULL AND domain <> ''
+         GROUP BY domain ORDER BY domain""",
+
     "sample_stratified" ->
       """SELECT lang, count(*) AS n_total,
          CAST(sum(kept) AS BIGINT) AS n_kept,
