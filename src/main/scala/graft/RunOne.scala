@@ -22,6 +22,13 @@ object RunOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE hides cached plans' output partitioning by default (the cache
+      // stores an un-finalized adaptive plan), so consumers re-shuffle
+      // relations the stage layer deliberately partitioned (e.g. the
+      // id-partitioned shingle cache). This conf lets the partitioning
+      // propagate; the staged relations exist to be consumed without
+      // re-exchange.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
