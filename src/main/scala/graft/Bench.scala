@@ -27,22 +27,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      // AQE hides cached plans' output partitioning by default (the cache
-      // stores an un-finalized adaptive plan), so consumers re-shuffle
-      // relations the stage layer deliberately partitioned (e.g. the
-      // id-partitioned shingle cache). This conf lets the partitioning
-      // propagate; the staged relations exist to be consumed without
-      // re-exchange.
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.Sessions.local(cpus)
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // untimed warmup: the flagship aggregate touches parquet scan, shuffle,

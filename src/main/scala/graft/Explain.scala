@@ -10,22 +10,7 @@ object Explain {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      // AQE hides cached plans' output partitioning by default (the cache
-      // stores an un-finalized adaptive plan), so consumers re-shuffle
-      // relations the stage layer deliberately partitioned (e.g. the
-      // id-partitioned shingle cache). This conf lets the partitioning
-      // propagate; the staged relations exist to be consumed without
-      // re-exchange.
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.Sessions.local(cpus)
     SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     spark.stop()
   }

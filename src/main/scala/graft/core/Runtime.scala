@@ -5,6 +5,31 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.storage.StorageLevel
 
+/** The one SparkSession recipe for every entrypoint (Bench / Verify /
+  * Explain / RunOne) — the four mains used to copy-paste this block and
+  * drifted (cpu defaults, and briefly a cache-partitioning conf whose
+  * rationale turned out backwards for this Spark version: with AQE the
+  * default already constrains cached plans to keep their partitioning,
+  * while enabling `canChangeCachedPlanOutputPartitioning` licenses AQE
+  * to coalesce the deliberately-partitioned staged caches and can add
+  * an extra shuffle to read them — measured no gain here, reverted). */
+object Sessions {
+  def local(cpus: String): org.apache.spark.sql.SparkSession = {
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
+      // default; read as long ns and convert explicitly (see queries.Rel)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
 /** Shared phase-timing log: one format, one stream (stdout — the driver's
   * bench harness captures the process tail, so diagnostics printed here
   * survive into the round artifacts; see VERDICT r2 "what's missing" #2). */
@@ -48,15 +73,27 @@ object Stage {
   * + overwrite semantics keep disk BOUNDED across repeated invocations
   * (a fresh createTempDirectory per call leaked a full table copy per
   * bench/verify rep), while the per-JVM tag keeps concurrent processes
-  * from racing on one path (the round-2 ADVICE defect). */
+  * from racing on one path (the round-2 ADVICE defect).
+  *
+  * CONTRACT: within one JVM, at most one invocation per (tag, key) at a
+  * time — the registered round-trip queries satisfy this (Bench/Verify
+  * run them sequentially), and the stable path is what makes the reuse
+  * bounded. Concurrent same-key callers would need per-call dirs and a
+  * lifecycle to reclaim them. */
 object Tmp {
   private lazy val jvmTag =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
-  /** Stable within this JVM for a given (tag, key); distinct across JVMs. */
-  def jvmScopedDir(tag: String, key: String): String =
+  /** Stable within this JVM for a given (tag, key); distinct across JVMs.
+    * Keys are md5-hashed — a 32-bit `hashCode` would let two distinct sf
+    * dirs collide onto one scratch path. */
+  def jvmScopedDir(tag: String, key: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).take(8)
+      .map(b => f"$b%02x").mkString
     System.getProperty("java.io.tmpdir") +
-      s"/graft_${tag}_${jvmTag}_${Integer.toHexString(key.hashCode)}"
+      s"/graft_${tag}_${jvmTag}_$digest"
+  }
 
   def deleteRecursively(path: String): Unit = {
     val root = new java.io.File(path)

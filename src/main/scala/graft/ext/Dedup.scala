@@ -26,7 +26,15 @@ object Dedup {
     * first-occurrence order). Empty when the doc has fewer than k tokens.
     * Runs as the native codegen'd [[graft.functions.WordShingles]] — the
     * `array_distinct(transform(...))` HOF composition it replaces ran
-    * interpreted. */
+    * interpreted.
+    *
+    * Null-token contract (tokenizer output never contains nulls; this
+    * matters only for hand-built arrays): a window whose LAST token is
+    * null is dropped, and nulls inside a kept window are skipped by the
+    * join — the semantics of the relational windowed build this library
+    * standardized on. (The old HOF form instead KEPT last-null windows
+    * as shortened shingles; the two disagreed with each other, and the
+    * windowed behavior is the one the oracles verify.) */
   def wordShingles(toks: Column, k: Int): Column = {
     import org.apache.spark.sql.graft.Bridge
     Bridge.column(
@@ -52,6 +60,23 @@ object Dedup {
   def exact(docs: DataFrame, id: Column, text: Column): DataFrame =
     docs.groupBy(md5(text).as("text_md5"))
       .agg(min(id).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** THE hot-shingle guard, in one place: drop keys whose doc frequency
+    * (counted over `dfSource`, by default the relation itself) exceeds
+    * `maxDocFreq`. The miners below and the staged pruned relation
+    * (`queries.Ext`) all route through this definition — a change to the
+    * pruning rule must not be able to diverge between them, because the
+    * staged relation's callers pass `maxDocFreq = 0` on the strength of
+    * "already pruned identically". No-op when `maxDocFreq <= 0`. */
+  def pruneHot(shingles: DataFrame /* (id, s) */, maxDocFreq: Int,
+               dfSource: DataFrame = null): DataFrame =
+    if (maxDocFreq <= 0) shingles
+    else {
+      val src = Option(dfSource).getOrElse(shingles)
+      val hot = src.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq).select(col("s"))
+      shingles.join(broadcast(hot), Seq("s"), "left_anti")
+    }
 
   /** All unordered doc pairs with shingle-Jaccard ≥ `minJaccard`, found via
     * an inverted shingle index (join on shingle, never corpus×corpus).
@@ -91,13 +116,7 @@ object Dedup {
     val keyed =
       if (hashShingles) shingles.select(col("id"), xxhash64(col("s")).as("s"))
       else shingles
-    val pruned =
-      if (maxDocFreq <= 0) keyed
-      else {
-        val hot = keyed.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDocFreq).select(col("s"))
-        keyed.join(broadcast(hot), Seq("s"), "left_anti")
-      }
+    val pruned = pruneHot(keyed, maxDocFreq)
     val sh = pruned.withColumn("n",
       count(lit(1)).over(Window.partitionBy(col("id"))))
     sh.as("a")
@@ -126,13 +145,7 @@ object Dedup {
       minJaccard: Double,
       maxDocFreq: Int = 0): DataFrame = {
     def prune(df: DataFrame): DataFrame =
-      if (maxDocFreq <= 0) df
-      else {
-        val hot = newShingles.union(oldShingles)
-          .groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDocFreq).select(col("s"))
-        df.join(broadcast(hot), Seq("s"), "left_anti")
-      }
+      pruneHot(df, maxDocFreq, dfSource = newShingles.union(oldShingles))
     def sized(df: DataFrame): DataFrame =
       df.withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
     sized(prune(newShingles)).as("a")

@@ -237,12 +237,8 @@ object Ext {
     * deliberately read the UNpruned [[shingles3]] (contamination wants
     * every shared 3-gram; the sketch hashes whole shingle sets). */
   private def shingles3Pruned(s: SparkSession, dir: String): DataFrame =
-    stage("pruned100", s, dir) {
-      val sh = shingles3(s, dir)
-      val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > JaccardMaxDocFreq).select(col("s"))
-      sh.join(broadcast(hot), Seq("s"), "left_anti")
-    }
+    stage("pruned100", s, dir)(
+      Dedup.pruneHot(shingles3(s, dir), JaccardMaxDocFreq))
 
   private def jaccardPairs08(s: SparkSession, dir: String): DataFrame =
     stage("pairs08", s, dir)(
@@ -609,11 +605,13 @@ object Ext {
   def streamSessionizeSink(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamOps
     import s.implicits._
+    val log = graft.core.PhaseLog.start("stream_sink")
     val gapUs = 1800000000L // 30 min — same gap as the batch win_sessionize
     val ev = events(s, dir)
       .select(col("user_id"), col("ts_us"),
         col("event_id").cast("double").as("value"))
     val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0)
+    log("maxTs")
     val sentinels = ev.groupBy(col("user_id"))
       .agg(lit(maxTs + 10 * gapUs).as("ts_us"), lit(0.0).as("value"))
     // JVM-scoped stable dirs keep disk bounded across invocations (a
@@ -630,6 +628,7 @@ object Ext {
     Tmp.deleteRecursively(outDir)
     Tmp.deleteRecursively(ckDir)
     ev.unionByName(sentinels).coalesce(1).write.mode("overwrite").parquet(inDir)
+    log("staged input")
 
     val stream = s.readStream
       .schema("user_id BIGINT, ts_us BIGINT, value DOUBLE")
@@ -647,6 +646,7 @@ object Ext {
       }
       .start()
     q.awaitTermination()
+    log("stream done")
     Tmp.deleteRecursively(inDir)
     Tmp.deleteRecursively(ckDir)
     s.read.parquet(outDir)

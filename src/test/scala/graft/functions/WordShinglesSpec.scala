@@ -38,6 +38,18 @@ class WordShinglesSpec extends AnyFunSuite {
     }
   }
 
+  test("null tokens: last-null windows dropped, inner nulls skipped (windowed semantics)") {
+    // pins the documented null-token contract (wordShingles scaladoc):
+    // the native expression follows the relational windowed build, NOT
+    // the old HOF (which kept last-null windows as shortened shingles)
+    val df = Seq((1L, Seq(Some("a"), Some("b"), None, Some("c"))))
+      .toDF("id", "toks")
+    val out = df.select(graft.ext.Dedup.wordShingles(col("toks"), 2))
+      .head.getSeq[String](0)
+    // windows: (a,b)->"a b"; (b,null)->dropped; (null,c)->"c"
+    assert(out == Seq("a b", "c"), s"got $out")
+  }
+
   test("short docs yield empty; repeats dedup to first occurrence") {
     val df = Seq(
       (1L, Seq("a", "b")),
