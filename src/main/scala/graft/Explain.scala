@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Plan inspector: `runMain graft.Explain <queryName> [sfDir]` prints the
   * formatted physical plan for one SparkEntry query — the per-operator

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Focused timing loop for one query:
   * `runMain graft.RunOne <queryName> [sfDir] [reps]` — runs the query

@@ -31,6 +31,35 @@ object TrajectoryClustering {
   /** Per-line DBSCAN parameters (reference `lines95_parameter.csv`). */
   final case class Params(eps: Double, minSamples: Int)
 
+  /** The parameter-table ingestion the reference does inline — params CSV
+    * collected into a driver dict (TC-S:36–39, TC-P:43–46) — as a
+    * reusable helper: any `(linenumber|new_linenumber, eps, min_samples)`
+    * frame becomes the broadcastable map [[cluster]] consumes. Rows with
+    * null eps/min_samples are dropped here; lines absent from the map
+    * are skipped at use time exactly like the reference (TC-S:157).
+    * Driver-sized by contract: one row per bus line. */
+  def paramsFrom(df: org.apache.spark.sql.DataFrame): Map[String, Params] = {
+    val key =
+      if (df.columns.contains("linenumber")) "linenumber" else "new_linenumber"
+    df.select(col(key).cast("string"), col("eps").cast("double"),
+        col("min_samples").cast("int"))
+      .na.drop()
+      .collect()
+      .map(r => r.getString(0) -> Params(r.getDouble(1), r.getInt(2)))
+      .toMap
+  }
+
+  /** [[paramsFrom]] over a header CSV file (the reference's exact input
+    * shape, `Sample Data/lines95_parameter.csv`). */
+  def paramsFromCsv(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Map[String, Params] = {
+    import org.apache.spark.sql.types._
+    paramsFrom(graft.sources.Csv.read(spark, path, StructType(Seq(
+      StructField("new_linenumber", StringType),
+      StructField("eps", DoubleType),
+      StructField("min_samples", IntegerType)))))
+  }
+
   /** Assemble time-ordered trajectories:
     * (linenumber, id, patternID) → array<struct<lng,lat>>. */
   def assemble(patterns: DataFrame): DataFrame =

@@ -132,6 +132,20 @@ class PipelineSpec extends SparkSpec {
     assert(out.select($"cluster").as[Int].collect().toSeq == Seq(-1))
   }
 
+  test("paramsFrom: reference param-table shapes load; null rows dropped") {
+    val refShape = Seq(("00001", Some(0.5), Some(2)), ("00002", Some(0.3), Some(2)),
+        ("00003", None: Option[Double], Some(2)))
+      .toDF("new_linenumber", "eps", "min_samples")
+    val m = TrajectoryClustering.paramsFrom(refShape)
+    assert(m == Map(
+      "00001" -> TrajectoryClustering.Params(0.5, 2),
+      "00002" -> TrajectoryClustering.Params(0.3, 2)))
+    // load-site column name works too
+    val alt = Seq(("L1", 1.5, 3)).toDF("linenumber", "eps", "min_samples")
+    assert(TrajectoryClustering.paramsFrom(alt) ==
+      Map("L1" -> TrajectoryClustering.Params(1.5, 3)))
+  }
+
   test("stage 3: blind zones graded on clustered output") {
     val pats = PatternExtraction.run(fleet, Some(termini))
     val clustered = TrajectoryClustering.run(pats, params)
