@@ -98,6 +98,17 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact corpus vocabulary head: top-20 tokens by document frequency
+    * and total count — the vocabulary/stopword audit a corpus pipeline
+    * runs before tokenizer training. Deterministic tie-break on token. */
+  def textTopTokens(s: SparkSession, dir: String): DataFrame =
+    docsTok(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
   /** PII scrubbing: per-doc match counts and the digest of the redacted
     * text. The synthetic corpus carries no PII, so a deterministic
     * suffix (email / phone / IPv4 by doc_id mod 3, reproduced verbatim
@@ -754,6 +765,7 @@ object Ext {
     "text_contamination" -> textContamination _,
     "text_redact_pii" -> textRedactPii _,
     "text_url_domains" -> textUrlDomains _,
+    "text_top_tokens" -> textTopTokens _,
     "split_train_test" -> splitTrainTest _,
     "text_fingerprint" -> textFingerprint _,
     "dedup_exact" -> dedupExact _,

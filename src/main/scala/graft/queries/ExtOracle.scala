@@ -129,6 +129,12 @@ object ExtOracle {
          WHERE id % 97 <> 0
          GROUP BY id ORDER BY doc_id""",
 
+    "text_top_tokens" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents)
+         SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df
+         FROM tok GROUP BY token
+         ORDER BY n DESC, token LIMIT 20""",
+
     // identical pattern strings as Text.PiiRules (RE2 ∩ java.util.regex
     // subset); the synthetic PII suffix is reproduced verbatim
     "text_redact_pii" ->

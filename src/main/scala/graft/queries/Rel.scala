@@ -490,6 +490,21 @@ object Rel {
         col("n_events"))
       .orderBy(col("user_id"), col("session_start_us"))
 
+  /** Hopping (sliding) time-window rollup: 10-minute windows every
+    * 5 minutes, so each event lands in exactly len/slide = 2 windows —
+    * the overlapping twin of the tumbling form. The oracle reproduces
+    * Spark's epoch-aligned window-assignment arithmetic explicitly. */
+  def winHopping(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("t", timestamp_micros(col("ts_us")))
+      .groupBy(window(col("t"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("n_events"), col("n_users"), col("value_sum"))
+      .orderBy(col("window_start_us"))
+
   /** Ranking-window completeness (absent in the reference — rank /
     * dense_rank / ntile over a total order). */
   def winRankNtile(s: SparkSession, dir: String): DataFrame = {
@@ -616,6 +631,7 @@ object Rel {
     "win_fill" -> winFill _,
     "win_sessionize" -> winSessionize _,
     "win_session_window" -> winSessionWindow _,
+    "win_hopping" -> winHopping _,
     "win_change_points" -> winChangePoints _,
     "win_rank_ntile" -> winRankNtile _,
     "gen_explode" -> genExplode _,

@@ -237,6 +237,19 @@ object RelOracle {
          round(sum(value), 2) AS session_value
          FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""",
 
+    // hopping windows: L = 600s, S = 300s, epoch-aligned — every event's
+    // two covering windows start at floor(t/S)*S and floor(t/S)*S - S
+    "win_hopping" ->
+      """WITH w AS (
+           SELECT ((epoch_us(ts) // 300000000) - k) * 300000000
+                    AS window_start_us,
+             user_id, value
+           FROM events, unnest([0, 1]) t(k))
+         SELECT window_start_us, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS value_sum
+         FROM w GROUP BY window_start_us ORDER BY window_start_us""",
+
     "win_session_window" ->
       """WITH g AS (
            SELECT user_id, epoch_us(ts) AS ts_us,
