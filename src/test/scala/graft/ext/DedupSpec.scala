@@ -83,6 +83,32 @@ class DedupSpec extends SparkSpec {
     assert(cand.filter(col("id2") === 5).count() == 0)
   }
 
+  test("minhash est_jaccard tracks the true jaccard on controlled overlap") {
+    // shingle sets built directly: doc 0 = {s0..s39}; doc j replaces j
+    // elements with unique ones, so true J(0, j) = (40-j)/(40+j).
+    // 32 hashes give σ ≈ 0.09 — the estimate must land near the truth
+    // (this is the accuracy story behind the rows-only dedup_minhash_lsh
+    // gate: the sketch is deterministic, so these bounds are exact
+    // regression pins, not flaky statistics).
+    val rows = (0 to 39).map(i => (0L, s"s$i")) ++
+      Seq(2, 4, 6).flatMap { j =>
+        (0 to 39).map(i =>
+          (j.toLong, if (i < j) s"uniq${j}_$i" else s"s$i"))
+      }
+    val sh = rows.toDF("id", "s")
+    val cand = Dedup.minhashCandidatesFromRows(sh, numHashes = 32, bands = 8)
+      .filter(col("id1") === 0)
+      .select(col("id2"), col("est_jaccard")).as[(Long, Double)]
+      .collect().toMap
+    val errs = Seq(2, 4, 6).flatMap { j =>
+      val truth = (40.0 - j) / (40.0 + j)
+      cand.get(j.toLong).map(est => math.abs(est - truth))
+    }
+    assert(errs.nonEmpty, "no high-overlap candidate found at all")
+    assert(errs.forall(_ <= 0.25), s"estimates too far off: $errs")
+    assert(errs.sum / errs.size <= 0.12, s"mean error too high: $errs")
+  }
+
   test("simhash: identical texts give identical sketch; hamming pairs found") {
     val sk = Dedup.withSimhash(docs, col("doc_id"), col("text"))
     val m = sk.as[(Long, Long)].collect().toMap
