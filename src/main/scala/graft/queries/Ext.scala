@@ -227,17 +227,14 @@ object Ext {
       }
     }
 
-  // staged hash-partitioned by id: InMemoryRelation preserves the cached
-  // plan's output partitioning, so every per-doc computation downstream
-  // (the set-size windows in the pair miner and the incremental probe)
-  // reads the cache with NO exchange — one shuffle paid once at staging
-  // instead of per consumer. (The scan-local shingle explode alone would
-  // also leave the cache as narrow as the parquet scan at small SF.)
+  // NOT staged since WordShingles made shingling scan-local: rebuilding
+  // this relation is a parquet scan + a codegen'd per-row expression
+  // (no shuffle), cheaper than writing and holding a 2nd cache of it —
+  // the two consumers that need a materialization barrier (pruned100,
+  // pairs08) stage their own derived relations below.
   private def shingles3(s: SparkSession, dir: String): DataFrame =
-    stage("shingles3", s, dir)(
-      Dedup.shingleRows(
-        docsTok(s, dir).select(col("doc_id").as("id"), col("toks")), 3)
-        .repartition(col("id")))
+    Dedup.shingleRows(
+      docsTok(s, dir).select(col("doc_id").as("id"), col("toks")), 3)
 
   /** The doc-freq-pruned shingle relation, staged once: the hot-shingle
     * guard is identical for the pair miner and the incremental probe
@@ -247,9 +244,13 @@ object Ext {
     * this very relation. `textContamination` and the MinHash sketch
     * deliberately read the UNpruned [[shingles3]] (contamination wants
     * every shared 3-gram; the sketch hashes whole shingle sets). */
+  // repartitioned by id at staging: the scan-local shingle build leaves
+  // the relation as narrow as the parquet scan at small SF, so the cache
+  // would serialize every consumer's first stage on 1-2 partitions
   private def shingles3Pruned(s: SparkSession, dir: String): DataFrame =
     stage("pruned100", s, dir)(
-      Dedup.pruneHot(shingles3(s, dir), JaccardMaxDocFreq))
+      Dedup.pruneHot(shingles3(s, dir), JaccardMaxDocFreq)
+        .repartition(col("id")))
 
   private def jaccardPairs08(s: SparkSession, dir: String): DataFrame =
     stage("pairs08", s, dir)(
@@ -268,8 +269,6 @@ object Ext {
     * make any future discrepancy diagnosable from the bench tail alone). */
   def stageDedupRelations(s: SparkSession, dir: String): Unit = {
     val log = graft.core.PhaseLog.start("staged")
-    val n1 = shingles3(s, dir).count()
-    log(s"shingles3 rows=$n1")
     val n2 = shingles3Pruned(s, dir).count()
     log(s"pruned100 rows=$n2")
     val n3 = jaccardPairs08(s, dir).count()
