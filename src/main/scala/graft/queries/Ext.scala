@@ -87,7 +87,7 @@ object Ext {
     * with the held-out benchmark set (synthetically: doc_id % 97 == 0) and
     * how many they share. The benchmark shingle set is broadcast — at
     * 100 TB the corpus side streams, the (small) test set never shuffles
-    * it. Reads the staged shingle relation. */
+    * it. Reads the (unstaged, scan-local) unpruned shingle relation. */
   def textContamination(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles3(s, dir)
     val bench = sh.filter(col("id") % 97 === 0).select(col("s")).distinct()
@@ -193,11 +193,14 @@ object Ext {
     * join. Mirrored exactly in the DuckDB oracles. */
   val JaccardMaxDocFreq = 100
 
-  /** The distinct 3-gram shingle relation and the Jaccard ≥ 0.8 pair
-    * relation are shared inputs of four registered queries (pairs,
-    * components, applied dedup, MinHash candidates). Stage each once per
-    * (session, sf-dir): built on first use, persisted, reused — a real
-    * pipeline materializes these relations once, and so does the bench. */
+  /** The PRUNED shingle relation and the Jaccard ≥ 0.8 pair relation are
+    * shared inputs of four registered queries (pairs, components, applied
+    * dedup, incremental). Stage each once per (session, sf-dir): built on
+    * first use, persisted, reused — a real pipeline materializes these
+    * relations once, and so does the bench. (The RAW shingle relation is
+    * deliberately NOT staged: `WordShingles` made it scan-local, so
+    * rebuilding is cheaper than holding a second cache — see
+    * [[shingles3]].) */
   // weak keys AND weak frame values: a Dataset strongly references its
   // session, so holding frames strongly would keep the weak key reachable
   // through the map's own values and nothing would ever collect. With
