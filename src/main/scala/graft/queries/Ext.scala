@@ -649,15 +649,24 @@ object Ext {
       .withColumn("t", timestamp_micros(col("ts_us")))
       .select(col("user_id"), col("t"), col("ts_us"), col("value"))
       .as[StreamOps.KeyedEvent]
-    val q = StreamOps.sessionize(stream, gapUs)
-      .writeStream
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", ckDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamOps.Session], _: Long) =>
-        batch.write.mode("append").parquet(outDir)
-      }
-      .start()
+    // state partition count is a DELIBERATE per-stream choice (it freezes
+    // into the checkpoint): a streaming job sizes it to active-key volume,
+    // not to the batch session's shuffle width — 32 state stores for this
+    // feed is pure per-partition overhead (open/commit per micro-batch).
+    // The conf is runtime-mutable and scoped back in the finally.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      StreamOps.sessionize(stream, gapUs)
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamOps.Session], _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     log("stream done")
     Tmp.deleteRecursively(inDir)

@@ -66,6 +66,22 @@ object Rel {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Statistical-aggregate completeness (absent in the reference, core
+    * analytics surface): sample stddev/variance + bivariate corr/covar.
+    * Definitions are the ANSI ones in both engines; rounding at 4 dp
+    * absorbs accumulation-order fp drift (values O(10⁴), relative error
+    * ~1e-12 — nowhere near a half-way boundary). */
+  def aggStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** A4: EXISTS-per-group via max(when) (`Standalone/Pattern
     * Extraction.scala:106–116`). */
   def aggExists(s: SparkSession, dir: String): DataFrame = {
@@ -600,6 +616,7 @@ object Rel {
     "q1_agg" -> q1Agg _,
     "agg_count_distinct" -> aggCountDistinct _,
     "agg_percentile" -> aggPercentile _,
+    "agg_stats" -> aggStats _,
     "agg_exists" -> aggExists _,
     "agg_forall" -> aggForall _,
     "agg_sorted_collect" -> aggSortedCollect _,

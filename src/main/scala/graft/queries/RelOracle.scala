@@ -41,6 +41,15 @@ object RelOracle {
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "agg_stats" ->
+      """SELECT l_returnflag,
+         round(stddev_samp(l_extendedprice), 4) AS sd_price,
+         round(var_samp(l_quantity), 4) AS var_qty,
+         round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+         round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "agg_exists" ->
       """WITH flags AS (
            SELECT l_orderkey, max(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS has_big
