@@ -165,16 +165,20 @@ object Similarity {
       .map { case (r, i) =>
         i -> r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toSeq
       }.toSeq
+    val d = centroids.headOption.map(_._2.length).getOrElse(0)
     (0 until iters).foreach { _ =>
       val assigned = corpus.withColumn("cid", nearestCentroid(col("embedding"), centroids))
+      // per-dimension means as d parallel avg aggregates over element
+      // extracts — one codegen'd hash-agg of |corpus| rows, where the
+      // posexplode formulation it replaces shuffled |corpus|·d rows to
+      // compute the same 512 numbers
       val dims = assigned
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim"))
-        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array((0 until d).map(i =>
+          avg(col("embedding").getItem(i).cast("double"))): _*).as("m"))
         .collect()
-      val updated = dims.groupBy(_.getInt(0)).map { case (cid, rows) =>
-        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-      }
+      val updated = dims.map(r =>
+        r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
       // empty cells keep their previous centroid
       centroids = centroids.map { case (cid, c) => cid -> updated.getOrElse(cid, c) }
     }

@@ -42,6 +42,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.size == 2, "seq_dot(array, array)")
         graft.functions.SeqDot(args(0), args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("seq_dot_long"),
+      new ExpressionInfo(classOf[graft.functions.SeqDotLong].getName, "seq_dot_long"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "seq_dot_long(array, array)")
+        graft.functions.SeqDotLong(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[graft.functions.WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "word_shingles(toks, k) — k a literal int")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles k must be a literal int, got $other")
+        }
+        graft.functions.WordShingles(args(0), k)
+      }))
     ext.injectOptimizerRule(_ => NativeHaversineRule)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
     ext.injectPlannerStrategy(_ => IntervalStrategy)

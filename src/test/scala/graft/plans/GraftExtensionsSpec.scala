@@ -86,4 +86,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head()
     assert(r.getDouble(0) == 11.0)
   }
+
+  test("seq_dot_long and word_shingles are SQL-callable via the extension") {
+    import extSpark.implicits._
+    val r = Seq((Array(2, 3), Array(10, -1)))
+      .toDF("a", "b")
+      .selectExpr("seq_dot_long(a, b) AS d")
+      .head()
+    assert(r.getLong(0) == 17L)
+    val sh = Seq(Tuple1(Seq("x", "y", "x", "y")))
+      .toDF("toks")
+      .selectExpr("word_shingles(toks, 2) AS s")
+      .head().getSeq[String](0)
+    assert(sh == Seq("x y", "y x"))
+    // non-literal k is rejected with a clear message
+    val err = intercept[Exception] {
+      Seq(Tuple1(Seq("x"))).toDF("toks")
+        .selectExpr("word_shingles(toks, length('ab'))").head()
+    }
+    assert(err.getMessage.contains("literal"), err.getMessage)
+  }
 }
