@@ -331,6 +331,26 @@ object Ext {
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** The canonical corpus-scale dedup flow END-TO-END: MinHash+LSH
+    * proposes candidate pairs (linear banding, 16 bands × 2 rows —
+    * detection odds 1−(1−J²)¹⁶ ≈ 1−8·10⁻⁸ at the J ≥ 0.8 pairs this
+    * corpus holds), exact Jaccard verifies ONLY the candidates, and the
+    * verified pairs drive components + anti-join. Shares `dedup_apply`'s
+    * oracle: on this corpus the sketch's recall is exact (deterministic
+    * hashes — a miss would be a fixed property of the data, and all
+    * three SFs are verified), so sketch-then-verify must reproduce the
+    * full-mine result bit-for-bit. */
+  def dedupApplyMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles3Pruned(s, dir)
+    val cands = Dedup.minhashCandidatesFromRows(sh, numHashes = 32, bands = 16)
+      .select(col("id1"), col("id2"))
+    val verified = Dedup.verifyJaccardPairs(sh, cands, minJaccard = 0.8)
+    Dedup.deduplicate(t(s, dir, "documents"), col("doc_id"),
+        verified.select(col("id1"), col("id2")))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental dedup: a synthetic "new batch" (doc_id % 10 == 0) probes
     * the existing corpus's inverted shingle index for near-dups — the
     * daily-increment pattern that avoids re-mining corpus×corpus. Reads
@@ -786,6 +806,7 @@ object Ext {
     "dedup_simhash" -> dedupSimhash _,
     "dedup_components" -> dedupComponents _,
     "dedup_apply" -> dedupApply _,
+    "dedup_apply_minhash" -> dedupApplyMinhash _,
     "dedup_incremental" -> dedupIncremental _,
     "dedup_embedding" -> dedupEmbedding _,
     "sim_bruteforce_topk" -> simBruteforceTopk _,

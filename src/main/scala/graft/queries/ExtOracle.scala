@@ -253,6 +253,25 @@ object ExtOracle {
          WHERE doc_id NOT IN (SELECT v FROM losers)
          ORDER BY doc_id""",
 
+    // sketch-then-verify must reproduce the full exact mine (the sketch
+    // only PROPOSES pairs; exact Jaccard decides) — so the oracle is the
+    // same as dedup_apply's, and a hash match doubles as a recall proof
+    // for the banded MinHash on this corpus
+    "dedup_apply_minhash" ->
+      s"""WITH RECURSIVE
+         $shingleCtes,
+         e AS (SELECT id1 AS src, id2 AS dst FROM pairs0
+               UNION ALL SELECT id2, id1 FROM pairs0),
+         reach(v, label) AS (
+           SELECT DISTINCT src, src FROM e
+           UNION
+           SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.v),
+         losers AS (
+           SELECT v FROM reach GROUP BY v HAVING v <> min(label))
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT v FROM losers)
+         ORDER BY doc_id""",
+
     "dedup_incremental" ->
       s"""WITH tok AS (SELECT doc_id AS id, $toks AS toks FROM documents),
          sh0 AS (SELECT id, unnest(list_distinct(list_transform(
