@@ -233,20 +233,23 @@ object Dedup {
     * of the sketch-then-verify flow that makes near-dup mining linear at
     * corpus scale: LSH banding proposes candidates (linear), and the
     * exact set intersection runs ONLY on those pairs, never corpus².
-    * The candidate relation is broadcast (it is the banded-LSH output —
-    * tiny relative to the shingle relation), and both shingle probes are
-    * candidate-restricted before any shuffle. Returns the same shape as
-    * [[jaccardPairsFromRows]] filtered to `jaccard >= minJaccard`. */
+    * Both shingle probes are candidate-restricted before the intersect
+    * join. The candidate joins carry NO broadcast hint: on a crawl
+    * corpus candidates are O(duplicate pairs) — unboundable as a
+    * broadcast (the same trap as round 1's `broadcast(losers)`); AQE
+    * still promotes to broadcast at runtime when they actually fit.
+    * Returns the same shape as [[jaccardPairsFromRows]] filtered to
+    * `jaccard >= minJaccard`. */
   def verifyJaccardPairs(
       shingles: DataFrame /* (id, s) distinct */,
       candidates: DataFrame /* (id1, id2) */,
       minJaccard: Double): DataFrame = {
     val sized = shingles.withColumn("n",
       count(lit(1)).over(Window.partitionBy(col("id"))))
-    val left = sized.join(broadcast(candidates), col("id") === col("id1"))
+    val left = sized.join(candidates, col("id") === col("id1"))
       .select(col("id1"), col("id2"), col("s"), col("n").as("n1"))
     val rightIds = candidates.select(col("id2").as("id")).distinct()
-    val right = sized.join(broadcast(rightIds), Seq("id"), "left_semi")
+    val right = sized.join(rightIds, Seq("id"), "left_semi")
       .select(col("id").as("id2"), col("s"), col("n").as("n2"))
     left.join(right, Seq("id2", "s"))
       .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))

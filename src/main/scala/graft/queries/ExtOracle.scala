@@ -256,7 +256,7 @@ object ExtOracle {
     // sketch-then-verify must reproduce the full exact mine (the sketch
     // only PROPOSES pairs; exact Jaccard decides) — so the oracle is the
     // same as dedup_apply's, and a hash match doubles as a recall proof
-    // for the banded MinHash on this corpus
+    // for the banded MinHash on this corpus (16 bands x 2 rows)
     "dedup_apply_minhash" ->
       s"""WITH RECURSIVE
          $shingleCtes,
