@@ -61,6 +61,19 @@ object Dedup {
     docs.groupBy(md5(text).as("text_md5"))
       .agg(min(id).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Per-doc set size attached to every shingle row — THE size definition
+    * all three Jaccard paths share (window count over id: sizes ride the
+    * rows, so self-join sides stay identical subplans and reuse one
+    * exchange; no corpus-sized sizes relation to join back). */
+  private def withSetSize(sh: DataFrame /* (id, s, ...) */): DataFrame =
+    sh.withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
+
+  /** THE Jaccard formula all three paths share: |∩| / (n1 + n2 − |∩|),
+    * rounded at 6 (oracle parity: 6 dp keeps both engines off half-way
+    * boundaries for set-count ratios). */
+  private def jaccardOf(c: Column, n1: Column, n2: Column): Column =
+    round(c / (n1 + n2 - c), 6)
+
   /** THE hot-shingle guard, in one place: drop keys whose doc frequency
     * (counted over `dfSource`, by default the relation itself) exceeds
     * `maxDocFreq`. The miners below and the staged pruned relation
@@ -117,15 +130,13 @@ object Dedup {
       if (hashShingles) shingles.select(col("id"), xxhash64(col("s")).as("s"))
       else shingles
     val pruned = pruneHot(keyed, maxDocFreq)
-    val sh = pruned.withColumn("n",
-      count(lit(1)).over(Window.partitionBy(col("id"))))
+    val sh = withSetSize(pruned)
     sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.n").as("n1"), col("b.n").as("n2"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("jaccard",
-        round(col("c") / (col("n1") + col("n2") - col("c")), 6))
+      .withColumn("jaccard", jaccardOf(col("c"), col("n1"), col("n2")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id1"), col("id2"), col("c"), col("n1"), col("n2"), col("jaccard"))
   }
@@ -146,15 +157,12 @@ object Dedup {
       maxDocFreq: Int = 0): DataFrame = {
     def prune(df: DataFrame): DataFrame =
       pruneHot(df, maxDocFreq, dfSource = newShingles.union(oldShingles))
-    def sized(df: DataFrame): DataFrame =
-      df.withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
-    sized(prune(newShingles)).as("a")
-      .join(sized(prune(oldShingles)).as("b"), col("a.s") === col("b.s"))
+    withSetSize(prune(newShingles)).as("a")
+      .join(withSetSize(prune(oldShingles)).as("b"), col("a.s") === col("b.s"))
       .groupBy(col("a.id").as("new_id"), col("b.id").as("old_id"),
         col("a.n").as("n_new"), col("b.n").as("n_old"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("jaccard",
-        round(col("c") / (col("n_new") + col("n_old") - col("c")), 6))
+      .withColumn("jaccard", jaccardOf(col("c"), col("n_new"), col("n_old")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("new_id"), col("old_id"), col("c"),
         col("n_new"), col("n_old"), col("jaccard"))
@@ -244,18 +252,22 @@ object Dedup {
       shingles: DataFrame /* (id, s) distinct */,
       candidates: DataFrame /* (id1, id2) */,
       minJaccard: Double): DataFrame = {
-    val sized = shingles.withColumn("n",
-      count(lit(1)).over(Window.partitionBy(col("id"))))
-    val left = sized.join(candidates, col("id") === col("id1"))
+    // duplicate candidate rows (e.g. raw band collisions, the same pair
+    // firing in two LSH bands) would double-count every shared shingle
+    // and inflate the Jaccard past truth — dedup is enforced here, not
+    // assumed (one exchange of the pair-sized relation buys a hard
+    // correctness invariant)
+    val cand = candidates.dropDuplicates("id1", "id2")
+    val sized = withSetSize(shingles)
+    val left = sized.join(cand, col("id") === col("id1"))
       .select(col("id1"), col("id2"), col("s"), col("n").as("n1"))
-    val rightIds = candidates.select(col("id2").as("id")).distinct()
+    val rightIds = cand.select(col("id2").as("id")).distinct()
     val right = sized.join(rightIds, Seq("id"), "left_semi")
       .select(col("id").as("id2"), col("s"), col("n").as("n2"))
     left.join(right, Seq("id2", "s"))
       .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("jaccard",
-        round(col("c") / (col("n1") + col("n2") - col("c")), 6))
+      .withColumn("jaccard", jaccardOf(col("c"), col("n1"), col("n2")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id1"), col("id2"), col("c"), col("n1"), col("n2"), col("jaccard"))
   }

@@ -159,7 +159,11 @@ object Similarity {
       corpus: DataFrame, // (vec_id, embedding)
       nlist: Int,
       iters: Int = 2): Seq[(Int, Seq[Double])] = {
-    var centroids: Seq[(Int, Seq[Double])] = corpus
+    // null embeddings (failed upstream embeds) are ignored for training —
+    // the posexplode formulation dropped them implicitly; the per-dim-avg
+    // rewrite would otherwise keep a null-cid group and NPE on its key
+    val clean = corpus.filter(col("embedding").isNotNull)
+    var centroids: Seq[(Int, Seq[Double])] = clean
       .orderBy(col("vec_id")).limit(nlist).collect()
       .zipWithIndex
       .map { case (r, i) =>
@@ -167,7 +171,7 @@ object Similarity {
       }.toSeq
     val d = centroids.headOption.map(_._2.length).getOrElse(0)
     (0 until iters).foreach { _ =>
-      val assigned = corpus.withColumn("cid", nearestCentroid(col("embedding"), centroids))
+      val assigned = clean.withColumn("cid", nearestCentroid(col("embedding"), centroids))
       // per-dimension means as d parallel avg aggregates over element
       // extracts — one codegen'd hash-agg of |corpus| rows, where the
       // posexplode formulation it replaces shuffled |corpus|·d rows to
@@ -177,7 +181,9 @@ object Similarity {
         .agg(array((0 until d).map(i =>
           avg(col("embedding").getItem(i).cast("double"))): _*).as("m"))
         .collect()
-      val updated = dims.map(r =>
+      // a vector with null ELEMENTS nulls every centroid score → null cid;
+      // such a group trains nothing (guard mirrors the old implicit drop)
+      val updated = dims.filter(!_.isNullAt(0)).map(r =>
         r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
       // empty cells keep their previous centroid
       centroids = centroids.map { case (cid, c) => cid -> updated.getOrElse(cid, c) }

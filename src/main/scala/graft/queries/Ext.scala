@@ -244,9 +244,14 @@ object Ext {
     * (both prune against the FULL corpus's doc freq), so pruning at the
     * staging layer removes a per-query df aggregation + broadcast —
     * and for the incremental query, a recompute over a self-union of
-    * this very relation. `textContamination` and the MinHash sketch
-    * deliberately read the UNpruned [[shingles3]] (contamination wants
-    * every shared 3-gram; the sketch hashes whole shingle sets). */
+    * this very relation. Pruned vs unpruned consumers, deliberately:
+    * `textContamination` and `dedupMinhashLsh` read the UNpruned
+    * [[shingles3]] (contamination wants every shared 3-gram; the
+    * candidate-sketch query estimates Jaccard over full sets), while
+    * `dedupApplyMinhash` sketches THIS pruned relation — its candidates
+    * feed exact verification against the same pruned sets, so sketch
+    * and verification must see identical set definitions or the
+    * recall-vs-oracle argument breaks. */
   // repartitioned by id at staging: the scan-local shingle build leaves
   // the relation as narrow as the parquet scan at small SF, so the cache
   // would serialize every consumer's first stage on 1-2 partitions

@@ -47,6 +47,24 @@ object ExtOracle {
          JOIN (SELECT id AS id2, n AS n2 FROM sizes) USING (id2)
          WHERE round(c / CAST(n1 + n2 - c AS DOUBLE), 6) >= 0.8)"""
 
+  /** Applied dedup over the exact Jaccard ≥ 0.8 pair graph — shared by
+    * `dedup_apply` AND `dedup_apply_minhash` (sketch-then-verify must
+    * reproduce the full mine, so the two oracles are one definition). */
+  private val dedupApplySql =
+    s"""WITH RECURSIVE
+       $shingleCtes,
+       e AS (SELECT id1 AS src, id2 AS dst FROM pairs0
+             UNION ALL SELECT id2, id1 FROM pairs0),
+       reach(v, label) AS (
+         SELECT DISTINCT src, src FROM e
+         UNION
+         SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.v),
+       losers AS (
+         SELECT v FROM reach GROUP BY v HAVING v <> min(label))
+       SELECT doc_id, n_chars FROM documents
+       WHERE doc_id NOT IN (SELECT v FROM losers)
+       ORDER BY doc_id"""
+
   /** Sequential double dot product of two FLOAT[] lists. */
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
@@ -238,39 +256,14 @@ object ExtOracle {
          SELECT v AS id, min(label) AS component
          FROM reach GROUP BY v ORDER BY id""",
 
-    "dedup_apply" ->
-      s"""WITH RECURSIVE
-         $shingleCtes,
-         e AS (SELECT id1 AS src, id2 AS dst FROM pairs0
-               UNION ALL SELECT id2, id1 FROM pairs0),
-         reach(v, label) AS (
-           SELECT DISTINCT src, src FROM e
-           UNION
-           SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.v),
-         losers AS (
-           SELECT v FROM reach GROUP BY v HAVING v <> min(label))
-         SELECT doc_id, n_chars FROM documents
-         WHERE doc_id NOT IN (SELECT v FROM losers)
-         ORDER BY doc_id""",
+    "dedup_apply" -> dedupApplySql,
 
     // sketch-then-verify must reproduce the full exact mine (the sketch
-    // only PROPOSES pairs; exact Jaccard decides) — so the oracle is the
-    // same as dedup_apply's, and a hash match doubles as a recall proof
-    // for the banded MinHash on this corpus (16 bands x 2 rows)
-    "dedup_apply_minhash" ->
-      s"""WITH RECURSIVE
-         $shingleCtes,
-         e AS (SELECT id1 AS src, id2 AS dst FROM pairs0
-               UNION ALL SELECT id2, id1 FROM pairs0),
-         reach(v, label) AS (
-           SELECT DISTINCT src, src FROM e
-           UNION
-           SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.v),
-         losers AS (
-           SELECT v FROM reach GROUP BY v HAVING v <> min(label))
-         SELECT doc_id, n_chars FROM documents
-         WHERE doc_id NOT IN (SELECT v FROM losers)
-         ORDER BY doc_id""",
+    // only PROPOSES pairs; exact Jaccard decides) — so the oracle IS
+    // dedup_apply's, shared by reference so the two can never diverge,
+    // and a hash match doubles as a recall proof for the banded MinHash
+    // (16 bands x 2 rows) on this corpus
+    "dedup_apply_minhash" -> dedupApplySql,
 
     "dedup_incremental" ->
       s"""WITH tok AS (SELECT doc_id AS id, $toks AS toks FROM documents),
