@@ -109,6 +109,25 @@ class DedupSpec extends SparkSpec {
     assert(errs.sum / errs.size <= 0.12, s"mean error too high: $errs")
   }
 
+  test("verifyJaccardPairs: exact values on candidates; duplicate candidates don't inflate") {
+    val sh = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"),
+      (2L, "a"), (2L, "b"), (2L, "c"), (2L, "x"),  // J(1,2) = 3/5
+      (3L, "p"), (3L, "q"))
+      .toDF("id", "s")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Dedup.verifyJaccardPairs(sh, c, minJaccard = 0.5)
+        .select("id1", "id2", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+    val exact = run(cands)
+    assert(exact == Set((1L, 2L, 0.6))) // (1,3) disjoint → filtered
+    // the same pair proposed twice (e.g. two LSH bands) must not
+    // double-count shared shingles (J would become 6/(8-6) > 1)
+    val dup = run(cands.union(cands))
+    assert(dup == exact)
+  }
+
   test("simhash: identical texts give identical sketch; hamming pairs found") {
     val sk = Dedup.withSimhash(docs, col("doc_id"), col("text"))
     val m = sk.as[(Long, Long)].collect().toMap

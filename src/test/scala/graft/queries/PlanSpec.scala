@@ -109,6 +109,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("zip_with"), "interpreted zip_with crept back in")
   }
 
+  test("dedup_apply_minhash: no broadcast hints on candidate-sized relations") {
+    // candidates are O(duplicate pairs) at crawl scale — a broadcast HINT
+    // is unbounded (the round-1 broadcast(losers) trap); AQE may still
+    // promote at runtime, which the hintless optimized plan permits
+    val q = graft.SparkEntry.queries("dedup_apply_minhash")(spark, sf001)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("strategy=broadcast"),
+      s"broadcast hint crept into the sketch-verify flow:\n$optimized")
+  }
+
   test("dedup_apply: the anti-join is not hint-forced to broadcast") {
     // AQE may still pick broadcast at runtime when the loser set fits —
     // the regression is a *hint* (unbounded at 100 TB). EliminateResolvedHint
