@@ -148,8 +148,8 @@ object Similarity {
 
   /** Train `nlist` coarse centroids with `iters` Lloyd iterations.
     * Deterministic init: the `nlist` lowest-id vectors seed the centroids.
-    * Assignment/update are DataFrame ops (posexplode + per-dim avg); only
-    * the k×dim centroid table ever reaches the driver.
+    * Assignment/update are DataFrame ops (broadcast-model scoring +
+    * per-dim avg); only the k×dim centroid table ever reaches the driver.
     *
     * At corpus scale this is the standard IVF training loop: centroids are
     * a broadcast-sized model, each iteration is one scan + one shuffle of
@@ -171,7 +171,9 @@ object Similarity {
       }.toSeq
     val d = centroids.headOption.map(_._2.length).getOrElse(0)
     (0 until iters).foreach { _ =>
-      val assigned = clean.withColumn("cid", nearestCentroid(col("embedding"), centroids))
+      val model = broadcastModel(clean.sparkSession, centroids)
+      val assigned = clean.withColumn("cid",
+        nearestCentroid(col("embedding"), model))
       // per-dimension means as d parallel avg aggregates over element
       // extracts — one codegen'd hash-agg of |corpus| rows, where the
       // posexplode formulation it replaces shuffled |corpus|·d rows to
@@ -181,6 +183,7 @@ object Similarity {
         .agg(array((0 until d).map(i =>
           avg(col("embedding").getItem(i).cast("double"))): _*).as("m"))
         .collect()
+      model.destroy()
       // a vector with null ELEMENTS nulls every centroid score → null cid;
       // such a group trains nothing (guard mirrors the old implicit drop)
       val updated = dims.filter(!_.isNullAt(0)).map(r =>
@@ -191,26 +194,45 @@ object Similarity {
     centroids
   }
 
-  /** Index of the nearest centroid by cosine (ties → lowest cid). */
-  def nearestCentroid(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
-    val scored = centroids.map { case (cid, c) =>
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      (cid, dot(vec, array(c.map(lit): _*)) / lit(cn))
-    }
-    val best = greatest(scored.map(_._2): _*)
-    scored.foldLeft(lit(null).cast("int")) { case (acc, (cid, s)) =>
-      coalesce(acc, when(s === best, lit(cid)))
-    }
+  /** Package trained centroids as the broadcast model
+    * [[graft.functions.CentroidTopIds]] scores against: the nlist×dim
+    * matrix rides the broadcast store, not the expression tree. (The
+    * round-3 formulation folded an O(nlist·dim) literal chain per column
+    * — fine at nlist=8, a planner/codegen blowup at realistic centroid
+    * counts; this plan is O(1) in nlist.) Norms are precomputed here with
+    * the same fold the literal form used, so scores are bit-identical. */
+  def broadcastModel(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[(Int, Seq[Double])])
+      : org.apache.spark.broadcast.Broadcast[graft.functions.CentroidModel] = {
+    val cids = centroids.map(_._1).toArray
+    val vecs = centroids.map(_._2.toArray).toArray
+    val norms = centroids.map { case (_, c) =>
+      math.sqrt(c.map(x => x * x).sum) }.toArray
+    spark.sparkContext.broadcast(
+      new graft.functions.CentroidModel(cids, vecs, norms))
   }
 
-  /** The `nprobe` nearest centroid ids for a query vector, as an array. */
+  /** Index of the nearest centroid by cosine (ties → lowest cid). */
+  def nearestCentroid(
+      vec: Column,
+      model: org.apache.spark.broadcast.Broadcast[graft.functions.CentroidModel])
+      : Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(
+      graft.functions.CentroidTopIds(Bridge.expression(vec), model, 1))
+      .getItem(0)
+  }
+
+  /** The `nprobe` nearest centroid ids for a query vector, as an array
+    * (best first, ties → lowest cid). */
   private def probeCentroids(
-      vec: Column, centroids: Seq[(Int, Seq[Double])], nprobe: Int): Column = {
-    val scored = centroids.map { case (cid, c) =>
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      struct((dot(vec, array(c.map(lit): _*)) / lit(cn)).as("s"), lit(cid).as("cid"))
-    }
-    slice(reverse(array_sort(array(scored: _*))), 1, nprobe).getField("cid")
+      vec: Column,
+      model: org.apache.spark.broadcast.Broadcast[graft.functions.CentroidModel],
+      nprobe: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(
+      graft.functions.CentroidTopIds(Bridge.expression(vec), model, nprobe))
   }
 
   /** IVF top-k: corpus partitioned by nearest centroid (the inverted
@@ -224,12 +246,13 @@ object Similarity {
       nlist: Int = 8,
       nprobe: Int = 2,
       iters: Int = 2): DataFrame = {
-    val centroids = trainCentroids(corpus, nlist, iters)
+    val model = broadcastModel(corpus.sparkSession,
+      trainCentroids(corpus, nlist, iters))
     val cells = corpus
-      .withColumn("cid", nearestCentroid(col("embedding"), centroids))
+      .withColumn("cid", nearestCentroid(col("embedding"), model))
       .withColumn("c_norm", l2Norm(col("embedding")))
     val probes = queries
-      .withColumn("cid", explode(probeCentroids(col("qvec"), centroids, nprobe)))
+      .withColumn("cid", explode(probeCentroids(col("qvec"), model, nprobe)))
       .withColumn("q_norm", l2Norm(col("qvec")))
     val cand = cells.join(broadcast(probes),
         probes("cid") === cells("cid") && col("qid") =!= col("vec_id"))

@@ -61,6 +61,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.WordShingles(args(0), k)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("sim_hash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "sim_hash64"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "sim_hash64(text)")
+        graft.functions.SimHash64(args(0))
+      }))
     ext.injectOptimizerRule(_ => NativeHaversineRule)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
     ext.injectPlannerStrategy(_ => IntervalStrategy)

@@ -486,6 +486,16 @@ object ExtOracle {
            FROM lineitem)
          WHERE "rank" <= 3 ORDER BY l_returnflag, "rank"""",
 
+    // tolerance oracle for the sketch aggregates: the exact counts are
+    // portable; the booleans assert each sketch sits within its declared
+    // tolerance of the exact answer (computed Spark-side, pinned TRUE
+    // here) — see Ext.aggApprox
+    "agg_approx" ->
+      """SELECT l_returnflag, count(*) AS n,
+         count(DISTINCT l_partkey) AS n_parts_exact,
+         TRUE AS p95_ok, TRUE AS hll_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "skew_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n,
          round(sum(l_quantity), 2) AS sum_qty

@@ -32,9 +32,25 @@ object Pipeline {
         (lit(22.5) + (col("user_id") % 8).cast("double") * 0.01).as("lat"),
         timestamp_micros(col("ts_us")).as("t"))
 
+  /** Output is PER-ROW (round-4 verdict: the old 3-row count rollup could
+    * not catch, e.g., a signal-threshold regression that preserves
+    * counts): one row per CLUSTERED ping — (linenumber, id, patternID,
+    * ts_us, cluster, signal) plus `row_hash` (hash of exactly those
+    * columns). Granularity is stage 2 (attach keeps every pattern row),
+    * with the stage-3 grade LEFT-joined on — null signal for noise /
+    * unqualified clusters / ungraded pings — so the result is
+    * corpus-scale at every SF even when the fleet-coverage gate
+    * qualifies nothing (true at sf0.1: more vehicles fragment the
+    * fixed-eps clusters below the 75% coverage bar — a fact the old
+    * 3-row rollup masked). `patterns_checksum` pins the stage-1
+    * coordinates the output's hash doesn't carry (signals depend on
+    * lng/lat via speed). DBSCAN remains non-SQL-expressible → rows-only
+    * driver check, but the row count now pins the full clustered corpus
+    * and the hashes pin cluster and grade per ping;
+    * `PipelineQuerySpec` asserts the whole frame is stable across
+    * shuffle-partition settings. */
   def blindZone(s: SparkSession, dir: String): DataFrame = {
     import graft.core.Stage
-    import s.implicits._
     // Stage boundaries are leaf-materialized (Stage.materialize), not
     // plain persist: each stage's consumers branch several times
     // (clustering scans patterns 4x, grading scans clusters across ~10
@@ -54,27 +70,33 @@ object Pipeline {
       .toMap
     val (clustered, clusteredStore) = Stage.materialize(
       TrajectoryClustering.run(pats, params))
-    val signals = BlindZone.run(clustered)
-    // stable per-stage rollup — ONE aggregate action per stage
-    // (countDistinct(when(...)) ≡ filter+distinct+count, null-ignoring)
-    def stats(df: DataFrame, group: org.apache.spark.sql.Column): (Long, Long) = {
-      val r = df.agg(countDistinct(group).as("g"), count(lit(1)).as("n")).head()
-      (r.getLong(0), r.getLong(1))
-    }
     val logPhase = graft.core.PhaseLog.start("pipeline")
-    val s1 = stats(pats, struct(col("id"), col("patternID")))
-    logPhase("patterns")
-    val s2 = stats(clustered, when(col("cluster") =!= -1, col("cluster")))
-    logPhase("clustered")
-    val s3 = stats(signals, when(col("signal").isNotNull, col("cluster")))
-    logPhase("signals")
-    val out = Seq(
-      ("1_patterns", s1._1, s1._2),
-      ("2_clustered", s2._1, s2._2),
-      ("3_signals", s3._1, s3._2))
-      .toDF("stage", "n_groups", "n_rows")
-    // every consumer of the staged frames has executed (the stats above
-    // are eager), so the blocks can be released deterministically
+    // one agg action: sum of per-row hashes (int hash widened by sum to
+    // long) is invariant to partitioning and row order
+    val s1 = pats.agg(coalesce(sum(hash(
+        col("id"), col("patternID"), col("t"), col("lng"), col("lat"))),
+      lit(0L))).head().getLong(0)
+    logPhase("patterns checksum")
+    val graded = BlindZone.run(clustered)
+      .select(col("linenumber"), col("id"), col("patternID"),
+        col("lng"), col("lat"), col("t"), col("signal"))
+    // join key = full row identity: stage-1 dedup keeps one row per
+    // (id, linenumber, lng, lat), so adding (patternID, t) can't fan out
+    val perRow = clustered
+      .join(graded, Seq("linenumber", "id", "patternID", "lng", "lat", "t"),
+        "left")
+      .select(col("linenumber"), col("id"), col("patternID"),
+        unix_micros(col("t")).as("ts_us"), col("cluster"), col("signal"))
+      .withColumn("row_hash", hash(col("linenumber"), col("id"),
+        col("patternID"), col("ts_us"), col("cluster"), col("signal")))
+      .withColumn("patterns_checksum", lit(s1))
+      .orderBy(col("linenumber"), col("id"), col("patternID"), col("ts_us"))
+    // materialize the graded result (the returned frame stays backed by
+    // its own store, like connectedComponents' final round), then release
+    // the upstream stages deterministically
+    val (out, outStore) = Stage.materialize(perRow)
+    outStore.count(): Unit
+    logPhase("signals graded")
     patsStore.unpersist(false)
     clusteredStore.unpersist(false)
     out

@@ -143,4 +143,29 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.fnv1a64("") == 0xcbf29ce484222325L)
     assert(Dedup.fnv1a64("a") == 0xaf63dc4c8601ec8cL)
   }
+
+  test("native SimHash64 expression == reference simhash64 composition") {
+    // parity pin for the expression that replaced the typed map: same
+    // split-on-space tokenization (empties skipped), same FNV-1a over
+    // UTF-16 units, same multiset weighting
+    val texts = Seq("the cat sat", "the  cat  sat ", "", "   ",
+      "a", "ünïcode tökens reposé", "x y z x y z x")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Dedup.withSimhash(df, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = Dedup.simhash64(t.split(" ").filter(_.nonEmpty).toSeq)
+      assert(got(i.toLong) == want, s"mismatch for '$t'")
+    }
+  }
+
+  test("withSimhash keeps the id type generic (string ids)") {
+    val df = Seq(("doc-a", "hello world"), ("doc-b", "hello world"))
+      .toDF("doc_id", "text")
+    val sk = Dedup.withSimhash(df, col("doc_id"), col("text"))
+    assert(sk.schema("id").dataType.typeName == "string")
+    val m = sk.as[(String, Long)].collect().toMap
+    assert(m("doc-a") == m("doc-b"))
+  }
 }

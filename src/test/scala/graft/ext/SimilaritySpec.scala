@@ -84,6 +84,40 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.nonEmpty && ivf.subsetOf(exact))
   }
 
+  test("CentroidTopIds: broadcast scoring matches explicit cosine ranking") {
+    val centroids = Seq(
+      0 -> Seq(1.0, 0.0, 0.0),
+      1 -> Seq(0.0, 1.0, 0.0),
+      2 -> Seq(0.0, 0.0, 1.0),
+      3 -> Seq(1.0, 0.0, 0.0)) // duplicate of cid 0 — tie goes to LOWEST cid
+    val model = Similarity.broadcastModel(spark, centroids)
+    val df = Seq(
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 0.2f, 0.9f)),
+      (3L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding")
+    val nearest = df.select(col("vec_id"),
+        Similarity.nearestCentroid(col("embedding"), model).as("cid"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -99 else r.getInt(1)))
+      .toMap
+    assert(nearest(1L) == 0) // tie with cid 3 broken low
+    assert(nearest(2L) == 2)
+    assert(nearest(3L) == -99) // null vector → null cid
+    // a vector with a NULL ELEMENT also yields null (the SeqDot contract)
+    val withNullElem = Seq((4L, Seq[java.lang.Float](1.0f, null, 0.0f)))
+      .toDF("vec_id", "embedding")
+    assert(withNullElem.select(
+      Similarity.nearestCentroid(col("embedding"), model)).head().isNullAt(0))
+  }
+
+  test("IVF survives nlist larger than the corpus (graceful degradation)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.limit(1).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val n = emb.count()
+    val r = Similarity.ivfTopK(q, emb, k = 3, nlist = (n + 10).toInt, nprobe = 2)
+    assert(r.count() > 0)
+  }
+
   test("cosinePairs respects blocking and threshold") {
     val v = Seq(
       (1L, Seq(1.0f, 0.0f), 0L),
