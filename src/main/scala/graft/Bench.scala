@@ -16,6 +16,10 @@ package graft
   *    49 s driver) precisely because it paid shingle mining + pair join +
   *    components + anti-join in one opaque timed block. The stage cost
   *    stays in the total (nothing is hidden); it is just attributed.
+  *  - per-query PROCESS CPU seconds ride along in `cpu_queries` (plus
+  *    `cpu_total` / `load_avg_end`): wall inflating while CPU stays flat
+  *    is machine contention, not a plan regression — the r3 drift
+  *    question becomes answerable from the artifact alone;
   *  - the JSON line is also written to `SPARK_GRAFT_BENCH_OUT` (default
   *    /tmp/graft_bench.json) and printed with a `GRAFT_BENCH_JSON:`
   *    prefix — round 1/2 artifacts show the bare stdout line drowned in
@@ -42,7 +46,20 @@ object Bench {
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
 
-    def timed(name: String)(body: => Unit): (String, Double, Boolean) = {
+    // process CPU time alongside wall time: on a contended box wall
+    // inflates while CPU stays flat, so the cpu_queries map lets a
+    // reader of the artifact distinguish machine-state drift from a
+    // plan regression (round-3 verdict: three entries recorded 3–4×
+    // their quiet-box wall with no code change — this settles such
+    // cases from the artifact itself). local[*] runs executors
+    // in-process, so process CPU covers the whole query.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+    case class Timing(name: String, wallSec: Double, cpuSec: Double, ok: Boolean)
+
+    def timed(name: String)(body: => Unit): Timing = {
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       val ok =
         try { body; true }
@@ -51,13 +68,14 @@ object Bench {
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      val dc = (osBean.getProcessCpuTime - c0) / 1e9
       // untimed, between queries: with a large fixed heap the JVM may not
       // GC for the whole run, so Spark's ContextCleaner (weak-ref driven)
       // never releases finished queries' shuffle/broadcast state — by the
       // ~50th query the accumulated bookkeeping inflated later queries up
       // to 4x. This is spark.cleaner.periodicGC at bench cadence.
       System.gc()
-      (name, dt, ok)
+      Timing(name, dt, dc, ok)
     }
 
     // explicit, separately-timed staging of the dedup ladder's shared
@@ -71,13 +89,17 @@ object Bench {
     val results = stageEntry +: ordered.map { case (name, fn) =>
       timed(name) { fn(spark, sfDir).count() }
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map(t => s"\"" + t.name + "\":" + t.wallSec)
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val cpuQs = results.map(t => s"\"" + t.name + "\":" + t.cpuSec)
+      .mkString("{", ",", "}")
+    val errs = results.collect { case t if !t.ok => "\"" + t.name + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.map(_.wallSec).sum
+    val cpuTotal = results.map(_.cpuSec).sum
+    val loadAvg = osBean.getSystemLoadAverage
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_queries":$cpuQs,"cpu_total":$cpuTotal,"load_avg_end":$loadAvg,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     println(s"GRAFT_BENCH_JSON: $json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")

@@ -728,6 +728,169 @@ object Ext {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Second Structured Streaming job under the driver's DuckDB gate: a
+    * STREAM-STREAM inner interval join (clicks × errors within ±10 min per
+    * user — the streaming twin of [[joinIntervalNative]]'s window, inner
+    * instead of left-outer) through the same stage→run→read-back harness
+    * as [[streamSessionizeSink]].
+    *
+    * Harness is SIMPLER here by design: an inner stream-stream join emits
+    * a pair as soon as both rows are buffered — the watermark governs only
+    * state eviction and outer-null emission, neither of which this query
+    * needs — so the whole staged input runs as one micro-batch with no
+    * sentinels and every in-window pair is in the sink when the
+    * AvailableNow trigger drains. (Left-outer would wait on the watermark
+    * to prove a click unmatched; that variant stays spec-covered in
+    * `StreamOpsSpec` against the batch oracle.) Both sides still carry
+    * watermarks + the time-range condition, so a long-running deployment
+    * of the same plan bounds its buffered state to the ±window. */
+  def streamIntervalJoinSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    import graft.core.Tmp
+    val log = graft.core.PhaseLog.start("stream_ij")
+    val ev = events(s, dir)
+    def side(kind: String, prefix: String) =
+      ev.filter(col("event_type") === kind)
+        .select(col("user_id").as(s"${prefix}_user"),
+          timestamp_micros(col("ts_us")).as(s"${prefix}_t"),
+          col("event_id").as(s"${prefix}_id"))
+    val lDir = Tmp.jvmScopedDir("stream_ij_l", dir)
+    val rDir = Tmp.jvmScopedDir("stream_ij_r", dir)
+    val outDir = Tmp.jvmScopedDir("stream_ij_out", dir)
+    val ckDir = Tmp.jvmScopedDir("stream_ij_ck", dir)
+    Tmp.deleteRecursively(outDir)
+    Tmp.deleteRecursively(ckDir)
+    side("click", "l").coalesce(1).write.mode("overwrite").parquet(lDir)
+    side("error", "r").coalesce(1).write.mode("overwrite").parquet(rDir)
+    log("staged inputs")
+    def rd(path: String, prefix: String) = s.readStream
+      .schema(s"${prefix}_user BIGINT, ${prefix}_t TIMESTAMP, ${prefix}_id BIGINT")
+      .parquet(path)
+    // state sizing: a stream-stream join runs FOUR state stores per
+    // partition per side, so partition count is an 8× store-instance
+    // multiplier — 4 partitions is plenty for this stream's key volume.
+    // The post-input no-data micro-batch is disabled: it exists to
+    // advance the watermark for eviction/outer-null emission, neither of
+    // which an inner join draining a finite input needs — measured, it
+    // was half the stream's wall time (state commit across all stores).
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      StreamOps.intervalJoin(rd(lDir, "l"), rd(rDir, "r"), "10 minutes")
+        .select(col("l_id").as("click_id"), col("l_user").as("user_id"),
+          col("r_id").as("err_id"),
+          (unix_micros(col("r_t")) - unix_micros(col("l_t"))).as("dt_us"))
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.coalesce(1).write.mode("append").parquet(outDir)
+        }
+        .start()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
+    q.awaitTermination()
+    q.recentProgress.foreach { p =>
+      log(s"batch=${p.batchId} rows=${p.numInputRows} ms=${p.durationMs}")
+    }
+    log("stream done")
+    Tmp.deleteRecursively(lDir)
+    Tmp.deleteRecursively(rDir)
+    Tmp.deleteRecursively(ckDir)
+    s.read.parquet(outDir).orderBy(col("click_id"), col("err_id"))
+  }
+
+  /** Third Structured Streaming job under the driver's DuckDB gate: a
+    * watermarked TUMBLING-WINDOW aggregation (per-user hourly counts/sums
+    * — the most common streaming op of all) through the stage→run→
+    * read-back harness.
+    *
+    * Unlike the inner interval join, an Append-mode window aggregate
+    * emits a window only when the event-time watermark passes its END —
+    * and the watermark used by micro-batch N is computed from batch
+    * N−1's max event time. So the harness stages THREE files with
+    * strictly increasing modification times under
+    * `maxFilesPerTrigger=1` (the file source processes oldest-first by
+    * default): the real events, then two far-future watermark-driver
+    * sentinels. Batch 1 (sentinel A) runs under the watermark derived
+    * from the real data; batch 2 (sentinel B) runs under sentinel A's
+    * watermark, which is past every real window's end — so every real
+    * window has emitted by stream end with no reliance on a post-input
+    * no-data micro-batch (not guaranteed under AvailableNow). Sentinel
+    * rows carry `user_id = -1` and are dropped on read-back; their own
+    * windows never close. The mtime choreography is test-harness
+    * scaffolding, labeled as such — a production stream has real arrival
+    * order and a live watermark. */
+  def streamTumblingSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Tmp
+    val log = graft.core.PhaseLog.start("stream_tw")
+    val winUs = 3600000000L // 1 hour tumble
+    val ev = events(s, dir)
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").cast("double").as("value"))
+    val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0)
+    val inDir = Tmp.jvmScopedDir("stream_tw_in", dir)
+    val outDir = Tmp.jvmScopedDir("stream_tw_out", dir)
+    val ckDir = Tmp.jvmScopedDir("stream_tw_ck", dir)
+    Tmp.deleteRecursively(inDir)
+    Tmp.deleteRecursively(outDir)
+    Tmp.deleteRecursively(ckDir)
+    new java.io.File(inDir).mkdirs()
+    val stageDir = inDir + "_stage"
+    def stageFile(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val part = new java.io.File(stageDir).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written for $name"))
+      val dest = new java.io.File(inDir, name)
+      java.nio.file.Files.move(part.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dest.setLastModified(mtimeMs): Unit
+    }
+    def sentinel(tsUs: Long): DataFrame =
+      ev.sparkSession.range(1).select(lit(-1L).as("user_id"),
+        lit(tsUs).as("ts_us"), lit(0.0).as("value"))
+    val now = System.currentTimeMillis()
+    stageFile(ev, "f0.parquet", now - 60000L)
+    stageFile(sentinel(maxTs + 100L * winUs), "f1.parquet", now - 40000L)
+    stageFile(sentinel(maxTs + 200L * winUs), "f2.parquet", now - 20000L)
+    Tmp.deleteRecursively(stageDir)
+    log("staged input")
+
+    val stream = s.readStream
+      .schema("user_id BIGINT, ts_us BIGINT, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .withColumn("t", timestamp_micros(col("ts_us")))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      graft.streaming.StreamOps.tumblingCounts(stream, "1 hour")
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.coalesce(1).write.mode("append").parquet(outDir)
+        }
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    log("stream done")
+    Tmp.deleteRecursively(inDir)
+    Tmp.deleteRecursively(ckDir)
+    s.read.parquet(outDir)
+      .filter(col("user_id") >= 0) // drop watermark-driver sentinels
+      .select(col("user_id"), col("window_start_us"), col("n_events"),
+        round(col("value_sum"), 2).as("value_sum"))
+      .orderBy(col("user_id"), col("window_start_us"))
+  }
+
   /** Feed-drift report over the mixed-format timestamp feed: per-format
     * row counts from `TimeOps.matchedFormat` (the same generated
     * `yy-`/`yyyy-` mix as [[csvRoundtrip]]) — the monitoring surface that
@@ -882,6 +1045,8 @@ object Ext {
     "csv_roundtrip" -> csvRoundtrip _,
     "fn_time_format_stats" -> fnTimeFormatStats _,
     "stream_sessionize_sink" -> streamSessionizeSink _,
+    "stream_interval_join_sink" -> streamIntervalJoinSink _,
+    "stream_tumbling_sink" -> streamTumblingSink _,
     "balance_bins" -> balanceBins _,
     "skew_salted_agg" -> skewSaltedAgg _,
     "agg_approx" -> aggApprox _,

@@ -463,6 +463,29 @@ object ExtOracle {
          FROM sess GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
 
+    // batch twin of the STREAMING interval-join round-trip: same ±10 min
+    // window as join_interval_native but inner (raw pairs, no grouping) —
+    // the streaming job emits exactly the in-window click×error pairs
+    "stream_interval_join_sink" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'click'),
+         e AS (SELECT user_id, event_id AS err_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'error')
+         SELECT c.click_id, c.user_id, e.err_id, e.ts_us - c.ts_us AS dt_us
+         FROM c JOIN e ON c.user_id = e.user_id
+           AND e.ts_us BETWEEN c.ts_us - 600000000 AND c.ts_us + 600000000
+         ORDER BY c.click_id, e.err_id""",
+
+    // batch twin of the STREAMING tumbling-window round-trip: Spark's
+    // window("1 hour") aligns tumbles to the unix epoch, which is exactly
+    // integer division of the µs timestamp by the window length
+    "stream_tumbling_sink" ->
+      """SELECT user_id,
+           (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+           count(*) AS n_events,
+           round(sum(CAST(event_id AS DOUBLE)), 2) AS value_sum
+         FROM events GROUP BY 1, 2 ORDER BY user_id, window_start_us""",
+
     "join_interval_native" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts_us
            FROM events WHERE event_type = 'click'),

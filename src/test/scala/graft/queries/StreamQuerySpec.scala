@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Registered-query-level parity for the streaming sink round-trips: the
+  * operator semantics are MemoryStream-spec'd in `StreamOpsSpec`; this
+  * pins the full stage→stream→sink→read-back harness against the batch
+  * plan it must reproduce (the same comparison the driver's DuckDB gate
+  * makes, minus the engine swap). */
+class StreamQuerySpec extends SparkSpec {
+
+  test("stream_interval_join_sink reproduces the batch interval join") {
+    val got = Ext.all("stream_interval_join_sink")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    val ev = graft.core.Tables.load(spark, sf0001, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+    def side(kind: String, p: String) =
+      ev.filter(col("event_type") === kind)
+        .select(col("user_id").as(s"${p}_user"), col("ts_us").as(s"${p}_ts"),
+          col("event_id").as(s"${p}_id"))
+    val W = 600000000L
+    val want = side("click", "l").join(side("error", "r"),
+        expr(s"l_user = r_user AND r_ts BETWEEN l_ts - $W AND l_ts + $W"))
+      .select(col("l_id").as("click_id"), col("l_user").as("user_id"),
+        col("r_id").as("err_id"), (col("r_ts") - col("l_ts")).as("dt_us"))
+      .orderBy(col("click_id"), col("err_id"))
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty, "no in-window click×error pairs at sf0.001")
+    assert(got == want, s"stream=$got batch=$want")
+  }
+
+  test("stream_tumbling_sink reproduces the batch hourly rollup completely") {
+    val winUs = 3600000000L
+    val got = Ext.all("stream_tumbling_sink")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    val want = graft.core.Tables.load(spark, sf0001, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .groupBy(col("user_id"),
+        (expr(s"ts_us div $winUs") * winUs).as("window_start_us"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("event_id").cast("double")), 2).as("value_sum"))
+      .orderBy(col("user_id"), col("window_start_us"))
+      .collect().map(_.toString).toSeq
+    // completeness is the point: EVERY window must have been closed by the
+    // sentinel watermark choreography, not just the early ones
+    assert(got.nonEmpty && got == want,
+      s"stream emitted ${got.size} windows, batch has ${want.size}")
+  }
+}
