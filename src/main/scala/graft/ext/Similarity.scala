@@ -264,6 +264,20 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** Recall@k of an approximate top-k against the exact top-k: per-query
+    * `hits` = |approx ∩ exact| and `n_exact` (≤ k — tiny corpora return
+    * fewer). Both inputs are (qid, rank, vec_id, …) frames as produced by
+    * the *TopK operators. The joins are qid-equi over candidate-sized
+    * relations (|Q|·k rows), so this quality probe costs O(|Q|·k) on top
+    * of the searches themselves. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("qid"), col("vec_id"))
+    val a = approx.select(col("qid"), col("vec_id").as("a_vec"))
+    e.join(a, e("qid") === a("qid") && col("vec_id") === col("a_vec"), "left")
+      .groupBy(e("qid"))
+      .agg(count(lit(1)).as("n_exact"), count(col("a_vec")).as("hits"))
+  }
+
   /** Embedding near-duplicate pairs: all unordered pairs within a blocking
     * key above a cosine floor. The blocking column keeps the pair join
     * equi-partitioned (label/cluster/LSH-bucket — never a full cross). */

@@ -457,6 +457,42 @@ object Ext {
         k = 10, nlist = 64, nprobe = 8)
       .orderBy(col("qid"), col("rank"))
 
+  /** ANN QUALITY under the driver oracle (upgrades the two rows-only ANN
+    * paths to a value-bearing gate, the `agg_approx` pattern): per-query
+    * recall@10 of the LSH and IVF searches against the exact brute-force
+    * ranking, pinned as booleans the oracle asserts TRUE — every query
+    * must find at least one true neighbor on each path, and the mean
+    * recall must clear each path's floor. Both indexes are deterministic
+    * (seeded hyperplanes / lowest-id-seeded Lloyd), so the booleans are
+    * rerun-stable. Floors sit ~0.1 under the weakest measured SF
+    * (avg recall sf0.001/0.01/0.1 — LSH .43/.42/.47, IVF .49/.63/.45;
+    * per-qid min 0.1 on both paths) so the gate catches a structural
+    * recall collapse (banding bug, probe mis-assignment), not noise. The recall table itself is
+    * |Q| rows — collected to the driver (documented driver-sized
+    * aggregate) so min/avg land in the bench tail via PhaseLog. */
+  def simAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val log = graft.core.PhaseLog.start("ann_recall")
+    val corpus = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val q = queryVecs(s, dir).filter(col("qvec").isNotNull)
+    val exact = Similarity.bruteForceTopK(q, corpus, 10)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def recalls(approx: DataFrame): Map[Long, Double] =
+      Similarity.recallAtK(exact, approx).collect()
+        .map(r => r.getLong(0) -> r.getLong(2).toDouble / r.getLong(1)).toMap
+    val lsh = recalls(Similarity.lshTopK(q, corpus, 10))
+    val ivf = recalls(Similarity.ivfTopK(q, corpus, 10, nlist = 64, nprobe = 8))
+    exact.unpersist(false)
+    def stats(m: Map[Long, Double]) = (m.values.min, m.values.sum / m.size)
+    val ((lshMin, lshAvg), (ivfMin, ivfAvg)) = (stats(lsh), stats(ivf))
+    log(f"lsh min=$lshMin%.2f avg=$lshAvg%.2f ivf min=$ivfMin%.2f avg=$ivfAvg%.2f")
+    import s.implicits._
+    lsh.keys.toSeq.sorted
+      .map(qid => (qid, lsh(qid) > 0, ivf(qid) > 0,
+        lshAvg >= 0.30, ivfAvg >= 0.35))
+      .toDF("qid", "lsh_hit_ok", "ivf_hit_ok", "lsh_avg_ok", "ivf_avg_ok")
+  }
+
   // ===== multimodal =====
 
   /** Batched binary "decode" to typed metadata (stubbed codec). */
@@ -1032,6 +1068,7 @@ object Ext {
     "sim_bruteforce_topk" -> simBruteforceTopk _,
     "sim_lsh_topk" -> simLshTopk _,
     "sim_ivf_topk" -> simIvfTopk _,
+    "sim_ann_recall" -> simAnnRecall _,
     "sim_quantized_topk" -> simQuantizedTopk _,
     "mm_decode_meta" -> mmDecodeMeta _,
     "mm_frame_sample" -> mmFrameSample _,

@@ -509,6 +509,15 @@ object ExtOracle {
            FROM lineitem)
          WHERE "rank" <= 3 ORDER BY l_returnflag, "rank"""",
 
+    // ANN quality gate (agg_approx pattern): the qid set is
+    // SQL-expressible; the recall booleans are computed Spark-side
+    // against the exact brute-force ranking and pinned TRUE here
+    "sim_ann_recall" ->
+      """SELECT vec_id AS qid, TRUE AS lsh_hit_ok, TRUE AS ivf_hit_ok,
+           TRUE AS lsh_avg_ok, TRUE AS ivf_avg_ok
+         FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL
+         ORDER BY qid""",
+
     // tolerance oracle for the sketch aggregates: the exact counts are
     // portable; the booleans assert each sketch sits within its declared
     // tolerance of the exact answer (computed Spark-side, pinned TRUE

@@ -118,6 +118,26 @@ class SimilaritySpec extends SparkSpec {
     assert(r.count() > 0)
   }
 
+  test("recallAtK: exact-vs-exact is total recall; disjoint approx is zero") {
+    val q = corpus.limit(2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(q, corpus, k = 3)
+    val total = Similarity.recallAtK(exact, exact)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(total.nonEmpty && total.forall { case (n, h) => n == h })
+    val none = Similarity.recallAtK(exact,
+      exact.withColumn("vec_id", col("vec_id") + 1000))
+      .collect().map(_.getLong(2))
+    assert(none.forall(_ == 0L))
+  }
+
+  test("sim_ann_recall gate: every boolean TRUE on the real table") {
+    val rows = graft.queries.Ext.all("sim_ann_recall")(spark, sf0001).collect()
+    assert(rows.length == 10) // vec_id % 50 == 0 at sf0.001
+    assert(rows.forall(r => (1 to 4).forall(i => r.getBoolean(i))),
+      rows.map(_.toString).mkString(","))
+  }
+
   test("cosinePairs respects blocking and threshold") {
     val v = Seq(
       (1L, Seq(1.0f, 0.0f), 0L),

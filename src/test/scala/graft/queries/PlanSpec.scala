@@ -119,6 +119,19 @@ class PlanSpec extends SparkSpec {
       s"broadcast hint crept into the sketch-verify flow:\n$optimized")
   }
 
+  test("sim_ivf_topk: centroid scoring is the broadcast-model expression, not a literal tree") {
+    // nlist=64 centroids must ride the broadcast store — the plan text is
+    // O(1) in nlist; the regression is a folded per-centroid literal
+    // chain (plan size O(nlist·dim), a planner/codegen blowup at
+    // realistic centroid counts)
+    val q = graft.SparkEntry.queries("sim_ivf_topk")(spark, sf001)
+    val p = q.queryExecution.optimizedPlan.toString
+    assert(p.contains("centroid_top_ids"),
+      s"broadcast centroid scoring missing:\n$p")
+    assert(p.length < 100000,
+      s"plan text is ${p.length} chars — literal centroid folding is back")
+  }
+
   test("dedup_apply: the anti-join is not hint-forced to broadcast") {
     // AQE may still pick broadcast at runtime when the loser set fits —
     // the regression is a *hint* (unbounded at 100 TB). EliminateResolvedHint
