@@ -81,7 +81,9 @@ object Stage {
   * bounded. Concurrent same-key callers would need per-call dirs and a
   * lifecycle to reclaim them. */
 object Tmp {
-  private lazy val jvmTag =
+  /** Per-JVM disambiguator — also the right suffix for catalog-level
+    * names (temp tables) that must not collide across processes. */
+  lazy val jvmTag: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
   /** Stable within this JVM for a given (tag, key); distinct across JVMs.

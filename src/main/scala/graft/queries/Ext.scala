@@ -764,6 +764,44 @@ object Ext {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** BUCKETED co-located join under the driver oracle — the 100 TB lever
+    * for repeated fact-fact joins: both tables are staged as bucketed,
+    * bucket-sorted external tables on the join key (8 buckets, a scaled
+    * stand-in for the thousands a real deployment uses), so the join
+    * plans as a sort-merge over pre-shuffled files with ZERO exchanges
+    * (`BucketingSpec` pins that plan shape; `PlanSpec` pins it for this
+    * very query). The driver gate then pins the RESULT of the bucketed
+    * pipeline: write → catalog → bucket-aware scan → join → rollup must
+    * be byte-lossless vs DuckDB joining the original parquet. Staging
+    * overwrites JVM-scoped paths (bounded disk, no cross-process race;
+    * table names are per-JVM for the same reason). */
+  def srcBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Tmp
+    val (liTab, orTab) =
+      (s"graft_bkt_li_${Tmp.jvmTag}", s"graft_bkt_or_${Tmp.jvmTag}")
+    val log = graft.core.PhaseLog.start("bucketed")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .write.mode("overwrite")
+      .option("path", Tmp.jvmScopedDir("bkt_li", dir))
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(liTab)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite")
+      .option("path", Tmp.jvmScopedDir("bkt_or", dir))
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(orTab)
+    log("staged bucketed tables")
+    s.table(liTab)
+      .join(s.table(orTab), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Second Structured Streaming job under the driver's DuckDB gate: a
     * STREAM-STREAM inner interval join (clicks × errors within ±10 min per
     * user — the streaming twin of [[joinIntervalNative]]'s window, inner
@@ -1080,6 +1118,7 @@ object Ext {
     "join_range_bucketed" -> joinRangeBucketed _,
     "join_interval_native" -> joinIntervalNative _,
     "csv_roundtrip" -> csvRoundtrip _,
+    "src_bucketed_join" -> srcBucketedJoin _,
     "fn_time_format_stats" -> fnTimeFormatStats _,
     "stream_sessionize_sink" -> streamSessionizeSink _,
     "stream_interval_join_sink" -> streamIntervalJoinSink _,

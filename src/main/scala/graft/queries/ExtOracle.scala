@@ -463,6 +463,15 @@ object ExtOracle {
          FROM sess GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
 
+    // the bucketed write→scan→join pipeline must be byte-lossless, so the
+    // oracle is the same join straight off the original parquet
+    "src_bucketed_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n,
+           round(sum(l.l_quantity), 2) AS sum_qty,
+           round(sum(l.l_extendedprice), 2) AS sum_price
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
+
     // batch twin of the STREAMING interval-join round-trip: same ±10 min
     // window as join_interval_native but inner (raw pairs, no grouping) —
     // the streaming job emits exactly the in-window click×error pairs

@@ -102,6 +102,36 @@ object Pipeline {
     out
   }
 
+  /** Stage-1 numbering-mode contrast (r3 verdict "missing" #3): the
+    * reference's COMMITTED stage-1 numbering drops every row (its bound
+    * machinery branches on a lag-state value the flag computation can
+    * never produce — `ops.PatternExtraction` scaladoc, preserved
+    * verbatim behind `Config(restoredNumbering = false)`), while the
+    * restored gaps-and-islands numbering is the default. One summary row
+    * per mode — count, distinct patterns, order-invariant checksum — so
+    * the driver's rows-only gate pins BOTH behaviors: the bug-compat
+    * mode must stay exactly empty, the restored mode's checksum pins the
+    * full numbering. Not SQL-expressible as a semantic (the point is the
+    * engine's mode flag), hence no oracle. */
+  def patternModes(s: SparkSession, dir: String): DataFrame = {
+    val fleet = syntheticFleet(s, dir)
+    def summarize(mode: String, restored: Boolean): DataFrame =
+      PatternExtraction.run(fleet, busLine = None,
+          cfg = PatternExtraction.Config(qualify = false,
+            restoredNumbering = restored))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(countDistinct(col("id"), col("patternID")), lit(0L))
+            .as("n_patterns"),
+          coalesce(sum(hash(col("id"), col("patternID"), col("t"))), lit(0L))
+            .as("checksum"))
+        .select(lit(mode).as("mode"), col("n_rows"), col("n_patterns"),
+          col("checksum"))
+    summarize("reference_as_committed", restored = false)
+      .unionByName(summarize("restored", restored = true))
+      .orderBy(col("mode"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_blindzone" -> blindZone _)
+    "pipeline_blindzone" -> blindZone _,
+    "pipeline_pattern_modes" -> patternModes _)
 }

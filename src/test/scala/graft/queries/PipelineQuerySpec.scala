@@ -19,6 +19,18 @@ class PipelineQuerySpec extends SparkSpec {
     assert(rows.exists(r => !r.isNullAt(5)), "no graded signal at sf0.001")
   }
 
+  test("pipeline_pattern_modes: bug-compat mode exactly empty, restored mode pinned") {
+    val rows = Pipeline.patternModes(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("reference_as_committed", "restored"))
+    val ref = rows(0)
+    assert(ref.getLong(1) == 0L && ref.getLong(2) == 0L && ref.getLong(3) == 0L,
+      s"the preserved reference bug must drop every row: $ref")
+    val restored = rows(1)
+    assert(restored.getLong(1) > 0L && restored.getLong(2) > 0L,
+      s"restored numbering produced nothing: $restored")
+  }
+
   test("pipeline_blindzone result is stable across shuffle-partition settings") {
     def run(): Array[String] =
       Pipeline.blindZone(spark, sf0001).collect().map(_.toString).sorted

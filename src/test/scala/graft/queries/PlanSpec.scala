@@ -132,6 +132,25 @@ class PlanSpec extends SparkSpec {
       s"plan text is ${p.length} chars — literal centroid folding is back")
   }
 
+  test("src_bucketed_join: co-located join, no exchange on either side") {
+    // small SFs fit under the broadcast threshold — disable it so the
+    // plan shows what a fact-fact join does at scale, where bucketing
+    // is the lever (broadcast would mask the exchange-free property)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // staging runs eagerly when the query is built; the returned frame
+      // is the bucketed-scan join whose point is exchange-free planning
+      val q = graft.SparkEntry.queries("src_bucketed_join")(spark, sf0001)
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"),
+        s"expected a merge join over bucketed scans:\n$p")
+      assert(!p.split("\n").exists(l => l.contains("Exchange hashpartitioning")
+          && (l.contains("l_orderkey") || l.contains("o_orderkey"))),
+        s"bucketed join re-shuffled a side:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("dedup_apply: the anti-join is not hint-forced to broadcast") {
     // AQE may still pick broadcast at runtime when the loser set fits —
     // the regression is a *hint* (unbounded at 100 TB). EliminateResolvedHint
