@@ -53,13 +53,21 @@ object Bench {
     // their quiet-box wall with no code change — this settles such
     // cases from the artifact itself). local[*] runs executors
     // in-process, so process CPU covers the whole query.
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // the com.sun interface is HotSpot-specific — degrade to cpu=-1
+    // rather than crashing Bench on a JVM whose bean doesn't carry it
+    val osBean: Option[com.sun.management.OperatingSystemMXBean] =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => Some(b)
+        case _ =>
+          System.err.println("[bench] process CPU time unavailable on this JVM")
+          None
+      }
+    def cpuNow(): Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
 
     case class Timing(name: String, wallSec: Double, cpuSec: Double, ok: Boolean)
 
     def timed(name: String)(body: => Unit): Timing = {
-      val c0 = osBean.getProcessCpuTime
+      val c0 = cpuNow()
       val t0 = System.nanoTime()
       val ok =
         try { body; true }
@@ -68,7 +76,7 @@ object Bench {
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      val dc = (osBean.getProcessCpuTime - c0) / 1e9
+      val dc = if (c0 < 0) -1.0 else (cpuNow() - c0) / 1e9
       // untimed, between queries: with a large fixed heap the JVM may not
       // GC for the whole run, so Spark's ContextCleaner (weak-ref driven)
       // never releases finished queries' shuffle/broadcast state — by the
@@ -97,7 +105,9 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_.wallSec).sum
     val cpuTotal = results.map(_.cpuSec).sum
-    val loadAvg = osBean.getSystemLoadAverage
+    // load average is on the PLATFORM bean (not the com.sun extension)
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_queries":$cpuQs,"cpu_total":$cpuTotal,"load_avg_end":$loadAvg,"errors":$errs,"sf":"$sfDir"}"""
     println(json)

@@ -25,9 +25,13 @@ final class CentroidModel(
   *
   * Arithmetic parity with the Column formulation it replaces: score =
   * (sequential left-fold dot, floats widened to double per element) /
-  * precomputed centroid norm; ties broken toward the LOWEST centroid id;
-  * NaN scores order below everything real (`Double.compare`). Null on a
-  * null/length-mismatched vector or null elements — the SeqDot contract.
+  * precomputed centroid norm; ties broken toward the LOWEST centroid id.
+  * A zero-norm (degenerate) centroid scores -∞ and can never win — the
+  * Column form's 0/0 division yielded NULL, which `greatest` skipped;
+  * leaving the raw NaN here would have INVERTED that (`Double.compare`
+  * ranks NaN above every real, so one zero seed would swallow the whole
+  * corpus). Null on a null/length-mismatched vector or null elements —
+  * the SeqDot contract.
   */
 object CentroidMath {
   def topCids(vec: ArrayData, model: CentroidModel,
@@ -51,7 +55,9 @@ object CentroidMath {
         acc += x * cv(j)
         j += 1
       }
-      scores(c) = acc / model.norms(c)
+      scores(c) =
+        if (model.norms(c) == 0.0) Double.NegativeInfinity
+        else acc / model.norms(c)
       c += 1
     }
     // top-n selection by (score desc, cid asc): O(m·topn), topn is tiny

@@ -469,12 +469,24 @@ object Ext {
     * per-qid min 0.1 on both paths) so the gate catches a structural
     * recall collapse (banding bug, probe mis-assignment), not noise. The recall table itself is
     * |Q| rows — collected to the driver (documented driver-sized
-    * aggregate) so min/avg land in the bench tail via PhaseLog. */
+    * aggregate) so min/avg land in the bench tail via PhaseLog.
+    *
+    * Deliberate: this re-runs both searches (and IVF training) rather
+    * than staging them like the dedup ladder — at the bench corpus
+    * (2k×64) the whole gate is ~1s, and model-staging machinery earns
+    * its complexity only at corpus scales where you'd persist the
+    * trained index anyway. */
   def simAnnRecall(s: SparkSession, dir: String): DataFrame = {
     val log = graft.core.PhaseLog.start("ann_recall")
     val corpus = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
-    val q = queryVecs(s, dir).filter(col("qvec").isNotNull)
+    // a query vector with a null ELEMENT stays rankable by brute force
+    // (null cos sorts last) but is dropped whole by the IVF probe
+    // explode — it must leave the gate's row set on BOTH sides (oracle
+    // mirrors this with list_filter), or its forced 0-recall row would
+    // fail the pinned booleans with no actual ANN regression
+    val q = queryVecs(s, dir).filter(col("qvec").isNotNull &&
+      forall(col("qvec"), x => x.isNotNull))
     val exact = Similarity.bruteForceTopK(q, corpus, 10)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def recalls(approx: DataFrame): Map[Long, Double] =
@@ -483,10 +495,17 @@ object Ext {
     val lsh = recalls(Similarity.lshTopK(q, corpus, 10))
     val ivf = recalls(Similarity.ivfTopK(q, corpus, 10, nlist = 64, nprobe = 8))
     exact.unpersist(false)
+    import s.implicits._
+    if (lsh.isEmpty) {
+      // no qualifying queries at this scale — the oracle row set is empty
+      // too; emit the empty frame instead of crashing on min()
+      log("no qualifying queries")
+      return Seq.empty[(Long, Boolean, Boolean, Boolean, Boolean)]
+        .toDF("qid", "lsh_hit_ok", "ivf_hit_ok", "lsh_avg_ok", "ivf_avg_ok")
+    }
     def stats(m: Map[Long, Double]) = (m.values.min, m.values.sum / m.size)
     val ((lshMin, lshAvg), (ivfMin, ivfAvg)) = (stats(lsh), stats(ivf))
     log(f"lsh min=$lshMin%.2f avg=$lshAvg%.2f ivf min=$ivfMin%.2f avg=$ivfAvg%.2f")
-    import s.implicits._
     lsh.keys.toSeq.sorted
       .map(qid => (qid, lsh(qid) > 0, ivf(qid) > 0,
         lshAvg >= 0.30, ivfAvg >= 0.35))
@@ -702,6 +721,42 @@ object Ext {
     *    sentinels — this is test-harness scaffolding, labeled as such.
     *  - value_sum sums integer-valued doubles (event ids ≪ 2⁵³), so the
     *    fold order difference between engines cannot produce drift. */
+  /** Shared harness for the three streaming sink queries: scoped conf
+    * overrides (state-partition sizing etc. — restored in a finally),
+    * one AvailableNow run of `plan` into a foreachBatch parquet appender
+    * at `outDir`, per-batch progress in the bench tail, and the
+    * checkpoint dir deleted even when the stream fails (a stale
+    * checkpoint would make the NEXT run resume past its staged input and
+    * emit nothing). Callers own input staging/cleanup — that is where
+    * the three queries genuinely differ. */
+  private def runStreamToParquet(
+      s: SparkSession, outDir: String, ckDir: String,
+      confs: Map[String, String], log: String => Unit)(
+      plan: => DataFrame): Unit = {
+    import graft.core.Tmp
+    Tmp.deleteRecursively(outDir)
+    Tmp.deleteRecursively(ckDir)
+    val prev = confs.keys.map(k => k -> s.conf.get(k)).toMap
+    val q = try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      plan.writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.coalesce(1).write.mode("append").parquet(outDir)
+        }
+        .start()
+    } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      q.awaitTermination()
+      q.recentProgress.foreach { p =>
+        log(s"batch=${p.batchId} rows=${p.numInputRows} ms=${p.durationMs}")
+      }
+    } finally Tmp.deleteRecursively(ckDir)
+    log("stream done")
+  }
+
   def streamSessionizeSink(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamOps
     import s.implicits._
@@ -715,49 +770,33 @@ object Ext {
     val sentinels = ev.groupBy(col("user_id"))
       .agg(lit(maxTs + 10 * gapUs).as("ts_us"), lit(0.0).as("value"))
     // JVM-scoped stable dirs keep disk bounded across invocations (a
-    // fresh temp dir per call leaked a full events copy per bench rep).
-    // The checkpoint dir must be CLEARED each run — resuming offsets from
-    // a previous run would see no new files and emit nothing — and both
-    // it and the (large) input staging dir are deleted right after the
-    // stream terminates; only the small session output outlives the call
-    // (the returned DataFrame reads it lazily) until the next run's clear.
+    // fresh temp dir per call leaked a full events copy per bench rep);
+    // checkpoint lifecycle is the harness's job, the (large) input
+    // staging dir is deleted right after the stream terminates; only the
+    // small session output outlives the call (the returned DataFrame
+    // reads it lazily) until the next run's clear.
     import graft.core.Tmp
     val inDir = Tmp.jvmScopedDir("stream_in", dir)
     val outDir = Tmp.jvmScopedDir("stream_out", dir)
     val ckDir = Tmp.jvmScopedDir("stream_ck", dir)
-    Tmp.deleteRecursively(outDir)
-    Tmp.deleteRecursively(ckDir)
     ev.unionByName(sentinels).coalesce(1).write.mode("overwrite").parquet(inDir)
     log("staged input")
 
-    val stream = s.readStream
-      .schema("user_id BIGINT, ts_us BIGINT, value DOUBLE")
-      .parquet(inDir)
-      .withColumn("t", timestamp_micros(col("ts_us")))
-      .select(col("user_id"), col("t"), col("ts_us"), col("value"))
-      .as[StreamOps.KeyedEvent]
     // state partition count is a DELIBERATE per-stream choice (it freezes
     // into the checkpoint): a streaming job sizes it to active-key volume,
     // not to the batch session's shuffle width — 32 state stores for this
     // feed is pure per-partition overhead (open/commit per micro-batch).
-    // The conf is runtime-mutable and scoped back in the finally.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      StreamOps.sessionize(stream, gapUs)
-        .writeStream
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckDir)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamOps.Session], _: Long) =>
-          batch.write.mode("append").parquet(outDir)
-        }
-        .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
-    log("stream done")
+    runStreamToParquet(s, outDir, ckDir,
+      Map("spark.sql.shuffle.partitions" -> "8"), log) {
+      val stream = s.readStream
+        .schema("user_id BIGINT, ts_us BIGINT, value DOUBLE")
+        .parquet(inDir)
+        .withColumn("t", timestamp_micros(col("ts_us")))
+        .select(col("user_id"), col("t"), col("ts_us"), col("value"))
+        .as[StreamOps.KeyedEvent]
+      StreamOps.sessionize(stream, gapUs).toDF()
+    }
     Tmp.deleteRecursively(inDir)
-    Tmp.deleteRecursively(ckDir)
     s.read.parquet(outDir)
       .select(col("user_id"), col("session_id"), col("n_events"),
         col("start_us"), col("end_us"), round(col("value_sum"), 2).as("value_sum"))
@@ -832,8 +871,6 @@ object Ext {
     val rDir = Tmp.jvmScopedDir("stream_ij_r", dir)
     val outDir = Tmp.jvmScopedDir("stream_ij_out", dir)
     val ckDir = Tmp.jvmScopedDir("stream_ij_ck", dir)
-    Tmp.deleteRecursively(outDir)
-    Tmp.deleteRecursively(ckDir)
     side("click", "l").coalesce(1).write.mode("overwrite").parquet(lDir)
     side("error", "r").coalesce(1).write.mode("overwrite").parquet(rDir)
     log("staged inputs")
@@ -847,35 +884,16 @@ object Ext {
     // advance the watermark for eviction/outer-null emission, neither of
     // which an inner join draining a finite input needs — measured, it
     // was half the stream's wall time (state commit across all stores).
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    runStreamToParquet(s, outDir, ckDir,
+      Map("spark.sql.shuffle.partitions" -> "4",
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"), log) {
       StreamOps.intervalJoin(rd(lDir, "l"), rd(rDir, "r"), "10 minutes")
         .select(col("l_id").as("click_id"), col("l_user").as("user_id"),
           col("r_id").as("err_id"),
           (unix_micros(col("r_t")) - unix_micros(col("l_t"))).as("dt_us"))
-        .writeStream
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckDir)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.coalesce(1).write.mode("append").parquet(outDir)
-        }
-        .start()
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
     }
-    q.awaitTermination()
-    q.recentProgress.foreach { p =>
-      log(s"batch=${p.batchId} rows=${p.numInputRows} ms=${p.durationMs}")
-    }
-    log("stream done")
     Tmp.deleteRecursively(lDir)
     Tmp.deleteRecursively(rDir)
-    Tmp.deleteRecursively(ckDir)
     s.read.parquet(outDir).orderBy(col("click_id"), col("err_id"))
   }
 
@@ -912,8 +930,6 @@ object Ext {
     val outDir = Tmp.jvmScopedDir("stream_tw_out", dir)
     val ckDir = Tmp.jvmScopedDir("stream_tw_ck", dir)
     Tmp.deleteRecursively(inDir)
-    Tmp.deleteRecursively(outDir)
-    Tmp.deleteRecursively(ckDir)
     new java.io.File(inDir).mkdirs()
     val stageDir = inDir + "_stage"
     def stageFile(df: DataFrame, name: String, mtimeMs: Long): Unit = {
@@ -924,7 +940,11 @@ object Ext {
       val dest = new java.io.File(inDir, name)
       java.nio.file.Files.move(part.toPath, dest.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      dest.setLastModified(mtimeMs): Unit
+      // the whole sentinel choreography rides on these mtimes — a
+      // filesystem that rejects the set must fail loudly, not scramble
+      // the batch order into silent row-dropping
+      require(dest.setLastModified(mtimeMs),
+        s"could not set mtime on $dest; file-source batch order would be undefined")
     }
     def sentinel(tsUs: Long): DataFrame =
       ev.sparkSession.range(1).select(lit(-1L).as("user_id"),
@@ -936,28 +956,16 @@ object Ext {
     Tmp.deleteRecursively(stageDir)
     log("staged input")
 
-    val stream = s.readStream
-      .schema("user_id BIGINT, ts_us BIGINT, value DOUBLE")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(inDir)
-      .withColumn("t", timestamp_micros(col("ts_us")))
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+    runStreamToParquet(s, outDir, ckDir,
+      Map("spark.sql.shuffle.partitions" -> "8"), log) {
+      val stream = s.readStream
+        .schema("user_id BIGINT, ts_us BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .withColumn("t", timestamp_micros(col("ts_us")))
       graft.streaming.StreamOps.tumblingCounts(stream, "1 hour")
-        .writeStream
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckDir)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.coalesce(1).write.mode("append").parquet(outDir)
-        }
-        .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
-    log("stream done")
+    }
     Tmp.deleteRecursively(inDir)
-    Tmp.deleteRecursively(ckDir)
     s.read.parquet(outDir)
       .filter(col("user_id") >= 0) // drop watermark-driver sentinels
       .select(col("user_id"), col("window_start_us"), col("n_events"),

@@ -525,6 +525,7 @@ object ExtOracle {
       """SELECT vec_id AS qid, TRUE AS lsh_hit_ok, TRUE AS ivf_hit_ok,
            TRUE AS lsh_avg_ok, TRUE AS ivf_avg_ok
          FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL
+           AND len(list_filter(embedding, x -> x IS NULL)) = 0
          ORDER BY qid""",
 
     // tolerance oracle for the sketch aggregates: the exact counts are

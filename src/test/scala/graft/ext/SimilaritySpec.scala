@@ -118,6 +118,25 @@ class SimilaritySpec extends SparkSpec {
     assert(r.count() > 0)
   }
 
+  test("zero-norm centroid can never win an assignment (NaN inversion regression)") {
+    // an all-zero vector among the seeds makes a degenerate centroid:
+    // its cosine is 0/0 = NaN, and Double.compare ranks NaN above every
+    // real — unguarded, one zero seed swallowed the whole corpus
+    val degenerate = Seq(
+      (1L, Seq(0.0f, 0.0f)), // zero seed → zero-norm centroid 0
+      (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.9f, 0.1f)),
+      (4L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val model = Similarity.broadcastModel(spark,
+      Similarity.trainCentroids(degenerate, nlist = 2, iters = 0))
+    val cids = degenerate
+      .select(col("vec_id"), Similarity.nearestCentroid(col("embedding"), model))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // centroid 0 is the zero vector, centroid 1 is (1,0): every vector
+    // with a real score must land on 1, never the NaN-scoring 0
+    assert(Seq(2L, 3L).forall(cids(_) == 1), s"assignment: $cids")
+  }
+
   test("recallAtK: exact-vs-exact is total recall; disjoint approx is zero") {
     val q = corpus.limit(2)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
