@@ -757,10 +757,24 @@ object Ext {
     log("stream done")
   }
 
-  def streamSessionizeSink(s: SparkSession, dir: String): DataFrame = {
+  def streamSessionizeSink(s: SparkSession, dir: String): DataFrame =
+    streamSessionizeSinkImpl(s, dir, tws = false)
+
+  /** [[streamSessionizeSink]] on the `transformWithState` API
+    * (`StreamOps.sessionizeTws` — explicit ValueState + event-time
+    * timers in the RocksDB state store, the provider that API requires;
+    * the conf is scoped to this query by the harness). Same staged
+    * input, same sentinel close, same DuckDB oracle — the gate proves
+    * BOTH stateful-processing APIs compute the batch gaps-and-islands
+    * semantics, not just the flatMapGroupsWithState form. */
+  def streamSessionizeTwsSink(s: SparkSession, dir: String): DataFrame =
+    streamSessionizeSinkImpl(s, dir, tws = true)
+
+  private def streamSessionizeSinkImpl(
+      s: SparkSession, dir: String, tws: Boolean): DataFrame = {
     import graft.streaming.StreamOps
     import s.implicits._
-    val log = graft.core.PhaseLog.start("stream_sink")
+    val log = graft.core.PhaseLog.start(if (tws) "stream_sink_tws" else "stream_sink")
     val gapUs = 1800000000L // 30 min — same gap as the batch win_sessionize
     val ev = events(s, dir)
       .select(col("user_id"), col("ts_us"),
@@ -776,9 +790,10 @@ object Ext {
     // small session output outlives the call (the returned DataFrame
     // reads it lazily) until the next run's clear.
     import graft.core.Tmp
-    val inDir = Tmp.jvmScopedDir("stream_in", dir)
-    val outDir = Tmp.jvmScopedDir("stream_out", dir)
-    val ckDir = Tmp.jvmScopedDir("stream_ck", dir)
+    val tag = if (tws) "stream_tws" else "stream"
+    val inDir = Tmp.jvmScopedDir(s"${tag}_in", dir)
+    val outDir = Tmp.jvmScopedDir(s"${tag}_out", dir)
+    val ckDir = Tmp.jvmScopedDir(s"${tag}_ck", dir)
     ev.unionByName(sentinels).coalesce(1).write.mode("overwrite").parquet(inDir)
     log("staged input")
 
@@ -786,15 +801,19 @@ object Ext {
     // into the checkpoint): a streaming job sizes it to active-key volume,
     // not to the batch session's shuffle width — 32 state stores for this
     // feed is pure per-partition overhead (open/commit per micro-batch).
-    runStreamToParquet(s, outDir, ckDir,
-      Map("spark.sql.shuffle.partitions" -> "8"), log) {
+    val confs = Map("spark.sql.shuffle.partitions" -> "8") ++
+      (if (tws) Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      else Map.empty)
+    runStreamToParquet(s, outDir, ckDir, confs, log) {
       val stream = s.readStream
         .schema("user_id BIGINT, ts_us BIGINT, value DOUBLE")
         .parquet(inDir)
         .withColumn("t", timestamp_micros(col("ts_us")))
         .select(col("user_id"), col("t"), col("ts_us"), col("value"))
         .as[StreamOps.KeyedEvent]
-      StreamOps.sessionize(stream, gapUs).toDF()
+      if (tws) StreamOps.sessionizeTws(stream, gapUs).toDF()
+      else StreamOps.sessionize(stream, gapUs).toDF()
     }
     Tmp.deleteRecursively(inDir)
     s.read.parquet(outDir)
@@ -895,6 +914,156 @@ object Ext {
     Tmp.deleteRecursively(lDir)
     Tmp.deleteRecursively(rDir)
     s.read.parquet(outDir).orderBy(col("click_id"), col("err_id"))
+  }
+
+  /** The custom STREAM-STREAM AS-OF JOIN under the driver's DuckDB gate —
+    * the one streaming operator Spark has no built-in for
+    * (`StreamOps.asofJoinStream`: watermark-finalized probes, one floor
+    * build per key). Purchases probe signups, mirroring
+    * [[joinAsofNative]]'s batch shape and its DuckDB `ASOF LEFT JOIN`
+    * oracle — so the gate proves the streaming operator computes exactly
+    * the batch as-of semantics on a real feed.
+    *
+    * Watermark choreography: a probe emits only once the watermark
+    * passes its event time, and the watermark of micro-batch N comes
+    * from batch N−1's max event time — so the BUILD side stages the
+    * mtime-ordered sentinel ladder ([[streamTumblingSink]]'s trick;
+    * the watermark is computed over the tagged UNION of both inputs, so
+    * one side's sentinels advance it for all keys). Batch 0 buffers all
+    * real probes+builds and registers per-key event-time timers;
+    * sentinel batches 1–2 walk the watermark past every probe, and the
+    * expired timers re-invoke each key to flush its finalized matches —
+    * no reliance on a post-input no-data batch. Sentinel builds ride
+    * key −1, which no probe ever carries. */
+  def streamAsofSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Tmp
+    val log = graft.core.PhaseLog.start("stream_asof")
+    val ev = events(s, dir)
+    val sgn = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("ref_id"))
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("t"),
+        col("ts_us"), col("ref_id"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("t"),
+        col("ts_us"), col("event_id").as("ref_id"))
+    val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0)
+    log("staged aggregates planned")
+    val pDir = Tmp.jvmScopedDir("stream_asof_p", dir)
+    val bDir = Tmp.jvmScopedDir("stream_asof_b", dir)
+    val outDir = Tmp.jvmScopedDir("stream_asof_out", dir)
+    val ckDir = Tmp.jvmScopedDir("stream_asof_ck", dir)
+    Tmp.deleteRecursively(pDir)
+    Tmp.deleteRecursively(bDir)
+    new java.io.File(bDir).mkdirs()
+    pur.coalesce(1).write.mode("overwrite").parquet(pDir)
+    val stageDir = bDir + "_stage"
+    def stageFile(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val part = new java.io.File(stageDir).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written for $name"))
+      val dest = new java.io.File(bDir, name)
+      java.nio.file.Files.move(part.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      require(dest.setLastModified(mtimeMs),
+        s"could not set mtime on $dest; file-source batch order would be undefined")
+    }
+    def sentinel(tsUs: Long): DataFrame =
+      ev.sparkSession.range(1).select(lit(-1L).as("user_id"),
+        timestamp_micros(lit(tsUs)).as("t"), lit(tsUs).as("ts_us"),
+        lit(-1L).as("ref_id"))
+    val wmUs = 600000000L // 10 min watermark delay
+    val now = System.currentTimeMillis()
+    stageFile(sgn, "b0.parquet", now - 60000L)
+    stageFile(sentinel(maxTs + 100L * wmUs), "b1.parquet", now - 40000L)
+    stageFile(sentinel(maxTs + 200L * wmUs), "b2.parquet", now - 20000L)
+    Tmp.deleteRecursively(stageDir)
+    log("staged inputs")
+    def rd(path: String) = s.readStream
+      .schema("user_id BIGINT, t TIMESTAMP, ts_us BIGINT, ref_id BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(path)
+    runStreamToParquet(s, outDir, ckDir,
+      Map("spark.sql.shuffle.partitions" -> "8"), log) {
+      graft.streaming.StreamOps
+        .asofJoinStream(rd(pDir), rd(bDir), "10 minutes")
+        .toDF()
+        .select(col("probe_id").as("p_event"), col("user_id"),
+          col("probe_us").as("p_ts"), col("build_us").as("s_ts"),
+          col("build_id").as("s_event"))
+    }
+    Tmp.deleteRecursively(pDir)
+    Tmp.deleteRecursively(bDir)
+    s.read.parquet(outDir).orderBy(col("p_event"))
+  }
+
+  /** STREAM-STATIC BROADCAST ENRICHMENT under the driver's DuckDB gate:
+    * each streamed event picks up its user's static dimension row
+    * (`StreamOps.enrichStream` — the streaming twin of the batch
+    * broadcast dim join). Stateless: no watermark, no state store, the
+    * dim is broadcast per micro-batch (so a dim refresh lands without a
+    * restart), and rows emit in-batch — the sentinel-free one-batch
+    * harness. The dim here is a per-user rollup of the same feed, so
+    * the oracle is a plain SQL join+group. */
+  def streamEnrichSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Tmp
+    val log = graft.core.PhaseLog.start("stream_en")
+    val ev = events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val dim = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_user_events"), min(col("ts_us")).as("first_ts"))
+    val inDir = Tmp.jvmScopedDir("stream_en_in", dir)
+    val outDir = Tmp.jvmScopedDir("stream_en_out", dir)
+    val ckDir = Tmp.jvmScopedDir("stream_en_ck", dir)
+    ev.coalesce(1).write.mode("overwrite").parquet(inDir)
+    log("staged input")
+    runStreamToParquet(s, outDir, ckDir,
+      Map("spark.sql.shuffle.partitions" -> "8"), log) {
+      val stream = s.readStream
+        .schema("user_id BIGINT, ts_us BIGINT, event_id BIGINT")
+        .parquet(inDir)
+      graft.streaming.StreamOps.enrichStream(stream, dim, Seq("user_id"))
+        .select(col("event_id"), col("user_id"),
+          col("n_user_events"), col("first_ts"))
+    }
+    Tmp.deleteRecursively(inDir)
+    s.read.parquet(outDir).orderBy(col("event_id"))
+  }
+
+  /** STREAMING EXACT DEDUP under the driver's DuckDB gate: the events
+    * feed staged with every row duplicated (a re-send simulation — the
+    * at-least-once delivery a real ingest pipeline sees), streamed
+    * through `dropDuplicatesWithinWatermark` on the business key. First
+    * occurrences emit in-batch (Append mode passes new keys through
+    * immediately; the watermark only bounds how long the seen-key state
+    * is retained), so the one-micro-batch harness needs no sentinels —
+    * same shape as the interval join. Oracle: the distinct rows of the
+    * original feed. */
+  def streamDedupSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Tmp
+    val log = graft.core.PhaseLog.start("stream_dd")
+    val ev = events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val inDir = Tmp.jvmScopedDir("stream_dd_in", dir)
+    val outDir = Tmp.jvmScopedDir("stream_dd_out", dir)
+    val ckDir = Tmp.jvmScopedDir("stream_dd_ck", dir)
+    // every row twice in one staged file: the dedup must collapse the
+    // re-sends and nothing else (event_id is unique in the feed)
+    ev.unionByName(ev).coalesce(1).write.mode("overwrite").parquet(inDir)
+    log("staged doubled input")
+    runStreamToParquet(s, outDir, ckDir,
+      Map("spark.sql.shuffle.partitions" -> "8",
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"), log) {
+      val stream = s.readStream
+        .schema("user_id BIGINT, ts_us BIGINT, event_id BIGINT")
+        .parquet(inDir)
+        .withColumn("t", timestamp_micros(col("ts_us")))
+      graft.streaming.StreamOps.dedupStream(stream, Seq("event_id"))
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+    }
+    Tmp.deleteRecursively(inDir)
+    s.read.parquet(outDir).orderBy(col("event_id"))
   }
 
   /** Third Structured Streaming job under the driver's DuckDB gate: a
@@ -1131,6 +1300,10 @@ object Ext {
     "stream_sessionize_sink" -> streamSessionizeSink _,
     "stream_interval_join_sink" -> streamIntervalJoinSink _,
     "stream_tumbling_sink" -> streamTumblingSink _,
+    "stream_dedup_sink" -> streamDedupSink _,
+    "stream_asof_sink" -> streamAsofSink _,
+    "stream_enrich_sink" -> streamEnrichSink _,
+    "stream_sessionize_tws_sink" -> streamSessionizeTwsSink _,
     "balance_bins" -> balanceBins _,
     "skew_salted_agg" -> skewSaltedAgg _,
     "agg_approx" -> aggApprox _,

@@ -73,6 +73,27 @@ object ExtOracle {
   private def cosSql(a: String, b: String): String =
     s"""(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"""
 
+  /** One gaps-and-islands oracle for both sessionize-sink variants. */
+  private val sessionizeOracleSql: String =
+    """WITH g AS (
+         SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS brk
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+       sess AS (
+         SELECT *, CAST(sum(brk) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+         FROM g)
+       SELECT user_id, session_id, count(*) AS n_events,
+         min(ts_us) AS start_us, max(ts_us) AS end_us,
+         round(sum(CAST(event_id AS DOUBLE)), 2) AS value_sum
+       FROM sess GROUP BY user_id, session_id
+       ORDER BY user_id, session_id"""
+
   val all: Map[String, String] = Map(
     "text_stats" ->
       s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents)
@@ -439,29 +460,15 @@ object ExtOracle {
            count(*) AS n, count(DISTINCT user_id) AS n_users
          FROM e GROUP BY 1 ORDER BY fmt""",
 
-    // batch gaps-and-islands twin of the STREAMING sessionize round-trip
+    // batch gaps-and-islands twin of the STREAMING sessionize round-trips
     // (same 30-min gap and numbering as win_sessionize; per-session
     // aggregates are tie-insensitive, so the streaming fold's ts-only
-    // sort and this window's (ts, event_id) sort agree)
-    "stream_sessionize_sink" ->
-      """WITH g AS (
-           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-                  THEN 1 ELSE 0 END AS brk
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
-         sess AS (
-           SELECT *, CAST(sum(brk) OVER (
-             PARTITION BY user_id ORDER BY ts_us, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS session_id
-           FROM g)
-         SELECT user_id, session_id, count(*) AS n_events,
-           min(ts_us) AS start_us, max(ts_us) AS end_us,
-           round(sum(CAST(event_id AS DOUBLE)), 2) AS value_sum
-         FROM sess GROUP BY user_id, session_id
-         ORDER BY user_id, session_id""",
+    // sort and this window's (ts, event_id) sort agree). The same SQL
+    // gates BOTH stateful-API variants — flatMapGroupsWithState and
+    // transformWithState must agree with the batch semantics AND each
+    // other.
+    "stream_sessionize_sink" -> sessionizeOracleSql,
+    "stream_sessionize_tws_sink" -> sessionizeOracleSql,
 
     // the bucketed write→scan→join pipeline must be byte-lossless, so the
     // oracle is the same join straight off the original parquet
@@ -484,6 +491,34 @@ object ExtOracle {
          FROM c JOIN e ON c.user_id = e.user_id
            AND e.ts_us BETWEEN c.ts_us - 600000000 AND c.ts_us + 600000000
          ORDER BY c.click_id, e.err_id""",
+
+    // stream-static enrichment = plain join against the per-user rollup
+    "stream_enrich_sink" ->
+      """WITH d AS (SELECT user_id, count(*) AS n_user_events,
+             min(epoch_us(ts)) AS first_ts
+           FROM events GROUP BY 1)
+         SELECT e.event_id, e.user_id, d.n_user_events, d.first_ts
+         FROM events e JOIN d USING (user_id) ORDER BY e.event_id""",
+
+    // the STREAMING as-of must reproduce the batch ASOF LEFT JOIN
+    // exactly (same shape and oracle as join_asof_native)
+    "stream_asof_sink" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us,
+             max(event_id) AS s_event
+           FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+         p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id AS p_event, p.user_id, p.ts_us AS p_ts,
+           coalesce(s.ts_us, -1) AS s_ts,
+           coalesce(s.s_event, -1) AS s_event
+         FROM p ASOF LEFT JOIN s
+           ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
+         ORDER BY p_event""",
+
+    // the doubled feed deduped on the unique event_id = the original feed
+    "stream_dedup_sink" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id
+         FROM events ORDER BY event_id""",
 
     // batch twin of the STREAMING tumbling-window round-trip: Spark's
     // window("1 hour") aligns tumbles to the unix epoch, which is exactly

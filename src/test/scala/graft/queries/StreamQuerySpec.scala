@@ -48,4 +48,31 @@ class StreamQuerySpec extends SparkSpec {
     assert(got.nonEmpty && got == want,
       s"stream emitted ${got.size} windows, batch has ${want.size}")
   }
+
+  test("stream_asof_sink reproduces the batch as-of exec on every probe") {
+    graft.plans.GraftExtensions.ensureStrategies(spark)
+    val got = Ext.all("stream_asof_sink")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    val ev = graft.core.Tables.load(spark, sf0001, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+    val sgn = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("s_event"))
+      .select(col("user_id").as("s_user"), col("ts_us").as("s_ts0"),
+        col("s_event"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val want = graft.plans.AsOfJoinApi
+      .asofJoin(pur, sgn, "user_id", "s_user", "ts_us", "s_ts0")
+      .select(col("event_id").as("p_event"), col("user_id"),
+        col("ts_us").as("p_ts"),
+        coalesce(col("s_ts0"), lit(-1L)).as("s_ts"),
+        coalesce(col("s_event"), lit(-1L)).as("s_event"))
+      .orderBy(col("p_event"))
+      .collect().map(_.toString).toSeq
+    // completeness again: the sentinel ladder + timers must flush EVERY
+    // probe, and each match must equal the custom batch exec's
+    assert(got.nonEmpty && got == want,
+      s"stream emitted ${got.size} probes, batch has ${want.size}")
+  }
 }
