@@ -410,8 +410,15 @@ object Ext {
 
   // ===== similarity search =====
 
+  /** The ANN probe set: a deterministic sample CAPPED at a fixed size —
+    * un-capped, |Q| grows linearly with the corpus and the brute-force
+    * baseline (and the recall gate that reuses it) silently becomes
+    * corpus²/50. 200 probes characterize an index regardless of corpus
+    * size; all test SFs sit under the cap (10–40), so the oracle row
+    * sets are unchanged — the LIMIT exists for the 100 TB shape. */
   private def queryVecs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").filter(col("vec_id") % 50 === 0)
+      .orderBy(col("vec_id")).limit(200)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
   /** Exact cosine top-10 for 10 query vectors (brute force baseline). */
@@ -434,6 +441,7 @@ object Ext {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
     val q = emb.filter(col("vec_id") % 50 === 0)
+      .orderBy(col("vec_id")).limit(200) // same fixed probe cap as queryVecs
       .select(col("vec_id").as("qid"), col("qv").as("qq"))
     val scored = emb.join(broadcast(q), col("qid") =!= col("vec_id"))
       .withColumn("idot", Similarity.intDot(col("qq.q"), col("qv.q")))

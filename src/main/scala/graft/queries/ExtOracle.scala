@@ -320,7 +320,7 @@ object ExtOracle {
 
     "sim_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
-           WHERE vec_id % 50 = 0),
+           WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 200),
          scored AS (SELECT qid, vec_id,
              ${cosSql("qvec", "embedding")} AS cos
            FROM embeddings CROSS JOIN q WHERE qid <> vec_id),
@@ -338,7 +338,8 @@ object ExtOracle {
                list_max(list_transform(embedding,
                  y -> abs(CAST(y AS DOUBLE))))) AS INT)) AS q
          FROM embeddings),
-         q AS (SELECT vec_id AS qid, q AS qq FROM qv WHERE vec_id % 50 = 0),
+         q AS (SELECT vec_id AS qid, q AS qq FROM qv
+           WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 200),
          scored AS (SELECT qid, vec_id,
              list_reduce(list_prepend(CAST(0 AS BIGINT),
                list_transform(list_zip(qq, qv.q),
@@ -557,10 +558,13 @@ object ExtOracle {
     // SQL-expressible; the recall booleans are computed Spark-side
     // against the exact brute-force ranking and pinned TRUE here
     "sim_ann_recall" ->
-      """SELECT vec_id AS qid, TRUE AS lsh_hit_ok, TRUE AS ivf_hit_ok,
+      """WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0
+           ORDER BY vec_id LIMIT 200)
+         SELECT e.vec_id AS qid, TRUE AS lsh_hit_ok, TRUE AS ivf_hit_ok,
            TRUE AS lsh_avg_ok, TRUE AS ivf_avg_ok
-         FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL
-           AND len(list_filter(embedding, x -> x IS NULL)) = 0
+         FROM embeddings e JOIN q ON e.vec_id = q.vec_id
+         WHERE e.embedding IS NOT NULL
+           AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
          ORDER BY qid""",
 
     // tolerance oracle for the sketch aggregates: the exact counts are
