@@ -104,7 +104,9 @@ object Bench {
     val errs = results.collect { case t if !t.ok => "\"" + t.name + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_.wallSec).sum
-    val cpuTotal = results.map(_.cpuSec).sum
+    // keep the single -1 "unavailable" sentinel — summing the per-query
+    // sentinels would emit ≈ -(entry count), which reads like data
+    val cpuTotal = if (osBean.isEmpty) -1.0 else results.map(_.cpuSec).sum
     // load average is on the PLATFORM bean (not the com.sun extension)
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage

@@ -86,6 +86,17 @@ object Tmp {
   lazy val jvmTag: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
+  // every handed-out scratch path, reclaimed at JVM exit: the per-JVM
+  // tag means no LATER process can ever reuse this JVM's dirs, so
+  // anything still on disk at shutdown is garbage by construction
+  // (within the JVM, callers may keep dirs alive for cross-query reuse
+  // — the sessionize staging — or delete eagerly; both are safe here)
+  private val issued = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      issued.forEach(p => deleteRecursively(p))))
+  }
+
   /** Stable within this JVM for a given (tag, key); distinct across JVMs.
     * Keys are md5-hashed — a 32-bit `hashCode` would let two distinct sf
     * dirs collide onto one scratch path. */
@@ -93,8 +104,10 @@ object Tmp {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).take(8)
       .map(b => f"$b%02x").mkString
-    System.getProperty("java.io.tmpdir") +
+    val p = System.getProperty("java.io.tmpdir") +
       s"/graft_${tag}_${jvmTag}_$digest"
+    issued.add(p): Unit
+    p
   }
 
   def deleteRecursively(path: String): Unit = {

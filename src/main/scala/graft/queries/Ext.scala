@@ -421,7 +421,8 @@ object Ext {
       .orderBy(col("vec_id")).limit(200)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
-  /** Exact cosine top-10 for 10 query vectors (brute force baseline). */
+  /** Exact cosine top-10 for the capped probe set (brute force baseline;
+    * |Q| ≤ 200 by [[queryVecs]] — 10–40 at the test SFs). */
   def simBruteforceTopk(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(queryVecs(s, dir),
         t(s, dir, "embeddings").select(col("vec_id"), col("embedding")), k = 10)
@@ -765,6 +766,28 @@ object Ext {
     log("stream done")
   }
 
+  /** Stage `df` as ONE parquet file named `name` inside `destDir` with an
+    * explicit modification time — the mtime-ordered sentinel ladder both
+    * watermark-choreographed harnesses ride on (the file source processes
+    * oldest-mtime first under maxFilesPerTrigger=1). Fails loudly when
+    * the filesystem rejects the mtime: silent order scrambling would
+    * drop every real row as late. */
+  private def stageMtimeFile(
+      df: DataFrame, destDir: String, name: String, mtimeMs: Long): Unit = {
+    val stageDir = destDir + "_stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+    val part = Option(new java.io.File(stageDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part written for $name"))
+    val dest = new java.io.File(destDir, name)
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    require(dest.setLastModified(mtimeMs),
+      s"could not set mtime on $dest; file-source batch order would be undefined")
+    graft.core.Tmp.deleteRecursively(stageDir)
+  }
+
   def streamSessionizeSink(s: SparkSession, dir: String): DataFrame =
     streamSessionizeSinkImpl(s, dir, tws = false)
 
@@ -970,28 +993,15 @@ object Ext {
     Tmp.deleteRecursively(bDir)
     new java.io.File(bDir).mkdirs()
     pur.coalesce(1).write.mode("overwrite").parquet(pDir)
-    val stageDir = bDir + "_stage"
-    def stageFile(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-      df.coalesce(1).write.mode("overwrite").parquet(stageDir)
-      val part = new java.io.File(stageDir).listFiles()
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part written for $name"))
-      val dest = new java.io.File(bDir, name)
-      java.nio.file.Files.move(part.toPath, dest.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      require(dest.setLastModified(mtimeMs),
-        s"could not set mtime on $dest; file-source batch order would be undefined")
-    }
     def sentinel(tsUs: Long): DataFrame =
       ev.sparkSession.range(1).select(lit(-1L).as("user_id"),
         timestamp_micros(lit(tsUs)).as("t"), lit(tsUs).as("ts_us"),
         lit(-1L).as("ref_id"))
     val wmUs = 600000000L // 10 min watermark delay
     val now = System.currentTimeMillis()
-    stageFile(sgn, "b0.parquet", now - 60000L)
-    stageFile(sentinel(maxTs + 100L * wmUs), "b1.parquet", now - 40000L)
-    stageFile(sentinel(maxTs + 200L * wmUs), "b2.parquet", now - 20000L)
-    Tmp.deleteRecursively(stageDir)
+    stageMtimeFile(sgn, bDir, "b0.parquet", now - 60000L)
+    stageMtimeFile(sentinel(maxTs + 100L * wmUs), bDir, "b1.parquet", now - 40000L)
+    stageMtimeFile(sentinel(maxTs + 200L * wmUs), bDir, "b2.parquet", now - 20000L)
     log("staged inputs")
     def rd(path: String) = s.readStream
       .schema("user_id BIGINT, t TIMESTAMP, ts_us BIGINT, ref_id BIGINT")
@@ -1113,29 +1123,13 @@ object Ext {
     val ckDir = Tmp.jvmScopedDir("stream_tw_ck", dir)
     Tmp.deleteRecursively(inDir)
     new java.io.File(inDir).mkdirs()
-    val stageDir = inDir + "_stage"
-    def stageFile(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-      df.coalesce(1).write.mode("overwrite").parquet(stageDir)
-      val part = new java.io.File(stageDir).listFiles()
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part written for $name"))
-      val dest = new java.io.File(inDir, name)
-      java.nio.file.Files.move(part.toPath, dest.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // the whole sentinel choreography rides on these mtimes — a
-      // filesystem that rejects the set must fail loudly, not scramble
-      // the batch order into silent row-dropping
-      require(dest.setLastModified(mtimeMs),
-        s"could not set mtime on $dest; file-source batch order would be undefined")
-    }
     def sentinel(tsUs: Long): DataFrame =
       ev.sparkSession.range(1).select(lit(-1L).as("user_id"),
         lit(tsUs).as("ts_us"), lit(0.0).as("value"))
     val now = System.currentTimeMillis()
-    stageFile(ev, "f0.parquet", now - 60000L)
-    stageFile(sentinel(maxTs + 100L * winUs), "f1.parquet", now - 40000L)
-    stageFile(sentinel(maxTs + 200L * winUs), "f2.parquet", now - 20000L)
-    Tmp.deleteRecursively(stageDir)
+    stageMtimeFile(ev, inDir, "f0.parquet", now - 60000L)
+    stageMtimeFile(sentinel(maxTs + 100L * winUs), inDir, "f1.parquet", now - 40000L)
+    stageMtimeFile(sentinel(maxTs + 200L * winUs), inDir, "f2.parquet", now - 20000L)
     log("staged input")
 
     runStreamToParquet(s, outDir, ckDir,
