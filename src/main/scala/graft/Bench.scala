@@ -88,30 +88,58 @@ object Bench {
 
     // explicit, separately-timed staging of the dedup ladder's shared
     // relations (shingles + Jaccard pairs); the dedup_* queries then
-    // measure their own work against the warm cache, the way a real
-    // pipeline runs the ladder. The underscore sorts this entry first.
-    val stageEntry = timed("_dedup_stage") {
-      graft.queries.Ext.stageDedupRelations(spark, sfDir)
-    }
+    // measure their own work against the staged scratch parquet, the way
+    // a real pipeline runs the ladder. The underscore sorts this entry
+    // first. In pass 2 the stage entry times only the (near-free) reads
+    // of the already-written files.
+    def runPass(): Seq[Timing] =
+      timed("_dedup_stage") {
+        graft.queries.Ext.stageDedupRelations(spark, sfDir)
+      } +: ordered.map { case (name, fn) =>
+        timed(name) { fn(spark, sfDir).count() }
+      }
 
-    val results = stageEntry +: ordered.map { case (name, fn) =>
-      timed(name) { fn(spark, sfDir).count() }
-    }
-    val qs = results.map(t => s"\"" + t.name + "\":" + t.wallSec)
-      .mkString("{", ",", "}")
-    val cpuQs = results.map(t => s"\"" + t.name + "\":" + t.cpuSec)
-      .mkString("{", ",", "}")
-    val errs = results.collect { case t if !t.ok => "\"" + t.name + "\"" }
-      .mkString("[", ",", "]")
+    // TWO full passes in one JVM (round-4 verdict #4): pass 1 is the
+    // bench of record (cold plans, staging paid); pass 2 re-runs the
+    // identical suite against the warm JVM/staged state — a stable
+    // second pass isolates warm-state effects (JIT, codegen caches,
+    // staged relations) from plan cost, so a pass-1 outlier with a calm
+    // pass-2 twin reads as one-time/environmental, while an entry slow
+    // in BOTH passes is a plan problem.
+    val results = runPass()
+    val results2 = runPass()
+
+    def dict(rs: Seq[Timing], f: Timing => Double): String =
+      rs.map(t => s"\"" + t.name + "\":" + f(t)).mkString("{", ",", "}")
+    val errs = (results ++ results2).collect { case t if !t.ok => "\"" + t.name + "\"" }
+      .distinct.mkString("[", ",", "]")
     val total = results.map(_.wallSec).sum
+    val total2 = results2.map(_.wallSec).sum
     // keep the single -1 "unavailable" sentinel — summing the per-query
-    // sentinels would emit ≈ -(entry count), which reads like data
-    val cpuTotal = if (osBean.isEmpty) -1.0 else results.map(_.cpuSec).sum
+    // sentinels would emit ≈ -(entry count), which reads like data (and
+    // getProcessCpuTime may return -1 even when the bean exists)
+    def cpuSum(rs: Seq[Timing]): Double =
+      if (osBean.isEmpty || rs.exists(_.cpuSec < 0)) -1.0
+      else rs.map(_.cpuSec).sum
     // load average is on the PLATFORM bean (not the com.sun extension)
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+
+    // COMPACT summary lines FIRST (round-4 verdict #3): the driver
+    // captures a bounded tail, and the r4 artifact lost the per-query
+    // wall dict to truncation — these short lines carry the numbers
+    // that matter even if everything below them is cut off.
+    def top(rs: Seq[Timing], f: Timing => Double, n: Int): String =
+      rs.sortBy(t => -f(t)).take(n)
+        .map(t => f"${t.name}=${f(t)}%.2f").mkString(",")
+    println(f"GRAFT_BENCH_SUMMARY: total=$total%.2f s pass2=$total2%.2f s " +
+      f"entries=${results.size} cpu=${cpuSum(results)}%.2f s load_end=$loadAvg%.2f")
+    println(s"GRAFT_BENCH_TOP_WALL: ${top(results, _.wallSec, 10)}")
+    println(s"GRAFT_BENCH_TOP_CPU: ${top(results, _.cpuSec, 10)}")
+    println(s"GRAFT_BENCH_TOP_WALL_2ND: ${top(results2, _.wallSec, 10)}")
+
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_queries":$cpuQs,"cpu_total":$cpuTotal,"load_avg_end":$loadAvg,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${dict(results, _.wallSec)},"cpu_queries":${dict(results, _.cpuSec)},"cpu_total":${cpuSum(results)},"total_2nd":$total2,"queries_2nd":${dict(results2, _.wallSec)},"cpu_queries_2nd":${dict(results2, _.cpuSec)},"cpu_total_2nd":${cpuSum(results2)},"load_avg_end":$loadAvg,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     println(s"GRAFT_BENCH_JSON: $json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")

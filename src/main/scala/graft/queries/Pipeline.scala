@@ -90,16 +90,20 @@ object Pipeline {
       .withColumn("row_hash", hash(col("linenumber"), col("id"),
         col("patternID"), col("ts_us"), col("cluster"), col("signal")))
       .withColumn("patterns_checksum", lit(s1))
-      .orderBy(col("linenumber"), col("id"), col("patternID"), col("ts_us"))
     // materialize the graded result (the returned frame stays backed by
     // its own store, like connectedComponents' final round), then release
-    // the upstream stages deterministically
+    // the upstream stages deterministically. The deterministic ORDER BY
+    // is applied AFTER the barrier (round-4 verdict #6): paying a global
+    // sort inside the materialization charged every consumer for
+    // presentation order — an aggregate consumer (the bench's count)
+    // now gets the sort eliminated by Catalyst, and only a consumer
+    // that actually emits rows (Verify's parquet dump) pays it.
     val (out, outStore) = Stage.materialize(perRow)
     outStore.count(): Unit
     logPhase("signals graded")
     patsStore.unpersist(false)
     clusteredStore.unpersist(false)
-    out
+    out.orderBy(col("linenumber"), col("id"), col("patternID"), col("ts_us"))
   }
 
   /** Stage-1 numbering-mode contrast (r3 verdict "missing" #3): the

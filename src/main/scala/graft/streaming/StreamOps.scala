@@ -285,6 +285,49 @@ object StreamOps {
     * probe); everything older is evicted each invocation. No timers when
     * nothing is pending.
     */
+  /** One state-machine step of [[asofJoinStream]], PURE — `(batch
+    * events, prior state, watermark)` in, `(emitted matches, next state
+    * or None=remove, next timer in MILLIS or None)` out. Extracted so
+    * the watermark/eviction/timer contract is property-testable without
+    * a streaming harness (round-4 verdict stretch #8): the spec drives
+    * watermark advances past an idle key and asserts the build list
+    * shrinks to the one-behind-watermark floor with the timer chain
+    * ending there. */
+  private[graft] def asofStep(
+      key: Long, evs: Seq[AsOfEvent], st0: AsOfBuffer, wmUs: Long)
+      : (Seq[AsOfMatched], Option[AsOfBuffer], Option[Long]) = {
+    val allBuilds = (st0.builds ++
+      evs.filter(_.side == 0).map(e => (e.ts_us, e.ref_id)))
+      .sortBy(identity)
+    val allProbes = st0.probes ++
+      evs.filter(_.side == 1).map(e => (e.ts_us, e.ref_id))
+    val (ready, pending) = allProbes.partition(_._1 < wmUs)
+    val out = ready.sortBy(identity).map { case (pUs, pid) =>
+      val m = allBuilds.takeWhile(_._1 <= pUs).lastOption
+      AsOfMatched(key, pid, pUs,
+        m.map(_._2).getOrElse(-1L), m.map(_._1).getOrElse(-1L))
+    }
+    // evict: keep the latest build at-or-before the watermark + all after
+    val (behind, ahead) = allBuilds.partition(_._1 <= wmUs)
+    val kept = behind.lastOption.toList ++ ahead
+    if (kept.isEmpty && pending.isEmpty) (out, None, None)
+    else {
+      val nextProbe = pending.map(_._1).minOption.map(us =>
+        math.max(wmUs / 1000L + 1L, us / 1000L + 1L))
+      // an idle key (no pending probes) with builds still AHEAD of
+      // the watermark must get re-invoked as the watermark advances
+      // or those builds are never evicted (event-time timeouts are
+      // cleared on every invocation, so a key that stops receiving
+      // events otherwise keeps its full build list forever). Once
+      // only the single behind-watermark build remains — the
+      // potential match for a future probe, the documented state
+      // floor — no timer: that state is O(1) per key by design.
+      val shrink =
+        if (ahead.nonEmpty) Some(wmUs / 1000L + 1L) else None
+      (out, Some(AsOfBuffer(kept, pending)), nextProbe.orElse(shrink))
+    }
+  }
+
   def asofJoinStream(
       probes: DataFrame, // (user_id, t: timestamp, ts_us, ref_id)
       builds: DataFrame, // same shape
@@ -300,39 +343,14 @@ object StreamOps {
       .flatMapGroupsWithState[AsOfBuffer, AsOfMatched](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: Long, it: Iterator[AsOfEvent], state: GroupState[AsOfBuffer]) =>
-          val st0 = state.getOption.getOrElse(AsOfBuffer(Nil, Nil))
-          val evs = it.toSeq
-          val allBuilds = (st0.builds ++
-            evs.filter(_.side == 0).map(e => (e.ts_us, e.ref_id)))
-            .sortBy(identity)
-          val allProbes = st0.probes ++
-            evs.filter(_.side == 1).map(e => (e.ts_us, e.ref_id))
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (ready, pending) = allProbes.partition(_._1 < wmUs)
-          val out = ready.sortBy(identity).map { case (pUs, pid) =>
-            val m = allBuilds.takeWhile(_._1 <= pUs).lastOption
-            AsOfMatched(key, pid, pUs,
-              m.map(_._2).getOrElse(-1L), m.map(_._1).getOrElse(-1L))
-          }
-          // evict: keep the latest build at-or-before the watermark + all after
-          val (behind, ahead) = allBuilds.partition(_._1 <= wmUs)
-          val kept = behind.lastOption.toList ++ ahead
-          if (kept.isEmpty && pending.isEmpty) state.remove()
-          else {
-            state.update(AsOfBuffer(kept, pending))
-            val nextProbe = pending.map(_._1).minOption.map(us =>
-              math.max(wmUs / 1000L + 1L, us / 1000L + 1L))
-            // an idle key (no pending probes) with builds still AHEAD of
-            // the watermark must get re-invoked as the watermark advances
-            // or those builds are never evicted (event-time timeouts are
-            // cleared on every invocation, so a key that stops receiving
-            // events otherwise keeps its full build list forever). Once
-            // only the single behind-watermark build remains — the
-            // potential match for a future probe, the documented state
-            // floor — no timer: that state is O(1) per key by design.
-            val shrink =
-              if (ahead.nonEmpty) Some(wmUs / 1000L + 1L) else None
-            nextProbe.orElse(shrink).foreach(state.setTimeoutTimestamp)
+          val (out, next, timer) = asofStep(key, it.toSeq,
+            state.getOption.getOrElse(AsOfBuffer(Nil, Nil)),
+            state.getCurrentWatermarkMs() * 1000L)
+          next match {
+            case None => state.remove()
+            case Some(b) =>
+              state.update(b)
+              timer.foreach(state.setTimeoutTimestamp)
           }
           out.iterator
       }

@@ -157,6 +157,30 @@ class SimilaritySpec extends SparkSpec {
       rows.map(_.toString).mkString(","))
   }
 
+  test("IVF model save/load roundtrips; warm search == train-inline search") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val trained = Similarity.trainCentroids(emb, nlist = 8, iters = 2)
+    val path = graft.core.Tmp.jvmScopedDir("spec_ivf_model", "roundtrip")
+    Similarity.saveCentroids(spark, trained, path)
+    // doubles roundtrip parquet exactly → the loaded model is the model
+    assert(Similarity.loadCentroids(spark, path) == trained.sortBy(_._1))
+    val q = emb.limit(3).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("qid"), col("rank")).collect().toSeq.map(_.toSeq)
+    val warm = Similarity.ivfTopKWithCentroids(q, emb, k = 5,
+      Similarity.loadCentroids(spark, path), nprobe = 2)
+    val inline = Similarity.ivfTopK(q, emb, k = 5, nlist = 8, nprobe = 2)
+    assert(rows(warm) == rows(inline))
+  }
+
+  test("sim_ivf_warm reproduces sim_ivf_topk bit-for-bit") {
+    def rows(name: String) =
+      graft.queries.Ext.all(name)(spark, sf0001).collect().toSeq.map(_.toSeq)
+    assert(rows("sim_ivf_warm") == rows("sim_ivf_topk"))
+    assert(rows("sim_ivf_warm").nonEmpty)
+  }
+
   test("cosinePairs respects blocking and threshold") {
     val v = Seq(
       (1L, Seq(1.0f, 0.0f), 0L),

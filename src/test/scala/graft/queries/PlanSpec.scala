@@ -38,8 +38,26 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"window chain fragmented into $exchanges exchanges:\n$p")
   }
 
-  test("dedup_ngram_jaccard: the shingle self-join reuses the build side") {
-    val p = planOf("dedup_ngram_jaccard")
+  test("jaccard pair mine: the shingle self-join reuses the build side") {
+    // the REGISTERED dedup_ngram_jaccard now reads the staged pair
+    // parquet (the mine runs once at staging — round-5 scratch-parquet
+    // staging), so the reuse property is pinned on the mine plan itself:
+    // identical subplans on both self-join sides must share one exchange
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .withColumn("toks", graft.ext.Text.tokens(col("text")))
+      .select(col("doc_id").as("id"), col("toks"))
+    val p = graft.ext.Dedup
+      .jaccardPairs(docs, k = 3, minJaccard = 0.8, maxDocFreq = 100)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("BroadcastHashJoin"),
+      s"self-join recomputes both sides:\n$p")
+  }
+
+  test("dedup_ngram_hashed: the registered from-scratch mine reuses the build side") {
+    // the hashed variant still mines from scratch inside the registered
+    // query — the same reuse property must hold on its live plan
+    val p = planOf("dedup_ngram_hashed")
     assert(p.contains("ReusedExchange") || p.contains("BroadcastHashJoin"),
       "self-join recomputes both sides")
   }

@@ -295,4 +295,57 @@ class StreamOpsSpec extends SparkSpec {
     // session shapes are covered by the batch-parity test
     assert(rows.nonEmpty)
   }
+
+  test("as-of state shrinks to the one-build floor as the watermark advances past an idle key") {
+    // drives the PURE step function (StreamOps.asofStep — exactly what
+    // each flatMapGroupsWithState invocation runs) through 3+ watermark
+    // advances past a key that receives no further events, asserting the
+    // r4 idle-key eviction contract: every advance shrinks the build
+    // list to {latest ≤ wm} ∪ {ahead}, the timer chain keeps the key
+    // re-invokable while anything is still ahead, and at the one-build
+    // floor the timer chain ENDS (state is O(1) per key from then on).
+    import StreamOps.{AsOfBuffer, AsOfEvent}
+    def us(minute: Long) = BaseUs + minute * 60L * 1000000L
+    def build(minute: Long, id: Long) =
+      AsOfEvent(1L, new Timestamp(us(minute) / 1000L), us(minute), 0, id)
+    def probe(minute: Long, id: Long) =
+      AsOfEvent(1L, new Timestamp(us(minute) / 1000L), us(minute), 1, id)
+
+    // batch 0: four builds land while the watermark is far behind
+    val (out0, Some(st1), t1) = StreamOps.asofStep(1L,
+      Seq(build(10, 100), build(50, 101), build(100, 102), build(150, 103)),
+      AsOfBuffer(Nil, Nil), wmUs = 0L): @unchecked
+    assert(out0.isEmpty && st1.builds.size == 4 && t1.isDefined)
+
+    // three watermark advances with NO events for the key; sizes must
+    // shrink monotonically to the floor and the timer must survive
+    // exactly until the floor
+    var st = st1
+    var sizes = List(st.builds.size)
+    var lastTimer: Option[Long] = t1
+    for (wmMin <- Seq(60L, 120L, 200L)) {
+      assert(lastTimer.isDefined, s"timer chain broke before wm=$wmMin with builds ahead")
+      val (out, Some(next), timer) =
+        StreamOps.asofStep(1L, Nil, st, us(wmMin)): @unchecked
+      assert(out.isEmpty)
+      // invariant: at most one build at-or-behind the watermark
+      assert(next.builds.count(_._1 <= us(wmMin)) <= 1)
+      st = next; sizes = next.builds.size :: sizes; lastTimer = timer
+    }
+    assert(sizes.reverse == List(4, 3, 2, 1), s"got ${sizes.reverse}")
+    assert(st.builds == List((us(150), 103L)), "floor = latest build only")
+    assert(lastTimer.isEmpty, "timer chain must end at the one-build floor")
+
+    // at the floor a further advance is a no-op (the runtime would not
+    // even re-invoke — no timer — but the step must be idempotent)
+    val (_, Some(stSame), tSame) =
+      StreamOps.asofStep(1L, Nil, st, us(300)): @unchecked
+    assert(stSame == st && tSame.isEmpty)
+
+    // and the retained floor build is still the match for a late probe
+    val (_, Some(stP), _) =
+      StreamOps.asofStep(1L, Seq(probe(310, 200)), st, us(300)): @unchecked
+    val (outP, _, _) = StreamOps.asofStep(1L, Nil, stP, us(400))
+    assert(outP.map(m => (m.probe_id, m.build_id)) == Seq((200L, 103L)))
+  }
 }
