@@ -133,7 +133,8 @@ object Bench {
       rs.sortBy(t => -f(t)).take(n)
         .map(t => f"${t.name}=${f(t)}%.2f").mkString(",")
     println(f"GRAFT_BENCH_SUMMARY: total=$total%.2f s pass2=$total2%.2f s " +
-      f"entries=${results.size} cpu=${cpuSum(results)}%.2f s load_end=$loadAvg%.2f")
+      f"entries=${results.size} cpu=${cpuSum(results)}%.2f s load_end=$loadAvg%.2f " +
+      f"threads=${Thread.activeCount()}")
     println(s"GRAFT_BENCH_TOP_WALL: ${top(results, _.wallSec, 10)}")
     println(s"GRAFT_BENCH_TOP_CPU: ${top(results, _.cpuSec, 10)}")
     println(s"GRAFT_BENCH_TOP_WALL_2ND: ${top(results2, _.wallSec, 10)}")

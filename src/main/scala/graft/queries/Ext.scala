@@ -479,18 +479,28 @@ object Ext {
     * exactly, so the warm search must reproduce the train-inline result
     * bit-for-bit (`SimilaritySpec` pins that; the driver gate pins rows
     * — the model is engine state, like `sim_ivf_topk`'s). */
-  def simIvfWarm(s: SparkSession, dir: String): DataFrame = {
-    val corpus = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+  /** The nlist=64 coarse quantizer, trained+saved once per (JVM, sf dir)
+    * and loaded on every later use — shared by [[simIvfWarm]] and
+    * [[simAnnRecall]]. Training is deterministic (lowest-id seeds), so
+    * the loaded model is bit-identical to what an inline train would
+    * produce. */
+  private def ivf64Model(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] = {
     val path = stagedPaths.computeIfAbsent(("ivf64_model", dir), _ => {
       val p = graft.core.Tmp.jvmScopedDir("stage_ivf64_model", dir)
       Similarity.saveCentroids(s,
-        Similarity.trainCentroids(corpus, nlist = 64, iters = 2), p)
+        Similarity.trainCentroids(
+          t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+          nlist = 64, iters = 2), p)
       p
     })
-    Similarity.ivfTopKWithCentroids(queryVecs(s, dir), corpus, k = 10,
-        Similarity.loadCentroids(s, path), nprobe = 8)
-      .orderBy(col("qid"), col("rank"))
+    Similarity.loadCentroids(s, path)
   }
+
+  def simIvfWarm(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopKWithCentroids(queryVecs(s, dir),
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        k = 10, ivf64Model(s, dir), nprobe = 8)
+      .orderBy(col("qid"), col("rank"))
 
   /** ANN QUALITY under the driver oracle (upgrades the two rows-only ANN
     * paths to a value-bearing gate, the `agg_approx` pattern): per-query
@@ -506,11 +516,15 @@ object Ext {
     * |Q| rows — collected to the driver (documented driver-sized
     * aggregate) so min/avg land in the bench tail via PhaseLog.
     *
-    * Deliberate: this re-runs both searches (and IVF training) rather
-    * than staging them like the dedup ladder — at the bench corpus
-    * (2k×64) the whole gate is ~1s, and model-staging machinery earns
-    * its complexity only at corpus scales where you'd persist the
-    * trained index anyway. */
+    * The IVF side searches against the STAGED nlist=64 model
+    * ([[ivf64Model]] — train once, save, load per use) and the exact
+    * brute-force ranking is staged as scratch parquet: identical values
+    * (deterministic training and ranking), but repeated invocations pay
+    * search + recall join only — the deployable lifecycle, and the r5
+    * fix for a pass-2 blow-up in the bench's warm-JVM repeat (inline
+    * Lloyd training's driver collect/broadcast loop degraded 2.5 s →
+    * 59 s late in a ~200-query session; the staged model removes that
+    * loop from the repeated path entirely). */
   def simAnnRecall(s: SparkSession, dir: String): DataFrame = {
     val log = graft.core.PhaseLog.start("ann_recall")
     val corpus = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
@@ -522,14 +536,18 @@ object Ext {
     // fail the pinned booleans with no actual ANN regression
     val q = queryVecs(s, dir).filter(col("qvec").isNotNull &&
       forall(col("qvec"), x => x.isNotNull))
-    val exact = Similarity.bruteForceTopK(q, corpus, 10)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact baseline staged as scratch parquet (|Q|·k rows): both recall
+    // joins read it, and repeat invocations skip the brute-force scan
+    val exact = stage("ann_exact10", s, dir)(
+      Similarity.bruteForceTopK(q, corpus, 10))
     def recalls(approx: DataFrame): Map[Long, Double] =
       Similarity.recallAtK(exact, approx).collect()
         .map(r => r.getLong(0) -> r.getLong(2).toDouble / r.getLong(1)).toMap
     val lsh = recalls(Similarity.lshTopK(q, corpus, 10))
-    val ivf = recalls(Similarity.ivfTopK(q, corpus, 10, nlist = 64, nprobe = 8))
-    exact.unpersist(false)
+    log("lsh recalls done")
+    val ivf = recalls(Similarity.ivfTopKWithCentroids(
+      q, corpus, 10, ivf64Model(s, dir), nprobe = 8))
+    log("ivf recalls done")
     import s.implicits._
     if (lsh.isEmpty) {
       // no qualifying queries at this scale — the oracle row set is empty
