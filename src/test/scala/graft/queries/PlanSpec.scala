@@ -142,12 +142,14 @@ class PlanSpec extends SparkSpec {
     // O(1) in nlist; the regression is a folded per-centroid literal
     // chain (plan size O(nlist·dim), a planner/codegen blowup at
     // realistic centroid counts)
-    val q = graft.SparkEntry.queries("sim_ivf_topk")(spark, sf001)
-    val p = q.queryExecution.optimizedPlan.toString
-    assert(p.contains("centroid_top_ids"),
-      s"broadcast centroid scoring missing:\n$p")
-    assert(p.length < 100000,
-      s"plan text is ${p.length} chars — literal centroid folding is back")
+    for (name <- Seq("sim_ivf_topk", "sim_ivf_warm")) {
+      val q = graft.SparkEntry.queries(name)(spark, sf001)
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.contains("centroid_top_ids"),
+        s"$name: broadcast centroid scoring missing:\n$p")
+      assert(p.length < 100000,
+        s"$name: plan text is ${p.length} chars — literal centroid folding is back")
+    }
   }
 
   test("src_bucketed_join: co-located join, no exchange on either side") {
