@@ -98,6 +98,27 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination APPLIED — the corpus a training run would
+    * actually read: benchmark (held-out) docs and every doc sharing any
+    * 3-gram with them removed. [[textContamination]] is the audit; this
+    * is the filter, completing the find→apply pair the dedup ladder has
+    * (`dedup_ngram_jaccard` → `dedup_apply`). Same broadcast benchmark
+    * set, then a left-anti join on the contaminated id set — at 100 TB
+    * the corpus streams through both joins, nothing corpus-sized
+    * shuffles or broadcasts. */
+  def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles3(s, dir)
+    val bench = sh.filter(col("id") % 97 === 0).select(col("s")).distinct()
+    val contaminated = sh.filter(col("id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("s"))
+      .select(col("id").as("doc_id")).distinct()
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact corpus vocabulary head: top-20 tokens by document frequency
     * and total count — the vocabulary/stopword audit a corpus pipeline
     * runs before tokenizer training. Deterministic tie-break on token. */
@@ -1337,6 +1358,7 @@ object Ext {
     "sample_stratified" -> sampleStratified _,
     "text_repetition" -> textRepetition _,
     "text_contamination" -> textContamination _,
+    "text_decontaminate" -> textDecontaminate _,
     "text_redact_pii" -> textRedactPii _,
     "text_url_domains" -> textUrlDomains _,
     "text_top_tokens" -> textTopTokens _,
