@@ -49,4 +49,20 @@ class TextSpec extends SparkSpec {
     assert(q(0) == 0.5 + 10 * 0.005)
     assert(q(1) == 4 * 0.005)
   }
+
+  test("decontaminate-apply: survivors = corpus − benchmark − contaminated, disjoint and complete") {
+    def ids(name: String) =
+      graft.queries.Ext.all(name)(spark, sf0001)
+        .select(col("doc_id")).as[Long].collect().toSet
+    val contaminated = ids("text_contamination")
+    val survivors = ids("text_decontaminate")
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id")).as[Long].collect().toSet
+    val benchmark = corpus.filter(_ % 97 == 0)
+    assert((survivors & contaminated).isEmpty, "a contaminated doc survived")
+    assert((survivors & benchmark).isEmpty, "a held-out benchmark doc survived")
+    assert(survivors ++ contaminated ++ benchmark == corpus,
+      "filter dropped docs that are neither contaminated nor benchmark")
+    assert(survivors.nonEmpty && contaminated.nonEmpty)
+  }
 }
