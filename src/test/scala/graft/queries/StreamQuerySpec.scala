@@ -75,4 +75,61 @@ class StreamQuerySpec extends SparkSpec {
     assert(got.nonEmpty && got == want,
       s"stream emitted ${got.size} probes, batch has ${want.size}")
   }
+
+  test("checkpoint recovery: restarted tumbling agg restores state, emits each window exactly once") {
+    // the production property the per-run harnesses never exercise
+    // (they clear their checkpoints): a stateful stream stopped mid-feed
+    // and RESTARTED from its checkpoint must (a) not reprocess consumed
+    // input, (b) restore the partial window state, (c) emit each closed
+    // window exactly once across the two runs.
+    import graft.core.Tmp
+    import sqlImplicits._
+    val inDir = Tmp.jvmScopedDir("spec_recover_in", "x")
+    val ckDir = Tmp.jvmScopedDir("spec_recover_ck", "x")
+    val outDir = Tmp.jvmScopedDir("spec_recover_out", "x")
+    Seq(inDir, ckDir, outDir).foreach(Tmp.deleteRecursively)
+    new java.io.File(inDir).mkdirs()
+    // epoch-aligned hour windows: minutes 6000–6060 form one window
+    def stage(name: String, minutes: Seq[Long]): Unit = {
+      val tmp = Tmp.jvmScopedDir("spec_recover_stage", name)
+      minutes.map(m => (1L, m * 60L * 1000000L, 1.0))
+        .toDF("user_id", "ts_us", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(inDir, name).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Tmp.deleteRecursively(tmp)
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("user_id BIGINT, ts_us BIGINT, value DOUBLE")
+        .parquet(inDir)
+        .withColumn("t", timestamp_micros(col("ts_us")))
+      val q = graft.streaming.StreamOps.tumblingCounts(stream, "1 hour")
+        .writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.coalesce(1).write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: two events in the hour-100 window; watermark (max−10min =
+    // 6005) stays below the window end → nothing may emit
+    stage("f0.parquet", Seq(6010, 6015))
+    runOnce()
+    // run 2, RESTARTED from the checkpoint: one more hour-100 event
+    // (joins the RESTORED partial state) + a far-future watermark driver
+    stage("f1.parquet", Seq(6030, 6600))
+    runOnce()
+    val got = spark.read.parquet(outDir)
+      .select(col("user_id"), col("window_start_us"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 6000L * 60L * 1000000L, 3L)),
+      s"expected ONE hour-100 window with the restored count 3, got $got")
+    Seq(inDir, ckDir, outDir).foreach(Tmp.deleteRecursively)
+  }
 }
