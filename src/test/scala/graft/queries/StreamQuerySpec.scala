@@ -132,4 +132,65 @@ class StreamQuerySpec extends SparkSpec {
       s"expected ONE hour-100 window with the restored count 3, got $got")
     Seq(inDir, ckDir, outDir).foreach(Tmp.deleteRecursively)
   }
+
+  test("checkpoint recovery: custom as-of state (AsOfBuffer + timers) survives a restart") {
+    // same restart property for the CUSTOM stateful operator: the
+    // case-class AsOfBuffer state and the pending probe's event-time
+    // timer must roundtrip the checkpoint — run 1 buffers a build and a
+    // not-yet-final probe; the restarted run only advances the
+    // watermark, so the match can only come from restored state.
+    import graft.core.Tmp
+    import sqlImplicits._
+    val pDir = Tmp.jvmScopedDir("spec_asof_rec_p", "x")
+    val bDir = Tmp.jvmScopedDir("spec_asof_rec_b", "x")
+    val ckDir = Tmp.jvmScopedDir("spec_asof_rec_ck", "x")
+    val outDir = Tmp.jvmScopedDir("spec_asof_rec_out", "x")
+    Seq(pDir, bDir, ckDir, outDir).foreach(Tmp.deleteRecursively)
+    Seq(pDir, bDir).foreach(d => new java.io.File(d).mkdirs())
+    def stage(dir: String, name: String, rows: Seq[(Long, Long, Long)]): Unit = {
+      val tmp = Tmp.jvmScopedDir("spec_asof_rec_stage", s"$dir/$name")
+      rows.map { case (u, m, id) =>
+        (u, new java.sql.Timestamp(m * 60L * 1000L), m * 60L * 1000000L, id) }
+        .toDF("user_id", "t", "ts_us", "ref_id")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dir, name).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Tmp.deleteRecursively(tmp)
+    }
+    def runOnce(): Unit = {
+      def rd(path: String) = spark.readStream
+        .schema("user_id BIGINT, t TIMESTAMP, ts_us BIGINT, ref_id BIGINT")
+        .parquet(path)
+      val q = graft.streaming.StreamOps
+        .asofJoinStream(rd(pDir), rd(bDir), "10 minutes")
+        .toDF()
+        .writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.coalesce(1).write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: build @6010 and probe @6015 for user 1 — watermark ends at
+    // 6005, the probe is NOT final and must be buffered, not emitted
+    stage(bDir, "b0.parquet", Seq((1L, 6010L, 100L)))
+    stage(pDir, "p0.parquet", Seq((1L, 6015L, 200L)))
+    runOnce()
+    // run 2, restarted: only a far-future sentinel build on key −1 —
+    // the watermark walks past the probe and the restored state must
+    // produce exactly the buffered match
+    stage(bDir, "b1.parquet", Seq((-1L, 6600L, -1L)))
+    runOnce()
+    val got = spark.read.parquet(outDir)
+      .select(col("user_id"), col("probe_id"), col("build_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 200L, 100L)),
+      s"expected the restored-state match (1,200,100) exactly once, got $got")
+    Seq(pDir, bDir, ckDir, outDir).foreach(Tmp.deleteRecursively)
+  }
 }
