@@ -54,15 +54,12 @@ object Bench {
     // cases from the artifact itself). local[*] runs executors
     // in-process, so process CPU covers the whole query.
     // the com.sun interface is HotSpot-specific — degrade to cpu=-1
-    // rather than crashing Bench on a JVM whose bean doesn't carry it
-    val osBean: Option[com.sun.management.OperatingSystemMXBean] =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-        case b: com.sun.management.OperatingSystemMXBean => Some(b)
-        case _ =>
-          System.err.println("[bench] process CPU time unavailable on this JVM")
-          None
-      }
-    def cpuNow(): Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
+    // rather than crashing Bench on a JVM whose bean doesn't carry it.
+    // One shared probe (core.PhaseLog.cpuNanos) serves Bench, PhaseLog
+    // and DegradeProbe so the sentinel handling can't drift.
+    def cpuNow(): Long = graft.core.PhaseLog.cpuNanos()
+    if (cpuNow() < 0)
+      System.err.println("[bench] process CPU time unavailable on this JVM")
 
     case class Timing(name: String, wallSec: Double, cpuSec: Double, ok: Boolean)
 
@@ -119,7 +116,7 @@ object Bench {
     // sentinels would emit ≈ -(entry count), which reads like data (and
     // getProcessCpuTime may return -1 even when the bean exists)
     def cpuSum(rs: Seq[Timing]): Double =
-      if (osBean.isEmpty || rs.exists(_.cpuSec < 0)) -1.0
+      if (rs.exists(_.cpuSec < 0)) -1.0
       else rs.map(_.cpuSec).sum
     // load average is on the PLATFORM bean (not the com.sun extension)
     val loadAvg = java.lang.management.ManagementFactory

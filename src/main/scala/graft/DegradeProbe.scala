@@ -28,11 +28,7 @@ object DegradeProbe {
     val spark = graft.core.Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
-    def cpuNow(): Long =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-        case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
-        case _ => -1L
-      }
+    def cpuNow(): Long = graft.core.PhaseLog.cpuNanos()
     def timeTrain(tag: String): Unit = {
       val t0 = System.nanoTime(); val c0 = cpuNow()
       graft.ext.Similarity.trainCentroids(
@@ -51,6 +47,11 @@ object DegradeProbe {
       case "text" => keys.filter(k => k.startsWith("text_") || k.startsWith("mm_")
         || k.startsWith("sample_") || k.startsWith("split_"))
       case "all" => keys
+      case other =>
+        System.err.println(
+          s"[probe] unknown family '$other' — use rel|dedup|stream|text|all")
+        spark.stop()
+        sys.exit(2)
     }
     println(s"[probe] family=$family n=${names.size} rounds=$rounds")
     timeTrain("cold")

@@ -40,7 +40,11 @@ object Sessions {
   * cpu ≫ wall×cores means spin/GC, gc ≈ the inflation means heap
   * pressure, cpu ≈ flat means host contention. */
 object PhaseLog {
-  private def cpuNanos(): Long =
+  /** Process CPU time in ns, or −1 when the JVM's bean doesn't carry it
+    * (the HotSpot-specific com.sun interface; getProcessCpuTime itself
+    * may also return −1 on unsupported platforms). THE one copy of this
+    * probe — Bench and DegradeProbe call it too. */
+  def cpuNanos(): Long =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
       case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
       case _ => -1L

@@ -237,12 +237,25 @@ object Ext {
   private val stagedPaths =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
+  // NOT computeIfAbsent: stage builds NEST (jaccardPairs08's build
+  // stages pruned100; cands16 likewise), and a nested computeIfAbsent
+  // on the same ConcurrentHashMap throws IllegalStateException
+  // ("Recursive update") whenever the two keys land in one bin —
+  // dir-string dependent, ~1/16 of sf dirs. A reentrant lock +
+  // double-check publishes after the write and lets the nested stage
+  // run inside the outer one.
+  private val stageLock = new Object
+
   private def stage(what: String, s: SparkSession, dir: String)
                    (build: => DataFrame): DataFrame = {
-    val path = stagedPaths.computeIfAbsent((what, dir), _ => {
-      val p = graft.core.Tmp.jvmScopedDir(s"stage_$what", dir)
-      build.write.mode("overwrite").parquet(p)
-      p
+    val key = (what, dir)
+    val path = Option(stagedPaths.get(key)).getOrElse(stageLock.synchronized {
+      Option(stagedPaths.get(key)).getOrElse {
+        val p = graft.core.Tmp.jvmScopedDir(s"stage_$what", dir)
+        build.write.mode("overwrite").parquet(p)
+        stagedPaths.put(key, p)
+        p
+      }
     })
     s.read.parquet(path)
   }
@@ -506,13 +519,20 @@ object Ext {
     * the loaded model is bit-identical to what an inline train would
     * produce. */
   private def ivf64Model(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] = {
-    val path = stagedPaths.computeIfAbsent(("ivf64_model", dir), _ => {
-      val p = graft.core.Tmp.jvmScopedDir("stage_ivf64_model", dir)
-      Similarity.saveCentroids(s,
-        Similarity.trainCentroids(
-          t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
-          nlist = 64, iters = 2), p)
-      p
+    val key = ("ivf64_model", dir)
+    // same lock discipline as stage() (its build doesn't nest today,
+    // but a bare computeIfAbsent here is one refactor away from the
+    // recursive-update crash stage() documents)
+    val path = Option(stagedPaths.get(key)).getOrElse(stageLock.synchronized {
+      Option(stagedPaths.get(key)).getOrElse {
+        val p = graft.core.Tmp.jvmScopedDir("stage_ivf64_model", dir)
+        Similarity.saveCentroids(s,
+          Similarity.trainCentroids(
+            t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+            nlist = 64, iters = 2), p)
+        stagedPaths.put(key, p)
+        p
+      }
     })
     Similarity.loadCentroids(s, path)
   }
