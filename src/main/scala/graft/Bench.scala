@@ -73,7 +73,10 @@ object Bench {
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      val dc = if (c0 < 0) -1.0 else (cpuNow() - c0) / 1e9
+      // guard BOTH samples: getProcessCpuTime may transiently return -1
+      // mid-run, and (-1 - c0) would masquerade as a huge negative reading
+      val c1 = cpuNow()
+      val dc = if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9
       // untimed, between queries: with a large fixed heap the JVM may not
       // GC for the whole run, so Spark's ContextCleaner (weak-ref driven)
       // never releases finished queries' shuffle/broadcast state — by the
@@ -108,8 +111,12 @@ object Bench {
 
     def dict(rs: Seq[Timing], f: Timing => Double): String =
       rs.map(t => s"\"" + t.name + "\":" + f(t)).mkString("{", ",", "}")
-    val errs = (results ++ results2).collect { case t if !t.ok => "\"" + t.name + "\"" }
-      .distinct.mkString("[", ",", "]")
+    // per-pass error arrays: merging them hid whether a failure was
+    // pass-2-only (warm-state problem) or pass-1 (cold-plan problem)
+    def errList(rs: Seq[Timing]): String =
+      rs.collect { case t if !t.ok => "\"" + t.name + "\"" }.mkString("[", ",", "]")
+    val errs = errList(results)
+    val errs2 = errList(results2)
     val total = results.map(_.wallSec).sum
     val total2 = results2.map(_.wallSec).sum
     // keep the single -1 "unavailable" sentinel — summing the per-query
@@ -122,24 +129,30 @@ object Bench {
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
-    // COMPACT summary lines FIRST (round-4 verdict #3): the driver
-    // captures a bounded tail, and the r4 artifact lost the per-query
-    // wall dict to truncation — these short lines carry the numbers
-    // that matter even if everything below them is cut off.
+    // COMPACT summary lines, printed BEFORE *and* AFTER the JSON (round-5
+    // verdict #5): the driver captures a bounded END-anchored tail, and the
+    // r5 artifact kept only the end of the long JSON line — the leading
+    // copies were cut anyway. Printing the same lines after the JSON means
+    // the last lines of stdout always carry the totals, whatever the tail
+    // bound; the leading copies still serve a head-anchored reader.
     def top(rs: Seq[Timing], f: Timing => Double, n: Int): String =
       rs.sortBy(t => -f(t)).take(n)
         .map(t => f"${t.name}=${f(t)}%.2f").mkString(",")
-    println(f"GRAFT_BENCH_SUMMARY: total=$total%.2f s pass2=$total2%.2f s " +
-      f"entries=${results.size} cpu=${cpuSum(results)}%.2f s load_end=$loadAvg%.2f " +
-      f"threads=${Thread.activeCount()}")
-    println(s"GRAFT_BENCH_TOP_WALL: ${top(results, _.wallSec, 10)}")
-    println(s"GRAFT_BENCH_TOP_CPU: ${top(results, _.cpuSec, 10)}")
-    println(s"GRAFT_BENCH_TOP_WALL_2ND: ${top(results2, _.wallSec, 10)}")
+    def printSummary(): Unit = {
+      println(f"GRAFT_BENCH_SUMMARY: total=$total%.2f s pass2=$total2%.2f s " +
+        f"entries=${results.size} cpu=${cpuSum(results)}%.2f s load_end=$loadAvg%.2f " +
+        f"threads=${Thread.activeCount()}")
+      println(s"GRAFT_BENCH_TOP_WALL: ${top(results, _.wallSec, 10)}")
+      println(s"GRAFT_BENCH_TOP_CPU: ${top(results, _.cpuSec, 10)}")
+      println(s"GRAFT_BENCH_TOP_WALL_2ND: ${top(results2, _.wallSec, 10)}")
+    }
+    printSummary()
 
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${dict(results, _.wallSec)},"cpu_queries":${dict(results, _.cpuSec)},"cpu_total":${cpuSum(results)},"total_2nd":$total2,"queries_2nd":${dict(results2, _.wallSec)},"cpu_queries_2nd":${dict(results2, _.cpuSec)},"cpu_total_2nd":${cpuSum(results2)},"load_avg_end":$loadAvg,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${dict(results, _.wallSec)},"cpu_queries":${dict(results, _.cpuSec)},"cpu_total":${cpuSum(results)},"total_2nd":$total2,"queries_2nd":${dict(results2, _.wallSec)},"cpu_queries_2nd":${dict(results2, _.cpuSec)},"cpu_total_2nd":${cpuSum(results2)},"load_avg_end":$loadAvg,"errors":$errs,"errors_2nd":$errs2,"sf":"$sfDir"}"""
     println(json)
     println(s"GRAFT_BENCH_JSON: $json")
+    printSummary()
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")

@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object DegradeProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val family = args.headOption.getOrElse("all")
     val rounds = args.lift(1).map(_.toInt).getOrElse(1)
     val spark = graft.core.Sessions.local(

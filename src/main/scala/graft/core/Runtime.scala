@@ -23,6 +23,16 @@ object Sessions {
       // default; read as long ns and convert explicitly (see queries.Rel)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // checkpoint-file checksums OFF (round-5 verdict #3): Spark 4.1's
+      // ChecksumCheckpointFileManager spins a small thread pool per
+      // manager instance (one per metadata log / state-store provider)
+      // and nothing closes them when a streaming query stops — measured
+      // +32 live threads per sessionize-sink run, linear growth to ~1,030
+      // by bench end. The checksums exist to detect checkpoint corruption
+      // on unreliable stores; these entrypoints write checkpoints to
+      // local scratch deleted after each run, so the feature buys nothing
+      // here. A durable production deployment should leave it at default.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

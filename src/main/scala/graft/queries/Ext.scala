@@ -497,22 +497,23 @@ object Ext {
     * the centroid matrix rides ONE broadcast + native expression, so this
     * plan's size is O(1) in nlist — registering a realistic centroid
     * count proves it (corpora smaller than nlist seed fewer cells and
-    * degrade gracefully). No oracle — the model is engine state. */
+    * degrade gracefully). No oracle — the model is engine state.
+    *
+    * HAZARD (round-5 BASELINE.md record): this entry runs the Lloyd
+    * training loop INLINE on every invocation. That exact pattern —
+    * per-invocation driver collect/broadcast training inside a repeated
+    * query — degraded 2.5 s → 59 s late in a ~200-query warm JVM before
+    * r5 staged the model. It stays registered as the one-shot form only
+    * (cheap at this probe count, and a live regression canary for the
+    * hazard); anything that runs repeatedly must use [[simIvfWarm]]'s
+    * staged [[ivf64Model]] lifecycle instead. Do NOT copy this inline
+    * form into a repeated path. */
   def simIvfTopk(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(queryVecs(s, dir),
         t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         k = 10, nlist = 64, nprobe = 8)
       .orderBy(col("qid"), col("rank"))
 
-  /** The deployable IVF lifecycle (round-4 verdict stretch #7): the
-    * coarse quantizer is TRAINED AND SAVED once per (JVM, sf dir) —
-    * `Similarity.saveCentroids`, a parquet table like any other — and
-    * the search itself LOADS the model and probes, the way a production
-    * ANN serving job runs against a nightly-trained index. Same
-    * hyperparameters as [[simIvfTopk]], and doubles roundtrip parquet
-    * exactly, so the warm search must reproduce the train-inline result
-    * bit-for-bit (`SimilaritySpec` pins that; the driver gate pins rows
-    * — the model is engine state, like `sim_ivf_topk`'s). */
   /** The nlist=64 coarse quantizer, trained+saved once per (JVM, sf dir)
     * and loaded on every later use — shared by [[simIvfWarm]] and
     * [[simAnnRecall]]. Training is deterministic (lowest-id seeds), so
@@ -537,6 +538,15 @@ object Ext {
     Similarity.loadCentroids(s, path)
   }
 
+  /** The deployable IVF lifecycle (round-4 verdict stretch #7): the
+    * coarse quantizer is TRAINED AND SAVED once per (JVM, sf dir) —
+    * `Similarity.saveCentroids`, a parquet table like any other — and
+    * the search itself LOADS the model and probes, the way a production
+    * ANN serving job runs against a nightly-trained index. Same
+    * hyperparameters as [[simIvfTopk]], and doubles roundtrip parquet
+    * exactly, so the warm search must reproduce the train-inline result
+    * bit-for-bit (`SimilaritySpec` pins that; the driver gate pins rows
+    * — the model is engine state, like `sim_ivf_topk`'s). */
   def simIvfWarm(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopKWithCentroids(queryVecs(s, dir),
         t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
