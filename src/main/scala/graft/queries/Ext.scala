@@ -1055,6 +1055,84 @@ object Ext {
     s.read.parquet(outDir).orderBy(col("click_id"), col("err_id"))
   }
 
+  /** LEFT-OUTER STREAM-STREAM interval join under the driver's DuckDB
+    * gate (round-5 verdict #1 — the one streaming join semantics that was
+    * spec-only): same clicks × errors ±10 min window as
+    * [[streamIntervalJoinSink]], but an unmatched click must emit its
+    * null-padded row, and Append-mode streaming may do that only once the
+    * event-time watermark PROVES no error can still arrive in the click's
+    * ±window — the hardest stream-join contract, matching
+    * [[joinRangeBucketed]]'s `"left"` join semantics.
+    *
+    * Watermark choreography: outer-null emission happens on state
+    * eviction, and the watermark of micro-batch N derives from batch
+    * N−1's max event time — so BOTH sides stage the mtime-ordered
+    * sentinel ladder ([[streamTumblingSink]]'s trick; a stream-stream
+    * join's watermark is the MIN over its two inputs, so each side needs
+    * its own drivers) under `maxFilesPerTrigger=1`. Batch 0 joins the
+    * real feeds and emits every matched pair; sentinel batches 1–2 walk
+    * the global watermark past every click's `l_t + window`, evicting
+    * unmatched clicks as null-padded rows. Sentinels ride user −1/−2
+    * (never joinable, dropped on read-back); nulls are coalesced to
+    * sentinels on BOTH sides of the oracle compare, the
+    * `join_left_outer` convention. */
+  def streamIntervalOuterSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    import graft.core.Tmp
+    val log = graft.core.PhaseLog.start("stream_ijo")
+    val W = 600000000L // 10 min in µs — window AND watermark delay
+    val ev = events(s, dir)
+    def side(kind: String, prefix: String) =
+      ev.filter(col("event_type") === kind)
+        .select(col("user_id").as(s"${prefix}_user"),
+          timestamp_micros(col("ts_us")).as(s"${prefix}_t"),
+          col("event_id").as(s"${prefix}_id"))
+    def sentinel(prefix: String, user: Long, tsUs: Long): DataFrame =
+      ev.sparkSession.range(1).select(lit(user).as(s"${prefix}_user"),
+        timestamp_micros(lit(tsUs)).as(s"${prefix}_t"),
+        lit(-1L).as(s"${prefix}_id"))
+    val lDir = Tmp.jvmScopedDir("stream_ijo_l", dir)
+    val rDir = Tmp.jvmScopedDir("stream_ijo_r", dir)
+    val outDir = Tmp.jvmScopedDir("stream_ijo_out", dir)
+    val ckDir = Tmp.jvmScopedDir("stream_ijo_ck", dir)
+    // staged once per (JVM, sf dir), reused on reruns: the sentinel
+    // mtime ladder stays strictly ascending forever (see the as-of sink)
+    val stagedMarker = new java.io.File(lDir, "_graft_staged")
+    if (!stagedMarker.exists()) {
+      val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0)
+      Seq(lDir, rDir).foreach { d =>
+        Tmp.deleteRecursively(d); new java.io.File(d).mkdirs(): Unit
+      }
+      val now = System.currentTimeMillis()
+      stageMtimeFile(side("click", "l"), lDir, "l0.parquet", now - 60000L)
+      stageMtimeFile(sentinel("l", -1L, maxTs + 100L * W), lDir, "l1.parquet", now - 40000L)
+      stageMtimeFile(sentinel("l", -1L, maxTs + 200L * W), lDir, "l2.parquet", now - 20000L)
+      stageMtimeFile(side("error", "r"), rDir, "r0.parquet", now - 60000L)
+      stageMtimeFile(sentinel("r", -2L, maxTs + 100L * W), rDir, "r1.parquet", now - 40000L)
+      stageMtimeFile(sentinel("r", -2L, maxTs + 200L * W), rDir, "r2.parquet", now - 20000L)
+      java.nio.file.Files.createFile(stagedMarker.toPath): Unit
+      log("staged inputs")
+    } else log("reusing staged inputs")
+    def rd(path: String, prefix: String) = s.readStream
+      .schema(s"${prefix}_user BIGINT, ${prefix}_t TIMESTAMP, ${prefix}_id BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(path)
+    runStreamToParquet(s, outDir, ckDir,
+      Map("spark.sql.shuffle.partitions" -> "4"), log) {
+      StreamOps.intervalJoin(rd(lDir, "l"), rd(rDir, "r"),
+          "10 minutes", joinType = "leftOuter")
+        .select(col("l_id").as("click_id"), col("l_user").as("user_id"),
+          col("r_id"),
+          (unix_micros(col("r_t")) - unix_micros(col("l_t"))).as("dt"))
+    }
+    s.read.parquet(outDir)
+      .filter(col("user_id") >= 0) // drop watermark-driver sentinels
+      .select(col("click_id"), col("user_id"),
+        coalesce(col("r_id"), lit(-1L)).as("err_id"),
+        coalesce(col("dt"), lit(0L)).as("dt_us"))
+      .orderBy(col("click_id"), col("err_id"))
+  }
+
   /** The custom STREAM-STREAM AS-OF JOIN under the driver's DuckDB gate —
     * the one streaming operator Spark has no built-in for
     * (`StreamOps.asofJoinStream`: watermark-finalized probes, one floor
@@ -1424,6 +1502,7 @@ object Ext {
     "fn_time_format_stats" -> fnTimeFormatStats _,
     "stream_sessionize_sink" -> streamSessionizeSink _,
     "stream_interval_join_sink" -> streamIntervalJoinSink _,
+    "stream_interval_outer_sink" -> streamIntervalOuterSink _,
     "stream_tumbling_sink" -> streamTumblingSink _,
     "stream_dedup_sink" -> streamDedupSink _,
     "stream_asof_sink" -> streamAsofSink _,

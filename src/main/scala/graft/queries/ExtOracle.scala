@@ -508,6 +508,23 @@ object ExtOracle {
            AND e.ts_us BETWEEN c.ts_us - 600000000 AND c.ts_us + 600000000
          ORDER BY c.click_id, e.err_id""",
 
+    // batch twin of the STREAMING left-outer interval join: same window
+    // as stream_interval_join_sink but LEFT — unmatched clicks keep a
+    // row, nulls coalesced to sentinels on both sides (the
+    // join_left_outer convention; dt_us for a real pair is bounded by
+    // ±600000000, so matched and coalesced rows can't collide given
+    // err_id disambiguates)
+    "stream_interval_outer_sink" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'click'),
+         e AS (SELECT user_id, event_id AS err_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'error')
+         SELECT c.click_id, c.user_id, coalesce(e.err_id, -1) AS err_id,
+           coalesce(e.ts_us - c.ts_us, 0) AS dt_us
+         FROM c LEFT JOIN e ON c.user_id = e.user_id
+           AND e.ts_us BETWEEN c.ts_us - 600000000 AND c.ts_us + 600000000
+         ORDER BY c.click_id, err_id""",
+
     // stream-static enrichment = plain join against the per-user rollup
     "stream_enrich_sink" ->
       """WITH d AS (SELECT user_id, count(*) AS n_user_events,

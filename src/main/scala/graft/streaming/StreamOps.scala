@@ -243,17 +243,27 @@ object StreamOps {
     * bucketized range join (`queries.Ext.joinRangeBucketed`). Watermarks
     * on BOTH sides + the time-range join condition let Spark bound the
     * buffered state to the interval, so state is O(events per window),
-    * not O(stream). */
+    * not O(stream).
+    *
+    * `joinType = "leftOuter"` adds watermark-proven null emission: an
+    * unmatched left row emits its null-padded result only once the
+    * event-time watermark passes `l_t + window` — the point after which
+    * any matching right row would itself be behind the watermark and
+    * dropped — so each left row emits exactly once (matched pairs
+    * in-batch, outer nulls on eviction), the streaming twin of
+    * `joinRangeBucketed`'s `"left"` join. */
   def intervalJoin(
       left: DataFrame, // (l_user, l_t: timestamp, l_id)
       right: DataFrame, // (r_user, r_t: timestamp, r_id)
       window: String,
-      watermarkDelay: String = "10 minutes"): DataFrame =
+      watermarkDelay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame =
     left.withWatermark("l_t", watermarkDelay)
       .join(
         right.withWatermark("r_t", watermarkDelay),
         expr(s"""l_user = r_user AND
-                 r_t BETWEEN l_t - INTERVAL $window AND l_t + INTERVAL $window"""))
+                 r_t BETWEEN l_t - INTERVAL $window AND l_t + INTERVAL $window"""),
+        joinType)
 
   /** Tagged input event for [[asofJoinStream]]: side 0 = build,
     * side 1 = probe; `ref_id` is the caller's row id. */

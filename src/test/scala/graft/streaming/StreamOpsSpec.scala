@@ -149,6 +149,45 @@ class StreamOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 1 && p._2 == 0 && p._3 == 58))
   }
 
+  test("left-outer interval join emits null-padded rows only after the watermark proof") {
+    implicit val sq = spark.sqlContext
+    val lMem = MemoryStream[KeyedEvent]
+    val rMem = MemoryStream[KeyedEvent]
+    val joined = StreamOps.intervalJoin(
+      lMem.toDS().toDF().selectExpr("user_id AS l_user", "t AS l_t", "ts_us AS l_id"),
+      rMem.toDS().toDF().selectExpr("user_id AS r_user", "t AS r_t", "ts_us AS r_id"),
+      window = "10 minutes", watermarkDelay = "1 minute", joinType = "leftOuter")
+    val qname = s"ijo${System.nanoTime()}"
+    val query = joined.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    def pairs() = spark.table(qname)
+      .selectExpr("l_user", "(l_id - " + BaseUs + ") div 60000000 AS lm",
+        "CASE WHEN r_id IS NULL THEN -1 ELSE (r_id - " + BaseUs + ") div 60000000 END AS rm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      // user 1 minute 0 matches; user 2 minute 5 has no error within ±10
+      lMem.addData(Seq(ev(1, 0, 1.0), ev(2, 5, 2.0)))
+      rMem.addData(Seq(ev(1, 3, 9.0)))
+      query.processAllAvailable()
+      val early = pairs()
+      assert(early.contains((1L, 0L, 3L)), s"matched pair must emit in-batch: $early")
+      // the unmatched click must NOT have emitted yet: watermark (still at
+      // minus-infinity after one batch) cannot prove absence
+      assert(!early.exists(p => p._3 == -1L), s"premature outer emission: $early")
+      // watermark drivers on BOTH sides (stream-stream wm is the min):
+      // max event minute 100 → wm minute 99 > 5 + 10 + 1
+      lMem.addData(Seq(ev(-1, 100, 0.0))); rMem.addData(Seq(ev(-2, 100, 0.0)))
+      query.processAllAvailable()
+      lMem.addData(Seq(ev(-1, 200, 0.0))); rMem.addData(Seq(ev(-2, 200, 0.0)))
+      query.processAllAvailable()
+      val late = pairs()
+      assert(late.contains((2L, 5L, -1L)),
+        s"watermark-proven unmatched click must emit null-padded: $late")
+      // exactly-once: the matched click never also emits an outer row
+      assert(!late.contains((1L, 0L, -1L)), s"matched click emitted outer too: $late")
+    } finally query.stop()
+  }
+
   test("streaming session_window agrees with batch session_window") {
     val rows = runBatches(
       Seq(Seq(ev(1, 0, 1.0), ev(1, 5, 1.0), ev(1, 40, 1.0)),
