@@ -268,6 +268,15 @@ object ExtOracle {
          FROM pairs0
          ORDER BY id1, id2""",
 
+    // SimHash quality gate (the sim_ann_recall boolean-pin pattern): the
+    // row set is the exact Jaccard ≥0.8 pairs — dedup_ngram_jaccard's
+    // own CTEs — and recall_ok is computed Spark-side against the
+    // SimHash candidates and pinned TRUE here
+    "dedup_simhash_recall" ->
+      s"""WITH $shingleCtes
+         SELECT id1, id2, TRUE AS recall_ok
+         FROM pairs0 ORDER BY id1, id2""",
+
     // the hashed-shingle scale path shares the exact miner's oracle: a
     // 64-bit xxhash64 collision is the only way they could diverge, and
     // at ~10^5 distinct shingles the birthday bound (~n²/2^65) is far
