@@ -908,6 +908,68 @@ object Ext {
       .orderBy(col("linenumber"))
   }
 
+  /** Malformed-CSV accounting (S1's last real-world gap, round-5 verdict
+    * #6): the reference's feeds are dirty — mixed formats AND broken rows
+    * — and its all-string lazy read lets breakage flow silently into
+    * downstream casts. This entry stages a deterministically-dirtied
+    * `;`-CSV slice of events (event_id%10==3 → a field dropped;
+    * %10==7 → non-numeric value; else clean), reads it back in PERMISSIVE
+    * mode with a corrupt-record column ([[graft.sources.Csv.readPermissive]]),
+    * and tallies by damage class. The oracle recomputes the same tally
+    * straight from parquet using the dirtying rule — equal hashes prove
+    * both that clean rows survive byte-exact AND that every broken row is
+    * detected and classified, never silently dropped or crashed on.
+    *
+    * `sum_event` is recovered for ALL rows — corrupt ones from the raw
+    * line's first field (always intact under both damage rules) — the
+    * quarantine-then-repair pattern; the coalesce makes it robust to
+    * whether the engine keeps best-effort partial fields for malformed
+    * rows. At 100 TB this is one scan-local projection per row: no
+    * shuffle is added over the clean-path aggregate.
+    *
+    * The parse lands as a parquet table before the audit reads it: Spark
+    * refuses a raw-CSV scan pruned to the corrupt column ALONE
+    * (QUERY_ONLY_CORRUPT_RECORD_COLUMN — a count over this aggregate
+    * prunes to exactly that), and landing the flagged feed once, then
+    * running audits against the landed table, is how a 100 TB ingest
+    * works anyway: one parse, many consumers. */
+  def csvDirtyRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import graft.sources.Csv
+    val staged = events(s, dir).filter(col("event_type") === "click")
+      .withColumn("v", col("ts_us") % 1000000)
+      .select(
+        when(col("event_id") % 10 === 3,
+          concat_ws(";", col("event_id"), col("user_id")))
+        .when(col("event_id") % 10 === 7,
+          concat_ws(";", col("event_id"), col("user_id"),
+            concat(lit("v"), col("v"))))
+        .otherwise(
+          concat_ws(";", col("event_id"), col("user_id"), col("v")))
+        .as("line"))
+    val out = graft.core.Tmp.jvmScopedDir("csv_dirty", dir)
+    staged.write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("v", LongType)))
+    val landed = graft.core.Tmp.jvmScopedDir("csv_dirty_parsed", dir)
+    Csv.readPermissive(s, out, schema, delimiter = ";", header = false)
+      .write.mode("overwrite").parquet(landed)
+    s.read.parquet(landed)
+      .select(
+        when(col("_corrupt").isNull, lit("clean"))
+          .when(size(split(col("_corrupt"), ";")) === 2, lit("short"))
+          .otherwise(lit("badnum")).as("kind"),
+        when(col("_corrupt").isNull, col("v")).otherwise(lit(0L)).as("v_clean"),
+        coalesce(col("event_id"),
+          expr("try_cast(split(_corrupt, ';')[0] AS BIGINT)")).as("eid"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v_clean")).as("sum_v"),
+        sum(col("eid")).as("sum_event"))
+      .orderBy(col("kind"))
+  }
+
   /** Streaming-sink round-trip under the driver oracle: the events table
     * streamed through the stateful sessionizer
     * (`streaming.StreamOps.sessionize` — watermark + event-time timeouts)
@@ -1602,6 +1664,7 @@ object Ext {
     "join_range_bucketed" -> joinRangeBucketed _,
     "join_interval_native" -> joinIntervalNative _,
     "csv_roundtrip" -> csvRoundtrip _,
+    "csv_dirty_read" -> csvDirtyRead _,
     "src_bucketed_join" -> srcBucketedJoin _,
     "fn_time_format_stats" -> fnTimeFormatStats _,
     "stream_sessionize_sink" -> streamSessionizeSink _,

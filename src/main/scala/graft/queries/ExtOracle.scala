@@ -436,6 +436,21 @@ object ExtOracle {
            CAST(sum(event_id) AS BIGINT) AS sum_event
          FROM e GROUP BY linenumber ORDER BY linenumber""",
 
+    // recomputes csv_dirty_read's tally straight from parquet using the
+    // dirtying rule: equal hashes prove clean rows survive byte-exact AND
+    // every broken row is detected, classified, and id-recovered
+    "csv_dirty_read" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) % 1000000 AS v
+           FROM events WHERE event_type = 'click'),
+         c AS (SELECT CASE WHEN event_id % 10 = 3 THEN 'short'
+                           WHEN event_id % 10 = 7 THEN 'badnum'
+                           ELSE 'clean' END AS kind, event_id, v FROM e)
+         SELECT kind, count(*) AS n,
+           CAST(sum(CASE WHEN kind = 'clean' THEN v ELSE 0 END) AS BIGINT)
+             AS sum_v,
+           CAST(sum(event_id) AS BIGINT) AS sum_event
+         FROM c GROUP BY kind ORDER BY kind""",
+
     // the native custom-exec twins share their composable siblings' oracles:
     // identical semantics, two physical plans, both under the hash gate
     "join_asof_native" ->

@@ -30,6 +30,35 @@ object Csv {
   def readDynamic(spark: SparkSession, path: String, delimiter: String = ","): DataFrame =
     spark.read.option("header", "true").option("sep", delimiter).csv(path)
 
+  /** S1 for DIRTY feeds: PERMISSIVE read with a corrupt-record column.
+    * The reference's CSV feeds carry broken rows alongside the mixed
+    * timestamp formats; its lazy all-string read never surfaces them, so
+    * breakage flows silently into downstream casts. Here a malformed row
+    * (wrong field count, unparseable value) lands with its RAW LINE in
+    * `corruptCol` and the typed fields best-effort parsed — the caller
+    * can tally, quarantine, or repair instead of crashing (FAILFAST) or
+    * silently dropping (DROPMALFORMED) a 100 TB feed for one bad row.
+    *
+    * Spark populates the corrupt column only when it is part of the read
+    * schema (appended here), and two scan-level caveats mean consumers
+    * should LAND this parse as a table before auditing it (the pattern
+    * `csv_dirty_read` follows; `CsvSpec` pins both): a raw scan pruned to
+    * the corrupt column alone is refused outright
+    * (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and under column pruning a row
+    * missing its LATER fields is silently not flagged, because the parser
+    * extracts only the required indices and never sees the short token
+    * count. */
+  def readPermissive(spark: SparkSession, path: String, schema: StructType,
+                     delimiter: String = ",", header: Boolean = true,
+                     corruptCol: String = "_corrupt"): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .csv(path)
+
   /** S5–S8: header CSV sink. `partitionCols` replaces the reference's
     * driver-side per-line loop (`Standalone/Pattern Extraction.scala:45`)
     * with one partitioned write; `singleFile` uses `coalesce(1)` (no

@@ -64,4 +64,44 @@ class CsvSpec extends SparkSpec {
     assert(m("a").isDefined && m("b").isDefined && m("c").isEmpty)
     assert(m("b").get - m("a").get == 60L * 1000000L) // one minute apart
   }
+
+  test("PERMISSIVE read flags short and unparseable rows, keeps raw line") {
+    val dir = tmpDir()
+    Seq("1;10;100", "2;20", "3;30;x7", "4;40;400")
+      .toDF("value").coalesce(1).write.text(dir)
+    val typed = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType),
+      StructField("c", LongType)))
+
+    // LANDED-TABLE path (what csv_dirty_read does): materializing every
+    // column makes the parser see the full token count, so BOTH damage
+    // classes are flagged with the raw line preserved
+    val landed = tmpDir()
+    Csv.readPermissive(spark, dir, typed, delimiter = ";", header = false)
+      .write.parquet(landed)
+    val rows = spark.read.parquet(landed)
+      .select(col("a"), col("c"), col("_corrupt"))
+      .as[(Option[Long], Option[Long], Option[String])]
+      .collect().sortBy(_._1)
+    // clean rows: typed values present, corrupt column null
+    assert(rows.filter(_._3.isEmpty).map(r => (r._1.get, r._2.get)).toSeq ==
+      Seq((1L, 100L), (4L, 400L)))
+    // broken rows: raw line preserved verbatim for quarantine/repair —
+    // the first field is always recoverable from it (and partial results
+    // are kept: the bad-number row still parsed a=3)
+    assert(rows.flatMap(_._3).toSet == Set("2;20", "3;30;x7"))
+    // nothing silently dropped
+    assert(rows.length == 4)
+
+    // PRUNED-SCAN quirk (why csv_dirty_read lands the parse first): when
+    // the scan prunes to a subset of columns, the parser extracts only
+    // the required indices and a row MISSING later fields is NOT flagged
+    // — audits must run against the landed table, not a pruned raw scan
+    val pruned = Csv.readPermissive(spark, dir, typed, delimiter = ";",
+        header = false)
+      .select(col("a"), col("_corrupt"))
+      .as[(Option[Long], Option[String])].collect()
+    assert(pruned.filter(_._1.contains(2L)).head._2.isEmpty,
+      "short row invisibly 'clean' under column pruning — the quirk this pins")
+  }
 }
