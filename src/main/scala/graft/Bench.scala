@@ -107,7 +107,14 @@ object Bench {
     // pass-2 twin reads as one-time/environmental, while an entry slow
     // in BOTH passes is a plan problem.
     val results = runPass()
+    // thread count after EACH pass: equal counts prove the streaming
+    // pools don't accumulate per pass (the r5 leak was +32/sink/pass;
+    // what remains is Spark's keep-alive-cached block-manager pools,
+    // whose idle threads die after 60s — a high-water mark, not growth;
+    // ThreadProbe prints the name histogram when this drifts)
+    val threadsP1 = Thread.activeCount()
     val results2 = runPass()
+    val threadsP2 = Thread.activeCount()
 
     def dict(rs: Seq[Timing], f: Timing => Double): String =
       rs.map(t => s"\"" + t.name + "\":" + f(t)).mkString("{", ",", "}")
@@ -141,7 +148,7 @@ object Bench {
     def printSummary(): Unit = {
       println(f"GRAFT_BENCH_SUMMARY: total=$total%.2f s pass2=$total2%.2f s " +
         f"entries=${results.size} cpu=${cpuSum(results)}%.2f s load_end=$loadAvg%.2f " +
-        f"threads=${Thread.activeCount()}")
+        f"threads=${Thread.activeCount()} threads_p1=$threadsP1 threads_p2=$threadsP2")
       println(s"GRAFT_BENCH_TOP_WALL: ${top(results, _.wallSec, 10)}")
       println(s"GRAFT_BENCH_TOP_CPU: ${top(results, _.cpuSec, 10)}")
       println(s"GRAFT_BENCH_TOP_WALL_2ND: ${top(results2, _.wallSec, 10)}")
