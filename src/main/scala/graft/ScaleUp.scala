@@ -1,60 +1,95 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Local scaling-probe corpus generator:
   * `runMain graft.ScaleUp <srcSfDir> <outDir> [factor]` — writes a
-  * `factor`× replica of `documents` and `events` (the tables the dedup
-  * ladder and the streaming sinks read) for throughput scaling runs.
+  * `factor`× FK-consistent replica of the full table set, so BOTH the
+  * scaling sweeps (RunOne) and the complete DuckDB oracle gate
+  * (Verify + tools/check.py) can run at factor× the bench scale.
   *
-  * Replicas are DISJOINT by construction — doc/user/event ids offset per
-  * replica, and every document token suffixed with a replica tag so no
-  * shingle is shared across replicas. That keeps each replica's internal
-  * near-dup structure identical to the source while making the corpus-
-  * wide pair population scale LINEARLY in `factor`, the shape real "10×
-  * more data" has. Naive row duplication would instead make every doc an
-  * exact dup of its copies and blow the pair count up quadratically —
-  * measuring that measures the wrong workload.
+  * Growth shape = "more facts, same dims": `region nation customer
+  * supplier part` are copied verbatim and the fact tables are
+  * replicated with per-replica key offsets — orders/lineitem keep their
+  * customer/part/supplier FKs pointing into the ORIGINAL dims (10× the
+  * orders over the same customer base), events get disjoint user/event
+  * ids (10× the users at the same per-user event density, so
+  * sessionization state scales in keys not in per-key size), documents
+  * get replica-suffixed tokens (each replica keeps the source's internal
+  * near-dup structure; the corpus-wide pair population scales LINEARLY —
+  * naive duplication would make every doc an exact dup of its copies and
+  * measure a quadratic workload), and embeddings get replica-offset ids
+  * AND labels (blocked pair mining stays replica-local, again linear)
+  * plus per-replica deterministic noise so no two replicas' vectors tie
+  * exactly in top-k rankings.
   *
-  * Probe data only: no oracle runs against it and nothing under
-  * /root/testdata is touched.
+  * `events.ts` is passed through as the raw nanosecond longs the source
+  * stores (the engine contract); `tools/check.py` re-exposes it to
+  * DuckDB as a timestamp when it sees the BIGINT probe shape.
+  *
+  * Probe data only: nothing under /root/testdata is touched, and the
+  * driver's own gates never read this output.
   */
 object ScaleUp {
+  private val KeySpan = 100000000L // > any source key at the probe SFs
+
   def main(args: Array[String]): Unit = {
     val Array(src, out) = args.take(2)
     val factor = if (args.length > 2) args(2).toInt else 10
     val spark = graft.core.Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-
-    val docs = spark.read.parquet(s"$src/documents.parquet")
-    val docIdSpan = 10000000L
     val reps = spark.range(factor).select(col("id").cast("int").as("rep"))
-    docs.crossJoin(broadcast(reps))
-      .select(
-        (col("doc_id") + col("rep") * docIdSpan).as("doc_id"),
-        // rep 0 keeps the source text byte-for-byte; later reps suffix
-        // every token, so shingle vocabularies are replica-disjoint
+    def reped(t: DataFrame): DataFrame = t.crossJoin(broadcast(reps))
+    def copy(name: String): Unit =
+      spark.read.parquet(s"$src/$name.parquet")
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    def write(df: DataFrame, name: String, partCol: String): Unit =
+      df.repartition(col(partCol))
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "part").foreach(copy)
+
+    val off = col("rep") * KeySpan
+    write(reped(spark.read.parquet(s"$src/orders.parquet"))
+      .withColumn("o_orderkey", col("o_orderkey") + off)
+      .drop("rep"), "orders", "o_orderkey")
+
+    write(reped(spark.read.parquet(s"$src/lineitem.parquet"))
+      .withColumn("l_orderkey", col("l_orderkey") + off)
+      .drop("rep"), "lineitem", "l_orderkey")
+
+    write(reped(spark.read.parquet(s"$src/events.parquet"))
+      .withColumn("event_id", col("event_id") + off)
+      .withColumn("user_id", col("user_id") + off)
+      .drop("rep"), "events", "user_id")
+
+    write(reped(spark.read.parquet(s"$src/documents.parquet"))
+      .withColumn("doc_id", col("doc_id") + off)
+      // rep 0 keeps the source text byte-for-byte; later reps suffix
+      // every token, so shingle vocabularies are replica-disjoint
+      .withColumn("text",
         when(col("rep") === 0, col("text"))
           .otherwise(array_join(
             transform(split(col("text"), " "),
-              t => concat(t, lit("_"), col("rep"))), " "))
-          .as("text"),
-        col("lang"), col("source"), col("n_chars"))
-      .repartition(col("doc_id"))
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+              t => concat(t, lit("_"), col("rep"))), " ")))
+      .drop("rep"), "documents", "doc_id")
 
-    val events = spark.read.parquet(s"$src/events.parquet")
-    val userSpan = 10000000L
-    events.crossJoin(broadcast(reps))
-      .select(
-        (col("event_id") + col("rep") * docIdSpan).as("event_id"),
-        col("ts"),
-        (col("user_id") + col("rep") * userSpan).as("user_id"),
-        col("event_type"), col("value"), col("props"))
-      .repartition(col("user_id"))
-      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    write(reped(spark.read.parquet(s"$src/embeddings.parquet"))
+      .withColumn("vec_id", col("vec_id") + off)
+      .withColumn("label",
+        (col("label") + col("rep") * lit(1000000)).cast("int"))
+      // deterministic per-(vector, component) noise, zero on rep 0:
+      // breaks exact top-k ties between a vector and its replicas
+      .withColumn("embedding",
+        when(col("rep") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"),
+            (x, i) => (x.cast("double") +
+              ((col("vec_id") * 31 + i * 7) % 1000 - 500) * lit(1e-5))
+              .cast("float"))))
+      .drop("rep"), "embeddings", "vec_id")
 
-    println(s"[scaleup] wrote ${factor}x documents+events from $src to $out")
+    println(s"[scaleup] wrote ${factor}x corpus from $src to $out")
     spark.stop()
   }
 }

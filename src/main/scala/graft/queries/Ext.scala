@@ -280,22 +280,47 @@ object Ext {
     * params), so whichever rename wins publishes the same content and
     * losers just read the winner. A params change (code evolution)
     * retires the stale generation and publishes a fresh one. */
+  /** Source-state fingerprint for [[persistentIndex]] invalidation:
+    * (name, length, mtime) of every file under `path`, order-stable.
+    * A changed source table ⇒ a different fingerprint ⇒ the published
+    * generation's manifest no longer matches and the index rebuilds —
+    * caught live when a regenerated probe corpus at the SAME path served
+    * a stale index whose doc ids no longer existed. Cheap (driver-side
+    * metadata walk, no data read) — the warehouse equivalent is the
+    * table's snapshot/commit id. */
+  private[queries] def sourceFingerprint(path: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val sig = walk(new java.io.File(path))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** `sourcePath`: when non-empty, [[sourceFingerprint]] of it is folded
+    * into the MANIFEST (not the path), so a corpus change retires the
+    * generation IN PLACE at the same published root — readers never see
+    * an index whose source moved under it. */
   private[queries] def persistentIndex(
-      s: SparkSession, what: String, dir: String, params: String)(
+      s: SparkSession, what: String, dir: String, params: String,
+      sourcePath: String = "")(
       build: => DataFrame): DataFrame = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir|$params".getBytes("UTF-8")).take(8)
       .map(b => f"$b%02x").mkString
+    val gen = if (sourcePath.isEmpty) params
+      else s"$params|src=${sourceFingerprint(sourcePath)}"
     val root = System.getProperty("java.io.tmpdir") + s"/graft_index_${what}_$digest"
     val manifest = new java.io.File(root, "_graft_manifest")
     def published: Boolean = manifest.exists() &&
-      new String(java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8") == params
+      new String(java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8") == gen
     if (!published) {
       val tmp = graft.core.Tmp.jvmScopedDir(s"index_build_$what", s"$dir|$params")
       graft.core.Tmp.deleteRecursively(tmp)
       build.write.mode("overwrite").parquet(s"$tmp/data")
       java.nio.file.Files.writeString(
-        new java.io.File(tmp, "_graft_manifest").toPath, params): Unit
+        new java.io.File(tmp, "_graft_manifest").toPath, gen): Unit
       // a stale generation (params changed) or a torn dir (no manifest)
       // gives way; the dest is re-checked after a lost rename race
       if (new java.io.File(root).exists()) graft.core.Tmp.deleteRecursively(root)
@@ -481,7 +506,8 @@ object Ext {
     * so the guard equals the full-corpus guard and the DuckDB oracle is
     * unchanged from the self-union era. */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val oldSh = persistentIndex(s, "sh3_old", dir, "k=3 mod10!=0 v1") {
+    val oldSh = persistentIndex(s, "sh3_old", dir, "k=3 mod10!=0 v1",
+        sourcePath = s"$dir/documents.parquet") {
       Dedup.shingleRows(
         t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)
           .repartition(col("doc_id"))

@@ -58,6 +58,34 @@ class PersistentIndexSpec extends SparkSpec {
     } finally graft.core.Tmp.deleteRecursively(r)
   }
 
+  test("a changed source retires the generation in place (same root)") {
+    // caught live at the sf1 probe: a regenerated corpus at the SAME
+    // path served a stale index whose doc ids no longer existed — the
+    // manifest now folds in a (name,len,mtime) fingerprint of the source
+    val key = s"/spec/corpus_${System.nanoTime()}"
+    val srcDir = java.nio.file.Files.createTempDirectory("pidx_src").toFile
+    val src = new java.io.File(srcDir, "t.txt")
+    try {
+      java.nio.file.Files.writeString(src.toPath, "gen one"): Unit
+      var builds = 0
+      def call() = Ext.persistentIndex(spark, "spec3", key, "v1",
+          sourcePath = srcDir.toString) {
+        builds += 1
+        Seq((builds.toLong, "x")).toDF("id", "s")
+      }.collect().map(_.getLong(0)).toSeq
+      assert(call() == Seq(1L) && call() == Seq(1L) && builds == 1)
+      // touch the source: longer content AND a bumped mtime (mtime alone
+      // can be too coarse within one test's clock resolution)
+      java.nio.file.Files.writeString(src.toPath, "generation two"): Unit
+      assert(src.setLastModified(src.lastModified() + 2000))
+      assert(call() == Seq(2L), "stale generation must retire when the source changes")
+      assert(builds == 2)
+    } finally {
+      graft.core.Tmp.deleteRecursively(root("spec3", key, "v1"))
+      graft.core.Tmp.deleteRecursively(srcDir.toString)
+    }
+  }
+
   test("dedup_incremental probes the persistent index and matches the staged-era result") {
     // the old semantics: full-corpus-pruned shingles, split, pairs at >=0.5
     val sh = graft.ext.Dedup.pruneHot(

@@ -171,6 +171,18 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("agg_topk_typed: unnest stays relational after the typed aggregate") {
+    // r5 blemish #3: a typed flatMap after the TopK aggregator forced a
+    // Deserialize/MapPartitions/Serialize sandwich; the posexplode form
+    // keeps the unnest a Generate node. The aggregate itself is typed
+    // (its serialization is the U6 contract), so only the POST-aggregate
+    // object hops are pinned away.
+    val p = planOf("agg_topk_typed")
+    assert(p.contains("Generate"), "posexplode lost — no Generate node")
+    assert(!p.contains("MapPartitions"),
+      s"typed flatMap sandwich back in the unnest:\n$p")
+  }
+
   test("dedup_apply: the anti-join is not hint-forced to broadcast") {
     // AQE may still pick broadcast at runtime when the loser set fits —
     // the regression is a *hint* (unbounded at 100 TB). EliminateResolvedHint

@@ -20,7 +20,19 @@ outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
+    if os.path.isdir(p):  # Spark directory-style output (ScaleUp corpora)
+        p = f"{p}/*.parquet"
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    if name == "events":
+        # ScaleUp probe corpora store ts as the raw nanosecond BIGINT the
+        # engine consumes (Spark can't write TIMESTAMP(NANOS)); re-expose
+        # it as a timestamp so the oracles' epoch_us(ts) works unchanged.
+        (ts_type,) = [t for c, t, *_ in con.execute(
+            f"DESCRIBE {name}").fetchall() if c == "ts"]
+        if ts_type == "BIGINT":
+            con.execute(f"""CREATE OR REPLACE VIEW {name} AS
+                SELECT * REPLACE (make_timestamp(ts // 1000) AS ts)
+                FROM read_parquet('{p}')""")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
