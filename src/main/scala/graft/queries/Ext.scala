@@ -68,6 +68,66 @@ object Ext {
         Text.fingerprint(col("toks")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** Sequence packing for training (concat-then-chunk): documents in
+    * deterministic doc_id order are conceptually concatenated into one
+    * token stream and split every `budget`=2048 tokens; each doc reports
+    * the packed sequence it starts in, the one it ends in, and its token
+    * offset within the first — the manifest a training loader consumes.
+    *
+    * The global running token count is a DISTRIBUTED two-phase prefix
+    * sum: range-partition by doc_id, per-partition window cumsum (fully
+    * parallel — the window's partition key is the physical partition),
+    * then per-partition totals (one |partitions|-row aggregate, a
+    * documented driver-sized collect like A9's scalar) fed back as
+    * broadcast offsets. The naive `sum().over(Window.orderBy(doc_id))`
+    * with no partition key would funnel the whole corpus through ONE
+    * task — the single-partition global window is the canonical 100 TB
+    * scale-killer this operator exists to avoid.
+    *
+    * The counted+pid'd relation is landed to scratch parquet before the
+    * totals pass: `repartitionByRange` samples its boundaries per job,
+    * so computing totals and final rows from two separate evaluations
+    * could see DIFFERENT partitionings and misalign the offsets — the
+    * landed file pins one partitioning for both reads. */
+  def textPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val staged = graft.core.Tmp.jvmScopedDir("pack_local", dir)
+    docsTok(s, dir)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .repartitionByRange(32, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .write.mode("overwrite").parquet(staged)
+    val local = s.read.parquet(staged)
+    val perPid = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // pid → sum of all EARLIER partitions' tokens (pids are ordered by
+    // doc_id range, so this is the global prefix offset)
+    val offsets = {
+      var acc = 0L
+      local.groupBy(col("pid")).agg(sum(col("n_tokens")).as("t"))
+        .orderBy(col("pid"))
+        .collect().map { r =>
+          val o = (r.getInt(0), acc); acc += r.getLong(1); o
+        }.toSeq
+    }
+    import s.implicits._
+    val offDf = offsets.toDF("pid", "poff")
+    local
+      .withColumn("local_before",
+        coalesce(sum(col("n_tokens")).over(perPid), lit(0L)))
+      .join(broadcast(offDf), "pid")
+      .withColumn("cum_before", col("poff") + col("local_before"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        expr(s"cum_before div $budget").as("seq_start"),
+        when(col("n_tokens") === 0, expr(s"cum_before div $budget"))
+          .otherwise(expr(s"(cum_before + n_tokens - 1) div $budget"))
+          .as("seq_end"),
+        (col("cum_before") % budget).as("seq_off"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style duplicate-n-gram repetition score: fraction of a doc's
     * 3-grams that are repeats (1 − distinct/total). The cheap
     * within-document quality signal complementing the cross-document
@@ -1663,6 +1723,7 @@ object Ext {
     "sample_systematic" -> sampleSystematic _,
     "sample_stratified" -> sampleStratified _,
     "text_repetition" -> textRepetition _,
+    "text_pack_sequences" -> textPackSequences _,
     "text_contamination" -> textContamination _,
     "text_decontaminate" -> textDecontaminate _,
     "text_redact_pii" -> textRedactPii _,

@@ -142,6 +142,22 @@ object ExtOracle {
            (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
          FROM tok ORDER BY doc_id""",
 
+    // the engine's distributed two-phase prefix sum must equal the
+    // single-stream cumulative sum a sequential packer would compute
+    "text_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum_before FROM t)
+         SELECT doc_id, n_tokens,
+           cum_before // 2048 AS seq_start,
+           CASE WHEN n_tokens = 0 THEN cum_before // 2048
+                ELSE (cum_before + n_tokens - 1) // 2048 END AS seq_end,
+           cum_before % 2048 AS seq_off
+         FROM c ORDER BY doc_id""",
+
     "text_repetition" ->
       s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents)
          SELECT doc_id,

@@ -183,6 +183,16 @@ class PlanSpec extends SparkSpec {
       s"typed flatMap sandwich back in the unnest:\n$p")
   }
 
+  test("text_pack_sequences: global prefix sum never funnels through one partition") {
+    // the whole point of the two-phase prefix sum: a naive global-order
+    // window would plan Exchange SinglePartition and serialize the corpus
+    val p = planOf("text_pack_sequences")
+    val windows = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(windows.nonEmpty, "expected the per-partition cumsum window")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange crept into the packing plan:\n$p")
+  }
+
   test("dedup_apply: the anti-join is not hint-forced to broadcast") {
     // AQE may still pick broadcast at runtime when the loser set fits —
     // the regression is a *hint* (unbounded at 100 TB). EliminateResolvedHint
