@@ -479,6 +479,56 @@ object Ext {
     Dedup.exact(t(s, dir, "documents"), col("doc_id"), col("text"))
       .orderBy(col("keeper_id"))
 
+  /** SUB-document (line-level) exact dedup — the pass production corpora
+    * run BEFORE document-level dedup (CCNet/RefinedWeb-style: boilerplate
+    * lines repeat across pages that are not document dups). The synthetic
+    * docs carry no newline structure, so the "line" is a deterministic
+    * segmentation: consecutive 10-token chunks. Every chunk occurrence
+    * except the globally FIRST (by (doc_id, chunk_idx) — a total order)
+    * is dropped, and each doc reports how many of its chunks survived
+    * plus an md5 digest of its reassembled text, so the oracle verifies
+    * the surviving CONTENT byte-for-byte, not just counts.
+    *
+    * Scale shape: the chunk relation shuffles ONCE on chunk text for the
+    * first-occurrence aggregate, and the keep join keys on the same
+    * column — no second shuffle of the big side (AQE broadcasts the
+    * aggregated first-key side when it is small, as at the test SFs);
+    * then the order-explicit sorted-collect reassembly (A6 pattern) on
+    * doc_id. The
+    * chunk-text key can be narrowed to an 8-byte xxhash64 exactly like
+    * `dedup_ngram_hashed`'s shuffle-width lever; the string key is kept
+    * here for DuckDB oracle portability. Chunk idx is packed with doc_id
+    * into one BIGINT (idx < 10⁶ ≫ max 20 chunks/doc) so "first" is a
+    * single min, not a struct argmin. */
+  def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val docs = docsTok(s, dir)
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_toks"))
+    val chunks = docs.filter(col("n_toks") >= 1)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ((col("n_toks") + (k - 1)) / k).cast("int") - 1),
+          i => array_join(slice(col("toks"), i * k + 1, lit(k)), " "))))
+      .toDF("doc_id", "idx", "chunk")
+      .withColumn("okey", col("doc_id") * 1000000L + col("idx"))
+    val first = chunks.groupBy(col("chunk"))
+      .agg(min(col("okey")).as("first_key"))
+    val kept = chunks.join(first, "chunk")
+      .filter(col("okey") === col("first_key"))
+    val perDoc = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          x => x("chunk"))).as("cleaned"))
+    docs.select(col("doc_id"),
+        ((col("n_toks") + (k - 1)) / k).cast("long").as("n_chunks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("cleaned"), lit(""))).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup pairs by 3-gram shingle Jaccard via inverted index. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     jaccardPairs08(s, dir)
@@ -1732,6 +1782,7 @@ object Ext {
     "split_train_test" -> splitTrainTest _,
     "text_fingerprint" -> textFingerprint _,
     "dedup_exact" -> dedupExact _,
+    "dedup_lines" -> dedupLines _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_ngram_hashed" -> dedupNgramHashed _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,

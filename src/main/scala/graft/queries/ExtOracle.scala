@@ -142,6 +142,30 @@ object ExtOracle {
            (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
          FROM tok ORDER BY doc_id""",
 
+    // line-level dedup: verifies the surviving CONTENT byte-for-byte
+    // (md5 of each doc's reassembled text), not just survivor counts
+    "dedup_lines" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+         chunks AS (
+           SELECT doc_id,
+             unnest(list_transform(range(0, CAST((len(toks) + 9) // 10 AS INT)),
+               i -> {'idx': i,
+                     'chunk': array_to_string(toks[i*10+1 : i*10+10], ' ')}),
+               recursive := true)
+           FROM tok WHERE len(toks) >= 1),
+         fk AS (SELECT chunk, min(doc_id * 1000000 + idx) AS first_key
+           FROM chunks GROUP BY chunk),
+         kept AS (SELECT c.doc_id, c.idx, c.chunk FROM chunks c JOIN fk
+           ON c.chunk = fk.chunk AND c.doc_id * 1000000 + c.idx = fk.first_key),
+         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           string_agg(chunk, ' ' ORDER BY idx) AS cleaned
+           FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, CAST((len(t.toks) + 9) // 10 AS BIGINT) AS n_chunks,
+           coalesce(pd.n_kept, 0) AS n_kept,
+           md5(coalesce(pd.cleaned, '')) AS cleaned_md5
+         FROM tok t LEFT JOIN pd ON t.doc_id = pd.doc_id
+         ORDER BY t.doc_id""",
+
     // the engine's distributed two-phase prefix sum must equal the
     // single-stream cumulative sum a sequential packer would compute
     "text_pack_sequences" ->
