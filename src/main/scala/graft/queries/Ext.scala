@@ -128,6 +128,39 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-frequency rarity score — the portable stand-in for the
+    * CCNet-style LM-perplexity quality filter (score each doc by how
+    * surprising its tokens are corpus-wide; a real deployment plugs a
+    * trained LM here). Per doc: mean inverse relative frequency,
+    * `avg(total_tokens / corpus_count(tok))` — high = rare-token-heavy.
+    *
+    * Built ONLY from cross-engine-exact IEEE ops, so the oracle is
+    * bit-exact with NO rounding: one correctly-rounded division per
+    * token, then summation in a DETERMINISTIC order (per-doc weights
+    * sorted ascending, folded sequentially via `aggregate` ≡ DuckDB
+    * `list_reduce` — the [[dedupEmbedding]] cosine pattern). A log-based
+    * perplexity would hit the libm parity trap: Java `Math.log` and C
+    * `log` may differ in the last ulp.
+    *
+    * Scale: token explode → one shuffle for corpus counts (vocab-sized
+    * result, AQE-broadcast back) → per-doc fold. The corpus total rides
+    * the A9 driver-scalar pattern (one aggregated long). */
+  def textRarity(s: SparkSession, dir: String): DataFrame = {
+    val tok = docsTok(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+    val freqs = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freqs.agg(sum(col("cnt"))).head().getLong(0)
+    tok.join(freqs, "tok")
+      .withColumn("w", lit(total.toDouble) / col("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_sort(collect_list(col("w"))).as("ws"))
+      .select(col("doc_id"), col("n_tokens"),
+        (aggregate(col("ws"), lit(0.0), (a, x) => a + x) / col("n_tokens"))
+          .as("rarity"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style duplicate-n-gram repetition score: fraction of a doc's
     * 3-grams that are repeats (1 − distinct/total). The cheap
     * within-document quality signal complementing the cross-document
@@ -1774,6 +1807,7 @@ object Ext {
     "sample_stratified" -> sampleStratified _,
     "text_repetition" -> textRepetition _,
     "text_pack_sequences" -> textPackSequences _,
+    "text_rarity" -> textRarity _,
     "text_contamination" -> textContamination _,
     "text_decontaminate" -> textDecontaminate _,
     "text_redact_pii" -> textRedactPii _,

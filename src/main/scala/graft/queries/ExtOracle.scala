@@ -142,6 +142,22 @@ object ExtOracle {
            (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
          FROM tok ORDER BY doc_id""",
 
+    // rarity: bit-exact (no rounding) — correctly-rounded division per
+    // token + sorted sequential fold, the dedup_embedding cosine pattern
+    "text_rarity" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         f AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM tk GROUP BY tok),
+         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM f),
+         w AS (SELECT tk.doc_id, (SELECT total FROM tot) / f.cnt AS w
+           FROM tk JOIN f USING (tok)),
+         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           list_sort(list(w)) AS ws FROM w GROUP BY doc_id)
+         SELECT doc_id, n_tokens,
+           list_reduce(list_prepend(0.0, ws), (a, b) -> a + b) / n_tokens
+             AS rarity
+         FROM pd ORDER BY doc_id""",
+
     // line-level dedup: verifies the surviving CONTENT byte-for-byte
     // (md5 of each doc's reassembled text), not just survivor counts
     "dedup_lines" ->
