@@ -299,6 +299,61 @@ object Ext {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
       .orderBy(col("split"))
 
+  /** Domain mixing to a token budget — the pre-training data-mixture step
+    * (DoReMi / The Pile style): each source gets a weight, the corpus gets
+    * a total token budget (here: half the corpus), and every source is
+    * downsampled at rate `min(1, weight·budget / (Σweights·source_tokens))`
+    * so over-represented domains shrink toward the target mixture while
+    * under-budget domains pass through whole. Sampling reuses the
+    * rerun-stable content-hash bucket ([[sampleSystematic]]) so rerunning
+    * over a grown corpus never evicts previously kept documents.
+    *
+    * Weights are a deterministic function of the source name (1 + n % 3
+    * for `srcN`) standing in for a user-supplied mixture table.
+    *
+    * Scale: two passes over a 3-column projection of the corpus — one
+    * aggregate to per-source token totals (domain-count-sized, tiny), one
+    * filter pass with the rate table broadcast back on `source`. The two
+    * corpus-total scalars ride the A9 driver-scalar pattern (one
+    * aggregated row, documented driver-sized). Nothing corpus-sized
+    * shuffles: the sample decision is scan-local per row.
+    *
+    * Rate arithmetic is IEEE-exact cross-engine: long→double casts, one
+    * multiply, one divide, `least`, `floor` — written in the identical
+    * order in the DuckDB oracle, so the integer thresholds (and therefore
+    * every kept/dropped decision) hash-match bit-for-bit. */
+  def mixDomains(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("source"),
+      Text.tokenCount(col("text")).cast("long").as("ntok"),
+      Text.hashBucket(col("text"), 1000000).cast("long").as("bucket"))
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"), sum(col("ntok")).as("tokens_total"))
+      .withColumn("w",
+        (lit(1L) + regexp_extract(col("source"), "([0-9]+)", 1).cast("long") % 3)
+          .as("w"))
+    // corpus totals: one aggregated row (A9 driver-scalar pattern)
+    val totRow = per.agg(sum(col("tokens_total")), sum(col("w"))).head()
+    val budget = totRow.getLong(0) / 2 // integer halving, oracle uses //
+    val sumW = totRow.getLong(1)
+    val rates = per.withColumn("threshold",
+      floor(
+        least(lit(1.0),
+          (col("w").cast("double") * budget) /
+            (lit(sumW.toDouble) * col("tokens_total"))) * 1000000)
+        .cast("long"))
+    docs
+      .join(broadcast(rates), Seq("source"))
+      .groupBy(col("source"), col("n_total"), col("tokens_total"),
+        col("threshold"))
+      .agg(
+        sum(when(col("bucket") < col("threshold"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("bucket") < col("threshold"), col("ntok")).otherwise(0L))
+          .as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   // ===== deduplication =====
 
   /** Hot-shingle guard for the registered Jaccard queries: shingles seen in
@@ -717,6 +772,34 @@ object Ext {
           col("label").cast("long").as("block")),
         minCosine = 0.30)
       .orderBy(col("id1"), col("id2"))
+
+  /** Semantic dedup APPLIED (SemDeDup, Abbas et al. 2023): within each
+    * cluster, documents whose embedding cosine clears the floor are
+    * near-duplicates; keep one representative (the min id) per duplicate
+    * component and drop the rest. Completes the find→apply pair on the
+    * embedding side exactly as [[dedupApply]] does for text Jaccard:
+    * [[dedupEmbedding]] mines the pairs, this emits the surviving corpus.
+    *
+    * The cluster column here is the given `label` (SemDeDup's k-means
+    * assignment arrives precomputed in real corpora too); the trained-
+    * quantizer variant of that assignment is [[simIvfWarm]]'s staged
+    * model. Same 0.30 floor as the audit query — the synthetic corpus
+    * tops out at cos≈0.47, so the floor is calibrated to exercise the
+    * component/keeper machinery.
+    *
+    * Scale: the pair mine is the cluster-blocked equi-join (Σ|cluster|²,
+    * never corpus²); components use the size-triggered union-find /
+    * label-propagation hybrid; the final anti-join streams the corpus.
+    * Nothing corpus-sized is broadcast or collected. */
+  def dedupSemanticApply(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      col("label").cast("long").as("block"))
+    val pairs = Similarity.cosinePairs(emb, minCosine = 0.30)
+      .select(col("id1"), col("id2"))
+    Dedup.deduplicate(emb, col("vec_id"), pairs)
+      .select(col("vec_id"), col("block"))
+      .orderBy(col("vec_id"))
+  }
 
   // ===== similarity search =====
 
@@ -1805,6 +1888,7 @@ object Ext {
     "text_subword" -> textSubword _,
     "sample_systematic" -> sampleSystematic _,
     "sample_stratified" -> sampleStratified _,
+    "mix_domains" -> mixDomains _,
     "text_repetition" -> textRepetition _,
     "text_pack_sequences" -> textPackSequences _,
     "text_rarity" -> textRarity _,

@@ -300,6 +300,35 @@ object ExtOracle {
          WHERE CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 10 = 0
          ORDER BY doc_id""",
 
+    // rate arithmetic written in the engine's exact operation order
+    // (cast→multiply→divide→least→×1e6→floor) so the integer thresholds,
+    // and therefore every sampling decision, match bit-for-bit
+    "mix_domains" ->
+      s"""WITH d AS (SELECT source, CAST(len($toks) AS BIGINT) AS ntok,
+           CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 1000000
+             AS bucket
+           FROM documents),
+         per AS (SELECT source, count(*) AS n_total,
+           CAST(sum(ntok) AS BIGINT) AS tokens_total,
+           1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3 AS w
+           FROM d GROUP BY source),
+         tot AS (SELECT CAST(sum(tokens_total) AS BIGINT) // 2 AS budget,
+           CAST(sum(w) AS BIGINT) AS sumw FROM per),
+         r AS (SELECT source, n_total, tokens_total,
+           CAST(floor(least(1.0,
+             (CAST(w AS DOUBLE) * budget) /
+               (CAST(sumw AS DOUBLE) * tokens_total)) * 1000000) AS BIGINT)
+             AS threshold
+           FROM per, tot)
+         SELECT source, n_total, tokens_total, threshold,
+           CAST(sum(CASE WHEN bucket < threshold THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN bucket < threshold THEN ntok ELSE 0 END)
+             AS BIGINT) AS kept_tokens
+         FROM d JOIN r USING (source)
+         GROUP BY source, n_total, tokens_total, threshold
+         ORDER BY source""",
+
     "split_train_test" ->
       """SELECT split, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS n_chars
