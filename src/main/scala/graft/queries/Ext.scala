@@ -88,17 +88,19 @@ object Ext {
     * totals pass: `repartitionByRange` samples its boundaries per job,
     * so computing totals and final rows from two separate evaluations
     * could see DIFFERENT partitionings and misalign the offsets — the
-    * landed file pins one partitioning for both reads. */
+    * landed file pins one partitioning for both reads. Landed through
+    * [[stage]] (round-6 verdict #5): once per (JVM, sf dir), so a bench
+    * rep pays read + window cost only, not a re-write. Any pinned
+    * partitioning yields the same cum_before (the prefix sum is
+    * partitioning-invariant given the range sort), so reuse is exact. */
   def textPackSequences(s: SparkSession, dir: String): DataFrame = {
     val budget = 2048L
-    val staged = graft.core.Tmp.jvmScopedDir("pack_local", dir)
-    docsTok(s, dir)
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-      .repartitionByRange(32, col("doc_id"))
-      .sortWithinPartitions(col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .write.mode("overwrite").parquet(staged)
-    val local = s.read.parquet(staged)
+    val local = stage("pack_local", s, dir)(
+      docsTok(s, dir)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+        .repartitionByRange(32, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .withColumn("pid", spark_partition_id()))
     val perPid = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     // pid → sum of all EARLIER partitions' tokens (pids are ordered by
@@ -362,18 +364,21 @@ object Ext {
     * join. Mirrored exactly in the DuckDB oracles. */
   val JaccardMaxDocFreq = 100
 
-  /** Recall floor for [[dedupSimhashRecall]]'s pinned boolean — ~0.1 under
-    * the weakest measured SF (see that query's scaladoc). */
+  /** Recall floor for [[dedupSimhashRecall]]'s pinned boolean — ~0.14
+    * under the weakest measured SF (0.840 at sf0.01; see that query's
+    * scaladoc for all three SFs). */
   val SimhashRecallFloor = 0.70
 
-  /** The PRUNED shingle relation and the Jaccard ≥ 0.8 pair relation are
-    * shared inputs of four registered queries (pairs, components, applied
-    * dedup, incremental). Stage each once per (sf-dir, JVM): built on
-    * first use, written to SCRATCH PARQUET, and every consumer reads the
-    * files — a real pipeline materializes these relations once, and so
-    * does the bench. (The RAW shingle relation is deliberately NOT
-    * staged: `WordShingles` made it scan-local, so rebuilding is cheaper
-    * than a second staged copy — see [[shingles3]].)
+  /** PER-JVM staging layer (the [[persistentIndex]] family below is the
+    * cross-process one — round-6 verdict #2 promoted the dedup/ANN
+    * relations there, leaving this for relations whose reuse is
+    * deliberately JVM-scoped, e.g. `pack_local`, whose content depends
+    * on a per-job range-partitioning sample and only needs to survive
+    * repeat invocations within one process): built on first use, written
+    * to SCRATCH PARQUET, and every consumer reads the files. (The RAW
+    * shingle relation is deliberately NOT staged: `WordShingles` made it
+    * scan-local, so rebuilding is cheaper than a second staged copy —
+    * see [[shingles3]].)
     *
     * Parquet scratch REPLACED the round-4 `persist(MEMORY_AND_DISK)`
     * staging deliberately (round-4 verdict #1): building the in-memory
@@ -389,13 +394,14 @@ object Ext {
   private val stagedPaths =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
-  // NOT computeIfAbsent: stage builds NEST (jaccardPairs08's build
-  // stages pruned100; cands16 likewise), and a nested computeIfAbsent
-  // on the same ConcurrentHashMap throws IllegalStateException
-  // ("Recursive update") whenever the two keys land in one bin —
-  // dir-string dependent, ~1/16 of sf dirs. A reentrant lock +
-  // double-check publishes after the write and lets the nested stage
-  // run inside the outer one.
+  // NOT computeIfAbsent: stage builds may NEST (the promoted dedup
+  // ladder did before moving to persistentPath, and any future staged
+  // relation built from another is one edit away), and a nested
+  // computeIfAbsent on the same ConcurrentHashMap throws
+  // IllegalStateException ("Recursive update") whenever the two keys
+  // land in one bin — dir-string dependent, ~1/16 of sf dirs. A
+  // reentrant lock + double-check publishes after the write and lets a
+  // nested stage run inside the outer one.
   private val stageLock = new Object
 
   private def stage(what: String, s: SparkSession, dir: String)
@@ -446,27 +452,43 @@ object Ext {
       .digest(sig.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
   }
 
-  /** `sourcePath`: when non-empty, [[sourceFingerprint]] of it is folded
-    * into the MANIFEST (not the path), so a corpus change retires the
-    * generation IN PLACE at the same published root — readers never see
-    * an index whose source moved under it. */
-  private[queries] def persistentIndex(
-      s: SparkSession, what: String, dir: String, params: String,
-      sourcePath: String = "")(
-      build: => DataFrame): DataFrame = {
+  /** Published root for one (what, dir, params) index — the path carries
+    * a digest of (dir, params) so distinct corpora/configs never collide,
+    * and NO per-JVM component, so any process computes the same path. */
+  private[queries] def indexRoot(what: String, dir: String, params: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir|$params".getBytes("UTF-8")).take(8)
       .map(b => f"$b%02x").mkString
+    System.getProperty("java.io.tmpdir") + s"/graft_index_${what}_$digest"
+  }
+
+  // one build/reuse log line per (what, root) per JVM — the bench tail
+  // shows WHICH indexes a fresh process found published vs had to mine,
+  // without a line per access (the staged relations are read by many
+  // queries per pass)
+  private val indexLogged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The publish/discover machinery behind [[persistentIndex]], factored
+    * at the PATH level so non-DataFrame artifacts (the IVF centroid
+    * model) ride the same generation contract: `build` lands everything
+    * under the passed scratch dir (data under `<tmp>/data`), the manifest
+    * is written LAST, and an atomic rename publishes — a reader sees a
+    * complete generation or none. Returns the published root. */
+  private[queries] def persistentPath(
+      what: String, dir: String, params: String, sourcePath: String = "")(
+      build: String => Unit): String = {
     val gen = if (sourcePath.isEmpty) params
       else s"$params|src=${sourceFingerprint(sourcePath)}"
-    val root = System.getProperty("java.io.tmpdir") + s"/graft_index_${what}_$digest"
+    val root = indexRoot(what, dir, params)
     val manifest = new java.io.File(root, "_graft_manifest")
     def published: Boolean = manifest.exists() &&
       new String(java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8") == gen
     if (!published) {
+      indexLogged.add(root): Unit
+      println(s"[graft] index $what: building generation ($dir)")
       val tmp = graft.core.Tmp.jvmScopedDir(s"index_build_$what", s"$dir|$params")
       graft.core.Tmp.deleteRecursively(tmp)
-      build.write.mode("overwrite").parquet(s"$tmp/data")
+      build(tmp)
       java.nio.file.Files.writeString(
         new java.io.File(tmp, "_graft_manifest").toPath, gen): Unit
       // a stale generation (params changed) or a torn dir (no manifest)
@@ -480,7 +502,21 @@ object Ext {
           graft.core.Tmp.deleteRecursively(tmp)
           if (!published) throw e // lost the race to a DIFFERENT generation
       }
-    }
+    } else if (indexLogged.add(root))
+      println(s"[graft] index $what: reusing published index ($dir)")
+    root
+  }
+
+  /** `sourcePath`: when non-empty, [[sourceFingerprint]] of it is folded
+    * into the MANIFEST (not the path), so a corpus change retires the
+    * generation IN PLACE at the same published root — readers never see
+    * an index whose source moved under it. */
+  private[queries] def persistentIndex(
+      s: SparkSession, what: String, dir: String, params: String,
+      sourcePath: String = "")(
+      build: => DataFrame): DataFrame = {
+    val root = persistentPath(what, dir, params, sourcePath)(tmp =>
+      build.write.mode("overwrite").parquet(s"$tmp/data"))
     s.read.parquet(s"$root/data")
   }
 
@@ -513,8 +549,19 @@ object Ext {
   // and cost a wide string shuffle). The shuffle moves raw text —
   // narrower than the exploded shingle rows — and the parquet write
   // then lands one file per partition, so consumers scan in parallel.
+  // generation params of the promoted cross-process indexes (round-6
+  // verdict #2): the version tag retires every published generation when
+  // the build's semantics change — bump it with the code, not the data
+  // (data changes are caught by the source fingerprint in the manifest)
+  private[queries] val Pruned100Params = "k=3 df<=100 v1"
+  private[queries] val Pairs08Params = "minJ=0.8 from=pruned100 v1"
+  private[queries] val Cands16Params = "mh=32 bands=16 from=pruned100 v1"
+  private[queries] val AnnExact10Params = "k=10 probes=mod50cap200 v1"
+  private[queries] val Ivf64Params = "nlist=64 iters=2 v1"
+
   private def shingles3Pruned(s: SparkSession, dir: String): DataFrame =
-    stage("pruned100", s, dir)(
+    persistentIndex(s, "pruned100", dir, Pruned100Params,
+        sourcePath = s"$dir/documents.parquet")(
       Dedup.pruneHot(
         Dedup.shingleRows(
           t(s, dir, "documents").repartition(col("doc_id"))
@@ -523,7 +570,8 @@ object Ext {
         JaccardMaxDocFreq))
 
   private def jaccardPairs08(s: SparkSession, dir: String): DataFrame =
-    stage("pairs08", s, dir)(
+    persistentIndex(s, "pairs08", dir, Pairs08Params,
+        sourcePath = s"$dir/documents.parquet")(
       Dedup.jaccardPairsFromRows(shingles3Pruned(s, dir),
         minJaccard = 0.8, maxDocFreq = 0))
 
@@ -537,7 +585,8 @@ object Ext {
     * the un-staged query re-paid the whole sketch inside one timed block
     * and recorded 4× the builder's number under machine drift.) */
   private def minhashCands16(s: SparkSession, dir: String): DataFrame =
-    stage("cands16", s, dir)(
+    persistentIndex(s, "cands16", dir, Cands16Params,
+        sourcePath = s"$dir/documents.parquet")(
       Dedup.minhashCandidatesFromRows(shingles3Pruned(s, dir),
           numHashes = 32, bands = 16)
         .select(col("id1"), col("id2")))
@@ -588,7 +637,22 @@ object Ext {
     * here for DuckDB oracle portability. Chunk idx is packed with doc_id
     * into one BIGINT (idx < 10⁶ ≫ max 20 chunks/doc) so "first" is a
     * single min, not a struct argmin. */
-  def dedupLines(s: SparkSession, dir: String): DataFrame = {
+  def dedupLines(s: SparkSession, dir: String): DataFrame =
+    dedupLinesImpl(s, dir, hashKey = false)
+
+  /** [[dedupLines]] with the documented 8-byte shuffle-width lever
+    * engaged: the first-occurrence aggregate and the keep join key on
+    * `xxhash64(chunk)` instead of the chunk STRING — at 100 TB the
+    * chunk-text shuffle is the dominant byte mover, and the hashed key
+    * shrinks it to 8 bytes/row exactly as `dedup_ngram_hashed` does for
+    * shingles. Shares the string path's oracle: a 64-bit collision would
+    * merge two distinct chunks, but the birthday bound at n distinct
+    * chunks is ~n²/2⁶⁵ — immeasurably small below 10⁸ chunks. */
+  def dedupLinesHashed(s: SparkSession, dir: String): DataFrame =
+    dedupLinesImpl(s, dir, hashKey = true)
+
+  private def dedupLinesImpl(
+      s: SparkSession, dir: String, hashKey: Boolean): DataFrame = {
     val k = 10
     val docs = docsTok(s, dir)
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n_toks"))
@@ -598,10 +662,20 @@ object Ext {
           sequence(lit(0), ((col("n_toks") + (k - 1)) / k).cast("int") - 1),
           i => array_join(slice(col("toks"), i * k + 1, lit(k)), " "))))
       .toDF("doc_id", "idx", "chunk")
-      .withColumn("okey", col("doc_id") * 1000000L + col("idx"))
-    val first = chunks.groupBy(col("chunk"))
+      // the packing contract made explicit (round-6 verdict): idx < 10⁶
+      // by construction (≤20 chunks/doc), and doc_id must leave headroom
+      // for the ×10⁶ shift — raise in-plan rather than silently wrap
+      .withColumn("okey",
+        when(col("doc_id") < lit(Long.MaxValue / 1000000L),
+            col("doc_id") * 1000000L + col("idx"))
+          .otherwise(raise_error(concat(
+            lit("dedup_lines: doc_id overflows okey packing: "),
+            col("doc_id")))))
+      .withColumn("ckey",
+        if (hashKey) xxhash64(col("chunk")) else col("chunk"))
+    val first = chunks.groupBy(col("ckey"))
       .agg(min(col("okey")).as("first_key"))
-    val kept = chunks.join(first, "chunk")
+    val kept = chunks.join(first, "ckey")
       .filter(col("okey") === col("first_key"))
     val perDoc = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
@@ -869,28 +943,25 @@ object Ext {
         k = 10, nlist = 64, nprobe = 8)
       .orderBy(col("qid"), col("rank"))
 
-  /** The nlist=64 coarse quantizer, trained+saved once per (JVM, sf dir)
-    * and loaded on every later use — shared by [[simIvfWarm]] and
-    * [[simAnnRecall]]. Training is deterministic (lowest-id seeds), so
-    * the loaded model is bit-identical to what an inline train would
-    * produce. */
+  /** The nlist=64 coarse quantizer, trained+saved ONCE per sf dir as a
+    * published cross-process generation ([[persistentPath]] — round-6
+    * verdict #2: the per-JVM staging died with the process, so every
+    * pipeline restart retrained) and loaded on every later use — shared
+    * by [[simIvfWarm]] and [[simAnnRecall]]. Training is deterministic
+    * (lowest-id seeds), so the loaded model is bit-identical to what an
+    * inline train would produce, whichever process trained it. */
   private def ivf64Model(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] = {
-    val key = ("ivf64_model", dir)
-    // same lock discipline as stage() (its build doesn't nest today,
-    // but a bare computeIfAbsent here is one refactor away from the
-    // recursive-update crash stage() documents)
-    val path = Option(stagedPaths.get(key)).getOrElse(stageLock.synchronized {
-      Option(stagedPaths.get(key)).getOrElse {
-        val p = graft.core.Tmp.jvmScopedDir("stage_ivf64_model", dir)
-        Similarity.saveCentroids(s,
-          Similarity.trainCentroids(
-            t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
-            nlist = 64, iters = 2), p)
-        stagedPaths.put(key, p)
-        p
-      }
-    })
-    Similarity.loadCentroids(s, path)
+    // [[persistentPath]] (not the DataFrame wrapper): the model is saved
+    // through Similarity.saveCentroids, but rides the same cross-process
+    // generation contract — train once, every later JVM loads
+    val root = persistentPath("ivf64_model", dir, Ivf64Params,
+        sourcePath = s"$dir/embeddings.parquet") { tmp =>
+      Similarity.saveCentroids(s,
+        Similarity.trainCentroids(
+          t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+          nlist = 64, iters = 2), s"$tmp/data")
+    }
+    Similarity.loadCentroids(s, s"$root/data")
   }
 
   /** The deployable IVF lifecycle (round-4 verdict stretch #7): the
@@ -942,9 +1013,11 @@ object Ext {
     // fail the pinned booleans with no actual ANN regression
     val q = queryVecs(s, dir).filter(col("qvec").isNotNull &&
       forall(col("qvec"), x => x.isNotNull))
-    // exact baseline staged as scratch parquet (|Q|·k rows): both recall
-    // joins read it, and repeat invocations skip the brute-force scan
-    val exact = stage("ann_exact10", s, dir)(
+    // exact baseline published as a cross-process index (|Q|·k rows):
+    // both recall joins read it, repeat invocations skip the brute-force
+    // scan, and a later JVM reads yesterday's baseline
+    val exact = persistentIndex(s, "ann_exact10", dir, AnnExact10Params,
+        sourcePath = s"$dir/embeddings.parquet")(
       Similarity.bruteForceTopK(q, corpus, 10))
     def recalls(approx: DataFrame): Map[Long, Double] =
       Similarity.recallAtK(exact, approx).collect()
@@ -1901,6 +1974,7 @@ object Ext {
     "text_fingerprint" -> textFingerprint _,
     "dedup_exact" -> dedupExact _,
     "dedup_lines" -> dedupLines _,
+    "dedup_lines_hashed" -> dedupLinesHashed _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_ngram_hashed" -> dedupNgramHashed _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
@@ -1911,6 +1985,7 @@ object Ext {
     "dedup_apply_minhash" -> dedupApplyMinhash _,
     "dedup_incremental" -> dedupIncremental _,
     "dedup_embedding" -> dedupEmbedding _,
+    "dedup_semantic_apply" -> dedupSemanticApply _,
     "sim_bruteforce_topk" -> simBruteforceTopk _,
     "sim_lsh_topk" -> simLshTopk _,
     "sim_ivf_topk" -> simIvfTopk _,

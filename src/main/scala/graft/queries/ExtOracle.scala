@@ -73,6 +73,31 @@ object ExtOracle {
   private def cosSql(a: String, b: String): String =
     s"""(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"""
 
+  /** Line-level dedup: verifies the surviving CONTENT byte-for-byte
+    * (md5 of each doc's reassembled text), not just survivor counts.
+    * Shared by `dedup_lines` and `dedup_lines_hashed`. */
+  private val dedupLinesSql =
+    s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+       chunks AS (
+         SELECT doc_id,
+           unnest(list_transform(range(0, CAST((len(toks) + 9) // 10 AS INT)),
+             i -> {'idx': i,
+                   'chunk': array_to_string(toks[i*10+1 : i*10+10], ' ')}),
+             recursive := true)
+         FROM tok WHERE len(toks) >= 1),
+       fk AS (SELECT chunk, min(doc_id * 1000000 + idx) AS first_key
+         FROM chunks GROUP BY chunk),
+       kept AS (SELECT c.doc_id, c.idx, c.chunk FROM chunks c JOIN fk
+         ON c.chunk = fk.chunk AND c.doc_id * 1000000 + c.idx = fk.first_key),
+       pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(chunk, ' ' ORDER BY idx) AS cleaned
+         FROM kept GROUP BY doc_id)
+       SELECT t.doc_id, CAST((len(t.toks) + 9) // 10 AS BIGINT) AS n_chunks,
+         coalesce(pd.n_kept, 0) AS n_kept,
+         md5(coalesce(pd.cleaned, '')) AS cleaned_md5
+       FROM tok t LEFT JOIN pd ON t.doc_id = pd.doc_id
+       ORDER BY t.doc_id"""
+
   /** One gaps-and-islands oracle for both sessionize-sink variants. */
   private val sessionizeOracleSql: String =
     """WITH g AS (
@@ -158,29 +183,12 @@ object ExtOracle {
              AS rarity
          FROM pd ORDER BY doc_id""",
 
-    // line-level dedup: verifies the surviving CONTENT byte-for-byte
-    // (md5 of each doc's reassembled text), not just survivor counts
-    "dedup_lines" ->
-      s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
-         chunks AS (
-           SELECT doc_id,
-             unnest(list_transform(range(0, CAST((len(toks) + 9) // 10 AS INT)),
-               i -> {'idx': i,
-                     'chunk': array_to_string(toks[i*10+1 : i*10+10], ' ')}),
-               recursive := true)
-           FROM tok WHERE len(toks) >= 1),
-         fk AS (SELECT chunk, min(doc_id * 1000000 + idx) AS first_key
-           FROM chunks GROUP BY chunk),
-         kept AS (SELECT c.doc_id, c.idx, c.chunk FROM chunks c JOIN fk
-           ON c.chunk = fk.chunk AND c.doc_id * 1000000 + c.idx = fk.first_key),
-         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-           string_agg(chunk, ' ' ORDER BY idx) AS cleaned
-           FROM kept GROUP BY doc_id)
-         SELECT t.doc_id, CAST((len(t.toks) + 9) // 10 AS BIGINT) AS n_chunks,
-           coalesce(pd.n_kept, 0) AS n_kept,
-           md5(coalesce(pd.cleaned, '')) AS cleaned_md5
-         FROM tok t LEFT JOIN pd ON t.doc_id = pd.doc_id
-         ORDER BY t.doc_id""",
+    "dedup_lines" -> dedupLinesSql,
+
+    // shared by reference (the dedupApplySql pattern): the hashed-key
+    // variant only narrows the shuffle key (xxhash64 vs chunk string) —
+    // its output must be byte-identical to the string path's
+    "dedup_lines_hashed" -> dedupLinesSql,
 
     // the engine's distributed two-phase prefix sum must equal the
     // single-stream cumulative sum a sequential packer would compute
@@ -426,6 +434,32 @@ object ExtOracle {
            FROM emb a JOIN emb b
              ON a.block = b.block AND a.vec_id < b.vec_id)
          WHERE cos >= 0.30 ORDER BY id1, id2""",
+
+    // the applied half of SemDeDup: the pair mine is dedup_embedding's
+    // bit-exact cosine (sequential list_reduce fold ≡ Spark's SeqDot),
+    // the components/keeper step is dedup_apply's recursive CTE — the
+    // two proven oracle fragments composed, so a hash match proves the
+    // embedding-side find→apply pipeline end-to-end
+    "dedup_semantic_apply" ->
+      s"""WITH RECURSIVE
+         emb AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS block
+           FROM embeddings),
+         pairs0 AS (
+           SELECT a.vec_id AS id1, b.vec_id AS id2
+           FROM emb a JOIN emb b
+             ON a.block = b.block AND a.vec_id < b.vec_id
+           WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.30),
+         e AS (SELECT id1 AS src, id2 AS dst FROM pairs0
+               UNION ALL SELECT id2, id1 FROM pairs0),
+         reach(v, label) AS (
+           SELECT DISTINCT src, src FROM e
+           UNION
+           SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.v),
+         losers AS (
+           SELECT v FROM reach GROUP BY v HAVING v <> min(label))
+         SELECT vec_id, block FROM emb
+         WHERE vec_id NOT IN (SELECT v FROM losers)
+         ORDER BY vec_id""",
 
     "sim_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings

@@ -74,6 +74,13 @@ class DedupSpec extends SparkSpec {
     assert(hashed == str)
   }
 
+  test("dedup_lines_hashed reproduces the string-keyed path bit-for-bit") {
+    def rows(name: String) =
+      graft.queries.Ext.all(name)(spark, sf0001).collect().toSeq.map(_.toSeq)
+    val str = rows("dedup_lines")
+    assert(str.nonEmpty && rows("dedup_lines_hashed") == str)
+  }
+
   test("minhashCandidates: exact dups always collide; est_jaccard = 1") {
     val cand = Dedup.minhashCandidates(toked, k = 3, numHashes = 32, bands = 8)
     val d14 = cand.filter(col("id1") === 1 && col("id2") === 4)

@@ -181,6 +181,30 @@ class SimilaritySpec extends SparkSpec {
     assert(rows("sim_ivf_warm").nonEmpty)
   }
 
+  test("dedup_semantic_apply keeps exactly the min-id per cosine component") {
+    // independent check: mine the pairs with the audit query, close them
+    // transitively with a driver-side union-find (tiny at sf0.001), and
+    // the applied query must keep all ids minus each component's non-min
+    val pairs = graft.queries.Ext.all("dedup_embedding")(spark, sf0001)
+      .select(col("id1"), col("id2")).as[(Long, Long)].collect()
+    val allIds = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id")).as[Long].collect().toSet
+    val root = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = root.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); root(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) root(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val losers = allIds.filter(id => find(id) != id)
+    val kept = graft.queries.Ext.all("dedup_semantic_apply")(spark, sf0001)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(losers.nonEmpty) // the corpus must actually exercise the drop
+    assert(kept == allIds -- losers)
+  }
+
   test("cosinePairs respects blocking and threshold") {
     val v = Seq(
       (1L, Seq(1.0f, 0.0f), 0L),

@@ -86,6 +86,31 @@ class PersistentIndexSpec extends SparkSpec {
     }
   }
 
+  test("promoted pruned100 index: cross-process root, fingerprinted manifest, no rebuild") {
+    // round-6 verdict #2: the whole dedup ladder (not just sh3_old) now
+    // publishes cross-process. Retire any published generations, rebuild
+    // through a registered consumer, then pin (a) the manifest carries
+    // the source fingerprint, (b) the root is JVM-tag-free, (c) a
+    // re-access reads the published files instead of rebuilding.
+    val roots = Seq(
+      Ext.indexRoot("pruned100", sf001, Ext.Pruned100Params),
+      Ext.indexRoot("pairs08", sf001, Ext.Pairs08Params))
+    roots.foreach(graft.core.Tmp.deleteRecursively)
+    Ext.all("dedup_ngram_jaccard")(spark, sf001).count(): Unit
+    val root = roots.head
+    assert(!root.contains(graft.core.Tmp.jvmTag))
+    val manifest = java.nio.file.Paths.get(root, "_graft_manifest")
+    assert(java.nio.file.Files.exists(manifest))
+    assert(java.nio.file.Files.readString(manifest) ==
+      s"${Ext.Pruned100Params}|src=${Ext.sourceFingerprint(s"$sf001/documents.parquet")}")
+    def dataState = new java.io.File(root, "data").listFiles()
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    val before = dataState
+    Ext.all("dedup_ngram_jaccard")(spark, sf001).count(): Unit
+    assert(dataState == before,
+      "re-access must read the published generation, not rebuild")
+  }
+
   test("dedup_incremental probes the persistent index and matches the staged-era result") {
     // the old semantics: full-corpus-pruned shingles, split, pairs at >=0.5
     val sh = graft.ext.Dedup.pruneHot(
