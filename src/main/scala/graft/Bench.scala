@@ -154,13 +154,28 @@ object Bench {
       println(s"GRAFT_BENCH_TOP_WALL_2ND: ${top(results2, _.wallSec, 10)}")
     }
     printSummary()
+    // end-of-run thread-name histogram (round-6 verdict #4): the absolute
+    // high-water is Spark pool sizing, not growth — the histogram in the
+    // bench tail names the pools so a drift is diagnosable from artifacts
+    ThreadProbe.printTop("bench_end")
 
+    // the FULL per-query dicts go to the artifact FILE only; the stdout
+    // JSON stays ≤ ~2 KB (round-6 verdict #3: the ~17 KB full line
+    // overran the driver's tail bound and BENCH_r06 recorded
+    // "parsed": null — totals + errors + top-10 dicts parse fine)
+    def topDict(rs: Seq[Timing], n: Int): String =
+      rs.sortBy(t => -t.wallSec).take(n)
+        .map(t => s"\"" + t.name + "\":" + t.wallSec).mkString("{", ",", "}")
+    val shared =
+      s""""cpu_total":${cpuSum(results)},"total_2nd":$total2,"cpu_total_2nd":${cpuSum(results2)},"n_entries":${results.size},"load_avg_end":$loadAvg,"errors":$errs,"errors_2nd":$errs2,"sf":"$sfDir""""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${dict(results, _.wallSec)},"cpu_queries":${dict(results, _.cpuSec)},"cpu_total":${cpuSum(results)},"total_2nd":$total2,"queries_2nd":${dict(results2, _.wallSec)},"cpu_queries_2nd":${dict(results2, _.cpuSec)},"cpu_total_2nd":${cpuSum(results2)},"load_avg_end":$loadAvg,"errors":$errs,"errors_2nd":$errs2,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${topDict(results, 10)},"queries_2nd":${topDict(results2, 10)},$shared,"full":"$outPath"}"""
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${dict(results, _.wallSec)},"cpu_queries":${dict(results, _.cpuSec)},"queries_2nd":${dict(results2, _.wallSec)},"cpu_queries_2nd":${dict(results2, _.cpuSec)},$shared}"""
     println(json)
     println(s"GRAFT_BENCH_JSON: $json")
     printSummary()
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
