@@ -22,7 +22,7 @@ object Ext {
     t(s, dir, "documents").withColumn("toks", Text.tokens(col("text")))
 
   private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    Tables.eventsTsUs(s, dir)
 
   // ===== text analysis =====
 

@@ -21,8 +21,7 @@ object Pipeline {
     * with time-of-day along the line's track; real inter-event gaps supply
     * the signal-loss structure. */
   private def syntheticFleet(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    Tables.eventsTsUs(s, dir)
       .filter(col("event_type") === "click")
       .select(
         concat(lit("V"), col("user_id")).as("id"),

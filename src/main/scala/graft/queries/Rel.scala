@@ -13,8 +13,9 @@ import graft.core.{Geo, Quantifiers, Sessionize, Tables}
   *  - every query ends in a deterministic ORDER BY on non-null key columns;
   *  - integer outputs are widened to BIGINT on both sides;
   *  - floating aggregates are rounded (2–4 dp) on both sides;
-  *  - event time is exact integer microseconds: Spark `ts div 1000` over
-  *    the nanosAsLong long ≡ DuckDB `epoch_us(ts)` (both truncate ns→µs).
+  *  - event time is exact integer microseconds, adaptive to the source's
+  *    ts storage (see [[graft.core.Tables.tsMicros]]) ≡ DuckDB
+  *    `epoch_us(ts)` on either generation.
   */
 object Rel {
 
@@ -22,7 +23,7 @@ object Rel {
 
   /** events with ts as exact integer microseconds (see class doc). */
   private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    Tables.eventsTsUs(s, dir)
 
   // ===== aggregation =====
 

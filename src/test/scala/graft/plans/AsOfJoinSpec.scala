@@ -56,8 +56,7 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 
   test("custom exec agrees with the union+window composition on real data") {
-    val ev = extSpark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val ev = graft.core.Tables.eventsTsUs(extSpark, "/root/testdata/sf0.001")
     val sgn = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id"), col("ts_us"))
       .agg(max(col("event_id")).as("s_event"))

@@ -42,8 +42,7 @@ class IntervalJoinSpec extends AnyFunSuite {
   }
 
   test("agrees with the plain range-condition join on real events") {
-    val ev = extSpark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val ev = graft.core.Tables.eventsTsUs(extSpark, "/root/testdata/sf0.001")
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts_us").as("c_ts"))

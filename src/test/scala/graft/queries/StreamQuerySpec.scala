@@ -14,8 +14,7 @@ class StreamQuerySpec extends SparkSpec {
   test("stream_interval_join_sink reproduces the batch interval join") {
     val got = Ext.all("stream_interval_join_sink")(spark, sf0001)
       .collect().map(_.toString).toSeq
-    val ev = graft.core.Tables.load(spark, sf0001, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val ev = graft.core.Tables.eventsTsUs(spark, sf0001)
     def side(kind: String, p: String) =
       ev.filter(col("event_type") === kind)
         .select(col("user_id").as(s"${p}_user"), col("ts_us").as(s"${p}_ts"),
@@ -35,8 +34,7 @@ class StreamQuerySpec extends SparkSpec {
     val winUs = 3600000000L
     val got = Ext.all("stream_tumbling_sink")(spark, sf0001)
       .collect().map(_.toString).toSeq
-    val want = graft.core.Tables.load(spark, sf0001, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val want = graft.core.Tables.eventsTsUs(spark, sf0001)
       .groupBy(col("user_id"),
         (expr(s"ts_us div $winUs") * winUs).as("window_start_us"))
       .agg(count(lit(1)).as("n_events"),
@@ -53,8 +51,7 @@ class StreamQuerySpec extends SparkSpec {
     graft.plans.GraftExtensions.ensureStrategies(spark)
     val got = Ext.all("stream_asof_sink")(spark, sf0001)
       .collect().map(_.toString).toSeq
-    val ev = graft.core.Tables.load(spark, sf0001, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val ev = graft.core.Tables.eventsTsUs(spark, sf0001)
     val sgn = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id"), col("ts_us"))
       .agg(max(col("event_id")).as("s_event"))
