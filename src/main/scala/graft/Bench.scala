@@ -26,10 +26,52 @@ package graft
   *    sbt noise and the driver recorded `"parsed": null`.
   */
 object Bench {
+
+  private val calibSink = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Fixed-work hardware calibration (round 7): the same artifact totals
+    * moved ~3× between rounds with IDENTICAL code and data because the
+    * per-core speed of the benchmarking VM changed. A deterministic
+    * 250M-step integer-mixing loop — pure ALU, no allocation, no memory
+    * traffic — is timed once single-threaded (`calib_st_sec`) and once as
+    * `threads` concurrent copies (`calib_mt_sec`, = per-thread wall when
+    * every core runs the same fixed work). Cross-round ratio of these
+    * fields IS the hardware factor; dividing the totals by it makes
+    * rounds comparable from the artifacts alone. */
+  private def calibrate(threads: Int): (Double, Double) = {
+    val N = 250_000_000L
+    def burn(n: Long, seed: Long): Long = {
+      var x = seed | 1L; var i = 0L
+      while (i < n) {
+        x = java.lang.Long.rotateLeft(x * 0x9E3779B97F4A7C15L, 31) ^ i
+        i += 1
+      }
+      x
+    }
+    calibSink.addAndGet(burn(N / 10, 42L)): Unit // JIT warmup
+    var t0 = System.nanoTime()
+    calibSink.addAndGet(burn(N, 42L)): Unit
+    val st = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val ts = (0 until threads).map { k =>
+      val th = new Thread(() => calibSink.addAndGet(burn(N, k + 1L)): Unit)
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    val mt = (System.nanoTime() - t0) / 1e9
+    // the AtomicLong sink defeats dead-code elimination of the loops
+    if (calibSink.get() == Long.MinValue) System.err.println("[bench] calib")
+    (st, mt)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    // calibrate BEFORE the Spark session exists: nothing else is running
+    // in the JVM, so the numbers are machine speed, not contention
+    val (calibSt, calibMt) = calibrate(math.max(1, cpus.toInt))
+    println(f"GRAFT_BENCH_CALIB: st=$calibSt%.3f s mt=$calibMt%.3f s threads=$cpus")
     val spark = graft.core.Sessions.local(cpus)
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -115,6 +157,12 @@ object Bench {
     val threadsP1 = Thread.activeCount()
     val results2 = runPass()
     val threadsP2 = Thread.activeCount()
+    // second calibration AFTER both passes: the host's speed has been
+    // observed to move ~2× WITHIN a session, so a start-only sample can
+    // misattribute mid-run contention. start≈end ⇒ the totals were
+    // measured on a steady machine; start≪end ⇒ read the totals with the
+    // artifact's own salt.
+    val (calibSt2, calibMt2) = calibrate(math.max(1, cpus.toInt))
 
     def dict(rs: Seq[Timing], f: Timing => Double): String =
       rs.map(t => s"\"" + t.name + "\":" + f(t)).mkString("{", ",", "}")
@@ -148,7 +196,9 @@ object Bench {
     def printSummary(): Unit = {
       println(f"GRAFT_BENCH_SUMMARY: total=$total%.2f s pass2=$total2%.2f s " +
         f"entries=${results.size} cpu=${cpuSum(results)}%.2f s load_end=$loadAvg%.2f " +
-        f"threads=${Thread.activeCount()} threads_p1=$threadsP1 threads_p2=$threadsP2")
+        f"threads=${Thread.activeCount()} threads_p1=$threadsP1 threads_p2=$threadsP2 " +
+        f"calib_st=$calibSt%.3f calib_mt=$calibMt%.3f " +
+        f"calib_end_st=$calibSt2%.3f calib_end_mt=$calibMt2%.3f")
       println(s"GRAFT_BENCH_TOP_WALL: ${top(results, _.wallSec, 10)}")
       println(s"GRAFT_BENCH_TOP_CPU: ${top(results, _.cpuSec, 10)}")
       println(s"GRAFT_BENCH_TOP_WALL_2ND: ${top(results2, _.wallSec, 10)}")
@@ -167,7 +217,7 @@ object Bench {
       rs.sortBy(t => -t.wallSec).take(n)
         .map(t => s"\"" + t.name + "\":" + t.wallSec).mkString("{", ",", "}")
     val shared =
-      s""""cpu_total":${cpuSum(results)},"total_2nd":$total2,"cpu_total_2nd":${cpuSum(results2)},"n_entries":${results.size},"load_avg_end":$loadAvg,"errors":$errs,"errors_2nd":$errs2,"sf":"$sfDir""""
+      s""""cpu_total":${cpuSum(results)},"total_2nd":$total2,"cpu_total_2nd":${cpuSum(results2)},"n_entries":${results.size},"load_avg_end":$loadAvg,"calib_st_sec":$calibSt,"calib_mt_sec":$calibMt,"calib_end_st_sec":$calibSt2,"calib_end_mt_sec":$calibMt2,"errors":$errs,"errors_2nd":$errs2,"sf":"$sfDir""""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${topDict(results, 10)},"queries_2nd":${topDict(results2, 10)},$shared,"full":"$outPath"}"""
     val fullJson =
