@@ -1295,6 +1295,140 @@ object Ext {
       .orderBy(col("kind"))
   }
 
+  /** JSONL source/sink round-trip — JSON Lines is the de-facto training-
+    * corpus interchange format, so the engine must move documents through
+    * it losslessly. The export deliberately exercises the features that
+    * break naive JSONL plumbing: a NESTED struct (`meta`), an ARRAY
+    * column (`tok_lens`), unicode text, and an explicitly null field
+    * (`alt`, omitted on write under the sink's ignoreNullFields and
+    * re-materialized as null on read). Read back under an explicit
+    * schema, the corpus is reduced to a per-source digest whose every
+    * column depends on parsed values: `content_md5` chains per-doc text
+    * md5s in doc_id order (the A6 sorted-collect pattern — one wrong
+    * byte anywhere flips it), `sum_tok_len` folds the round-tripped
+    * array, `n_null_alt` counts null survivors. The oracle computes the
+    * same digest STRAIGHT from parquet, so a hash match proves the JSONL
+    * path lossless for nesting, arrays, unicode, and nulls.
+    *
+    * 100 TB: sink and scan are scan-local (one JSONL shard per
+    * partition, no shuffle added by the format); the digest is one hash
+    * shuffle on `source`, and the sorted collect is bounded per group by
+    * the corpus's per-source doc count — it exists for the oracle, not
+    * the production path (a real export stops at the write). */
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
+    val staged = docsTok(s, dir).select(
+      col("doc_id"), col("text"),
+      struct(col("lang"), col("source")).as("meta"),
+      transform(col("toks"), t => length(t)).as("tok_lens"),
+      when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")).as("alt"))
+    val out = graft.core.Tmp.jvmScopedDir("jsonl_roundtrip", dir)
+    staged.write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("meta", StructType(Seq(
+        StructField("lang", StringType), StructField("source", StringType)))),
+      StructField("tok_lens", ArrayType(IntegerType)),
+      StructField("alt", StringType)))
+    s.read.schema(schema).json(out)
+      .groupBy(col("meta.source").as("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(coalesce(aggregate(col("tok_lens"), lit(0), (acc, x) => acc + x),
+          lit(0))).cast("long").as("sum_tok_len"),
+        sum(when(col("alt").isNull, 1L).otherwise(0L)).as("n_null_alt"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), md5(col("text")).as("m")))),
+          x => x.getField("m")), "")).as("content_md5"))
+      .orderBy(col("source"))
+  }
+
+  /** Malformed-JSONL accounting — the JSONL twin of [[csvDirtyRead]]:
+    * at corpus scale some lines are truncated mid-object and some carry
+    * type-corrupted fields, and both must be QUARANTINED with their ids
+    * recovered, never silently dropped or crashed on. A deterministically
+    * dirtied JSONL export of documents (doc_id%10==3 → final `}` dropped,
+    * unterminated object; %10==7 → `"doc_id":"x<N>"`, string where the
+    * schema says BIGINT) is read back PERMISSIVE with a corrupt-record
+    * column, landed as a parquet quarantine table (same
+    * QUERY_ONLY_CORRUPT_RECORD_COLUMN rule as CSV — NOTES.md), and
+    * tallied by damage class with ids recovered from the raw line for
+    * every broken row. The oracle recomputes the tally from parquet via
+    * the dirtying rule: equal hashes prove clean rows survive byte-exact
+    * AND each damage class is detected, classified, and id-recovered.
+    * Classification reads the CORRUPT COLUMN's content, not parser
+    * internals, so it is robust to whether the engine keeps best-effort
+    * partial fields for broken rows (Spark's JSON partial-results mode
+    * does). 100 TB: one scan-local parse + projection per row; the tally
+    * adds one 3-row shuffle over the clean-path aggregate. */
+  def jsonlDirtyRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val out = graft.core.Tmp.jvmScopedDir("jsonl_dirty", dir)
+    t(s, dir, "documents")
+      .withColumn("l",
+        to_json(struct(col("doc_id"), col("lang"), col("source"), col("text"))))
+      .select(
+        when(col("doc_id") % 10 === 3,
+          expr("substring(l, 1, length(l) - 1)"))
+        .when(col("doc_id") % 10 === 7,
+          regexp_replace(col("l"), "^\\{\"doc_id\":(\\d+)", "{\"doc_id\":\"x$1\""))
+        .otherwise(col("l")).as("line"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("text", StringType),
+      StructField("_corrupt", StringType)))
+    val landed = graft.core.Tmp.jvmScopedDir("jsonl_dirty_parsed", dir)
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(out)
+      .write.mode("overwrite").parquet(landed)
+    val rx = regexp_extract(col("_corrupt"), "\"doc_id\":\"?x?(\\d+)", 1)
+    s.read.parquet(landed)
+      .select(
+        when(col("_corrupt").isNull, lit("clean"))
+          .when(col("_corrupt").contains("\"doc_id\":\"x"), lit("badtype"))
+          .otherwise(lit("truncated")).as("kind"),
+        coalesce(col("doc_id"),
+          when(length(rx) > 0, rx.cast("long"))).as("id"),
+        when(col("_corrupt").isNull, length(col("text")).cast("long"))
+          .otherwise(lit(0L)).as("len_clean"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("id")).as("sum_id"),
+        sum(col("len_clean")).as("sum_len"))
+      .orderBy(col("kind"))
+  }
+
+  /** Parquet schema evolution under a merged read — a corpus written over
+    * months changes schema (new columns appear), and the engine must read
+    * old and new generations AS ONE TABLE with the missing columns
+    * null-filled. Two generations of documents land side by side (gen1:
+    * no `lang` column; gen2: with it), a mergeSchema read unions the
+    * footers, and the rollup buckets gen1 rows under `_pre_evolution` —
+    * the oracle reconstructs the same buckets from the source, so a hash
+    * match proves old rows null-fill rather than misalign or drop.
+    * 100 TB: mergeSchema's cost is a driver-side footer merge (sampled,
+    * parallelized by Spark); the scan itself stays scan-local and column-
+    * pruned per generation — the right shape for corpus evolution, vs
+    * rewriting history to the newest schema. */
+  def srcSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.core.Tmp.jvmScopedDir("schema_evo", dir)
+    val docs = t(s, dir, "documents")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"))
+      .write.mode("overwrite").parquet(s"$out/gen1")
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .write.mode("overwrite").parquet(s"$out/gen2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/gen1", s"$out/gen2")
+      .groupBy(coalesce(col("lang"), lit("_pre_evolution")).as("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+      .orderBy(col("lang"))
+  }
+
   /** Streaming-sink round-trip under the driver oracle: the events table
     * streamed through the stateful sessionizer
     * (`streaming.StreamOps.sessionize` — watermark + event-time timeouts)
@@ -2003,6 +2137,9 @@ object Ext {
     "join_interval_native" -> joinIntervalNative _,
     "csv_roundtrip" -> csvRoundtrip _,
     "csv_dirty_read" -> csvDirtyRead _,
+    "jsonl_roundtrip" -> jsonlRoundtrip _,
+    "jsonl_dirty_read" -> jsonlDirtyRead _,
+    "src_schema_evolution" -> srcSchemaEvolution _,
     "src_bucketed_join" -> srcBucketedJoin _,
     "fn_time_format_stats" -> fnTimeFormatStats _,
     "stream_sessionize_sink" -> streamSessionizeSink _,

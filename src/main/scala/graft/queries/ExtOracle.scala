@@ -570,6 +570,51 @@ object ExtOracle {
            CAST(sum(event_id) AS BIGINT) AS sum_event
          FROM c GROUP BY kind ORDER BY kind""",
 
+    // the spark side of jsonl_roundtrip exports through the native JSONL
+    // sink (nested struct, array column, null field) and re-parses under
+    // an explicit schema; the oracle computes the same per-source digest
+    // straight from parquet — content_md5 chains per-doc text md5s in
+    // doc_id order, so one wrong byte anywhere in the round-trip flips it
+    "jsonl_roundtrip" ->
+      s"""WITH d AS (SELECT doc_id, text, source,
+             $toks AS toks,
+             CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS alt
+           FROM documents)
+         SELECT source, count(*) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS sum_id,
+           CAST(sum(coalesce(
+             list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0))
+             AS BIGINT) AS sum_tok_len,
+           CAST(sum(CASE WHEN alt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_alt,
+           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_md5
+         FROM d GROUP BY source ORDER BY source""",
+
+    // recomputes jsonl_dirty_read's quarantine tally straight from parquet
+    // using the dirtying rule (doc_id%10==3 truncated, %10==7 type-broken):
+    // equal hashes prove clean rows survive byte-exact and every broken row
+    // is detected, classified, and id-recovered
+    "jsonl_dirty_read" ->
+      """WITH d AS (SELECT doc_id, length(text) AS len,
+             CASE WHEN doc_id % 10 = 3 THEN 'truncated'
+                  WHEN doc_id % 10 = 7 THEN 'badtype'
+                  ELSE 'clean' END AS kind
+           FROM documents)
+         SELECT kind, count(*) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS sum_id,
+           CAST(sum(CASE WHEN kind = 'clean' THEN len ELSE 0 END) AS BIGINT)
+             AS sum_len
+         FROM d GROUP BY kind ORDER BY kind""",
+
+    // src_schema_evolution's merged read buckets pre-evolution rows (gen1,
+    // written without `lang`) under a sentinel; the oracle rebuilds the
+    // same buckets from the source table
+    "src_schema_evolution" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN '_pre_evolution' ELSE lang END
+             AS lang,
+           count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
     // the native custom-exec twins share their composable siblings' oracles:
     // identical semantics, two physical plans, both under the hash gate
     "join_asof_native" ->
