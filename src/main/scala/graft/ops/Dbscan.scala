@@ -56,4 +56,48 @@ object Dbscan {
     }
     labels
   }
+
+  /** [[fit]] over a precomputed eps-NEIGHBORHOOD graph instead of the
+    * full matrix: `adj(i)` must hold exactly the j ≠ i with (clamped)
+    * d(i,j) <= eps. Semantically IDENTICAL to [[fit]] on the matrix the
+    * graph was derived from — DBSCAN's output depends only on each
+    * point's eps-neighborhood set and the index scan order, never on a
+    * distance value beyond the <= eps test: core iff |adj(i)|+1 (self)
+    * >= minSamples, BFS expansion over the same sets, border points
+    * claimed by the first core cluster to reach them in the same scan
+    * order. `DbscanSpec` pins the equivalence property against [[fit]]
+    * on random matrices.
+    *
+    * Exists for the distributed cluster path: a T×T matrix forces O(T²)
+    * rows through the per-line cogroup task, while the eps-graph is only
+    * the pairs that can ever matter — the asymptotic difference between
+    * shuffling every pair and shuffling the (typically sparse) neighbor
+    * graph. */
+  def fitAdjacency(adj: Array[Array[Int]], minSamples: Int): Array[Int] = {
+    val n = adj.length
+    val labels = Array.fill(n)(-2) // -2 = unvisited, -1 = noise
+    var cluster = -1
+    var i = 0
+    while (i < n) {
+      if (labels(i) == -2) {
+        if (adj(i).length + 1 < minSamples) labels(i) = -1
+        else {
+          cluster += 1
+          labels(i) = cluster
+          val queue = mutable.Queue.empty[Int]
+          queue ++= adj(i)
+          while (queue.nonEmpty) {
+            val j = queue.dequeue()
+            if (labels(j) == -1) labels(j) = cluster // noise → border
+            else if (labels(j) == -2) {
+              labels(j) = cluster
+              if (adj(j).length + 1 >= minSamples) queue ++= adj(j)
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    labels
+  }
 }

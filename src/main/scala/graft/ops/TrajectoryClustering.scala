@@ -97,13 +97,20 @@ object TrajectoryClustering {
     *     (TC-P:60–136) could not do. Replication is of 56-byte summary
     *     rows, not data.
     *  3. Only the DBSCAN scan itself — irreducibly whole-line state under
-    *     the reference's full-matrix semantics — runs per line, fed the
-    *     precomputed (i, j, d) triples by a cogroup. Round 3: the cogroup
-    *     is keyed by COST-BALANCED BIN, not raw line — per-line pair
-    *     counts (T²) feed [[Balance.plan]] and the bins map to
-    *     hash-distinct labels ([[Balance.hashDistinctLabels]]), so a hot
-    *     line's matrix scan gets a dedicated shuffle partition instead of
-    *     hash-colliding behind other heavy lines.
+    *     the reference's semantics — runs per line, fed by a cogroup.
+    *     Round 3: the cogroup is keyed by COST-BALANCED BIN, not raw
+    *     line — per-line pair counts (T²) feed [[Balance.plan]] and the
+    *     bins map to hash-distinct labels
+    *     ([[Balance.hashDistinctLabels]]), so a hot line gets a dedicated
+    *     shuffle partition instead of hash-colliding behind other heavy
+    *     lines. Round 7: the cogroup receives the eps-NEIGHBORHOOD GRAPH,
+    *     not the full T×T matrix — the pair scan drops finite d > eps
+    *     before the shuffle (plus NaN pairs and per-partition max-finite
+    *     sentinels so the non-finite clamp rule is decided exactly), and
+    *     [[Dbscan.fitAdjacency]] consumes adjacency lists with semantics
+    *     identical to the matrix scan. At 10× trajectories the old
+    *     matrix path moved and scanned 100× the bytes through ≤#lines
+    *     tasks; the graph path moves only real edges.
     *
     * Small-input hybrid (same reasoning as
     * `Dedup.connectedComponents`'s union-find branch): when the total
@@ -183,6 +190,15 @@ object TrajectoryClustering {
     val probe = summaries.withColumn("salt", pmod(col("tid"), lit(pairSalts)))
     val build = summaries.withColumn("salt",
       explode(sequence(lit(0), lit(pairSalts - 1))))
+    // DBSCAN's output depends only on each point's eps-NEIGHBORHOOD set
+    // (see Dbscan.fitAdjacency), so only pairs that can be edges cross
+    // the wire: the pair scan keeps (i) finite d <= eps — real edges —
+    // (ii) non-finite pairs (whose edge-ness is the clamp rule, decided
+    // per line downstream), and (iii) one per-partition max-finite-d
+    // sentinel row per line (i = -1), from which the cogroup task
+    // reconstructs the line's global maxFinite for that clamp. Dropping
+    // the d > eps majority here is what turns the cogroup's O(T²) matrix
+    // feed into an O(edges) graph feed.
     val triples = probe.as("a")
       .join(build.as("b"),
         col("a.line") === col("b.line") && col("a.salt") === col("b.salt") &&
@@ -190,15 +206,24 @@ object TrajectoryClustering {
       .select(col("a.line").as("line"), col("a.tid").as("i"),
         col("b.tid").as("j"), packed("a").as("sa"), packed("b").as("sb"))
       .as[(String, Int, Int, Seq[Double], Seq[Double])]
-      .map { case (line, i, j, sa, sb) =>
-        // 2-point summary trajectories reproduce the full-trajectory
-        // distance bit-for-bit: every term reads head/last/length only
-        val tr1 = IndexedSeq(
-          TrajectoryDistance.P(sa(0), sa(1)), TrajectoryDistance.P(sa(2), sa(3)))
-        val tr2 = IndexedSeq(
-          TrajectoryDistance.P(sb(0), sb(1)), TrajectoryDistance.P(sb(2), sb(3)))
-        val d = TrajectoryDistance.totalWithLengths(tr1, tr2, sa(4), sb(4))
-        (line, i, j, if (java.lang.Double.isFinite(d)) d else Double.NaN)
+      .mapPartitions { it =>
+        val maxFin = scala.collection.mutable.HashMap.empty[String, Double]
+        val kept = it.flatMap { case (line, i, j, sa, sb) =>
+          // 2-point summary trajectories reproduce the full-trajectory
+          // distance bit-for-bit: every term reads head/last/length only
+          val tr1 = IndexedSeq(
+            TrajectoryDistance.P(sa(0), sa(1)), TrajectoryDistance.P(sa(2), sa(3)))
+          val tr2 = IndexedSeq(
+            TrajectoryDistance.P(sb(0), sb(1)), TrajectoryDistance.P(sb(2), sb(3)))
+          val d = TrajectoryDistance.totalWithLengths(tr1, tr2, sa(4), sb(4))
+          if (java.lang.Double.isFinite(d)) {
+            if (d > maxFin.getOrElse(line, 0.0)) maxFin(line) = d
+            if (d <= bc.value(line).eps) Some((line, i, j, d)) else None
+          } else Some((line, i, j, Double.NaN))
+        }
+        // `++`'s by-name argument evaluates only after `kept` is
+        // exhausted, so the sentinels see the partition's complete maxima
+        kept ++ maxFin.iterator.map { case (l, m) => (l, -1, -1, m) }
       }
 
     // cost-balanced DBSCAN placement: per-line pair cost T² bin-packed
@@ -242,13 +267,15 @@ object TrajectoryClustering {
         (bin, rs, ds) =>
           {
             // a bin holds whole lines (one, or several small ones packed
-            // together). Roster rows are tiny; matrices are preallocated
-            // per line so the (large) triple stream fills them without
-            // buffering.
+            // together). Roster rows are tiny; adjacency buffers are
+            // preallocated per line so the edge stream fills them without
+            // buffering — O(edges) memory, never the T×T matrix.
             val byLine = rs.toArray.groupBy(_._1)
             final class LineBuf(val rows: Array[(String, Int, String, String)]) {
-              val dist: Array[Array[Double]] =
-                Array.ofDim[Double](rows.length, rows.length)
+              val adj: Array[scala.collection.mutable.ArrayBuffer[Int]] =
+                Array.fill(rows.length)(
+                  new scala.collection.mutable.ArrayBuffer[Int](4))
+              val nanPairs = new scala.collection.mutable.ArrayBuffer[(Int, Int)]
               var maxFinite = 0.0
             }
             val bufs = byLine.map { case (line, rows) =>
@@ -256,24 +283,22 @@ object TrajectoryClustering {
             }
             ds.foreach { case (line, i, j, d) =>
               val b = bufs(line)
-              b.dist(i)(j) = d; b.dist(j)(i) = d
-              if (!d.isNaN && d > b.maxFinite) b.maxFinite = d
+              if (i < 0) { // per-partition max-finite sentinel
+                if (d > b.maxFinite) b.maxFinite = d
+              } else if (d.isNaN) b.nanPairs += ((i, j))
+              else { b.adj(i) += j; b.adj(j) += i } // finite d <= eps
             }
             bufs.toArray.sortBy(_._1).iterator.flatMap { case (line, b) =>
               val p = bc.value(line)
               val n = b.rows.length
-              // clamp non-finite to 2×max finite (TC-P:298–303)
-              var i = 0
-              while (i < n) {
-                var j = 0
-                while (j < n) {
-                  if (b.dist(i)(j).isNaN) b.dist(i)(j) = 2 * b.maxFinite
-                  j += 1
+              // non-finite pairs clamp to 2×max finite (TC-P:298–303):
+              // an edge exactly when the clamped value clears eps
+              if (2 * b.maxFinite <= p.eps)
+                b.nanPairs.foreach { case (i, j) =>
+                  b.adj(i) += j; b.adj(j) += i
                 }
-                i += 1
-              }
               val labels =
-                try Dbscan.fit(b.dist, p.eps, p.minSamples)
+                try Dbscan.fitAdjacency(b.adj.map(_.toArray), p.minSamples)
                 catch { case _: Exception => Array.fill(n)(0) } // TC-P:309–312
               b.rows.iterator.map { case (_, tid, id, pid) =>
                 (line, id, pid, labels(tid))

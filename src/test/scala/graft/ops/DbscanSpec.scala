@@ -75,4 +75,32 @@ class DbscanSpec extends AnyFunSuite {
       nbrs(i).filter(core).foreach(j => assert(labels(i) == labels(j)))
     }
   }
+
+  test("fitAdjacency == fit on random matrices (label-exact, many seeds)") {
+    // the distributed cluster path feeds fitAdjacency exactly the pairs
+    // with (clamped) d <= eps; the two entry points must agree LABEL-FOR-
+    // LABEL (numbering included), not just up to relabeling
+    for (seed <- 1 to 50) {
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(40)
+      val pts = Seq.fill(n)(rnd.nextDouble() * 4)
+      val eps = 0.2 + rnd.nextDouble() * 0.6
+      val min = 1 + rnd.nextInt(4)
+      val d = matrix(pts)
+      val adj = Array.tabulate(n)(i =>
+        (0 until n).filter(j => j != i && d(i)(j) <= eps).toArray)
+      assert(Dbscan.fit(d, eps, min).toSeq ==
+        Dbscan.fitAdjacency(adj, min).toSeq, s"seed=$seed n=$n eps=$eps min=$min")
+    }
+  }
+
+  test("fitAdjacency: empty graph and empty input") {
+    assert(Dbscan.fitAdjacency(Array.empty, 2).isEmpty)
+    // 3 isolated points, minSamples=1: every point is its own core cluster
+    assert(Dbscan.fitAdjacency(Array.fill(3)(Array.empty[Int]), 1).toSeq ==
+      Seq(0, 1, 2))
+    // minSamples=2: all noise
+    assert(Dbscan.fitAdjacency(Array.fill(3)(Array.empty[Int]), 2).toSeq ==
+      Seq(-1, -1, -1))
+  }
 }
