@@ -83,6 +83,26 @@ object Rel {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Sketch-based distinct counting under a pinned accuracy gate — the
+    * 100 TB path for A1's countDistinct: exact distinct shuffles every
+    * distinct value; HyperLogLog++ (rsd 0.02 → 2⁄√m ≈ 2% std error)
+    * reduces per group to a fixed-size sketch merged map-side. The gate
+    * follows the ANN/SimHash recall-gate pattern: the output carries the
+    * EXACT count (hash-matched against DuckDB's count DISTINCT) plus a
+    * boolean pinning |approx − exact| ≤ 10 % · exact — the sketch is
+    * deterministic for given data, so once green the bound is a fact of
+    * the dataset, and a sketch regression flips a hash-checked value. */
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("_a"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("_a") - col("n_exact")) <= col("n_exact") * 0.10)
+          .as("within_10pct"))
+      .orderBy(col("event_type"))
+
   /** A4: EXISTS-per-group via max(when) (`Standalone/Pattern
     * Extraction.scala:106–116`). */
   def aggExists(s: SparkSession, dir: String): DataFrame = {
@@ -618,6 +638,7 @@ object Rel {
     "agg_count_distinct" -> aggCountDistinct _,
     "agg_percentile" -> aggPercentile _,
     "agg_stats" -> aggStats _,
+    "agg_approx_distinct" -> aggApproxDistinct _,
     "agg_exists" -> aggExists _,
     "agg_forall" -> aggForall _,
     "agg_sorted_collect" -> aggSortedCollect _,

@@ -50,6 +50,15 @@ object RelOracle {
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // the sketch side carries the exact count plus a pinned accuracy
+    // boolean (|HLL − exact| <= 10% · exact) — the oracle asserts the
+    // bound holds by expecting true, the recall-gate pattern
+    "agg_approx_distinct" ->
+      """SELECT event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+         true AS within_10pct
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
     "agg_exists" ->
       """WITH flags AS (
            SELECT l_orderkey, max(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS has_big
