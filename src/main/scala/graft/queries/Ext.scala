@@ -163,6 +163,52 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram language-model scoring — the real shape of the
+    * perplexity-filter stage every LLM data pipeline runs ([[textRarity]]
+    * is the unigram stand-in): a bigram model is TRAINED on the corpus
+    * (history counts c1 = occurrences of w1 as a bigram start, bigram
+    * counts c12, vocab size V), then every document is SCORED by its
+    * mean add-one-smoothed bigram probability
+    * `mean((c12 + 1) / (c1 + V))`. Mean probability rather than mean
+    * log-probability is deliberate: the score stays a pure-rational
+    * IEEE computation (counts, adds, one divide), so the DuckDB oracle
+    * matches BIT-FOR-BIT — `ln` differs by ulps across libms and would
+    * force tolerance. Monotone quality signal either way: rare/unseen
+    * bigrams pull the mean toward 1/(c1+V).
+    *
+    * Determinism: per-doc probabilities are collected, sorted, and
+    * folded sequentially (the [[textRarity]] pattern) — sum order is
+    * pinned, no rounding anywhere. Docs under 2 tokens have no bigrams
+    * and are skipped.
+    *
+    * 100 TB: training is two hash shuffles over the bigram stream
+    * (map-side combined); scoring joins the stream back to the counts on
+    * the bigram key — the model side is |distinct bigrams| ≪ stream and
+    * AQE broadcasts it when small; V is a driver scalar (one count). */
+  def textLmBigram(s: SparkSession, dir: String): DataFrame = {
+    val toks = docsTok(s, dir).select(col("doc_id"), col("toks"))
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val vocab = toks.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    val uni = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val big = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    bi.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .withColumn("p",
+        (col("c12") + 1).cast("double") /
+          (col("c1") + lit(vocab)).cast("double"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        array_sort(collect_list(col("p"))).as("ps"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (aggregate(col("ps"), lit(0.0), (a, x) => a + x) / col("n_bigrams"))
+          .as("mean_bigram_p"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style duplicate-n-gram repetition score: fraction of a doc's
     * 3-grams that are repeats (1 − distinct/total). The cheap
     * within-document quality signal complementing the cross-document
@@ -2099,6 +2145,7 @@ object Ext {
     "text_repetition" -> textRepetition _,
     "text_pack_sequences" -> textPackSequences _,
     "text_rarity" -> textRarity _,
+    "text_lm_bigram" -> textLmBigram _,
     "text_contamination" -> textContamination _,
     "text_decontaminate" -> textDecontaminate _,
     "text_redact_pii" -> textRedactPii _,

@@ -183,6 +183,34 @@ object ExtOracle {
              AS rarity
          FROM pd ORDER BY doc_id""",
 
+    // bigram LM scoring: the model (history counts, bigram counts, vocab)
+    // is recomputed in SQL and every doc's mean smoothed bigram
+    // probability folded in sorted order — pure-rational arithmetic, so
+    // the hashes match bit-for-bit (see the query scaladoc for why mean-P
+    // rather than mean-log-P)
+    "text_lm_bigram" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+         bi AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+               i -> {'w1': toks[i], 'w2': toks[i+1]}), recursive := true)
+           FROM tok WHERE len(toks) >= 2),
+         voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+           FROM (SELECT unnest(toks) AS tok FROM tok)),
+         uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+           FROM bi GROUP BY w1),
+         big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+           FROM bi GROUP BY w1, w2),
+         p AS (SELECT bi.doc_id,
+             CAST(big.c12 + 1 AS DOUBLE) /
+               CAST(uni.c1 + (SELECT v FROM voc) AS DOUBLE) AS p
+           FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1)),
+         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           list_sort(list(p)) AS ps FROM p GROUP BY doc_id)
+         SELECT doc_id, n_bigrams,
+           list_reduce(list_prepend(0.0, ps), (a, b) -> a + b) / n_bigrams
+             AS mean_bigram_p
+         FROM pd ORDER BY doc_id""",
+
     "dedup_lines" -> dedupLinesSql,
 
     // shared by reference (the dedupApplySql pattern): the hashed-key
