@@ -37,6 +37,32 @@ object Ext {
         Text.qualityScore(col("toks")).as("quality"))
       .orderBy(col("doc_id"))
 
+  /** C4/Gopher-style quality FILTER — the apply half of [[textStats]]:
+    * the per-doc statistics composed into keep/drop decisions, one
+    * boolean per rule so a drop is attributable (the shape a pipeline
+    * audit needs — "why did this doc fall out"). Rules are integer
+    * cross-multiplications only (stopword share ≥ 5 % as
+    * `n_stop·20 ≥ n_tokens`, unique share > 50 % as `n_unique·2 >
+    * n_tokens`, mean token length ≤ 12 as `sum_len ≤ n_tokens·12`,
+    * length in [5, 512]) — no float thresholds, so the DuckDB oracle
+    * hash-matches every decision with zero tolerance. 100 TB: scan-local
+    * per row; the filter adds no shuffle to the scan. */
+  def textQualityFilter(s: SparkSession, dir: String): DataFrame =
+    docsTok(s, dir).select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_unique"),
+        Text.hitCount(col("toks"), Text.stopwords("en")).cast("long").as("n_stop"),
+        aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("sum_len"))
+      .select(col("doc_id"),
+        (col("n_tokens") >= 5 && col("n_tokens") <= 512).as("r_len"),
+        (col("n_stop") * 20 >= col("n_tokens")).as("r_stop"),
+        (col("n_unique") * 2 > col("n_tokens")).as("r_unique"),
+        (col("sum_len") <= col("n_tokens") * 12).as("r_wordlen"))
+      .withColumn("keep",
+        col("r_len") && col("r_stop") && col("r_unique") && col("r_wordlen"))
+      .orderBy(col("doc_id"))
+
   /** BPE-ish subword tokenization — per-doc counts plus an md5 of the
     * joined token stream, so the oracle verifies the regex pre-tokenizer
     * byte-for-byte across engines. */
@@ -2146,6 +2172,7 @@ object Ext {
     "text_pack_sequences" -> textPackSequences _,
     "text_rarity" -> textRarity _,
     "text_lm_bigram" -> textLmBigram _,
+    "text_quality_filter" -> textQualityFilter _,
     "text_contamination" -> textContamination _,
     "text_decontaminate" -> textDecontaminate _,
     "text_redact_pii" -> textRedactPii _,

@@ -131,6 +131,28 @@ object ExtOracle {
                + least(len(toks), 100) * 0.005, 6) AS quality
          FROM tok ORDER BY doc_id""",
 
+    // the apply half of text_stats: every keep/drop decision (and each
+    // contributing rule) hash-checked — integer cross-multiplied
+    // thresholds, so no tolerance anywhere
+    "text_quality_filter" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+         st AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+             CAST(${hits(en)} AS BIGINT) AS n_stop,
+             CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0)
+               AS BIGINT) AS sum_len
+           FROM tok)
+         SELECT doc_id,
+           (n_tokens >= 5 AND n_tokens <= 512) AS r_len,
+           (n_stop * 20 >= n_tokens) AS r_stop,
+           (n_unique * 2 > n_tokens) AS r_unique,
+           (sum_len <= n_tokens * 12) AS r_wordlen,
+           ((n_tokens >= 5 AND n_tokens <= 512) AND (n_stop * 20 >= n_tokens)
+             AND (n_unique * 2 > n_tokens) AND (sum_len <= n_tokens * 12))
+             AS keep
+         FROM st ORDER BY doc_id""",
+
     "text_lang_id" ->
       s"""WITH tok AS (SELECT lang, $toks AS toks FROM documents),
          sc AS (SELECT lang,
