@@ -428,6 +428,59 @@ object Ext {
       .orderBy(col("source"))
   }
 
+  /** Quality-ordered selection to a token budget — the data-curation
+    * companion of [[mixDomains]]: rank every document by the composite
+    * quality score (ties broken by doc_id — a total, cross-engine-stable
+    * order since the score is rounded at 6 dp on both sides), then keep
+    * the best-first prefix whose documents each fit ENTIRELY inside a
+    * token budget of 40 % of the corpus (`total·2/5`, integer
+    * arithmetic). The keep rule reads only each doc's global
+    * cumulative-preceding token count, so membership is independent of
+    * physical partitioning.
+    *
+    * The global running count over the (quality DESC, doc_id) order is
+    * the [[textPackSequences]] two-phase distributed prefix sum on a
+    * VALUE ordering: range-partition by the sort key, per-partition
+    * window cumsum, per-partition totals broadcast back as offsets —
+    * never the single-partition global window. The counted relation is
+    * landed to scratch parquet for the same partitioning-pinning reason
+    * documented there (not [[stage]]d: the budget derives from a
+    * driver total that must come from the SAME landed rows). */
+  def mixQualityBudget(s: SparkSession, dir: String): DataFrame = {
+    val landed = graft.core.Tmp.jvmScopedDir("mix_qb_local", dir)
+    docsTok(s, dir)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        Text.qualityScore(col("toks")).as("q"))
+      .repartitionByRange(32, col("q").desc, col("doc_id"))
+      .sortWithinPartitions(col("q").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .write.mode("overwrite").parquet(landed)
+    val local = s.read.parquet(landed)
+    val budget = local.agg(sum(col("n_tokens"))).head().getLong(0) * 2 / 5
+    val perPid = Window.partitionBy(col("pid"))
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = {
+      var acc = 0L
+      local.groupBy(col("pid")).agg(sum(col("n_tokens")).as("t"))
+        .orderBy(col("pid"))
+        .collect().map { r =>
+          val o = (r.getInt(0), acc); acc += r.getLong(1); o
+        }.toSeq
+    }
+    import s.implicits._
+    val offDf = offsets.toDF("pid", "poff")
+    local
+      .withColumn("local_before",
+        coalesce(sum(col("n_tokens")).over(perPid), lit(0L)))
+      .join(broadcast(offDf), "pid")
+      .withColumn("cum_before", col("poff") + col("local_before"))
+      .filter(col("cum_before") + col("n_tokens") <= budget)
+      .select(col("doc_id"), col("n_tokens"), col("q"), col("cum_before"))
+      .orderBy(col("doc_id"))
+  }
+
   // ===== deduplication =====
 
   /** Hot-shingle guard for the registered Jaccard queries: shingles seen in
@@ -2168,6 +2221,7 @@ object Ext {
     "sample_systematic" -> sampleSystematic _,
     "sample_stratified" -> sampleStratified _,
     "mix_domains" -> mixDomains _,
+    "mix_quality_budget" -> mixQualityBudget _,
     "text_repetition" -> textRepetition _,
     "text_pack_sequences" -> textPackSequences _,
     "text_rarity" -> textRarity _,

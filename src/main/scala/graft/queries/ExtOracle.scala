@@ -358,6 +358,28 @@ object ExtOracle {
          WHERE CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 10 = 0
          ORDER BY doc_id""",
 
+    // quality-ordered budget selection: the single-stream window cumsum
+    // over (quality DESC, doc_id) must equal the engine's two-phase
+    // distributed prefix sum, and the keep rule (fits entirely inside
+    // total*2/5 tokens) is integer arithmetic — every selected row
+    // hash-checked
+    "mix_quality_budget" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+         st AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             round((CAST(${hits(en)} AS DOUBLE) / len(toks)) * 0.5
+               + least(len(toks), 100) * 0.005, 6) AS q
+           FROM tok),
+         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) * 2 // 5 AS b FROM st),
+         c AS (SELECT doc_id, n_tokens, q,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+           FROM st)
+         SELECT doc_id, n_tokens, q, cum_before FROM c
+         WHERE cum_before + n_tokens <= (SELECT b FROM tot)
+         ORDER BY doc_id""",
+
     // rate arithmetic written in the engine's exact operation order
     // (cast→multiply→divide→least→×1e6→floor) so the integer thresholds,
     // and therefore every sampling decision, match bit-for-bit
