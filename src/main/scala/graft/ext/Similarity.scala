@@ -319,6 +319,155 @@ object Similarity {
       .agg(count(lit(1)).as("n_exact"), count(col("a_vec")).as("hits"))
   }
 
+  // --- product quantization (PQ) ----------------------------------------
+
+  /** Train a PQ codebook (Jégou et al. 2011): split the space into `m`
+    * contiguous blocks of `subDim` dims and Lloyd-train `nlist` centroids
+    * per block on the corpus's subvectors. Deterministic init mirrors
+    * [[trainCentroids]]: the `nlist` lowest-id vectors seed every block's
+    * codebook. Each iteration is ONE corpus scan: the native
+    * [[graft.functions.PqCodes]] assigns all blocks in one pass, the
+    * per-(block, code, dim) means are a single m×nlist-group aggregate
+    * (corpus×m rows of subDim-wide slices — same total floats as the
+    * corpus itself), and only the m×nlist×subDim codebook reaches the
+    * driver. Vectors with null/mis-sized embeddings are excluded (they
+    * encode to null and are unsearchable anyway). */
+  def trainPq(
+      corpus: DataFrame, // (vec_id, embedding)
+      m: Int,
+      subDim: Int,
+      nlist: Int,
+      iters: Int = 2): Array[Array[Array[Double]]] = {
+    val dim = m * subDim
+    val clean = corpus.filter(col("embedding").isNotNull &&
+      forall(col("embedding"), x => x.isNotNull) &&
+      size(col("embedding")) === dim)
+    var books: Array[Array[Array[Double]]] = {
+      val seeds = clean.orderBy(col("vec_id")).limit(nlist).collect()
+        .map(r => r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      Array.tabulate(m)(b => seeds.map(v => v.slice(b * subDim, (b + 1) * subDim)))
+    }
+    (0 until iters).foreach { _ =>
+      val bc = broadcastPq(clean.sparkSession, m, subDim, books)
+      val means = clean
+        .select(col("embedding"),
+          posexplode(pqCodes(col("embedding"), bc)).as(Seq("b", "code")))
+        .withColumn("subvec",
+          slice(col("embedding"), col("b") * subDim + 1, lit(subDim)))
+        .groupBy(col("b"), col("code"))
+        .agg(array((0 until subDim).map(j =>
+          avg(col("subvec").getItem(j).cast("double"))): _*).as("mean"))
+        .collect()
+      bc.destroy()
+      val updated = means.map(r =>
+        (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+      // empty cells keep their previous centroid (trainCentroids contract)
+      books = Array.tabulate(m)(b => books(b).zipWithIndex.map {
+        case (c, code) => updated.getOrElse((b, code), c) })
+    }
+    books
+  }
+
+  def broadcastPq(
+      spark: org.apache.spark.sql.SparkSession,
+      m: Int, subDim: Int,
+      books: Array[Array[Array[Double]]])
+      : org.apache.spark.broadcast.Broadcast[graft.functions.PqModel] =
+    spark.sparkContext.broadcast(new graft.functions.PqModel(m, subDim, books))
+
+  /** Native PQ encode of a vector column: `m` L2-nearest sub-centroid
+    * indices — the 16-byte row the 100 TB ranking scan reads instead of
+    * the raw floats. */
+  def pqCodes(vec: Column,
+      model: org.apache.spark.broadcast.Broadcast[graft.functions.PqModel]): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.PqCodes(Bridge.expression(vec), model))
+  }
+
+  /** ADC dot product of a raw query against a PQ code column. */
+  def pqAdc(qvec: Column, codes: Column,
+      model: org.apache.spark.broadcast.Broadcast[graft.functions.PqModel]): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.PqAdc(
+      Bridge.expression(qvec), Bridge.expression(codes), model))
+  }
+
+  /** L2 norm of the PQ reconstruction (exact — coordinate blocks are
+    * orthogonal, so block norms compose with no cross terms). */
+  def pqReconNorm(codes: Column,
+      model: org.apache.spark.broadcast.Broadcast[graft.functions.PqModel]): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.PqReconNorm(Bridge.expression(codes), model))
+  }
+
+  /** Persist a trained PQ codebook as a parquet table `(b, code, centroid
+    * array<double>)` — same train-once/save/load lifecycle as
+    * [[saveCentroids]]; doubles roundtrip parquet exactly, so a loaded
+    * codebook encodes and scores bit-identically. */
+  def savePq(
+      spark: org.apache.spark.sql.SparkSession,
+      books: Array[Array[Array[Double]]],
+      path: String): Unit = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (cb, b) =>
+      cb.zipWithIndex.map { case (c, code) => (b, code, c.toSeq) }
+    }.toSeq.toDF("b", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[savePq]] codebook (driver-sized by the same contract that
+    * lets [[broadcastPq]] ship it). Block count and per-block size are
+    * recovered from the table. */
+  def loadPq(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getInt(r.fieldIndex("b")), r.getInt(r.fieldIndex("code")),
+        r.getSeq[Double](r.fieldIndex("centroid")).toArray))
+    rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+  }
+
+  /** PQ approximate top-k with exact re-rank: ADC-rank the CODES table
+    * (the compressed index — the corpus's raw floats are never read in
+    * the scoring scan), keep `k·oversample` candidates per query, then
+    * re-rank exactly by joining the raw vectors for candidates only.
+    *
+    * Scale shape: the scoring scan reads (vec_id, m×4B codes) and
+    * broadcast-joins the capped query set — cost |Q|·|C| multiply-adds
+    * but only m ints of IO per corpus row; the candidate set (|Q|·k·
+    * oversample rows) broadcasts back against the raw table, so the
+    * full-precision vectors are fetched for ~50 rows per query, not the
+    * corpus. Recall < 1 by construction (quantization error), gated by
+    * `sim_pq_recall`. */
+  def pqTopK(
+      queries: DataFrame, // (qid, qvec)
+      codes: DataFrame, // (vec_id, codes)
+      corpus: DataFrame, // (vec_id, embedding) — re-rank side
+      k: Int,
+      oversample: Int,
+      model: org.apache.spark.broadcast.Broadcast[graft.functions.PqModel])
+      : DataFrame = {
+    val q = queries.withColumn("q_norm", l2Norm(col("qvec")))
+    val scored = codes.filter(col("codes").isNotNull)
+      .join(broadcast(q), col("qid") =!= col("vec_id"))
+      .withColumn("adc_cos",
+        pqAdc(col("qvec"), col("codes"), model) /
+          (col("q_norm") * pqReconNorm(col("codes"), model)))
+    val wa = Window.partitionBy(col("qid")).orderBy(col("adc_cos").desc, col("vec_id"))
+    val cand = scored.withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * oversample)
+      .select(col("qid"), col("qvec"), col("q_norm"), col("vec_id"))
+    val c = corpus.withColumn("c_norm", l2Norm(col("embedding")))
+    val re = c.join(broadcast(cand), "vec_id")
+      .withColumn("cos",
+        dot(col("qvec"), col("embedding")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    re.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /** Embedding near-duplicate pairs: all unordered pairs within a blocking
     * key above a cosine floor. The blocking column keeps the pair join
     * equi-partitioned (label/cluster/LSH-bucket — never a full cross). */

@@ -683,6 +683,8 @@ object Ext {
   private[queries] val Cands16Params = "mh=32 bands=16 from=pruned100 v1"
   private[queries] val AnnExact10Params = "k=10 probes=mod50cap200 v1"
   private[queries] val Ivf64Params = "nlist=64 iters=2 v1"
+  private[queries] val Pq64Params = "m=4 sub=16 nlist=64 iters=2 v1"
+  private[queries] val PqCodes64Params = "from=pq64 v1"
 
   private def shingles3Pruned(s: SparkSession, dir: String): DataFrame =
     persistentIndex(s, "pruned100", dir, Pruned100Params,
@@ -1127,23 +1129,35 @@ object Ext {
     * Lloyd training's driver collect/broadcast loop degraded 2.5 s →
     * 59 s late in a ~200-query session; the staged model removes that
     * loop from the repeated path entirely). */
+  /** The non-null embedding corpus every ANN index searches over. */
+  private def annCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+
+  /** [[queryVecs]] minus vectors with null elements: a query with a null
+    * ELEMENT stays rankable by brute force (null cos sorts last) but is
+    * dropped whole by the IVF probe explode and the PQ encode — it must
+    * leave every recall gate's row set on BOTH sides (the oracles mirror
+    * this with list_filter), or its forced 0-recall row would fail the
+    * pinned booleans with no actual ANN regression. */
+  private def annQueries(s: SparkSession, dir: String): DataFrame =
+    queryVecs(s, dir).filter(col("qvec").isNotNull &&
+      forall(col("qvec"), x => x.isNotNull))
+
+  /** Exact brute-force top-10 baseline, published as a cross-process
+    * index (|Q|·k rows): every recall gate joins against it, repeat
+    * invocations skip the brute-force scan, and a later JVM reads
+    * yesterday's baseline. */
+  private def annExact10(s: SparkSession, dir: String): DataFrame =
+    persistentIndex(s, "ann_exact10", dir, AnnExact10Params,
+        sourcePath = s"$dir/embeddings.parquet")(
+      Similarity.bruteForceTopK(annQueries(s, dir), annCorpus(s, dir), 10))
+
   def simAnnRecall(s: SparkSession, dir: String): DataFrame = {
     val log = graft.core.PhaseLog.start("ann_recall")
-    val corpus = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
-      .select(col("vec_id"), col("embedding"))
-    // a query vector with a null ELEMENT stays rankable by brute force
-    // (null cos sorts last) but is dropped whole by the IVF probe
-    // explode — it must leave the gate's row set on BOTH sides (oracle
-    // mirrors this with list_filter), or its forced 0-recall row would
-    // fail the pinned booleans with no actual ANN regression
-    val q = queryVecs(s, dir).filter(col("qvec").isNotNull &&
-      forall(col("qvec"), x => x.isNotNull))
-    // exact baseline published as a cross-process index (|Q|·k rows):
-    // both recall joins read it, repeat invocations skip the brute-force
-    // scan, and a later JVM reads yesterday's baseline
-    val exact = persistentIndex(s, "ann_exact10", dir, AnnExact10Params,
-        sourcePath = s"$dir/embeddings.parquet")(
-      Similarity.bruteForceTopK(q, corpus, 10))
+    val corpus = annCorpus(s, dir)
+    val q = annQueries(s, dir)
+    val exact = annExact10(s, dir)
     def recalls(approx: DataFrame): Map[Long, Double] =
       Similarity.recallAtK(exact, approx).collect()
         .map(r => r.getLong(0) -> r.getLong(2).toDouble / r.getLong(1)).toMap
@@ -1168,6 +1182,84 @@ object Ext {
         lshAvg >= 0.30, ivfAvg >= 0.35))
       .toDF("qid", "lsh_hit_ok", "ivf_hit_ok", "lsh_avg_ok", "ivf_avg_ok")
   }
+
+  // --- product quantization -------------------------------------------
+
+  /** The trained PQ codebook (4 blocks × 16 dims × 64 codes), published
+    * once per sf dir through the same cross-process generation contract
+    * as [[ivf64Model]]: train once, save, every later JVM loads.
+    * Training is deterministic (lowest-id seeds), so any process
+    * publishes the same codebook. */
+  private def pq64Model(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val root = persistentPath("pq64_model", dir, Pq64Params,
+        sourcePath = s"$dir/embeddings.parquet") { tmp =>
+      Similarity.savePq(s,
+        Similarity.trainPq(
+          t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+          m = 4, subDim = 16, nlist = 64, iters = 2), s"$tmp/data")
+    }
+    Similarity.loadPq(s, s"$root/data")
+  }
+
+  /** The ENCODED corpus — `(vec_id, array<int> of 4 codes)` — published
+    * as a cross-process table: this IS the PQ index (16 B/vector instead
+    * of 256 B of raw floats), built once and scanned by every search.
+    * Vectors that cannot encode (null/mis-sized/null elements) land with
+    * null codes so the index row set still covers the corpus. */
+  private def pqCodes64(
+      s: SparkSession, dir: String,
+      model: org.apache.spark.broadcast.Broadcast[graft.functions.PqModel])
+      : DataFrame =
+    persistentIndex(s, "pq_codes64", dir, PqCodes64Params,
+        sourcePath = s"$dir/embeddings.parquet")(
+      t(s, dir, "embeddings").select(col("vec_id"),
+        Similarity.pqCodes(col("embedding"), model).as("codes")))
+
+  /** PQ approximate top-10 with exact re-rank (the third ANN family next
+    * to LSH and IVF, and the memory-scale path: at 100 TB the ranking
+    * scan reads the 16-byte staged code table, never the raw floats;
+    * full vectors are fetched only for the ~50 re-rank candidates per
+    * query). ADC-rank to top-50, then exact-cosine re-rank to top-10.
+    * No value oracle — the codebook is engine state like the IVF model;
+    * quality is gated by [[simPqRecall]]. */
+  def simPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val bc = Similarity.broadcastPq(s, 4, 16, pq64Model(s, dir))
+    Similarity.pqTopK(annQueries(s, dir), pqCodes64(s, dir, bc),
+        annCorpus(s, dir), k = 10, oversample = 20, bc)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** PQ QUALITY under the driver oracle (the [[simAnnRecall]] boolean-pin
+    * pattern): per-query recall@10 of the PQ search against the staged
+    * exact baseline, pinned as booleans the oracle asserts TRUE. The
+    * deterministic codebook makes the booleans rerun-stable. Floors sit
+    * well under the weakest measured SF (see scaladoc maintenance note in
+    * NOTES.md) so the gate catches a structural collapse (encode bug,
+    * re-rank join loss), not noise. */
+  def simPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val log = graft.core.PhaseLog.start("pq_recall")
+    val exact = annExact10(s, dir)
+    val pq = simPqTopk(s, dir)
+    val recalls = Similarity.recallAtK(exact, pq).collect()
+      .map(r => r.getLong(0) -> r.getLong(2).toDouble / r.getLong(1)).toMap
+    import s.implicits._
+    if (recalls.isEmpty) {
+      log("no qualifying queries")
+      return Seq.empty[(Long, Boolean, Boolean)]
+        .toDF("qid", "pq_hit_ok", "pq_avg_ok")
+    }
+    val avg = recalls.values.sum / recalls.size
+    log(f"pq min=${recalls.values.min}%.2f avg=$avg%.2f")
+    recalls.keys.toSeq.sorted
+      .map(qid => (qid, recalls(qid) > 0, avg >= PqRecallFloor))
+      .toDF("qid", "pq_hit_ok", "pq_avg_ok")
+  }
+
+  /** Mean-recall floor for [[simPqRecall]], ~0.13 under the weakest
+    * measured SF (avg recall sf0.001/0.01/0.1 = 0.95/0.93/0.68 at
+    * oversample=20; per-qid min 0.2) — a structural regression (encode
+    * bug, candidate loss) lands far below it, SF-to-SF noise does not. */
+  private val PqRecallFloor = 0.55
 
   // ===== multimodal =====
 
@@ -2254,6 +2346,8 @@ object Ext {
     "sim_ivf_warm" -> simIvfWarm _,
     "sim_ann_recall" -> simAnnRecall _,
     "sim_quantized_topk" -> simQuantizedTopk _,
+    "sim_pq_topk" -> simPqTopk _,
+    "sim_pq_recall" -> simPqRecall _,
     "mm_decode_meta" -> mmDecodeMeta _,
     "mm_frame_sample" -> mmFrameSample _,
     "mm_byte_histogram" -> mmByteHistogram _,
