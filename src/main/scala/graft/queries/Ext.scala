@@ -286,6 +286,82 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-filtered decontamination AUDIT — the scale path for when the
+    * benchmark shingle set is too large to broadcast EXACTLY (a
+    * multi-benchmark suite at corpus scale can reach 10⁸+ shingles; an
+    * exact hash set of strings does not ship, a Bloom filter at fpp=1e-4
+    * is ~19 bits/item and does). Bloom membership has NO false negatives,
+    * so every truly contaminated document is still caught — the
+    * conservative direction, a false positive only drops a safe doc.
+    *
+    * Output is the per-document audit against the exact path: `exact_hit`
+    * (SQL-expressible, hash-verified by the oracle) plus two pinned
+    * booleans — `superset_ok` (exact_hit ⇒ bloom flagged it: the
+    * no-false-negative contract, per row) and `fp_ok` (zero false
+    * negatives AND the observed document-level false-positive rate under
+    * [[BloomDocFpCap]]; doc-level FP ≈ shingles/doc × fpp, which is why
+    * the fpp is 1e-4 and not the textbook 0.01).
+    *
+    * Scale: both probe sides stream the scan-local shingle relation; the
+    * filter is built by one aggregation over the (small) benchmark side
+    * and broadcast once; the probe is a codegen'd bit test
+    * ([[graft.functions.BloomMightContainLong]]) over `xxhash64(s)` —
+    * put and probe use the same 8-byte key, so the string never
+    * leaves the scan. This audit recomputes the flags relation for its
+    * stats pass; a production pipeline would land flags once and read
+    * them twice. */
+  def textDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val log = graft.core.PhaseLog.start("bloom_decon")
+    val sh = shingles3(s, dir)
+    val bench = sh.filter(col("id") % 97 === 0).select(xxhash64(col("s")).as("h"))
+    val nBench = bench.count() // driver-sized scalar: sizes the filter
+    val bf = bench.stat.bloomFilter("h", math.max(nBench, 1L), BloomFpp)
+    log(s"filter built n=$nBench bits=${bf.bitSize()}")
+    val bfBc = s.sparkContext.broadcast(bf)
+    def might(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      Bridge.column(graft.functions.BloomMightContainLong(Bridge.expression(c), bfBc))
+    val corpusSh = sh.filter(col("id") % 97 =!= 0)
+    val bloomIds = corpusSh.filter(might(xxhash64(col("s"))))
+      .select(col("id")).distinct()
+    val exactIds = corpusSh
+      .join(broadcast(sh.filter(col("id") % 97 === 0).select(col("s")).distinct()),
+        Seq("s"))
+      .select(col("id")).distinct()
+    val flags = t(s, dir, "documents").filter(col("doc_id") % 97 =!= 0)
+      .join(exactIds.withColumnRenamed("id", "doc_id").withColumn("e", lit(true)),
+        Seq("doc_id"), "left")
+      .join(bloomIds.withColumnRenamed("id", "doc_id").withColumn("b", lit(true)),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("e"), lit(false)).as("exact_hit"),
+        coalesce(col("b"), lit(false)).as("bloom_hit"))
+    val st = flags.agg(
+      sum(when(col("bloom_hit") && !col("exact_hit"), 1L).otherwise(0L)),
+      sum(when(col("exact_hit") && !col("bloom_hit"), 1L).otherwise(0L)),
+      sum(when(!col("exact_hit"), 1L).otherwise(0L))).head()
+    val (fp, fn, clean) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val fpRate = if (clean == 0) 0.0 else fp.toDouble / clean
+    log(f"fp=$fp fn=$fn clean=$clean fp_rate=$fpRate%.4f")
+    flags.select(col("doc_id"), col("exact_hit"),
+        (!col("exact_hit") || col("bloom_hit")).as("superset_ok"),
+        lit(fn == 0L && fpRate <= BloomDocFpCap).as("fp_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shingle-level false-positive probability of the decontamination
+    * Bloom filter. Chosen for the DOCUMENT-level amplification: a doc
+    * probes once per distinct shingle, so P(doc falsely flagged) ≈
+    * shingles/doc × fpp ≈ 100 × 1e-4 = 1% here — the textbook 0.01
+    * would false-drop most of the corpus. */
+  private val BloomFpp = 1e-4
+
+  /** Cap on the observed document-level false-positive rate; measured
+    * 0.031/0.016/0.0 at sf0.001/0.01/0.1 (fpp=1e-4, ~100 shingles/doc —
+    * the small-SF rates run above the amplification estimate because a
+    * few-hundred-item filter quantizes to very few hash bits). */
+  private val BloomDocFpCap = 0.05
+
   /** Exact corpus vocabulary head: top-20 tokens by document frequency
     * and total count — the vocabulary/stopword audit a corpus pipeline
     * runs before tokenizer training. Deterministic tie-break on token. */
@@ -2321,6 +2397,7 @@ object Ext {
     "text_quality_filter" -> textQualityFilter _,
     "text_contamination" -> textContamination _,
     "text_decontaminate" -> textDecontaminate _,
+    "text_decontaminate_bloom" -> textDecontaminateBloom _,
     "text_redact_pii" -> textRedactPii _,
     "text_url_domains" -> textUrlDomains _,
     "text_top_tokens" -> textTopTokens _,

@@ -297,6 +297,23 @@ object ExtOracle {
            AND doc_id NOT IN (SELECT id FROM contaminated)
          ORDER BY doc_id""",
 
+    // Bloom decontamination audit: exact_hit is fully SQL-expressible;
+    // the Bloom-side booleans (no-false-negative superset + FP-rate cap)
+    // are computed Spark-side and pinned TRUE (boolean-pin pattern)
+    "text_decontaminate_bloom" ->
+      s"""WITH tok AS (SELECT doc_id AS id, $toks AS toks FROM documents),
+         sh0 AS (SELECT id, unnest(list_distinct(list_transform(
+             range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+           FROM tok WHERE len(toks) >= 3),
+         bench AS (SELECT DISTINCT s FROM sh0 WHERE id % 97 = 0),
+         contaminated AS (
+           SELECT DISTINCT id FROM sh0 JOIN bench USING (s)
+           WHERE id % 97 <> 0)
+         SELECT doc_id, (doc_id IN (SELECT id FROM contaminated)) AS exact_hit,
+           TRUE AS superset_ok, TRUE AS fp_ok
+         FROM documents WHERE doc_id % 97 <> 0 ORDER BY doc_id""",
+
     "text_top_tokens" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents)
          SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df
