@@ -193,6 +193,43 @@ class PlanSpec extends SparkSpec {
       s"single-partition exchange crept into the packing plan:\n$p")
   }
 
+  test("sim_pq_topk: ADC scan reads codes (not raw floats); shortlist prunes before the shuffle") {
+    val p = planOf("sim_pq_topk")
+    // the scoring scan is the published code table — its ReadSchema must
+    // carry codes and no embedding column (the whole point of PQ: the
+    // ranking pass never reads the raw vectors)
+    val codeScan = p.linesIterator.find(l =>
+      l.contains("ReadSchema") && l.contains("codes")).getOrElse("")
+    assert(codeScan.nonEmpty, s"no codes scan in:\n$p")
+    assert(!codeScan.contains("embedding"), s"ADC scan reads raw floats: $codeScan")
+    // the native expressions, not interpreted HOFs, do the scoring
+    assert(p.contains("pq_adc"), "ADC not running as the native expression")
+    // Spark's rank-limit pushdown must trim each partition to the
+    // shortlist BEFORE the qid shuffle — without it the shuffle carries
+    // |Q|·|C| scored rows instead of |Q|·k·oversample per partition
+    assert(p.contains("WindowGroupLimit"), s"no partial rank pushdown:\n$p")
+    // the re-rank join broadcasts the candidate side; the raw table streams
+    assert(p.contains("BroadcastHashJoin"), "re-rank join is not broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus-wide SMJ crept into re-rank")
+  }
+
+  test("text_decontaminate_bloom: the probe is a scan-local filter, not a join") {
+    val p = planOf("text_decontaminate_bloom")
+    // the corpus side must meet the filter as a Filter condition right
+    // above its shingle Generate — a shuffle (or join) before the probe
+    // would move the full shingle relation to test membership
+    assert(p.contains("bloom_might_contain_long"),
+      s"bloom probe not in the plan:\n$p")
+    val lines = p.linesIterator.toSeq
+    val probeIdx = lines.indexWhere(_.contains("bloom_might_contain_long"))
+    assert(probeIdx >= 0)
+    // everything below the probe filter down to its scan is narrow:
+    // no Exchange between the probe and the Generate feeding it
+    val below = lines.drop(probeIdx).takeWhile(!_.contains("Scan parquet"))
+    assert(!below.exists(_.trim.startsWith("Exchange")),
+      s"shuffle below the bloom probe:\n${below.mkString("\n")}")
+  }
+
   test("dedup_apply: the anti-join is not hint-forced to broadcast") {
     // AQE may still pick broadcast at runtime when the loser set fits —
     // the regression is a *hint* (unbounded at 100 TB). EliminateResolvedHint
