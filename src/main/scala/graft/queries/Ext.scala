@@ -504,6 +504,62 @@ object Ext {
       .orderBy(col("source"))
   }
 
+  /** Temperature-resampled domain mixture (mT5/XLM-R α-sampling,
+    * α = 0.5): the sampling share of source d is
+    * `q_d ∝ tokens_d^α` — flattening the natural distribution so
+    * low-resource sources are over-represented relative to their raw
+    * share — and each source is then downsampled toward its target
+    * `q_d · budget` tokens exactly as [[mixDomains]] downsamples toward
+    * its weight-table target (same rerun-stable content-hash keep rule,
+    * same pass structure, same broadcast rate table).
+    *
+    * α is deliberately 1/2: `sqrt` is IEEE-correctly-rounded, so
+    * `q_d = sqrt(tokens_d) / Σ_e sqrt(tokens_e)` is bit-reproducible in
+    * any engine, where a general `pow(x, α)` is NOT correctly rounded
+    * and may differ in the last ulp across libm implementations — a
+    * hash-gate landmine. The Σ over sources is a deterministic
+    * source-ordered left fold, driver-side here (the per-source table is
+    * domain-count-sized) and `list_reduce(list(... ORDER BY source))` in
+    * the oracle — identical operand order, identical doubles.
+    *
+    * Scale: identical to [[mixDomains]] — one aggregate pass to
+    * per-source totals (tiny), one scan-local filter pass with the rate
+    * table broadcast back; the per-source collect is the documented
+    * driver-sized model (|sources| rows). */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("source"),
+      Text.tokenCount(col("text")).cast("long").as("ntok"),
+      Text.hashBucket(col("text"), 1000000).cast("long").as("bucket"))
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"), sum(col("ntok")).as("tokens_total"))
+    // per-source totals to the driver (|sources| rows): the integer total
+    // is order-free; the sqrt fold is ORDERED by source — the same fold
+    // the oracle runs
+    val rows = per.select(col("source"), col("tokens_total")).collect()
+      .sortBy(_.getString(0))
+    val totalTokens = rows.map(_.getLong(1)).sum
+    val budget = totalTokens / 2 // integer halving, oracle uses //
+    val sumSqrt = rows.foldLeft(0.0)((acc, r) =>
+      acc + math.sqrt(r.getLong(1).toDouble))
+    val rates = per.withColumn("threshold",
+      floor(
+        least(lit(1.0),
+          (sqrt(col("tokens_total").cast("double")) * lit(budget.toDouble)) /
+            (lit(sumSqrt) * col("tokens_total").cast("double"))) * 1000000)
+        .cast("long"))
+    docs
+      .join(broadcast(rates), Seq("source"))
+      .groupBy(col("source"), col("n_total"), col("tokens_total"),
+        col("threshold"))
+      .agg(
+        sum(when(col("bucket") < col("threshold"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("bucket") < col("threshold"), col("ntok")).otherwise(0L))
+          .as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Quality-ordered selection to a token budget — the data-curation
     * companion of [[mixDomains]]: rank every document by the composite
     * quality score (ties broken by doc_id — a total, cross-engine-stable
@@ -2389,6 +2445,7 @@ object Ext {
     "sample_systematic" -> sampleSystematic _,
     "sample_stratified" -> sampleStratified _,
     "mix_domains" -> mixDomains _,
+    "mix_temperature" -> mixTemperature _,
     "mix_quality_budget" -> mixQualityBudget _,
     "text_repetition" -> textRepetition _,
     "text_pack_sequences" -> textPackSequences _,

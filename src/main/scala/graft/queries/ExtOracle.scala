@@ -426,6 +426,37 @@ object ExtOracle {
          GROUP BY source, n_total, tokens_total, threshold
          ORDER BY source""",
 
+    // α=0.5 temperature resampling: sqrt is IEEE-correctly-rounded (a
+    // general pow is not), and the Σ over sources is the same
+    // source-ordered left fold Spark runs driver-side — so thresholds,
+    // and every keep decision, hash-match bit-for-bit
+    "mix_temperature" ->
+      s"""WITH d AS (SELECT source, CAST(len($toks) AS BIGINT) AS ntok,
+           CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 1000000
+             AS bucket
+           FROM documents),
+         per AS (SELECT source, count(*) AS n_total,
+           CAST(sum(ntok) AS BIGINT) AS tokens_total
+           FROM d GROUP BY source),
+         tot AS (SELECT CAST(sum(tokens_total) AS BIGINT) // 2 AS budget,
+           list_reduce(list_prepend(0.0,
+             list(sqrt(CAST(tokens_total AS DOUBLE)) ORDER BY source)),
+             (a, b) -> a + b) AS sumsqrt FROM per),
+         r AS (SELECT source, n_total, tokens_total,
+           CAST(floor(least(1.0,
+             (sqrt(CAST(tokens_total AS DOUBLE)) * CAST(budget AS DOUBLE)) /
+               (sumsqrt * CAST(tokens_total AS DOUBLE))) * 1000000) AS BIGINT)
+             AS threshold
+           FROM per, tot)
+         SELECT source, n_total, tokens_total, threshold,
+           CAST(sum(CASE WHEN bucket < threshold THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN bucket < threshold THEN ntok ELSE 0 END)
+             AS BIGINT) AS kept_tokens
+         FROM d JOIN r USING (source)
+         GROUP BY source, n_total, tokens_total, threshold
+         ORDER BY source""",
+
     "split_train_test" ->
       """SELECT split, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS n_chars

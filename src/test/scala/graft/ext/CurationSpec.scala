@@ -60,4 +60,29 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_._2).sum <= budget)
     assert(got.size < st.count())
   }
+
+  test("mix_temperature flattens the mixture: α=0.5 targets, conservation, flattening direction") {
+    val rows = Ext.all("mix_temperature")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // independent threshold recomputation from the per-source totals
+    val tokens = rows.map(r => r._1 -> r._3).sortBy(_._1)
+    val total = tokens.map(_._2).sum
+    val budget = total / 2
+    val sumSqrt = tokens.foldLeft(0.0)((a, t) => a + math.sqrt(t._2.toDouble))
+    rows.foreach { case (src, _, tok, threshold, nKept, keptTok) =>
+      val want = math.floor(math.min(1.0,
+        math.sqrt(tok.toDouble) * budget.toDouble /
+          (sumSqrt * tok.toDouble)) * 1000000).toLong
+      assert(threshold == want, s"source $src")
+      assert(nKept >= 0 && keptTok <= tok)
+    }
+    // flattening: the sampled share of every source sits BETWEEN its
+    // natural share and the uniform share (the point of temperature
+    // sampling) — checked on target rates, monotone in tokens
+    val rates = rows.map(r => r._3 -> r._4).sortBy(_._1)
+    assert(rates.sliding(2).forall(p => p.head._2 >= p.last._2),
+      "keep rate must fall as source size grows (flattening direction)")
+  }
 }
