@@ -373,6 +373,56 @@ object Ext {
       .orderBy(col("n").desc, col("token"))
       .limit(20)
 
+  /** Count-min-sketch heavy-hitter audit — the one-scan scale path for
+    * what [[textTopTokens]] computes with a full token shuffle: the
+    * sketch is built in a single pass (counter updates are commutative
+    * integer adds, so partial sketches merge in any order and the
+    * estimate is deterministic — the pins are rerun-stable), costs
+    * width×depth×8 B regardless of corpus size, and obeys
+    * `exact ≤ est ≤ exact + ε·N` (upper bound at the configured
+    * confidence, never an undercount).
+    *
+    * Output: the exact top-20 tokens (SQL-verified — same relation as
+    * `text_top_tokens`) with two pinned booleans per row — `est_ge_ok`
+    * (the no-undercount contract) and `est_within_ok` (est ≤ exact +
+    * ε·N + 1). Keys are `xxhash64(token)` longs on both the build and
+    * probe side (the [[textDecontaminateBloom]] narrow-key discipline);
+    * a 64-bit key collision would only INFLATE an estimate, which the
+    * ε·N bound already absorbs at these vocabulary sizes.
+    *
+    * Scale: the build side streams the exploded token relation with no
+    * shuffle; the exact top-20 here is the audit's reference (at 100 TB
+    * the candidate set would come from a coarser pre-pass, with the
+    * sketch probe replacing the exact global count). */
+  def textTopTokensCms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val log = graft.core.PhaseLog.start("cms_tokens")
+    val keyed = docsTok(s, dir)
+      .select(explode(col("toks")).as("token"))
+      .select(col("token"), xxhash64(col("token")).as("h"))
+    val cms = keyed.stat.countMinSketch("h", eps = CmsEps,
+      confidence = 0.99, seed = 42)
+    val totalN = cms.totalCount()
+    log(s"sketch built n=$totalN width=${cms.width} depth=${cms.depth}")
+    val bc = s.sparkContext.broadcast(cms)
+    def est(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      Bridge.column(graft.functions.CmsEstimateLong(Bridge.expression(c), bc))
+    val slack = (CmsEps * totalN).toLong + 1
+    keyed.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(20)
+      .withColumn("est", est(xxhash64(col("token"))))
+      .select(col("token"), col("n"),
+        (col("est") >= col("n")).as("est_ge_ok"),
+        (col("est") <= col("n") + lit(slack)).as("est_within_ok"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  /** ε of the heavy-hitter sketch: width = ⌈2/ε⌉ = 20,000 counters/row —
+    * 800 KB at depth 5, far wider than the test vocabularies (so the
+    * measured estimates are typically exact) and a fixed cost at any
+    * corpus size. */
+  private val CmsEps = 1e-4
+
   /** PII scrubbing: per-doc match counts and the digest of the redacted
     * text. The synthetic corpus carries no PII, so a deterministic
     * suffix (email / phone / IPv4 by doc_id mod 3, reproduced verbatim
@@ -2458,6 +2508,7 @@ object Ext {
     "text_redact_pii" -> textRedactPii _,
     "text_url_domains" -> textUrlDomains _,
     "text_top_tokens" -> textTopTokens _,
+    "text_top_tokens_cms" -> textTopTokensCms _,
     "split_train_test" -> splitTrainTest _,
     "text_fingerprint" -> textFingerprint _,
     "dedup_exact" -> dedupExact _,

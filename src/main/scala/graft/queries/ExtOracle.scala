@@ -320,6 +320,16 @@ object ExtOracle {
          FROM tok GROUP BY token
          ORDER BY n DESC, token LIMIT 20""",
 
+    // CMS heavy-hitter audit: the exact top-20 is SQL-expressible; the
+    // sketch-accuracy booleans (no-undercount + ε·N cap) are computed
+    // Spark-side and pinned TRUE (boolean-pin pattern)
+    "text_top_tokens_cms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents)
+         SELECT token, count(*) AS n,
+           TRUE AS est_ge_ok, TRUE AS est_within_ok
+         FROM tok GROUP BY token
+         ORDER BY n DESC, token LIMIT 20""",
+
     // identical pattern strings as Text.PiiRules (RE2 ∩ java.util.regex
     // subset); the synthetic PII suffix is reproduced verbatim
     "text_redact_pii" ->
