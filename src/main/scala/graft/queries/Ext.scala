@@ -156,6 +156,38 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Sliding-window chunking with overlap — the long-document
+    * complement of [[textPackSequences]]: where packing concatenates
+    * short docs into fixed budgets, this splits each long document into
+    * 64-token windows advancing by a 48-token stride (16 tokens of
+    * overlap), so every token appears in ≥1 chunk and chunk boundaries
+    * always have context on both sides — the standard prep for
+    * fixed-context training and for embedding long docs. Each chunk
+    * carries its token offset, its actual length (the tail window may be
+    * short), and an md5 of its joined text so the oracle verifies chunk
+    * CONTENT byte-for-byte, not just geometry.
+    *
+    * Scale: entirely scan-local — a generator expression per row, no
+    * shuffle, no window function; output rows ≈ corpus_tokens/stride. */
+  def textChunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    val w = 64
+    val st = 48
+    docsTok(s, dir)
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("n"),
+        posexplode(transform(sequence(lit(0), col("n") - 1, lit(st)),
+          i => array_join(slice(col("toks"), i + 1, lit(w)), " "))))
+      .toDF("doc_id", "n", "chunk_idx", "chunk")
+      .select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * st).cast("long").as("start_tok"),
+        least(lit(w.toLong),
+          col("n").cast("long") - col("chunk_idx") * st).as("n_tok"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Corpus-frequency rarity score — the portable stand-in for the
     * CCNet-style LM-perplexity quality filter (score each doc by how
     * surprising its tokens are corpus-wide; a real deployment plugs a
@@ -2499,6 +2531,7 @@ object Ext {
     "mix_quality_budget" -> mixQualityBudget _,
     "text_repetition" -> textRepetition _,
     "text_pack_sequences" -> textPackSequences _,
+    "text_chunk_overlap" -> textChunkOverlap _,
     "text_rarity" -> textRarity _,
     "text_lm_bigram" -> textLmBigram _,
     "text_quality_filter" -> textQualityFilter _,

@@ -240,6 +240,19 @@ object ExtOracle {
     // its output must be byte-identical to the string path's
     "dedup_lines_hashed" -> dedupLinesSql,
 
+    // sliding-window chunking: geometry is integer arithmetic, content
+    // is md5 of the joined token slice — both byte-comparable
+    "text_chunk_overlap" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+         c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n, toks,
+           unnest(range(0, CAST(len(toks) AS BIGINT), 48)) AS start_tok
+           FROM tok WHERE len(toks) >= 1)
+         SELECT doc_id, start_tok // 48 AS chunk_idx, start_tok,
+           least(64, n - start_tok) AS n_tok,
+           md5(array_to_string(toks[start_tok+1 : start_tok+64], ' '))
+             AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_idx""",
+
     // the engine's distributed two-phase prefix sum must equal the
     // single-stream cumulative sum a sequential packer would compute
     "text_pack_sequences" ->

@@ -65,4 +65,37 @@ class TextSpec extends SparkSpec {
       "filter dropped docs that are neither contaminated nor benchmark")
     assert(survivors.nonEmpty && contaminated.nonEmpty)
   }
+
+  test("text_chunk_overlap: full coverage, correct overlap geometry, content digests check out") {
+    val chunks = graft.queries.Ext.all("text_chunk_overlap")(spark, sf0001)
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("n_tok"), col("chunk_md5"))
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"), col("toks")).as[(Long, Seq[String])].collect()
+    assert(chunks.nonEmpty)
+    docs.filter(_._2.nonEmpty).foreach { case (id, toks) =>
+      val cs = chunks(id).sortBy(_._2)
+      // geometry: starts advance by the stride, every token covered,
+      // tail length exact
+      assert(cs.head._3 == 0L)
+      assert(cs.map(_._3) sameElements cs.indices.map(_ * 48L))
+      assert(cs.last._3 + cs.last._4 == toks.length.toLong, s"doc $id tail")
+      // a window is full unless it reaches past the doc end (with
+      // stride < window the last FEW windows clip, not just one)
+      assert(cs.forall(c => c._4 == math.min(64L, toks.length - c._3)))
+      // content: each digest is md5 of the actual window
+      cs.foreach { case (_, _, start, n, digest) =>
+        val want = java.security.MessageDigest.getInstance("MD5")
+          .digest(toks.slice(start.toInt, start.toInt + 64).mkString(" ")
+            .getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        assert(digest == want, s"doc $id chunk at $start")
+        assert(n == math.min(64L, toks.length - start))
+      }
+      // docs longer than one window must actually overlap
+      if (toks.length > 64) assert(cs.length >= 2)
+    }
+  }
 }
