@@ -1397,6 +1397,52 @@ object Ext {
       .toDF("qid", "lsh_hit_ok", "ivf_hit_ok", "lsh_avg_ok", "ivf_avg_ok")
   }
 
+  // --- spatial layout ---------------------------------------------------
+
+  /** Z-order (Morton) spatial bucketing of the GPS fleet — the LAYOUT
+    * technique behind Delta/Iceberg `ZORDER BY` and HBase/S2-style
+    * spatial keys: interleaving the bits of the quantized (lng, lat)
+    * cell coordinates gives a single integer key under which
+    * RANGE-partitioned or file-sorted data keeps spatial neighbors
+    * physically adjacent, so a bounding-box query prunes to a few key
+    * ranges instead of scanning every file. `GeoZorderSpec` measures the
+    * locality property itself (consecutive-in-z pings are far closer on
+    * the ground than consecutive-in-arrival pings).
+    *
+    * Output is the per-cell rollup (count, distinct vehicles, exact
+    * bbox) — every step is integer bit arithmetic and IEEE-exact double
+    * quantization written in the same operation order as the oracle, so
+    * the whole relation hash-matches. The 8-bit-per-axis grid (256×256
+    * cells over the fleet's service area) is the demo scale; the bit
+    * spread extends to 16+ bits per axis unchanged.
+    *
+    * Scale: one scan-local projection (quantize + spread is pure
+    * per-row arithmetic) + one aggregation keyed on the cell — and the
+    * z key is exactly what a writer would `repartitionByRange` /
+    * `sortWithinPartitions` on to lay files out for spatial pruning. */
+  def geoZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    // 8-bit Morton spread: abcdefgh → a0b0c0d0e0f0g0h0 (three mask-shift
+    // rounds; the standard magic-number interleave)
+    def spread8(c: Column): Column = {
+      val s1 = (c.bitwiseOR(shiftleft(c, 4))).bitwiseAND(lit(0x0F0FL))
+      val s2 = (s1.bitwiseOR(shiftleft(s1, 2))).bitwiseAND(lit(0x3333L))
+      (s2.bitwiseOR(shiftleft(s2, 1))).bitwiseAND(lit(0x5555L))
+    }
+    def clamp8(c: Column): Column = least(lit(255L), greatest(lit(0L), c))
+    val pings = Pipeline.syntheticFleet(s, dir)
+    val cells = pings.select(col("id"), col("lng"), col("lat"),
+        clamp8(floor((col("lng") - 114.0) / 0.2 * 256.0).cast("long")).as("ix"),
+        clamp8(floor((col("lat") - 22.5) / 0.08 * 256.0).cast("long")).as("iy"))
+      .withColumn("z", spread8(col("ix")).bitwiseOR(shiftleft(spread8(col("iy")), 1)))
+    cells.groupBy(col("z"))
+      .agg(count(lit(1)).as("n_pings"),
+        countDistinct(col("id")).as("n_vehicles"),
+        min(col("lng")).as("min_lng"), max(col("lng")).as("max_lng"),
+        min(col("lat")).as("min_lat"), max(col("lat")).as("max_lat"))
+      .orderBy(col("z"))
+  }
+
   // --- product quantization -------------------------------------------
 
   /** The trained PQ codebook (4 blocks × 16 dims × 64 codes), published
@@ -2582,6 +2628,7 @@ object Ext {
     "src_schema_evolution" -> srcSchemaEvolution _,
     "src_bucketed_join" -> srcBucketedJoin _,
     "fn_time_format_stats" -> fnTimeFormatStats _,
+    "geo_zorder_layout" -> geoZorderLayout _,
     "stream_sessionize_sink" -> streamSessionizeSink _,
     "stream_interval_join_sink" -> streamIntervalJoinSink _,
     "stream_interval_outer_sink" -> streamIntervalOuterSink _,

@@ -956,6 +956,32 @@ object ExtOracle {
          round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // Morton bucketing: the fleet synthesis, the quantization, and the
+    // three mask-shift spread rounds are written in the engine's exact
+    // operation order — integer bit arithmetic + IEEE double steps, so
+    // the full per-cell rollup hash-matches with no rounding
+    "geo_zorder_layout" ->
+      """WITH p AS (SELECT concat('V', user_id) AS id,
+           114.0 + (epoch_us(ts) % 86400000000) / 86400000000.0 * 0.2 AS lng,
+           22.5 + CAST(user_id % 8 AS DOUBLE) * 0.01 AS lat
+           FROM events WHERE event_type = 'click'),
+         q AS (SELECT id, lng, lat,
+           least(255, greatest(0,
+             CAST(floor((lng - 114.0) / 0.2 * 256.0) AS BIGINT))) AS ix,
+           least(255, greatest(0,
+             CAST(floor((lat - 22.5) / 0.08 * 256.0) AS BIGINT))) AS iy
+           FROM p),
+         z1 AS (SELECT *, (ix | (ix << 4)) & 3855 AS ax,
+           (iy | (iy << 4)) & 3855 AS ay FROM q),
+         z2 AS (SELECT *, (ax | (ax << 2)) & 13107 AS bx,
+           (ay | (ay << 2)) & 13107 AS by FROM z1),
+         z3 AS (SELECT *, ((bx | (bx << 1)) & 21845) |
+           (((by | (by << 1)) & 21845) << 1) AS z FROM z2)
+         SELECT z, count(*) AS n_pings, count(DISTINCT id) AS n_vehicles,
+           min(lng) AS min_lng, max(lng) AS max_lng,
+           min(lat) AS min_lat, max(lat) AS max_lat
+         FROM z3 GROUP BY z ORDER BY z""",
+
     "join_range_bucketed" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts_us
            FROM events WHERE event_type = 'click'),

@@ -20,7 +20,7 @@ object Pipeline {
   /** events → GPS pings: vehicle = user, line = user%8, position advances
     * with time-of-day along the line's track; real inter-event gaps supply
     * the signal-loss structure. */
-  private def syntheticFleet(s: SparkSession, dir: String): DataFrame =
+  private[queries] def syntheticFleet(s: SparkSession, dir: String): DataFrame =
     Tables.eventsTsUs(s, dir)
       .filter(col("event_type") === "click")
       .select(
