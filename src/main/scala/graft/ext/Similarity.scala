@@ -343,8 +343,13 @@ object Similarity {
       forall(col("embedding"), x => x.isNotNull) &&
       size(col("embedding")) === dim)
     var books: Array[Array[Array[Double]]] = {
+      // element-type-agnostic seed read: raw embeddings are float, the
+      // IVF-PQ residual columns are double
       val seeds = clean.orderBy(col("vec_id")).limit(nlist).collect()
-        .map(r => r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+        .map(r => r.getSeq[Any](r.fieldIndex("embedding")).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray)
       Array.tabulate(m)(b => seeds.map(v => v.slice(b * subDim, (b + 1) * subDim)))
     }
     (0 until iters).foreach { _ =>
@@ -458,6 +463,17 @@ object Similarity {
     val cand = scored.withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= k * oversample)
       .select(col("qid"), col("qvec"), col("q_norm"), col("vec_id"))
+    exactRerank(cand, corpus, k)
+  }
+
+  /** Exact-cosine re-rank of an approximate candidate set: the (small,
+    * |Q|·shortlist) candidates broadcast back against the raw table, so
+    * full-precision vectors are fetched per candidate, never per corpus
+    * row. Shared tail of the PQ and IVF-PQ searches. */
+  private def exactRerank(
+      cand: DataFrame, // (qid, qvec, q_norm, vec_id)
+      corpus: DataFrame, // (vec_id, embedding)
+      k: Int): DataFrame = {
     val c = corpus.withColumn("c_norm", l2Norm(col("embedding")))
     val re = c.join(broadcast(cand), "vec_id")
       .withColumn("cos",
@@ -466,6 +482,59 @@ object Similarity {
     re.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** IVF-PQ reconstruction norm of `centroid + decode(codes)` — stored
+    * per index row at build time (not block-decomposable, so it is an
+    * index-time column, not a probe-time formula). */
+  def pqReconNormPlus(base: Column, codes: Column,
+      model: org.apache.spark.broadcast.Broadcast[graft.functions.PqModel]): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.PqReconNormPlus(
+      Bridge.expression(base), Bridge.expression(codes), model))
+  }
+
+  /** IVF-PQ fused search (the FAISS-style architecture): the coarse
+    * quantizer prunes the scan to `nprobe` cells, and within a cell the
+    * score is computed from the 16-byte RESIDUAL codes —
+    * `dot(q, centroid + r̂) = dot(q, centroid) + adc(q, codes)`, where
+    * `dot(q, centroid)` is a per-(query, cell) scalar computed once at
+    * probe time and the reconstruction norm is an index column. Exact
+    * re-rank finishes, like [[pqTopK]].
+    *
+    * Scale: cost |Q|·nprobe·(corpus/nlist) ADC adds over 16-byte rows —
+    * the cell pruning AND the compression compose; raw floats are read
+    * only for re-rank candidates. */
+  def ivfPqTopK(
+      queries: DataFrame, // (qid, qvec)
+      index: DataFrame, // (vec_id, cid, codes, recon_norm) — see Ext.ivfpqIndex
+      centroids: Seq[(Int, Seq[Double])],
+      resModel: org.apache.spark.broadcast.Broadcast[graft.functions.PqModel],
+      corpus: DataFrame, // (vec_id, embedding) — re-rank side
+      k: Int,
+      oversample: Int,
+      nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coarse = broadcastModel(spark, centroids)
+    val centDf = centroids.map { case (cid, c) => (cid, c) }.toDF("cid", "centroid")
+    val probes = queries
+      .withColumn("cid", explode(probeCentroids(col("qvec"), coarse, nprobe)))
+      .withColumn("q_norm", l2Norm(col("qvec")))
+      .join(broadcast(centDf), "cid")
+      .withColumn("qc_dot", dot(col("qvec"), col("centroid")))
+      .select(col("cid"), col("qid"), col("qvec"), col("q_norm"), col("qc_dot"))
+    val scored = index.filter(col("codes").isNotNull)
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("adc_cos",
+        (col("qc_dot") + pqAdc(col("qvec"), col("codes"), resModel)) /
+          (col("q_norm") * col("recon_norm")))
+    val wa = Window.partitionBy(col("qid")).orderBy(col("adc_cos").desc, col("vec_id"))
+    val cand = scored.withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * oversample)
+      .select(col("qid"), col("qvec"), col("q_norm"), col("vec_id"))
+    exactRerank(cand, corpus, k)
   }
 
   /** Embedding near-duplicate pairs: all unordered pairs within a blocking

@@ -108,6 +108,37 @@ object PqMath {
     acc
   }
 
+  /** L2 norm of `base + decode(codes)` — the IVF-PQ reconstruction norm,
+    * where `base` is the coarse centroid and the codes encode the
+    * RESIDUAL. Not block-decomposable (base and residual blocks are not
+    * orthogonal), so it walks the full dim once: flat left-to-right
+    * accumulation of `(base_i + cb_i)²`. Null on null elements or any
+    * size mismatch. */
+  def reconNormPlus(base: ArrayData, codes: ArrayData, model: PqModel,
+      baseFloat: Boolean): java.lang.Double = {
+    if (base.numElements() != model.dim) return null
+    if (codes.numElements() != model.m) return null
+    var acc = 0.0
+    var b = 0
+    while (b < model.m) {
+      if (codes.isNullAt(b)) return null
+      val code = codes.getInt(b)
+      if (code < 0 || code >= model.codebooks(b).length) return null
+      val cv = model.codebooks(b)(code)
+      val off = b * model.subDim
+      var j = 0
+      while (j < model.subDim) {
+        if (base.isNullAt(off + j)) return null
+        val x = (if (baseFloat) base.getFloat(off + j).toDouble
+          else base.getDouble(off + j)) + cv(j)
+        acc += x * x
+        j += 1
+      }
+      b += 1
+    }
+    math.sqrt(acc)
+  }
+
   /** L2 norm of the reconstructed code word: `sqrt(Σ_m ‖c_m‖²)` — exact
     * because coordinate blocks are orthogonal. */
   def reconNorm(codes: ArrayData, model: PqModel): java.lang.Double = {
@@ -218,6 +249,54 @@ case class PqAdc(left: Expression, right: Expression, model: Broadcast[PqModel])
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
+/** IVF-PQ reconstruction norm: `‖base + decode(codes)‖` where `base` is
+  * the coarse centroid column and the codes encode the residual. */
+@ExpressionDescription(
+  usage = "pq_recon_norm_plus(base, codes) - L2 norm of base + PQ-decoded residual")
+case class PqReconNormPlus(left: Expression, right: Expression,
+    model: Broadcast[PqModel]) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_recon_norm_plus"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_recon_norm_plus needs (array<float|double>, array<int>), got ${l.sql} / ${r.sql}")
+    }
+
+  private def baseFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(b: Any, c: Any): Any =
+    PqMath.reconNormPlus(b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      model.value, baseFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("pqModelBc", model)
+    val bf = baseFloat
+    nullSafeCodeGen(ctx, ev, (b, c) => {
+      val tmp = ctx.freshName("rnormp")
+      s"""
+         |java.lang.Double $tmp = graft.functions.PqMath.reconNormPlus($b, $c,
+         |  (graft.functions.PqModel)
+         |    (((org.apache.spark.broadcast.Broadcast) $bcRef).value()),
+         |  $bf);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqReconNormPlus =
     copy(left = newLeft, right = newRight)
 }
 

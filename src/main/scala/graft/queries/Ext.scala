@@ -899,6 +899,8 @@ object Ext {
   private[queries] val Ivf64Params = "nlist=64 iters=2 v1"
   private[queries] val Pq64Params = "m=4 sub=16 nlist=64 iters=2 v1"
   private[queries] val PqCodes64Params = "from=pq64 v1"
+  private[queries] val PqRes64Params = "m=4 sub=16 nlist=64 iters=2 res=ivf64 v1"
+  private[queries] val IvfPq64Params = "from=pqres64+ivf64 v1"
 
   private def shingles3Pruned(s: SparkSession, dir: String): DataFrame =
     persistentIndex(s, "pruned100", dir, Pruned100Params,
@@ -1520,6 +1522,110 @@ object Ext {
     * oversample=20; per-qid min 0.2) — a structural regression (encode
     * bug, candidate loss) lands far below it, SF-to-SF noise does not. */
   private val PqRecallFloor = 0.55
+
+  // --- IVF-PQ (fused coarse quantizer + residual codes) -----------------
+
+  /** Fully-encodable vectors only: the IVF-PQ index excludes rows a
+    * search could never score (null / null-element / mis-sized). */
+  private def encodableCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(col("embedding").isNotNull &&
+        forall(col("embedding"), x => x.isNotNull) &&
+        size(col("embedding")) === 64)
+      .select(col("vec_id"), col("embedding"))
+
+  /** The coarse-centroid lookup table of [[ivf64Model]] as a (tiny)
+    * DataFrame, for broadcast joins that need the centroid VECTOR as a
+    * column (residual computation, probe-time dot). */
+  private def ivf64CentDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ivf64Model(s, dir).toDF("cid", "centroid")
+  }
+
+  /** Per-vector residual against the nearest coarse centroid — what the
+    * IVF-PQ codebook is trained on and encodes: residual magnitudes are
+    * much smaller than raw vectors, so the same 64-code budget spends
+    * its resolution where the cell has already paid for the coarse
+    * position (Jégou et al. 2011, the IVFADC variant). */
+  private def residuals(s: SparkSession, dir: String): DataFrame =
+    encodableCorpus(s, dir)
+      .withColumn("cid",
+        Similarity.nearestCentroid(col("embedding"),
+          Similarity.broadcastModel(s, ivf64Model(s, dir))))
+      .join(broadcast(ivf64CentDf(s, dir)), "cid")
+      .withColumn("residual",
+        zip_with(col("embedding"), col("centroid"), (a, b) => a - b))
+
+  /** The residual PQ codebook, published like [[pq64Model]]. */
+  private def pqRes64Model(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val root = persistentPath("pqres64_model", dir, PqRes64Params,
+        sourcePath = s"$dir/embeddings.parquet") { tmp =>
+      Similarity.savePq(s,
+        Similarity.trainPq(
+          residuals(s, dir).select(col("vec_id"), col("residual").as("embedding")),
+          m = 4, subDim = 16, nlist = 64, iters = 2), s"$tmp/data")
+    }
+    Similarity.loadPq(s, s"$root/data")
+  }
+
+  /** The published IVF-PQ index: `(vec_id, cid, 4×int residual codes,
+    * recon_norm)` — cell assignment for pruning, 16-byte codes for
+    * scoring, and the reconstruction norm (‖centroid + r̂‖ is NOT
+    * block-decomposable, so it is an index-time column). */
+  private def ivfpqIndex(
+      s: SparkSession, dir: String,
+      resModel: org.apache.spark.broadcast.Broadcast[graft.functions.PqModel])
+      : DataFrame =
+    persistentIndex(s, "ivfpq64", dir, IvfPq64Params,
+        sourcePath = s"$dir/embeddings.parquet")(
+      residuals(s, dir)
+        .withColumn("codes", Similarity.pqCodes(col("residual"), resModel))
+        .withColumn("recon_norm",
+          Similarity.pqReconNormPlus(col("centroid"), col("codes"), resModel))
+        .select(col("vec_id"), col("cid"), col("codes"), col("recon_norm")))
+
+  /** IVF-PQ fused top-10 (the FAISS-style IVFADC architecture — coarse
+    * cells prune the scan, residual PQ codes compress what remains):
+    * probe 8 of 64 cells, ADC-score the probed cells' 16-byte rows,
+    * exact re-rank the shortlist. The composition of [[simIvfTopk]]'s
+    * pruning and [[simPqTopk]]'s compression — at 100 TB the scored
+    * bytes shrink by BOTH factors. Rows-only (two engine-state models);
+    * quality gated by [[simIvfPqRecall]]. */
+  def simIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val resBc = Similarity.broadcastPq(s, 4, 16, pqRes64Model(s, dir))
+    Similarity.ivfPqTopK(annQueries(s, dir), ivfpqIndex(s, dir, resBc),
+        ivf64Model(s, dir), resBc, annCorpus(s, dir),
+        k = 10, oversample = 20, nprobe = 8)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** IVF-PQ recall gate ([[simPqRecall]] pattern, shared staged exact
+    * baseline). The fused index recalls less than flat PQ when the true
+    * neighbor's cell is outside the probe set — the floor reflects the
+    * measured compound loss. */
+  def simIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val log = graft.core.PhaseLog.start("ivfpq_recall")
+    val exact = annExact10(s, dir)
+    val recalls = Similarity.recallAtK(exact, simIvfPqTopk(s, dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2).toDouble / r.getLong(1)).toMap
+    import s.implicits._
+    if (recalls.isEmpty) {
+      log("no qualifying queries")
+      return Seq.empty[(Long, Boolean, Boolean)]
+        .toDF("qid", "ivfpq_hit_ok", "ivfpq_avg_ok")
+    }
+    val avg = recalls.values.sum / recalls.size
+    log(f"ivfpq min=${recalls.values.min}%.2f avg=$avg%.2f")
+    recalls.keys.toSeq.sorted
+      .map(qid => (qid, recalls(qid) > 0, avg >= IvfPqRecallFloor))
+      .toDF("qid", "ivfpq_hit_ok", "ivfpq_avg_ok")
+  }
+
+  /** Mean-recall floor for [[simIvfPqRecall]], ~0.15 under the weakest
+    * measured SF (avg recall sf0.001/0.01/0.1 = 0.49/0.63/0.45 —
+    * essentially the plain-IVF numbers: the probe-set miss dominates and
+    * the residual compression costs almost nothing on top, which is the
+    * point of residual coding). */
+  private val IvfPqRecallFloor = 0.30
 
   // ===== multimodal =====
 
@@ -2612,6 +2718,8 @@ object Ext {
     "sim_quantized_topk" -> simQuantizedTopk _,
     "sim_pq_topk" -> simPqTopk _,
     "sim_pq_recall" -> simPqRecall _,
+    "sim_ivfpq_topk" -> simIvfPqTopk _,
+    "sim_ivfpq_recall" -> simIvfPqRecall _,
     "mm_decode_meta" -> mmDecodeMeta _,
     "mm_frame_sample" -> mmFrameSample _,
     "mm_byte_histogram" -> mmByteHistogram _,

@@ -941,6 +941,16 @@ object ExtOracle {
            AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
          ORDER BY qid""",
 
+    // IVF-PQ quality gate (same boolean-pin pattern, same qid set)
+    "sim_ivfpq_recall" ->
+      """WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0
+           ORDER BY vec_id LIMIT 200)
+         SELECT e.vec_id AS qid, TRUE AS ivfpq_hit_ok, TRUE AS ivfpq_avg_ok
+         FROM embeddings e JOIN q ON e.vec_id = q.vec_id
+         WHERE e.embedding IS NOT NULL
+           AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
+         ORDER BY qid""",
+
     // tolerance oracle for the sketch aggregates: the exact counts are
     // portable; the booleans assert each sketch sits within its declared
     // tolerance of the exact answer (computed Spark-side, pinned TRUE

@@ -110,6 +110,44 @@ class PqSpec extends SparkSpec {
       a.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("PqReconNormPlus equals a driver-side reconstruction norm") {
+    val bc = tinyModel()
+    val df = Seq((Seq(0.5f, 0.5f, 1.0f, 1.0f), Seq(0, 1))).toDF("base", "codes")
+    val rn = df.select(
+      Similarity.pqReconNormPlus(col("base"), col("codes"), bc)).as[Double].head()
+    // base + decode((0,1)) = (0.5+1, 0.5+0, 1+2, 1+0) = (1.5, 0.5, 3, 1)
+    val want = math.sqrt(1.5 * 1.5 + 0.5 * 0.5 + 9.0 + 1.0)
+    assert(rn == want)
+    // mismatched codes → null
+    assert(df.select(Similarity.pqReconNormPlus(col("base"),
+      array(lit(0)), bc)).head().isNullAt(0))
+  }
+
+  test("sim_ivfpq_topk: exact re-ranked scores are a subset of brute force") {
+    val rows = graft.queries.Ext.all("sim_ivfpq_topk")(spark, sf0001)
+      .select(col("qid"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rows.nonEmpty)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .filter(forall(col("embedding"), x => x.isNotNull))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(q, emb, k = emb.count().toInt)
+      .select(col("qid"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rows.subsetOf(exact),
+      s"IVF-PQ emitted a pair/score brute force never produced")
+  }
+
+  test("sim_ivfpq_recall gate: every boolean TRUE on the real table") {
+    val rows = graft.queries.Ext.all("sim_ivfpq_recall")(spark, sf0001).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => r.getBoolean(1) && r.getBoolean(2)),
+      rows.map(_.toString).mkString(","))
+  }
+
   test("sim_pq_recall gate: every boolean TRUE on the real table") {
     val rows = graft.queries.Ext.all("sim_pq_recall")(spark, sf0001).collect()
     assert(rows.length == 10) // vec_id % 50 == 0 at sf0.001
