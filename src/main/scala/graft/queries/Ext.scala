@@ -1399,6 +1399,61 @@ object Ext {
       .toDF("qid", "lsh_hit_ok", "ivf_hit_ok", "lsh_avg_ok", "ivf_avg_ok")
   }
 
+  // --- table maintenance ------------------------------------------------
+
+  /** Small-files compaction — the maintenance op every streaming/append
+    * ingest needs: a fragmented landing (here: the documents table
+    * deliberately sharded into 64 small parquet files, staged once per
+    * JVM) is rewritten into `ceil(bytes / 8 MiB)` right-sized files.
+    * The rewrite runs on EVERY invocation — that IS the operator's cost.
+    *
+    * Output proves the two things a compactor must never break: row
+    * count and CONTENT — `content_xor` is the bit_xor of each row's
+    * 60-bit md5 prefix (order-free, overflow-free), computed from the
+    * COMPACTED files and hash-compared to the oracle's over the source
+    * table; `compacted_ok`/`balanced_ok` pin the file-count reduction
+    * and the per-file size bound (≤ 2× target).
+    *
+    * Scale note: rows are packed with `repartition(nOut)` for
+    * deterministic file count and balance; a petabyte compactor plans
+    * shuffle-free file GROUPS instead (bin-pack inputs, one task per
+    * output file) — the verification contract (count + content digest +
+    * size bound) is exactly the same, which is what this query pins. */
+  def srcCompactSmallFiles(s: SparkSession, dir: String): DataFrame = {
+    val log = graft.core.PhaseLog.start("compact")
+    val frag = graft.core.Tmp.jvmScopedDir("compact_frag", dir)
+    if (!new java.io.File(frag, "_SUCCESS").exists()) {
+      t(s, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(frag)
+    }
+    def parts(p: String): Seq[java.io.File] =
+      new java.io.File(p).listFiles().toSeq.filter(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val before = parts(frag)
+    val totalBytes = before.map(_.length).sum
+    // 256 KiB target: small enough that the multi-file output path (and
+    // its balance pin) is actually exercised at the test SFs — a real
+    // deployment would use 128 MiB-1 GiB; the planning arithmetic is
+    // identical
+    val targetBytes = 256L * 1024
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val out = graft.core.Tmp.jvmScopedDir("compact_out", dir)
+    s.read.parquet(frag).repartition(nOut)
+      .write.mode("overwrite").parquet(out)
+    val after = parts(out)
+    val maxAfter = after.map(_.length).max
+    log(s"files ${before.size} -> ${after.size} " +
+      s"bytes=$totalBytes maxAfter=$maxAfter target=$targetBytes")
+    val compactedOk = after.size == nOut && after.size < before.size
+    val balancedOk = nOut == 1 || maxAfter <= 2 * targetBytes
+    s.read.parquet(out)
+      .select(conv(substring(md5(col("text")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("content_xor"))
+      .select(col("n_rows"), col("content_xor"),
+        lit(compactedOk).as("compacted_ok"), lit(balancedOk).as("balanced_ok"))
+  }
+
   // --- spatial layout ---------------------------------------------------
 
   /** Z-order (Morton) spatial bucketing of the GPS fleet — the LAYOUT
@@ -2734,6 +2789,7 @@ object Ext {
     "jsonl_roundtrip" -> jsonlRoundtrip _,
     "jsonl_dirty_read" -> jsonlDirtyRead _,
     "src_schema_evolution" -> srcSchemaEvolution _,
+    "src_compact_small_files" -> srcCompactSmallFiles _,
     "src_bucketed_join" -> srcBucketedJoin _,
     "fn_time_format_stats" -> fnTimeFormatStats _,
     "geo_zorder_layout" -> geoZorderLayout _,

@@ -310,6 +310,17 @@ object ExtOracle {
            AND doc_id NOT IN (SELECT id FROM contaminated)
          ORDER BY doc_id""",
 
+    // compaction audit: the compacted files must hold exactly the source
+    // table's rows — count + order-free 60-bit-md5 bit_xor digest are
+    // SQL-expressible over the SOURCE; the file-layout booleans
+    // (count reduced, per-file size bound) are pinned TRUE
+    "src_compact_small_files" ->
+      """SELECT count(*) AS n_rows,
+         bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
+           AS content_xor,
+         TRUE AS compacted_ok, TRUE AS balanced_ok
+         FROM documents""",
+
     // Bloom decontamination audit: exact_hit is fully SQL-expressible;
     // the Bloom-side booleans (no-false-negative superset + FP-rate cap)
     // are computed Spark-side and pinned TRUE (boolean-pin pattern)

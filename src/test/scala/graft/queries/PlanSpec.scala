@@ -213,6 +213,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "corpus-wide SMJ crept into re-rank")
   }
 
+  test("sim_ivfpq_topk: cell-pruned ADC over the published code index, probes broadcast") {
+    val p = planOf("sim_ivfpq_topk")
+    // the scoring scan is the published IVF-PQ index — codes + cell +
+    // stored reconstruction norm, never the raw embedding floats
+    val idxScan = p.linesIterator.find(l =>
+      l.contains("ReadSchema") && l.contains("codes") &&
+        l.contains("recon_norm")).getOrElse("")
+    assert(idxScan.nonEmpty, s"no IVF-PQ index scan in:\n$p")
+    assert(!idxScan.contains("embedding"), s"index scan reads raw floats: $idxScan")
+    assert(p.contains("pq_adc"), "ADC not running as the native expression")
+    // the (query × probed-cell) side broadcasts; the index side streams —
+    // a sort-merge join here would shuffle the whole code table
+    assert(p.contains("BroadcastHashJoin"), "probe join is not broadcast")
+    assert(!p.contains("SortMergeJoin"), "index-wide SMJ crept in")
+    // shortlist pruned before the qid shuffle, as in the flat-PQ plan
+    assert(p.contains("WindowGroupLimit"), s"no partial rank pushdown:\n$p")
+  }
+
   test("text_decontaminate_bloom: the probe is a scan-local filter, not a join") {
     val p = planOf("text_decontaminate_bloom")
     // the corpus side must meet the filter as a Filter condition right
