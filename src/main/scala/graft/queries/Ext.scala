@@ -743,7 +743,7 @@ object Ext {
   // nested stage run inside the outer one.
   private val stageLock = new Object
 
-  private def stage(what: String, s: SparkSession, dir: String)
+  private[queries] def stage(what: String, s: SparkSession, dir: String)
                    (build: => DataFrame): DataFrame = {
     val key = (what, dir)
     val path = Option(stagedPaths.get(key)).getOrElse(stageLock.synchronized {

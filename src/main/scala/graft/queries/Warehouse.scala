@@ -1,0 +1,314 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Warehouse-side analytics the reference's batch pipeline implies but
+  * never spells out: upsert maintenance of a dimension table, SCD-type-2
+  * history, funnel/cohort analytics over the event stream, one-pass data
+  * profiling, incremental materialized-view maintenance, an iterative
+  * graph measure (PageRank), and fixed-grid time-series resampling.
+  * Conventions follow [[Rel]] (deterministic ORDER BY, BIGINT widening,
+  * exact integer event time via [[graft.core.Tables.tsMicros]]).
+  *
+  * Everything here is engineered for hash-exact DuckDB parity: rank
+  * arithmetic is fixed-point integer (no float accumulation order), LOCF
+  * carries stored doubles rather than computing new ones, and ratio
+  * thresholds are integer cross-multiplications.
+  */
+object Warehouse {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsTsUs(s, dir)
+
+  private val DayUs = 86400000000L
+
+  // ===== upsert / history maintenance =====
+
+  /** MERGE (SCD type 1) — the nightly-increment pattern: an updates feed
+    * (changed rows + brand-new keys, derived deterministically from
+    * `orders` so the oracle can rebuild the identical feed) is merged
+    * into the base table; updates win on matched keys, inserts append,
+    * untouched rows pass through tagged `B`.
+    *
+    * Scale shape: one hash shuffle of the base on the merge key for the
+    * anti-join — and when the delta is small relative to the base (the
+    * production case), AQE broadcasts the delta's key set so the base is
+    * never shuffled at all. A 100 TB deployment buckets the base on the
+    * key so repeated nightly merges reuse the layout. The `+10M` insert
+    * key offset leaves headroom below sf10 (max o_orderkey ≈ 6·SF·10⁵). */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") + 100.0).as("o_totalprice"),
+        lit("U").as("src"))
+      .unionAll(base.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_totalprice"), lit("N").as("src")))
+    updates
+      .unionByName(base
+        .join(updates.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+        .withColumn("src", lit("B")))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** SCD type 2 — validity-interval history of each user's `event_type`
+    * attribute: consecutive runs collapse to one row with
+    * `[valid_from, valid_to)` microsecond bounds, a per-user version
+    * number, and an `is_current` flag on the open interval. Two window
+    * passes over the same `(user_id × (ts, event_id))` sort — Catalyst
+    * plans ONE exchange+sort and runs both window frames over it.
+    * Deterministic under ts ties via the event_id tie-break. */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val changes = events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val wc = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    changes.select(
+        col("user_id"), col("event_type"),
+        col("ts_us").as("valid_from_us"),
+        lead(col("ts_us"), 1).over(wc).as("valid_to_us"),
+        row_number().over(wc).cast("long").as("version"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  // ===== event analytics =====
+
+  /** Ordered 3-stage funnel (view → click → purchase) per user: each
+    * stage's timestamp must strictly follow the previous stage's. Stage
+    * relations are |users|-sized, so each later stage joins its
+    * predecessor back to the event scan with a BROADCAST hint — the big
+    * side is scanned per stage but never shuffled; the only exchanges are
+    * the |users|-sized stage aggregates. */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))
+    val users = ev.select(col("user_id")).distinct()
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1_us"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(broadcast(t1), Seq("user_id"))
+      .filter(col("ts_us") > col("t1_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2_us"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(t2), Seq("user_id"))
+      .filter(col("ts_us") > col("t2_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3_us"))
+    users
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .withColumn("depth",
+        when(col("t3_us").isNotNull, 3L).when(col("t2_us").isNotNull, 2L)
+          .when(col("t1_us").isNotNull, 1L).otherwise(0L))
+      .orderBy(col("user_id"))
+  }
+
+  /** Cohort retention — users grouped by first active day, counted per
+    * day-offset thereafter. The distinct `(user, day)` relation shuffles
+    * once; the |users|-sized cohort table broadcasts back onto it, so the
+    * retention matrix costs one wide shuffle + one broadcast join at any
+    * scale. Day index is exact integer `µs div 86400e6`. */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+      .distinct()
+    val cohort = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ud.join(broadcast(cohort), Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      // (user, day) is distinct by construction → count(*) counts users
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Per-group mode with a deterministic tie-break (highest count, then
+    * lowest user_id) — the imputation/top-entity primitive. */
+  def aggMode(s: SparkSession, dir: String): DataFrame = {
+    val counts = events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_type"), col("user_id").as("modal_user"), col("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  // ===== profiling / MV maintenance =====
+
+  /** One-pass column profiler over `lineitem` — per column: null count,
+    * exact distinct count, numeric min/max (timestamps as exact epoch-µs
+    * doubles — |µs| < 2⁵³ so the cast is lossless), string min/max. A
+    * single scan computes every aggregate (the multi-countDistinct plans
+    * as one expand+aggregate), then `stack` unpivots the flat row into
+    * the per-column profile — the shape a catalog's stats collector
+    * needs. At 100 TB the exact countDistinct becomes
+    * `approx_count_distinct` (the expand multiplies the shuffle by
+    * #columns); exact here because the oracle hashes values. */
+  def profileColumns(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "lineitem")
+    val li = raw.withColumn("ship_us", Tables.tsMicros(raw, "l_shipdate"))
+    def nNull(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c")
+    val flat = li.agg(
+      count(lit(1)).as("n_rows"),
+      nNull("l_quantity"), countDistinct(col("l_quantity")).as("nd_q"),
+      min(col("l_quantity")).as("min_q"), max(col("l_quantity")).as("max_q"),
+      nNull("l_extendedprice"), countDistinct(col("l_extendedprice")).as("nd_p"),
+      min(col("l_extendedprice")).as("min_p"), max(col("l_extendedprice")).as("max_p"),
+      nNull("l_discount"), countDistinct(col("l_discount")).as("nd_d"),
+      min(col("l_discount")).as("min_d"), max(col("l_discount")).as("max_d"),
+      nNull("ship_us"), countDistinct(col("ship_us")).as("nd_s"),
+      min(col("ship_us")).cast("double").as("min_s"),
+      max(col("ship_us")).cast("double").as("max_s"),
+      nNull("l_returnflag"), countDistinct(col("l_returnflag")).as("nd_rf"),
+      min(col("l_returnflag")).as("min_rf"), max(col("l_returnflag")).as("max_rf"),
+      nNull("l_linestatus"), countDistinct(col("l_linestatus")).as("nd_ls"),
+      min(col("l_linestatus")).as("min_ls"), max(col("l_linestatus")).as("max_ls"))
+    flat.select(expr(
+      """stack(6,
+         'l_quantity', n_rows, null_l_quantity, nd_q, min_q, max_q,
+           CAST(NULL AS STRING), CAST(NULL AS STRING),
+         'l_extendedprice', n_rows, null_l_extendedprice, nd_p, min_p, max_p,
+           CAST(NULL AS STRING), CAST(NULL AS STRING),
+         'l_discount', n_rows, null_l_discount, nd_d, min_d, max_d,
+           CAST(NULL AS STRING), CAST(NULL AS STRING),
+         'l_shipdate_us', n_rows, null_ship_us, nd_s, min_s, max_s,
+           CAST(NULL AS STRING), CAST(NULL AS STRING),
+         'l_returnflag', n_rows, null_l_returnflag, nd_rf,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_rf, max_rf,
+         'l_linestatus', n_rows, null_l_linestatus, nd_ls,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_ls, max_ls)
+         AS (column_name, n_rows, n_null, n_distinct,
+             min_num, max_num, min_str, max_str)"""))
+      .orderBy(col("column_name"))
+  }
+
+  /** Incremental materialized-view maintenance: the per-(event_type, day)
+    * aggregate is split into a BASE partial (first 20 days, staged to
+    * scratch parquet — "last night's MV") and a DELTA partial (the rest),
+    * then merged by re-aggregating the partials: counts add, sums add,
+    * min/min and max/max compose. The oracle recomputes the aggregate
+    * from scratch over ALL events — equal hashes prove merged-partials ≡
+    * full recompute, which is the entire point of the operator: at
+    * 100 TB the nightly refresh touches only the delta. The float sum is
+    * rounded 2 dp at the very end (partial grouping changes double
+    * association; counts/min/max are exact). */
+  def aggIncrementalMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("event_type"), expr(s"ts_us div $DayUs").as("day"), col("value"))
+    val cut = ev.agg((min(col("day")) + 20L).as("cut_day"))
+    val tagged = ev.crossJoin(broadcast(cut))
+    def partial(df: DataFrame) = df
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+    val base = Ext.stage("mv_base", s, dir)(
+      partial(tagged.filter(col("day") < col("cut_day"))))
+    val delta = partial(tagged.filter(col("day") >= col("cut_day")))
+    base.unionByName(delta)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n")).as("n"), round(sum(col("sum_v")), 2).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  // ===== graph =====
+
+  /** PageRank over the part co-purchase graph (distinct part pairs
+    * sharing an order, both directions), 5 iterations, damping 0.85 —
+    * in FIXED-POINT INTEGER arithmetic: ranks are long µ-units
+    * (SCALE = 10⁹), contributions are `rank div outdeg`, damping is
+    * `(85·Σ) div 100`. Long sums are exact and order-invariant, so the
+    * result is bit-identical across engines and partitionings — float
+    * PageRank would hash-diverge on accumulation order alone.
+    *
+    * Scale shape: the edge relation (with out-degree attached) is staged
+    * once to scratch parquet — column-pruned re-reads per iteration, no
+    * lineage blow-up. Each iteration is the join-shuffle PageRank
+    * fundamentally is (edges×ranks on src, regroup on dst); on a real
+    * cluster both sides would be co-bucketed on src so only the dst
+    * regroup shuffles. Every node in the symmetric graph has outdeg ≥ 1 —
+    * no dangling mass. 10⁹-scale ranks keep `85·Σ` < 2⁶³ up to ~10⁸
+    * nodes. */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = Ext.stage("pr_edges", s, dir)({
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      // degree attached at stage time (AQE broadcasts the |nodes|-sized
+      // count side), so iterations read (src, dst, deg) with no re-join
+      pairs.join(pairs.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+    })
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var ranks = nodes.withColumn("rank", lit(1000000000L))
+    for (_ <- 1 to 5) {
+      val in = edges.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      ranks = nodes.join(in, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(150000000L) + expr("(85 * coalesce(m, 0L)) div 100")).as("rank"))
+    }
+    ranks.select(col("node").as("part_key"), col("rank")).orderBy(col("part_key"))
+  }
+
+  // ===== time series =====
+
+  /** Fixed-grid resampling with LOCF fill: every user × 6-hour cell gets
+    * the latest event `value` at or before the cell's end. Implemented as
+    * the UNION + single-window forward-fill — grid rows and events merge
+    * into one per-user time-sorted stream and `last(value, ignoreNulls)`
+    * fills each grid row — deliberately NOT a per-cell as-of join: one
+    * exchange+sort over events ∪ grid replaces |grid| point lookups, the
+    * shape that survives 100 TB. Tie order (ts, is_grid, event_id) is
+    * total, so same-instant events resolve deterministically; the carried
+    * value is a stored double, never recomputed. */
+  def tsResampleGrid(s: SparkSession, dir: String): DataFrame = {
+    val cellUs = 21600000000L // 6 h
+    val ev = events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+    val bounds = ev.agg(expr(s"min(ts_us) div $cellUs").as("c0"),
+      expr(s"max(ts_us) div $cellUs").as("c1"))
+    val grid = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(sequence(col("c0"), col("c1"))).as("cell_idx"))
+      .select(col("user_id"),
+        ((col("cell_idx") + 1) * cellUs - 1).as("ts_us"),
+        lit(null).cast("double").as("value"),
+        lit(1).as("is_grid"), lit(null).cast("long").as("event_id"))
+    val unioned = ev.withColumn("is_grid", lit(0))
+      .select(col("user_id"), col("ts_us"), col("value"), col("is_grid"), col("event_id"))
+      .unionByName(grid)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("is_grid"), coalesce(col("event_id"), lit(-1L)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("locf_value", last(col("value"), ignoreNulls = true).over(w))
+      .filter(col("is_grid") === 1)
+      .select(col("user_id"), expr(s"ts_us div $cellUs").as("cell_idx"),
+        col("ts_us").as("sample_us"), col("locf_value"))
+      .orderBy(col("user_id"), col("cell_idx"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "merge_upsert" -> mergeUpsert _,
+    "scd2_history" -> scd2History _,
+    "events_funnel" -> eventsFunnel _,
+    "events_retention" -> eventsRetention _,
+    "agg_mode" -> aggMode _,
+    "profile_columns" -> profileColumns _,
+    "agg_incremental_merge" -> aggIncrementalMerge _,
+    "graph_pagerank" -> graphPagerank _,
+    "ts_resample_grid" -> tsResampleGrid _,
+  )
+}

@@ -1,0 +1,177 @@
+package graft.queries
+
+/** DuckDB oracle SQL for [[Warehouse]]. Parity rules as [[RelOracle]]:
+  * `epoch_us(ts)` ≡ the engine's exact integer-µs event time, `//` ≡
+  * Spark `div` on non-negative longs, long sums are order-invariant, and
+  * carried doubles (LOCF, merge deltas) hash bit-exact because neither
+  * engine recomputes them. `agg_incremental_merge`'s oracle is the FULL
+  * recompute — the merge-equals-recompute proof is the oracle itself. */
+object WarehouseOracle {
+
+  private val DayUs = "86400000000"
+
+  val all: Map[String, String] = Map(
+    "merge_upsert" ->
+      """WITH upd AS (
+           SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice, 'U' AS src
+           FROM orders WHERE o_orderkey % 7 = 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_totalprice, 'N'
+           FROM orders WHERE o_orderkey % 97 = 0)
+         SELECT o_orderkey, o_totalprice, src FROM upd
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, 'B' AS src FROM orders
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+         ORDER BY o_orderkey""",
+
+    "scd2_history" ->
+      """WITH ch AS (
+           SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             lag(event_type) OVER w AS prev_type
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         runs AS (
+           SELECT user_id, event_type, ts_us, event_id FROM ch
+           WHERE prev_type IS NULL OR prev_type <> event_type)
+         SELECT user_id, event_type,
+           ts_us AS valid_from_us,
+           lead(ts_us) OVER w AS valid_to_us,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           (lead(ts_us) OVER w IS NULL) AS is_current
+         FROM runs
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         ORDER BY user_id, version""",
+
+    "events_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         u AS (SELECT DISTINCT user_id FROM ev),
+         s1 AS (SELECT user_id, min(ts_us) AS t1_us FROM ev
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts_us) AS t2_us FROM ev e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts_us > s1.t1_us
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts_us) AS t3_us FROM ev e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2_us
+                GROUP BY e.user_id)
+         SELECT u.user_id, t1_us, t2_us, t3_us,
+           CAST(CASE WHEN t3_us IS NOT NULL THEN 3
+                     WHEN t2_us IS NOT NULL THEN 2
+                     WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
+         FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+                LEFT JOIN s3 USING (user_id)
+         ORDER BY u.user_id""",
+
+    "events_retention" ->
+      s"""WITH ud AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+         cohort AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+         SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users
+         FROM ud JOIN cohort USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "agg_mode" ->
+      """WITH c AS (
+           SELECT event_type, user_id, count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER
+             (PARTITION BY event_type ORDER BY n_events DESC, user_id ASC) AS rn
+           FROM c)
+         SELECT event_type, user_id AS modal_user, n_events FROM r
+         WHERE rn = 1 ORDER BY event_type""",
+
+    "profile_columns" ->
+      """WITH li AS (SELECT *, epoch_us(l_shipdate) AS ship_us FROM lineitem)
+         SELECT * FROM (
+           SELECT 'l_quantity' AS column_name, count(*) AS n_rows,
+             count(*) - count(l_quantity) AS n_null,
+             count(DISTINCT l_quantity) AS n_distinct,
+             min(l_quantity) AS min_num, max(l_quantity) AS max_num,
+             CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           FROM li
+           UNION ALL
+           SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+             count(DISTINCT l_extendedprice),
+             min(l_extendedprice), max(l_extendedprice), NULL, NULL FROM li
+           UNION ALL
+           SELECT 'l_discount', count(*), count(*) - count(l_discount),
+             count(DISTINCT l_discount),
+             min(l_discount), max(l_discount), NULL, NULL FROM li
+           UNION ALL
+           SELECT 'l_shipdate_us', count(*), count(*) - count(ship_us),
+             count(DISTINCT ship_us),
+             CAST(min(ship_us) AS DOUBLE), CAST(max(ship_us) AS DOUBLE),
+             NULL, NULL FROM li
+           UNION ALL
+           SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+             count(DISTINCT l_returnflag), NULL, NULL,
+             min(l_returnflag), max(l_returnflag) FROM li
+           UNION ALL
+           SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+             count(DISTINCT l_linestatus), NULL, NULL,
+             min(l_linestatus), max(l_linestatus) FROM li)
+         ORDER BY column_name""",
+
+    "agg_incremental_merge" ->
+      s"""SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         count(*) AS n, round(sum(value), 2) AS sum_v,
+         min(value) AS min_v, max(value) AS max_v
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "graph_pagerank" ->
+      """WITH e AS (
+           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+         n AS (SELECT src AS node FROM deg),
+         r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM n),
+         r1 AS (SELECT n.node, 150000000 + (85 * COALESCE(s.m, 0)) // 100 AS rank
+           FROM n LEFT JOIN (SELECT e.dst, SUM(r.rank // d.d) AS m FROM e
+             JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             GROUP BY e.dst) s ON s.dst = n.node),
+         r2 AS (SELECT n.node, 150000000 + (85 * COALESCE(s.m, 0)) // 100 AS rank
+           FROM n LEFT JOIN (SELECT e.dst, SUM(r.rank // d.d) AS m FROM e
+             JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             GROUP BY e.dst) s ON s.dst = n.node),
+         r3 AS (SELECT n.node, 150000000 + (85 * COALESCE(s.m, 0)) // 100 AS rank
+           FROM n LEFT JOIN (SELECT e.dst, SUM(r.rank // d.d) AS m FROM e
+             JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             GROUP BY e.dst) s ON s.dst = n.node),
+         r4 AS (SELECT n.node, 150000000 + (85 * COALESCE(s.m, 0)) // 100 AS rank
+           FROM n LEFT JOIN (SELECT e.dst, SUM(r.rank // d.d) AS m FROM e
+             JOIN r3 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             GROUP BY e.dst) s ON s.dst = n.node),
+         r5 AS (SELECT n.node, 150000000 + (85 * COALESCE(s.m, 0)) // 100 AS rank
+           FROM n LEFT JOIN (SELECT e.dst, SUM(r.rank // d.d) AS m FROM e
+             JOIN r4 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             GROUP BY e.dst) s ON s.dst = n.node)
+         SELECT node AS part_key, rank FROM r5 ORDER BY part_key""",
+
+    "ts_resample_grid" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value, event_id
+           FROM events),
+         b AS (SELECT min(ts_us) // 21600000000 AS c0,
+                      max(ts_us) // 21600000000 AS c1 FROM ev),
+         grid AS (
+           SELECT user_id, unnest(range(c0, c1 + 1)) AS cell_idx
+           FROM (SELECT DISTINCT user_id FROM ev), b),
+         un AS (
+           SELECT user_id, ts_us, value, 0 AS is_grid, event_id FROM ev
+           UNION ALL
+           SELECT user_id, (cell_idx + 1) * 21600000000 - 1,
+             CAST(NULL AS DOUBLE), 1, CAST(NULL AS BIGINT) FROM grid),
+         f AS (
+           SELECT user_id, ts_us, is_grid,
+             last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts_us, is_grid, coalesce(event_id, -1)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+           FROM un)
+         SELECT user_id, ts_us // 21600000000 AS cell_idx,
+           ts_us AS sample_us, locf_value
+         FROM f WHERE is_grid = 1
+         ORDER BY user_id, cell_idx""",
+  )
+}

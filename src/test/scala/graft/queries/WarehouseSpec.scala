@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Independent recomputation checks for the [[Warehouse]] operators —
+  * the DuckDB gate proves cross-engine parity; these prove the SEMANTICS
+  * against hand-computable or brute-force references. */
+class WarehouseSpec extends SparkSpec {
+
+  test("graph_pagerank: matches a driver-side reference PageRank on the real graph") {
+    // brute-force the same fixed-point iteration in plain Scala from the
+    // same edge relation, then require bit-equality
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nodes = deg.keys.toSeq.sorted
+    var rank = nodes.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to 5) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / deg(s) }.sum).toMap
+      rank = nodes.map(n => n -> (150000000L + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    val got = Warehouse.graphPagerank(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == nodes.length)
+    got.foreach { case (n, r) => assert(r == rank(n), s"node $n") }
+  }
+
+  test("pagerank mass conservation: total rank stays within rounding of N*SCALE") {
+    val ranks = Warehouse.graphPagerank(spark, sf0001)
+      .agg(sum(col("rank")), count(lit(1))).collect()(0)
+    val (total, n) = (ranks.getLong(0), ranks.getLong(1))
+    // each node loses < 100 units to the two integer divisions per
+    // iteration; 5 iterations bound the total drift
+    assert(total <= n * 1000000000L)
+    assert(total >= n * 1000000000L - n * 5L * (100L + deg2loss(n)))
+  }
+  private def deg2loss(n: Long): Long = 1000L // slack for div truncation chains
+
+  test("events_funnel: stages are strictly ordered and depth is monotone-consistent") {
+    val rows = Warehouse.eventsFunnel(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t1 = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val t2 = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val t3 = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val depth = r.getLong(4)
+      // a later stage implies every earlier stage, strictly increasing
+      if (t3.isDefined) { assert(t2.isDefined && t3.get > t2.get) }
+      if (t2.isDefined) { assert(t1.isDefined && t2.get > t1.get) }
+      assert(depth == Seq(t1, t2, t3).count(_.isDefined))
+    }
+  }
+
+  test("ts_resample_grid: LOCF equals brute-force last-event-at-or-before per cell") {
+    val cell = 21600000000L
+    val ev = graft.core.Tables.eventsTsUs(spark, sf0001)
+      .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val c0 = ev.map(_._2).min / cell
+    val c1 = ev.map(_._2).max / cell
+    val byUser = ev.groupBy(_._1)
+    val got = Warehouse.tsResampleGrid(spark, sf0001).collect()
+    assert(got.length == byUser.size * (c1 - c0 + 1).toInt)
+    got.foreach { r =>
+      val (u, ci, sampleUs) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(sampleUs == (ci + 1) * cell - 1)
+      val eligible = byUser(u).filter(_._2 <= sampleUs)
+      if (eligible.isEmpty) assert(r.isNullAt(3))
+      else {
+        // deterministic last: max by (ts, event_id)
+        val want = eligible.maxBy(e => (e._2, e._4))._3
+        assert(r.getDouble(3) == want, s"user $u cell $ci")
+      }
+    }
+  }
+
+  test("merge_upsert: updates win, inserts append, base rows pass through") {
+    val out = Warehouse.mergeUpsert(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val base = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val byKey = out.groupBy(_._1)
+    // exactly one row per key
+    assert(byKey.values.forall(_.length == 1))
+    out.foreach {
+      case (k, v, "U") => assert(k % 7 == 0 && v == base(k) + 100.0)
+      case (k, v, "N") => assert((k - 10000000L) % 97 == 0 && v == base(k - 10000000L))
+      case (k, v, "B") => assert(k % 7 != 0 && v == base(k))
+      case other => fail(s"unexpected row $other")
+    }
+    // every base key survives
+    assert(base.keys.forall(byKey.contains))
+  }
+
+  test("scd2_history: intervals tile each user's timeline with no gaps or overlaps") {
+    val rows = Warehouse.scd2History(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4),
+        r.getBoolean(5)))
+    rows.groupBy(_._1).foreach { case (_, hs) =>
+      val sorted = hs.sortBy(_._5)
+      sorted.zipWithIndex.foreach { case ((_, _, _, _, v, _), i) =>
+        assert(v == i + 1, "versions are dense from 1")
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, ty1, _, to1, _, cur1), (_, ty2, from2, _, _, _)) =>
+          assert(to1.contains(from2), "valid_to chains to next valid_from")
+          assert(ty1 != ty2, "consecutive versions differ in attribute")
+          assert(!cur1, "only the last version is current")
+        case _ =>
+      }
+      assert(sorted.last._4.isEmpty && sorted.last._6, "open current interval")
+    }
+  }
+
+  test("agg_incremental_merge: merged partials equal a direct full aggregate") {
+    val merged = Warehouse.aggIncrementalMerge(spark, sf001).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val full = graft.core.Tables.eventsTsUs(spark, sf001)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(merged.keySet == full.keySet)
+    merged.foreach { case (k, (n, sv)) =>
+      assert(full(k)._1 == n)
+      assert(math.abs(full(k)._2 - sv) <= 0.011, s"group $k") // one post-round ulp
+    }
+  }
+}
