@@ -141,6 +141,31 @@ object Dedup {
       .select(col("id1"), col("id2"), col("c"), col("n1"), col("n2"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT pair mining — |∩| / min(n1, n2) — over the
+    * same inverted shingle index as [[jaccardPairsFromRows]]. Containment
+    * catches the quote/subset relationship Jaccard misses: a short doc
+    * embedded verbatim in a long one has high containment but low
+    * Jaccard, because the union is dominated by the long doc. The
+    * THRESHOLD is an integer cross-multiplication
+    * (`c·100 ≥ min(n1,n2)·pct`) so the keep/drop decision involves no
+    * float at all; the rounded ratio is an output column only. Same
+    * scale shape as the Jaccard miner: Σdf² pair work, never corpus². */
+  def containmentPairs(
+      shingles: DataFrame /* (id, s) distinct */,
+      minContainPct: Int,
+      maxDocFreq: Int = 0): DataFrame = {
+    val sh = withSetSize(pruneHot(shingles, maxDocFreq))
+    sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") * 100 >= least(col("n1"), col("n2")) * minContainPct)
+      .withColumn("containment", round(col("c") / least(col("n1"), col("n2")), 6))
+      .select(col("id1"), col("id2"), col("c"), col("n1"), col("n2"),
+        col("containment"))
+  }
+
   /** Incremental near-dup: Jaccard pairs between a NEW batch and the
     * EXISTING corpus without re-mining corpus×corpus — the daily-crawl
     * increment pattern: only the new docs' shingles probe the inverted

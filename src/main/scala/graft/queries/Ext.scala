@@ -1063,6 +1063,22 @@ object Ext {
         minJaccard = 0.8, maxDocFreq = JaccardMaxDocFreq, hashShingles = true)
       .orderBy(col("id1"), col("id2"))
 
+  /** Containment (subset) pair mining over the STAGED pruned shingles —
+    * the asymmetric companion to [[dedupNgramJaccard]]: |∩| / min(n1,n2)
+    * catches a short doc quoted verbatim inside a long one, which
+    * Jaccard's union denominator hides. Threshold 20 % (integer
+    * cross-mult, no float in the decision); the synthetic corpus holds
+    * no true subset docs, so the low threshold is what exposes the
+    * asymmetric band — `hits_jaccard08` marks which survivors the
+    * symmetric miner would ALSO have found (4 of 29 at sf0.01 are
+    * containment-only). Shares the staged index, so the marginal cost
+    * is one self-join over already-pruned rows. */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(shingles3Pruned(s, dir), minContainPct = 20)
+      .withColumn("hits_jaccard08",
+        round(col("c") / (col("n1") + col("n2") - col("c")), 6) >= 0.8)
+      .orderBy(col("id1"), col("id2"))
+
   /** Duplicate groups: connected components over the Jaccard ≥ 0.8 pair
     * graph — pairs → transitive dedup clusters (keep min-id per group).
     * Oracle: recursive CTE computing min reachable id. */
@@ -1982,6 +1998,35 @@ object Ext {
       .orderBy(col("source"))
   }
 
+  /** ORC sink + source roundtrip — the third columnar format next to
+    * parquet and the text formats (CSV/JSONL): a lineitem slice is
+    * written as partition-discovered ORC (`partitionBy(l_returnflag)`),
+    * read back, filtered so the ORC reader's predicate pushdown and the
+    * partition pruning path are both exercised, and aggregated; the
+    * oracle recomputes the same aggregate straight from the parquet
+    * table, so equal hashes prove the ORC write→read cycle is lossless
+    * for longs, doubles, and the partition-column string. 100 TB: the
+    * sink adds no shuffle (scan-local per-partition files); the
+    * partition layout makes `l_returnflag` predicates prune whole
+    * directories exactly as the parquet source queries pin in
+    * `PartitionPruningSpec`. */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+      col("l_extendedprice"), col("l_returnflag"))
+    val out = graft.core.Tmp.jvmScopedDir("orc_roundtrip", dir)
+    li.write.mode("overwrite").partitionBy("l_returnflag").orc(out)
+    s.read.orc(out)
+      .filter(col("l_quantity") > 25)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        min(col("l_orderkey")).as("min_ok"),
+        max(col("l_orderkey")).as("max_ok"),
+        sum(col("l_partkey")).as("sum_pk"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Malformed-JSONL accounting — the JSONL twin of [[csvDirtyRead]]:
     * at corpus scale some lines are truncated mid-object and some carry
     * type-corrupted fields, and both must be QUARANTINED with their ids
@@ -2756,6 +2801,7 @@ object Ext {
     "dedup_lines_hashed" -> dedupLinesHashed _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_ngram_hashed" -> dedupNgramHashed _,
+    "dedup_containment" -> dedupContainment _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_simhash_recall" -> dedupSimhashRecall _,
@@ -2787,6 +2833,7 @@ object Ext {
     "csv_roundtrip" -> csvRoundtrip _,
     "csv_dirty_read" -> csvDirtyRead _,
     "jsonl_roundtrip" -> jsonlRoundtrip _,
+    "orc_roundtrip" -> orcRoundtrip _,
     "jsonl_dirty_read" -> jsonlDirtyRead _,
     "src_schema_evolution" -> srcSchemaEvolution _,
     "src_compact_small_files" -> srcCompactSmallFiles _,

@@ -30,7 +30,9 @@ object ExtOracle {
   /** Shared shingle CTE body for the Jaccard dedup family: distinct 3-gram
     * shingle rows with the hot-shingle guard (docFreq ≤ 100) — mirrors
     * `Ext.JaccardMaxDocFreq` exactly. */
-  private val shingleCtes =
+  /** tok → distinct pruned shingles → sizes → UNthresholded pair counts
+    * (shared by the Jaccard AND containment miners). */
+  private val pairsAllCtes =
     s"""tok AS (SELECT doc_id AS id, $toks AS toks FROM documents),
        sh0 AS (SELECT id, unnest(list_distinct(list_transform(
            range(1, len(toks) - 1),
@@ -39,12 +41,17 @@ object ExtOracle {
        sh AS (SELECT id, s FROM sh0
          WHERE s NOT IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 100)),
        sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-       pairs0 AS (
+       pairs_all AS (
          SELECT id1, id2, c, n1, n2 FROM (
            SELECT a.id AS id1, b.id AS id2, count(*) AS c
            FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)
          JOIN (SELECT id AS id1, n AS n1 FROM sizes) USING (id1)
-         JOIN (SELECT id AS id2, n AS n2 FROM sizes) USING (id2)
+         JOIN (SELECT id AS id2, n AS n2 FROM sizes) USING (id2))"""
+
+  private val shingleCtes =
+    s"""$pairsAllCtes,
+       pairs0 AS (
+         SELECT id1, id2, c, n1, n2 FROM pairs_all
          WHERE round(c / CAST(n1 + n2 - c AS DOUBLE), 6) >= 0.8)"""
 
   /** Applied dedup over the exact Jaccard ≥ 0.8 pair graph — shared by
@@ -515,6 +522,17 @@ object ExtOracle {
          FROM pairs0
          ORDER BY id1, id2""",
 
+    // asymmetric containment miner — integer cross-mult threshold, so
+    // the keep decision is float-free in both engines
+    "dedup_containment" ->
+      s"""WITH $pairsAllCtes
+         SELECT id1, id2, c, n1, n2,
+           round(c / CAST(least(n1, n2) AS DOUBLE), 6) AS containment,
+           round(c / CAST(n1 + n2 - c AS DOUBLE), 6) >= 0.8 AS hits_jaccard08
+         FROM pairs_all
+         WHERE c * 100 >= least(n1, n2) * 20
+         ORDER BY id1, id2""",
+
     // SimHash quality gate (the sim_ann_recall boolean-pin pattern): the
     // row set is the exact Jaccard ≥0.8 pairs — dedup_ngram_jaccard's
     // own CTEs — and recall_ok is computed Spark-side against the
@@ -729,6 +747,17 @@ object ExtOracle {
     // an explicit schema; the oracle computes the same per-source digest
     // straight from parquet — content_md5 chains per-doc text md5s in
     // doc_id order, so one wrong byte anywhere in the round-trip flips it
+    // ORC write→read is Spark-side state; the oracle recomputes the same
+    // aggregate from the parquet table — equal hashes prove the ORC
+    // cycle lost nothing
+    "orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+         CAST(sum(l_partkey) AS BIGINT) AS sum_pk
+         FROM lineitem WHERE l_quantity > 25
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "jsonl_roundtrip" ->
       s"""WITH d AS (SELECT doc_id, text, source,
              $toks AS toks,

@@ -33,6 +33,34 @@ class DedupSpec extends SparkSpec {
     assert(fromRows.exists(_._1 == 1L) && !fromRows.exists(_._1 == 5L))
   }
 
+  test("containmentPairs: a verbatim-quoted subset scores 1.0 where jaccard stays low") {
+    // doc 7 is a 5-token prefix of doc 6 → every doc-7 shingle is in
+    // doc 6: containment 1.0; jaccard = 3/14 ≈ 0.21
+    val quoted = Seq(
+      (6L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      (7L, "alpha beta gamma delta epsilon"),
+      (8L, "unrelated content with other words")).toDF("doc_id", "text")
+    val tok = quoted.select(col("doc_id").as("id"), Text.tokens(col("text")).as("toks"))
+    val pairs = Dedup.containmentPairs(Dedup.shingleRows(tok, 3), minContainPct = 90)
+      .select(col("id1"), col("id2"), col("containment"), col("c"), col("n1"), col("n2"))
+      .as[(Long, Long, Double, Long, Long, Long)].collect()
+    assert(pairs.toSeq == Seq((6L, 7L, 1.0, 3L, 12L, 3L)))
+    // the same pair is invisible to the symmetric miner at 0.8
+    assert(Dedup.jaccardPairs(tok, k = 3, minJaccard = 0.8).isEmpty)
+  }
+
+  test("containmentPairs: threshold is integer-exact at the boundary") {
+    // c=1 shared shingle, min set size 5 → containment exactly 0.2:
+    // kept at 20 %, dropped at 21 %
+    val docs2 = Seq(
+      (1L, "a b c x1 x2 x3 x4"), // shingles: "a b c","b c x1",... n=5
+      (2L, "a b c y1 y2 y3 y4")).toDF("doc_id", "text")
+    val tok = docs2.select(col("doc_id").as("id"), Text.tokens(col("text")).as("toks"))
+    val rows = Dedup.shingleRows(tok, 3)
+    assert(Dedup.containmentPairs(rows, minContainPct = 20).count() == 1)
+    assert(Dedup.containmentPairs(rows, minContainPct = 21).count() == 0)
+  }
+
   test("exact: groups identical texts under the min-id keeper") {
     val r = Dedup.exact(docs, col("doc_id"), col("text"))
       .orderBy(col("keeper_id"))
