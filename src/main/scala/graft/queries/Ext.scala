@@ -1063,6 +1063,35 @@ object Ext {
         minJaccard = 0.8, maxDocFreq = JaccardMaxDocFreq, hashShingles = true)
       .orderBy(col("id1"), col("id2"))
 
+  /** Per-doc duplicated-SPAN share — the position-level "how much of this
+    * document is boilerplate" audit (the exact-substring-dedup family:
+    * a 3-gram position is duplicated when its shingle occurs at ≥ 2
+    * positions corpus-wide, within-doc repeats included — hence
+    * POSITIONAL shingles here, not the distinct rows the pair miners
+    * use). Where [[dedupContainment]] names which PAIRS overlap, this
+    * names which share of each DOC is repeated text — the signal used to
+    * strip templated spans before training. Docs under 3 tokens have no
+    * spans and are excluded by definition.
+    *
+    * Scale: one shuffle of positional shingles for the global occurrence
+    * count, re-joined on the same key (one exchange reused), then a
+    * per-doc aggregate. No pair relation is ever formed — Σdf² never
+    * appears, so this is strictly cheaper than any miner. */
+  def textDupSpanShare(s: SparkSession, dir: String): DataFrame = {
+    val pos = docsTok(s, dir).filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ", slice(col("toks"), i, lit(3))))).as("s"))
+    val cnt = pos.groupBy(col("s")).agg(count(lit(1)).as("occ"))
+    pos.join(cnt, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_positions"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_positions"))
+      .withColumn("dup_share",
+        round(col("n_dup_positions") / col("n_positions"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** Containment (subset) pair mining over the STAGED pruned shingles —
     * the asymmetric companion to [[dedupNgramJaccard]]: |∩| / min(n1,n2)
     * catches a short doc quoted verbatim inside a long one, which
@@ -2802,6 +2831,7 @@ object Ext {
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_ngram_hashed" -> dedupNgramHashed _,
     "dedup_containment" -> dedupContainment _,
+    "text_dup_span_share" -> textDupSpanShare _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_simhash_recall" -> dedupSimhashRecall _,

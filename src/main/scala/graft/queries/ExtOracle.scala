@@ -522,6 +522,23 @@ object ExtOracle {
          FROM pairs0
          ORDER BY id1, id2""",
 
+    // positional (non-distinct) shingles: a span is duplicated when its
+    // 3-gram occurs at >= 2 positions corpus-wide
+    "text_dup_span_share" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+         pos AS (SELECT doc_id, unnest(list_transform(
+             range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+           FROM tok WHERE len(toks) >= 3),
+         cnt AS (SELECT s, count(*) AS occ FROM pos GROUP BY s)
+         SELECT doc_id, count(*) AS n_positions,
+           CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_positions,
+           round(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_share
+         FROM pos JOIN cnt USING (s)
+         GROUP BY doc_id ORDER BY doc_id""",
+
     // asymmetric containment miner — integer cross-mult threshold, so
     // the keep decision is float-free in both engines
     "dedup_containment" ->

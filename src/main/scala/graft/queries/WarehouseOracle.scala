@@ -119,6 +119,26 @@ object WarehouseOracle {
          min(value) AS min_v, max(value) AS max_v
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "join_fuzzy_names" ->
+      """WITH probes AS (
+           SELECT p_partkey AS probe_key,
+             substr(p_name, 1, 2) || substr(p_name, 4) AS probe_name
+           FROM part WHERE p_partkey % 5 = 0 AND length(p_name) >= 4),
+         cands AS (
+           SELECT probe_key, probe_name, p.p_partkey,
+             levenshtein(probe_name, p.p_name) AS dist
+           FROM probes JOIN part p
+             ON substr(probe_name, 1, 2) = substr(p.p_name, 1, 2)
+            AND abs(length(p.p_name) - length(probe_name)) <= 2
+           WHERE levenshtein(probe_name, p.p_name) <= 2),
+         r AS (SELECT *,
+             row_number() OVER (PARTITION BY probe_key ORDER BY dist, p_partkey) AS rn,
+             count(*) OVER (PARTITION BY probe_key) AS n_candidates
+           FROM cands)
+         SELECT probe_key, probe_name, p_partkey AS match_key,
+           CAST(dist AS BIGINT) AS dist, n_candidates
+         FROM r WHERE rn = 1 ORDER BY probe_key""",
+
     "graph_pagerank" ->
       """WITH e AS (
            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

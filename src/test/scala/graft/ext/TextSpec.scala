@@ -98,4 +98,27 @@ class TextSpec extends SparkSpec {
       if (toks.length > 64) assert(cs.length >= 2)
     }
   }
+
+  test("text_dup_span_share: equals a brute-force positional-shingle count") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val positional = docs.flatMap { case (id, toks) =>
+      (0 to toks.length - 3).map(i => (id, toks.slice(i, i + 3).mkString(" ")))
+    }
+    val occ = positional.groupBy(_._2).view.mapValues(_.length).toMap
+    val want = positional.groupBy(_._1).map { case (id, ps) =>
+      id -> ((ps.length.toLong, ps.count(p => occ(p._2) >= 2).toLong))
+    }
+    val got = graft.queries.Ext.textDupSpanShare(spark, "/root/testdata/sf0.001")
+      .collect().map { r =>
+        assert(r.getDouble(3) ==
+          BigDecimal(r.getLong(2).toDouble / r.getLong(1))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2)))
+      }.toMap
+    assert(got == want)
+    // the audit must actually flag something in a corpus with known dups
+    assert(got.values.exists(_._2 > 0))
+  }
 }

@@ -258,4 +258,34 @@ class PlanSpec extends SparkSpec {
     assert(!optimized.contains("strategy=broadcast"),
       s"broadcast hint on the dedup anti-join is back:\n$optimized")
   }
+
+  test("events_funnel: stage tables broadcast; the event scan never shuffles to join") {
+    val p = planOf("events_funnel")
+    assert(p.contains("BroadcastHashJoin"), "stage joins lost their broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"funnel stage join shuffles the event scan:\n$p")
+  }
+
+  test("ts_resample_grid: one window over the union — no per-cell join, no cartesian blowup") {
+    val q = graft.SparkEntry.queries("ts_resample_grid")(spark, sf001)
+    val p = q.queryExecution.executedPlan.toString
+    // the only join is the 1-row bounds broadcast under the grid generator
+    assert(!p.contains("SortMergeJoin"), s"grid fill became a join:\n$p")
+    val windows = p.linesIterator.count(_.matches(""".*[+:]- Window .*"""))
+    assert(windows == 1, s"expected exactly one window pass, got $windows:\n$p")
+  }
+
+  test("graph_pagerank: iterations read the staged edge relation, column-pruned") {
+    val p = planOf("graph_pagerank")
+    // staged parquet scans, one per iteration side — and none re-runs
+    // the O(lineitem^2/order) pair self-join
+    assert(!p.contains("l_orderkey"),
+      "an iteration re-mines edges from lineitem instead of the staged relation")
+  }
+
+  test("join_fuzzy_names: levenshtein runs only inside prefix blocks (equi-join, no cartesian)") {
+    val p = planOf("join_fuzzy_names")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy match degenerated to an unblocked cross join:\n$p")
+  }
 }

@@ -122,6 +122,36 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("join_fuzzy_names: equals a brute-force blocked match, and the source is always within 1 edit") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val parts = spark.read.parquet(s"$sf0001/part.parquet")
+      .select(col("p_partkey"), col("p_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val probes = parts.filter { case (k, n) => k % 5 == 0 && n.length >= 4 }
+      .map { case (k, n) => (k, n.substring(0, 2) + n.substring(3)) }
+    val want = probes.flatMap { case (pk, pn) =>
+      val cands = parts.filter { case (_, n) =>
+        n.length >= 2 && n.substring(0, 2) == pn.substring(0, 2) &&
+          math.abs(n.length - pn.length) <= 2 && lev(pn, n) <= 2 }
+      if (cands.isEmpty) None
+      else Some(pk -> cands.map { case (k, n) => (lev(pn, n), k) }.min)
+    }.toMap
+    val got = Warehouse.joinFuzzyNames(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3).toInt, r.getLong(2)))).toMap
+    assert(got == want)
+    // deleting one char keeps the source within edit distance 1, and the
+    // block key (first 2 chars) is preserved — so every probe matches
+    got.values.foreach { case (dist, _) => assert(dist <= 1) }
+    assert(got.size == probes.length)
+  }
+
   test("agg_incremental_merge: merged partials equal a direct full aggregate") {
     val merged = Warehouse.aggIncrementalMerge(spark, sf001).collect()
       .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
