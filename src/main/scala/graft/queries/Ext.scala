@@ -1063,6 +1063,34 @@ object Ext {
         minJaccard = 0.8, maxDocFreq = JaccardMaxDocFreq, hashShingles = true)
       .orderBy(col("id1"), col("id2"))
 
+  /** TF-IDF keyword extraction — top-3 tokens per document by
+    * `tf · N / df` (the log-free rational tf-idf: same ranking as the
+    * classic formula for fixed N, and hash-exact because `tf·N` is an
+    * exact long product and the single division is the same IEEE op in
+    * both engines — `ln` implementations are NOT bit-portable, so the
+    * log stays out of the score). Ties (common in a small vocabulary)
+    * break on token text — total order, deterministic.
+    *
+    * Scale: tf is a scan-local partial agg then one (doc, tok) shuffle;
+    * df is a |vocab|-shuffle off tf; the join back is tok-keyed
+    * (AQE broadcasts the vocab-sized df side); top-3 is one window on
+    * doc_id. Nothing corpus-sized is collected or broadcast. */
+  def textKeywordsTfidf(s: SparkSession, dir: String): DataFrame = {
+    val tf = docsTok(s, dir).select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("tok")).crossJoin(broadcast(n))
+      .withColumn("score", round((col("tf") * col("n_docs")) / col("df"), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Per-doc duplicated-SPAN share — the position-level "how much of this
     * document is boilerplate" audit (the exact-substring-dedup family:
     * a 3-gram position is duplicated when its shingle occurs at ≥ 2
@@ -2832,6 +2860,7 @@ object Ext {
     "dedup_ngram_hashed" -> dedupNgramHashed _,
     "dedup_containment" -> dedupContainment _,
     "text_dup_span_share" -> textDupSpanShare _,
+    "text_keywords_tfidf" -> textKeywordsTfidf _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_simhash_recall" -> dedupSimhashRecall _,

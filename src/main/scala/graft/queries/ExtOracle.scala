@@ -522,6 +522,22 @@ object ExtOracle {
          FROM pairs0
          ORDER BY id1, id2""",
 
+    // log-free rational tf-idf: tf*N is an exact BIGINT product, the one
+    // division is the same IEEE op both sides (ln is not bit-portable)
+    "text_keywords_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         sc AS (SELECT doc_id, tok, tf, df,
+             round((tf * n_docs) / CAST(df AS DOUBLE), 6) AS score
+           FROM tf JOIN df USING (tok), n),
+         r AS (SELECT *, CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS BIGINT) AS rank
+           FROM sc)
+         SELECT doc_id, rank, tok, tf, df, score FROM r
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
+
     // positional (non-distinct) shingles: a span is duplicated when its
     // 3-gram occurs at >= 2 positions corpus-wide
     "text_dup_span_share" ->

@@ -185,6 +185,29 @@ object Warehouse {
       .orderBy(col("column_name"))
   }
 
+  /** Equi-width histogram (10 bins) of `events.value` — the profiling
+    * companion to [[profileColumns]]: two passes, bounds then binning,
+    * with the 1-row bounds broadcast onto the scan (A9's scalar
+    * pattern). The bin formula `least(floor((v−mn)·10/(mx−mn)), 9)` is
+    * the identical IEEE double expression in both engines — doubles at
+    * bin boundaries land identically, so the histogram is hash-exact
+    * with no tolerance. One shuffle: the 10-row bin aggregate. */
+  def profileHistogram(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("value"))
+    val b = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    ev.crossJoin(broadcast(b))
+      .select(
+        least(floor(((col("value") - col("mn")) * 10) / (col("mx") - col("mn"))),
+          lit(9.0)).cast("long").as("bin"),
+        col("mn"), col("mx"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_events"), min(col("mn")).as("mn"),
+        max(col("mx")).as("mx"))
+      .withColumn("bin_lo", col("mn") + col("bin") * (col("mx") - col("mn")) / 10.0)
+      .select(col("bin"), col("n_events"), col("bin_lo"))
+      .orderBy(col("bin"))
+  }
+
   /** Incremental materialized-view maintenance: the per-(event_type, day)
     * aggregate is split into a BASE partial (first 20 days, staged to
     * scratch parquet — "last night's MV") and a DELTA partial (the rest),
@@ -339,6 +362,7 @@ object Warehouse {
     "agg_mode" -> aggMode _,
     "profile_columns" -> profileColumns _,
     "agg_incremental_merge" -> aggIncrementalMerge _,
+    "profile_histogram" -> profileHistogram _,
     "graph_pagerank" -> graphPagerank _,
     "join_fuzzy_names" -> joinFuzzyNames _,
     "ts_resample_grid" -> tsResampleGrid _,

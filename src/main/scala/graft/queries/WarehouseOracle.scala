@@ -139,6 +139,15 @@ object WarehouseOracle {
            CAST(dist AS BIGINT) AS dist, n_candidates
          FROM r WHERE rn = 1 ORDER BY probe_key""",
 
+    "profile_histogram" ->
+      """WITH v AS (SELECT value FROM events),
+         b AS (SELECT min(value) AS mn, max(value) AS mx FROM v)
+         SELECT CAST(least(floor(((value - mn) * 10) / (mx - mn)), 9) AS BIGINT) AS bin,
+           count(*) AS n_events,
+           min(mn) + CAST(least(floor(((value - mn) * 10) / (mx - mn)), 9) AS BIGINT)
+             * (max(mx) - min(mn)) / 10.0 AS bin_lo
+         FROM v, b GROUP BY 1 ORDER BY 1""",
+
     "graph_pagerank" ->
       """WITH e AS (
            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

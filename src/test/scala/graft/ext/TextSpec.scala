@@ -99,6 +99,31 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("text_keywords_tfidf: rarer tokens outrank common ones; exactly top-3 per doc") {
+    val rows = graft.queries.Ext.textKeywordsTfidf(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val byDoc = rows.groupBy(_._1)
+    byDoc.values.foreach { ks =>
+      val sorted = ks.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.length <= 3)
+      // scores non-increasing down the ranks; rank order is (score desc, tok asc)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._6 > b._6 || (a._6 == b._6 && a._3 < b._3))
+        case _ =>
+      }
+    }
+    // score recomputes as tf*N/df
+    val n = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    rows.foreach { case (_, _, _, tf, df, score) =>
+      val want = BigDecimal(tf * n / df.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(score == want)
+    }
+  }
+
   test("text_dup_span_share: equals a brute-force positional-shingle count") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text")).collect()

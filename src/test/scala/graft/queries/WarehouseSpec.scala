@@ -152,6 +152,17 @@ class WarehouseSpec extends SparkSpec {
     assert(got.size == probes.length)
   }
 
+  test("profile_histogram: bins partition the rows and bounds are honest") {
+    val rows = Warehouse.profileHistogram(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val total = spark.read.parquet(s"$sf0001/events.parquet").count()
+    assert(rows.map(_._2).sum == total, "every row lands in exactly one bin")
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 9))
+    // bin_lo is monotone in bin
+    assert(rows.sortBy(_._1).map(_._3).toSeq.sliding(2).forall {
+      case Seq(a, b) => a < b; case _ => true })
+  }
+
   test("agg_incremental_merge: merged partials equal a direct full aggregate") {
     val merged = Warehouse.aggIncrementalMerge(spark, sf001).collect()
       .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
