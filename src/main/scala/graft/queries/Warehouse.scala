@@ -291,18 +291,23 @@ object Warehouse {
     * regroup shuffles. Every node in the symmetric graph has outdeg ≥ 1 —
     * no dangling mass. 10⁹-scale ranks keep `85·Σ` < 2⁶³ up to ~10⁸
     * nodes. */
-  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val edges = Ext.stage("pr_edges", s, dir)({
+  /** The co-purchase edge relation `(src, dst, deg)` — symmetric distinct
+    * part pairs sharing an order, out-degree attached at stage time (AQE
+    * broadcasts the |nodes|-sized count side), staged once per (JVM, sf)
+    * and shared by [[graphPagerank]] and [[graphTriangles]]. */
+  private def stagedEdges(s: SparkSession, dir: String): DataFrame =
+    Ext.stage("pr_edges", s, dir)({
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
       val pairs = li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") =!= col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
         .distinct()
-      // degree attached at stage time (AQE broadcasts the |nodes|-sized
-      // count side), so iterations read (src, dst, deg) with no re-join
       pairs.join(pairs.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
     })
+
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = stagedEdges(s, dir)
     val nodes = edges.select(col("src").as("node")).distinct()
     var ranks = nodes.withColumn("rank", lit(1000000000L))
     for (_ <- 1 to 5) {
@@ -314,6 +319,48 @@ object Warehouse {
           (lit(150000000L) + expr("(85 * coalesce(m, 0L)) div 100")).as("rank"))
     }
     ranks.select(col("node").as("part_key"), col("rank")).orderBy(col("part_key"))
+  }
+
+  /** Triangle counting + local clustering coefficient over the same
+    * co-purchase graph as [[graphPagerank]] (staged edge relation
+    * shared). Edges are ORIENTED low-degree → high-degree before the
+    * wedge join — the standard trick that bounds wedge work by
+    * O(Σ out²) ≤ O(α·m) (α = arboricity) instead of Σ deg², which on a
+    * skewed graph is the difference between a shuffle and a blow-up; a
+    * hub of degree 10⁶ contributes zero wedges as a source because all
+    * its edges orient INTO it. Every count is a long and the
+    * coefficient's one division is the same IEEE op both sides —
+    * hash-exact, no tolerance. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = stagedEdges(s, dir) // (src, dst, deg) — symmetric, deg = out-deg
+    val degT = edges.select(col("src").as("node"), col("deg")).distinct()
+    val oriented = edges
+      .join(degT.select(col("node").as("dst"), col("deg").as("deg_dst")), Seq("dst"))
+      .filter(col("deg") < col("deg_dst") ||
+        (col("deg") === col("deg_dst") && col("src") < col("dst")))
+      .select(col("src").as("a"), col("dst").as("b"))
+    // the wedge relation is O(Σ out²) rows and must NEVER land anywhere:
+    // with the continuation (y) and closing (z) edge sets both BROADCAST
+    // (|m| rows of 2 longs — tens of MB far beyond these SFs), the whole
+    // count pipelines scan → expand → probe → partial-agg with zero
+    // shuffles of wedge-sized data. When m outgrows a broadcast, the
+    // scale path is bucketing the oriented edges on their first column
+    // and sort-merging — the wedge stream still only ever flows, never
+    // lands
+    val wedges = oriented.as("x")
+      .join(broadcast(oriented.as("y")), col("x.b") === col("y.a"))
+      .select(col("x.a").as("wa"), col("x.b").as("wb"), col("y.b").as("wc"))
+    val tri = wedges.join(broadcast(oriented.as("z")),
+      col("wa") === col("z.a") && col("wc") === col("z.b"))
+    val cnt = tri.select(explode(array(col("wa"), col("wb"), col("wc"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    degT.join(broadcast(cnt), Seq("node"), "left")
+      .withColumn("n_tri", coalesce(col("tri"), lit(0L)))
+      .select(col("node"), col("deg"), col("n_tri"),
+        when(col("deg") >= 2,
+          round((col("n_tri") * 2) / (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+      .orderBy(col("node"))
   }
 
   // ===== time series =====
@@ -365,6 +412,7 @@ object Warehouse {
     "profile_histogram" -> profileHistogram _,
     "graph_pagerank" -> graphPagerank _,
     "join_fuzzy_names" -> joinFuzzyNames _,
+    "graph_triangles" -> graphTriangles _,
     "ts_resample_grid" -> tsResampleGrid _,
   )
 }

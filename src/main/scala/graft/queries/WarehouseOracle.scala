@@ -178,6 +178,27 @@ object WarehouseOracle {
              GROUP BY e.dst) s ON s.dst = n.node)
          SELECT node AS part_key, rank FROM r5 ORDER BY part_key""",
 
+    "graph_triangles" ->
+      """WITH e AS (
+           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+         o AS (SELECT e.src AS a, e.dst AS b FROM e
+           JOIN deg ds ON e.src = ds.node JOIN deg dd ON e.dst = dd.node
+           WHERE ds.d < dd.d OR (ds.d = dd.d AND e.src < e.dst)),
+         tri AS (SELECT x.a, x.b, y.b AS c FROM o x JOIN o y ON x.b = y.a
+                 JOIN o z ON z.a = x.a AND z.b = y.b),
+         cnt AS (SELECT node, count(*) AS n_tri FROM (
+             SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri)
+           GROUP BY node)
+         SELECT node, d AS deg, COALESCE(n_tri, 0) AS n_tri,
+           CASE WHEN d >= 2 THEN
+             round((COALESCE(n_tri, 0) * 2) / CAST(d * (d - 1) AS DOUBLE), 6)
+           ELSE 0.0 END AS clustering
+         FROM deg LEFT JOIN cnt USING (node) ORDER BY node""",
+
     "ts_resample_grid" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value, event_id
            FROM events),

@@ -283,6 +283,13 @@ class PlanSpec extends SparkSpec {
       "an iteration re-mines edges from lineitem instead of the staged relation")
   }
 
+  test("graph_triangles: the wedge stream pipelines through broadcast joins, never shuffles") {
+    val p = planOf("graph_triangles")
+    assert(!p.contains("SortMergeJoin"),
+      s"the O(sum out^2) wedge relation is being shuffled:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "edge sets lost their broadcast")
+  }
+
   test("join_fuzzy_names: levenshtein runs only inside prefix blocks (equi-join, no cartesian)") {
     val p = planOf("join_fuzzy_names")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -44,6 +44,32 @@ class WarehouseSpec extends SparkSpec {
   }
   private def deg2loss(n: Long): Long = 1000L // slack for div truncation chains
 
+  test("graph_triangles: matches a brute-force adjacency-set count") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triOf = adj.map { case (u, nbrs) =>
+      u -> nbrs.toSeq.combinations(2).count {
+        case Seq(v, w) => adj(v).contains(w); case _ => false }.toLong
+    }
+    val got = Warehouse.graphTriangles(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == adj.size)
+    got.foreach { case (n, deg, tri, cc) =>
+      assert(deg == adj(n).size.toLong, s"deg of $n")
+      assert(tri == triOf(n), s"triangles of $n")
+      if (deg >= 2)
+        assert(cc == BigDecimal(2.0 * tri / (deg * (deg - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else assert(cc == 0.0)
+    }
+  }
+
   test("events_funnel: stages are strictly ordered and depth is monotone-consistent") {
     val rows = Warehouse.eventsFunnel(spark, sf0001).collect()
     assert(rows.nonEmpty)
