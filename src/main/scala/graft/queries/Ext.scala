@@ -1550,6 +1550,56 @@ object Ext {
     * per-row arithmetic) + one aggregation keyed on the cell — and the
     * z key is exactly what a writer would `repartitionByRange` /
     * `sortWithinPartitions` on to lay files out for spatial pruning. */
+  /** Spatial RADIUS SELF-JOIN via grid blocking — the reference's core
+    * spatial primitive (which points sit within r of each other,
+    * `Standalone/Blind Zone Detection.scala`'s proximity grading)
+    * generalized to the canonical distributed shape: quantize to a grid
+    * of cell ≥ r, explode each probe to its 3×3 neighbor cells, equi-join
+    * on the cell key, then verify the true distance — blocking-then-verify
+    * exactly like LSH→Jaccard. One shuffle on the cell key; the 9×
+    * amplification rides the SMALL projected side; no cross join exists
+    * anywhere (a naive radius join is corpus², the canonical spatial
+    * scale-killer). Skewed cells (urban cores) take the same salting
+    * lever as any hot key.
+    *
+    * The DECISION metric is equirectangular with LITERAL projection
+    * constants: only +,−,×,√ — all IEEE-identical across engines — so
+    * the pair set is hash-exact with no tolerance (sin/cos/asin are
+    * libm-dependent, which is why [[Rel.fnHaversine]] rounds to 0.1 km;
+    * a threshold filter can't hide behind rounding). At city scale the
+    * equirectangular error vs haversine is < 0.1 %, far under the grid
+    * slack. Points derive deterministically from events (11 km × 11 km
+    * field, ~1.6 expected neighbors within 25 m at sf0.1). */
+  def geoRadiusJoin(s: SparkSession, dir: String): DataFrame = {
+    val cellDeg = 0.0003 // ≈ 33 m ≥ r, so 3×3 neighbor cells cover r
+    val (kLat, kLng) = (111320.0, 103218.0) // m/° at ~22° lat, fixed literals
+    val r2 = 625.0 // r = 25 m
+    val pts = events(s, dir).select(
+        col("event_id").as("pid"),
+        (lit(22.0) + (col("event_id") % 9973) * 0.00001).as("lat"),
+        (lit(114.0) + ((col("user_id") * 7919) % 9973) * 0.00001).as("lng"))
+      .withColumn("ix", floor(col("lng") / cellDeg).cast("long"))
+      .withColumn("iy", floor(col("lat") / cellDeg).cast("long"))
+    val probes = pts.select(
+        col("pid").as("id1"), col("lat").as("lat1"), col("lng").as("lng1"),
+        explode(expr(
+          """flatten(transform(sequence(-1, 1), dx ->
+               transform(sequence(-1, 1), dy ->
+                 struct(ix + dx AS jx, iy + dy AS jy))))""")).as("nb"))
+      .select(col("id1"), col("lat1"), col("lng1"),
+        col("nb.jx").as("ix"), col("nb.jy").as("iy"))
+    probes
+      .join(pts.select(col("pid").as("id2"), col("lat").as("lat2"),
+        col("lng").as("lng2"), col("ix"), col("iy")), Seq("ix", "iy"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("dx", (col("lng2") - col("lng1")) * kLng)
+      .withColumn("dy", (col("lat2") - col("lat1")) * kLat)
+      .filter(col("dx") * col("dx") + col("dy") * col("dy") <= r2)
+      .select(col("id1"), col("id2"),
+        round(sqrt(col("dx") * col("dx") + col("dy") * col("dy")), 6).as("dist_m"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   def geoZorderLayout(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Column
     // 8-bit Morton spread: abcdefgh → a0b0c0d0e0f0g0h0 (three mask-shift
@@ -2899,6 +2949,7 @@ object Ext {
     "src_bucketed_join" -> srcBucketedJoin _,
     "fn_time_format_stats" -> fnTimeFormatStats _,
     "geo_zorder_layout" -> geoZorderLayout _,
+    "geo_radius_join" -> geoRadiusJoin _,
     "stream_sessionize_sink" -> streamSessionizeSink _,
     "stream_interval_join_sink" -> streamIntervalJoinSink _,
     "stream_interval_outer_sink" -> streamIntervalOuterSink _,

@@ -1043,6 +1043,31 @@ object ExtOracle {
     // three mask-shift spread rounds are written in the engine's exact
     // operation order — integer bit arithmetic + IEEE double steps, so
     // the full per-cell rollup hash-matches with no rounding
+    // grid-blocked radius self-join: the decision metric is
+    // equirectangular with literal constants — only +,-,*,sqrt, all
+    // IEEE-identical across engines, so no tolerance anywhere
+    "geo_radius_join" ->
+      """WITH p AS (SELECT event_id AS pid,
+             22.0 + (event_id % 9973) * 0.00001 AS lat,
+             114.0 + ((user_id * 7919) % 9973) * 0.00001 AS lng
+           FROM events),
+         c AS (SELECT pid, lat, lng,
+             CAST(floor(lng / 0.0003) AS BIGINT) AS ix,
+             CAST(floor(lat / 0.0003) AS BIGINT) AS iy FROM p),
+         probes AS (SELECT pid AS id1, lat AS lat1, lng AS lng1,
+             ix + dx.x AS ix, iy + dy.y AS iy
+           FROM c, (SELECT unnest(range(-1, 2)) AS x) dx,
+                   (SELECT unnest(range(-1, 2)) AS y) dy),
+         cand AS (SELECT id1, lat1, lng1, b.pid AS id2, b.lat AS lat2,
+             b.lng AS lng2
+           FROM probes JOIN c b USING (ix, iy) WHERE id1 < b.pid),
+         d AS (SELECT id1, id2,
+             (lng2 - lng1) * 103218.0 AS dx, (lat2 - lat1) * 111320.0 AS dy
+           FROM cand)
+         SELECT id1, id2, round(sqrt(dx * dx + dy * dy), 6) AS dist_m
+         FROM d WHERE dx * dx + dy * dy <= 625.0
+         ORDER BY id1, id2""",
+
     "geo_zorder_layout" ->
       """WITH p AS (SELECT concat('V', user_id) AS id,
            114.0 + (epoch_us(ts) % 86400000000) / 86400000000.0 * 0.2 AS lng,

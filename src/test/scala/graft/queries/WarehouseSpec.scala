@@ -70,6 +70,25 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("geo_radius_join: blocking loses nothing — equals the brute-force O(n^2) pair set") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_id"), col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pts = ev.map { case (eid, uid) =>
+      (eid, 22.0 + (eid % 9973) * 0.00001, 114.0 + ((uid * 7919) % 9973) * 0.00001)
+    }
+    val want = (for {
+      (i1, la1, lo1) <- pts; (i2, la2, lo2) <- pts
+      if i1 < i2
+      dx = (lo2 - lo1) * 103218.0; dy = (la2 - la1) * 111320.0
+      if dx * dx + dy * dy <= 625.0
+    } yield (i1, i2)).toSet
+    val got = graft.queries.Ext.geoRadiusJoin(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty)
+  }
+
   test("events_funnel: stages are strictly ordered and depth is monotone-consistent") {
     val rows = Warehouse.eventsFunnel(spark, sf0001).collect()
     assert(rows.nonEmpty)
