@@ -2817,6 +2817,48 @@ object Ext {
       .select(col("l_returnflag"), col("n"), round(col("s"), 2).as("sum_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Salted JOIN under the hash gate — [[graft.core.Skew.saltedJoin]]'s
+    * registered twin of [[skewSaltedAgg]]: a deliberately hot-keyed fact
+    * (every third event collapses onto key 0 — one key owning a third of
+    * the table is exactly the shape where a shuffle join funnels to one
+    * task) joins a key dimension with build rows replicated 8× and each
+    * probe row carrying one deterministic salt. The oracle is the PLAIN
+    * unsalted join — equal hashes prove salting is result-invisible,
+    * which is the entire contract. */
+  def joinSaltedSkew(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(
+      when(col("event_id") % 3 === 0, lit(0L)).otherwise(col("user_id")).as("k"),
+      col("event_id"), col("value"))
+    val dim = ev.select(col("k")).distinct().withColumn("grp", col("k") % 7)
+    Skew.saltedJoin(ev, dim, Seq("k"), salts = 8,
+        probeSalt = Skew.saltOf(8, col("event_id")), joinType = "inner")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_eid"),
+        round(sum(col("value")), 2).as("sum_v"))
+      .orderBy(col("grp"))
+  }
+
+  /** Cumulative-distinct growth curve: per day, new users (first ever
+    * appearance), active users, and the running distinct total — the
+    * corpus/user growth report. Distinctness reduces to a first-day
+    * aggregate (one shuffle on user), so the cumulative sum runs over
+    * the |days|-sized relation — the single-partition window is
+    * day-axis-sized by construction, not corpus-sized (cf. the
+    * text_pack_sequences scale note for when that is NOT acceptable). */
+  def winCumulativeDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day")).distinct()
+    val perDayActive = ud.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val perDayNew = ud.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    perDayActive.join(perDayNew, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("n_cum", sum(col("n_new")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("day"))
+  }
+
   /** Typed bounded top-k Aggregator (U6): top-3 prices per returnflag via
     * a k-capped typed UDAF — the shuffle carries ≤ k rows per map
     * partition per group, vs a window sort materializing every row.
@@ -2960,6 +3002,8 @@ object Ext {
     "stream_sessionize_tws_sink" -> streamSessionizeTwsSink _,
     "balance_bins" -> balanceBins _,
     "skew_salted_agg" -> skewSaltedAgg _,
+    "join_salted_skew" -> joinSaltedSkew _,
+    "win_cumulative_distinct" -> winCumulativeDistinct _,
     "agg_approx" -> aggApprox _,
     "agg_topk_typed" -> aggTopkTyped _,
   )

@@ -1034,6 +1034,30 @@ object ExtOracle {
          TRUE AS p95_ok, TRUE AS hll_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // the oracle is the PLAIN join — equal hashes prove the salting is
+    // result-invisible
+    "join_salted_skew" ->
+      """WITH ev AS (SELECT CASE WHEN event_id % 3 = 0 THEN 0
+             ELSE user_id END AS k, event_id, value FROM events),
+         dim AS (SELECT k, k % 7 AS grp FROM (SELECT DISTINCT k FROM ev))
+         SELECT grp, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_eid,
+           round(sum(value), 2) AS sum_v
+         FROM ev JOIN dim USING (k)
+         GROUP BY grp ORDER BY grp""",
+
+    "win_cumulative_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day FROM events),
+         act AS (SELECT day, count(*) AS n_active FROM ud GROUP BY day),
+         fst AS (SELECT user_id, min(day) AS day FROM ud GROUP BY user_id),
+         nw AS (SELECT day, count(*) AS n_new FROM fst GROUP BY day)
+         SELECT day, n_active, COALESCE(n_new, 0) AS n_new,
+           sum(COALESCE(n_new, 0)) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_cum
+         FROM act LEFT JOIN nw USING (day)
+         ORDER BY day""",
+
     "skew_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n,
          round(sum(l_quantity), 2) AS sum_qty
