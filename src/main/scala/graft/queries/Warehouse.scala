@@ -273,6 +273,38 @@ object Warehouse {
       .orderBy(col("probe_key"))
   }
 
+  /** Incremental distinct counting via MERGEABLE HLL sketches (Apache
+    * DataSketches, built into Spark) — [[aggIncrementalMerge]]'s
+    * sketch-world sibling and the only way "distinct users ever" stays
+    * incremental at 100 TB: exact distinct needs the full history every
+    * night, a mergeable sketch needs last night's 16 KB state. The base
+    * window's per-type sketches are staged (binary column in scratch
+    * parquet — the persisted "last night"), the delta's sketches are
+    * fresh, `hll_union_agg` merges. The oracle pins the exact count and
+    * a TRUE `within_5pct` bound (the agg_approx_distinct pattern):
+    * lgK=14 gives ~0.8 % relative error, 5 % is generous headroom at
+    * every SF. The bound compare is an integer cross-multiplication. */
+  def aggHllIncremental(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("user_id"),
+      expr(s"ts_us div $DayUs").as("day"))
+    val cut = ev.agg((min(col("day")) + 20L).as("cut_day"))
+    val tagged = ev.crossJoin(broadcast(cut))
+    def sketch(df: DataFrame) = df.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val base = Ext.stage("hll_base", s, dir)(
+      sketch(tagged.filter(col("day") < col("cut_day"))))
+    val delta = sketch(tagged.filter(col("day") >= col("cut_day")))
+    val merged = base.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+      .join(merged, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) * 20 <= col("n_exact")).as("within_5pct"))
+      .orderBy(col("event_type"))
+  }
+
   // ===== graph =====
 
   /** PageRank over the part co-purchase graph (distinct part pairs
@@ -410,6 +442,7 @@ object Warehouse {
     "profile_columns" -> profileColumns _,
     "agg_incremental_merge" -> aggIncrementalMerge _,
     "profile_histogram" -> profileHistogram _,
+    "agg_hll_incremental" -> aggHllIncremental _,
     "graph_pagerank" -> graphPagerank _,
     "join_fuzzy_names" -> joinFuzzyNames _,
     "graph_triangles" -> graphTriangles _,

@@ -139,6 +139,15 @@ object WarehouseOracle {
            CAST(dist AS BIGINT) AS dist, n_candidates
          FROM r WHERE rn = 1 ORDER BY probe_key""",
 
+    // exact count + pinned accuracy boolean (the agg_approx_distinct
+    // pattern): the engine asserts its merged-sketch estimate lands
+    // within 5%, the oracle pins that claim TRUE
+    "agg_hll_incremental" ->
+      """SELECT event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+         true AS within_5pct
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
     "profile_histogram" ->
       """WITH v AS (SELECT value FROM events),
          b AS (SELECT min(value) AS mn, max(value) AS mx FROM v)
