@@ -2620,6 +2620,60 @@ object Ext {
     s.read.parquet(outDir).orderBy(col("p_event"))
   }
 
+  /** STREAMING FUNNEL under the driver's DuckDB gate — the ordered
+    * view→click→purchase machine ([[graft.streaming.StreamOps.funnelStream]])
+    * over the event feed, each stage completion emitted exactly once;
+    * the oracle is the BATCH funnel (`events_funnel`'s chained
+    * conditional minimums) unpivoted to one row per reached stage —
+    * equal hashes prove the incremental machine computes the batch
+    * semantics under micro-batched, watermark-bounded delivery. Harness
+    * contract as [[streamAsofSink]]: one real file + two sentinel files
+    * with ascending mtimes, `maxFilesPerTrigger=1`, so the watermark
+    * provably passes every real event before the query stops. */
+  def streamFunnelSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Tmp
+    val log = graft.core.PhaseLog.start("stream_funnel")
+    val ev = events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("t"),
+        col("ts_us"), col("event_id"),
+        when(col("event_type") === "view", 1)
+          .when(col("event_type") === "click", 2).otherwise(3).as("kind"))
+    val inDir = Tmp.jvmScopedDir("stream_funnel_in", dir)
+    val outDir = Tmp.jvmScopedDir("stream_funnel_out", dir)
+    val ckDir = Tmp.jvmScopedDir("stream_funnel_ck", dir)
+    val wmUs = 600000000L // 10 min watermark delay
+    val stagedMarker = new java.io.File(inDir, "_graft_staged")
+    if (!stagedMarker.exists()) {
+      val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0)
+      Tmp.deleteRecursively(inDir)
+      new java.io.File(inDir).mkdirs()
+      def sentinel(tsUs: Long): DataFrame =
+        s.range(1).select(lit(-1L).as("user_id"),
+          timestamp_micros(lit(tsUs)).as("t"), lit(tsUs).as("ts_us"),
+          lit(-1L).as("event_id"), lit(0).as("kind"))
+      val now = System.currentTimeMillis()
+      stageMtimeFile(ev, inDir, "f0.parquet", now - 60000L)
+      stageMtimeFile(sentinel(maxTs + 100L * wmUs), inDir, "f1.parquet", now - 40000L)
+      stageMtimeFile(sentinel(maxTs + 200L * wmUs), inDir, "f2.parquet", now - 20000L)
+      java.nio.file.Files.createFile(stagedMarker.toPath): Unit
+      log("staged inputs")
+    } else log("reusing staged inputs")
+    import s.implicits._
+    val in = s.readStream
+      .schema("user_id BIGINT, t TIMESTAMP, ts_us BIGINT, event_id BIGINT, kind INT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .as[graft.streaming.StreamOps.FunnelEvent]
+    runStreamToParquet(s, outDir, ckDir,
+      Map("spark.sql.shuffle.partitions" -> "8"), log) {
+      graft.streaming.StreamOps.funnelStream(in, "10 minutes").toDF()
+    }
+    s.read.parquet(outDir)
+      .filter(col("user_id") >= 0)
+      .orderBy(col("user_id"), col("stage"))
+  }
+
   /** STREAM-STATIC BROADCAST ENRICHMENT under the driver's DuckDB gate:
     * each streamed event picks up its user's static dimension row
     * (`StreamOps.enrichStream` — the streaming twin of the batch
@@ -2999,6 +3053,7 @@ object Ext {
     "stream_dedup_sink" -> streamDedupSink _,
     "stream_asof_sink" -> streamAsofSink _,
     "stream_enrich_sink" -> streamEnrichSink _,
+    "stream_funnel_sink" -> streamFunnelSink _,
     "stream_sessionize_tws_sink" -> streamSessionizeTwsSink _,
     "balance_bins" -> balanceBins _,
     "skew_salted_agg" -> skewSaltedAgg _,

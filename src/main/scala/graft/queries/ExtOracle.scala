@@ -1034,6 +1034,25 @@ object ExtOracle {
          TRUE AS p95_ok, TRUE AS hll_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // the batch funnel (chained conditional minimums) unpivoted to one
+    // row per reached stage — the streaming machine must reproduce it
+    "stream_funnel_sink" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM ev e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts_us > s1.t1
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM ev e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2
+                GROUP BY e.user_id)
+         SELECT user_id, CAST(1 AS BIGINT) AS stage, t1 AS ts_us FROM s1
+         UNION ALL SELECT user_id, 2, t2 FROM s2
+         UNION ALL SELECT user_id, 3, t3 FROM s3
+         ORDER BY user_id, stage""",
+
     // the oracle is the PLAIN join — equal hashes prove the salting is
     // result-invisible
     "join_salted_skew" ->

@@ -366,6 +366,81 @@ object StreamOps {
       }
   }
 
+  /** Tagged input event for [[funnelStream]]: `kind` 1 = view,
+    * 2 = click, 3 = purchase (0 = sentinel, ignored). */
+  case class FunnelEvent(
+      user_id: Long, t: java.sql.Timestamp, ts_us: Long, event_id: Long, kind: Int)
+
+  /** One funnel-stage completion, emitted exactly once as it happens. */
+  case class FunnelHit(user_id: Long, stage: Long, ts_us: Long)
+
+  /** Per-key funnel state: events waiting for the watermark to pass
+    * their time, plus the machine's progress (stage reached and the
+    * strictly-increasing stage timestamps). Progress alone is O(1); the
+    * pending buffer is bounded by the watermark window. */
+  case class FunnelState(
+      pending: List[(Long, Long, Int)], // (ts_us, event_id, kind)
+      stage: Int, t1: Long, t2: Long, t3: Long)
+
+  /** One PURE step of [[funnelStream]] (the [[asofStep]] contract):
+    * buffered + new events with time < watermark are FINAL — sorted by
+    * `(ts, event_id)` they feed the stage machine (first view sets t1,
+    * first click with ts > t1 sets t2, first purchase with ts > t2 sets
+    * t3 — greedy-on-sorted ≡ the batch funnel's chained conditional
+    * minimums, because the first qualifying event in time order IS the
+    * minimum). Completed-stage state persists as an O(1) tombstone so a
+    * user's later events can never re-emit a stage. */
+  private[graft] def funnelStep(
+      key: Long, evs: Seq[FunnelEvent], st0: FunnelState, wmUs: Long)
+      : (Seq[FunnelHit], Option[FunnelState], Option[Long]) = {
+    val all = st0.pending ++
+      evs.filter(_.kind > 0).map(e => (e.ts_us, e.event_id, e.kind))
+    val (ready, pending) = all.partition(_._1 < wmUs)
+    var (stage, t1, t2, t3) = (st0.stage, st0.t1, st0.t2, st0.t3)
+    val hits = ready.sortBy(e => (e._1, e._2)).flatMap { case (ts, _, kind) =>
+      (stage, kind) match {
+        case (0, 1) => stage = 1; t1 = ts; Some(FunnelHit(key, 1L, ts))
+        case (1, 2) if ts > t1 => stage = 2; t2 = ts; Some(FunnelHit(key, 2L, ts))
+        case (2, 3) if ts > t2 => stage = 3; t3 = ts; Some(FunnelHit(key, 3L, ts))
+        case _ => None
+      }
+    }
+    val next = FunnelState(pending, stage, t1, t2, t3)
+    // re-invoke once the watermark passes the earliest pending event;
+    // with nothing pending the O(1) progress record just sits (a real
+    // deployment TTLs long-idle users, trading only re-emission safety)
+    val timer = pending.map(_._1).minOption
+      .map(us => math.max(wmUs / 1000L + 1L, us / 1000L + 1L))
+    (hits, Some(next), timer)
+  }
+
+  /** STREAMING FUNNEL — the ordered view→click→purchase stage machine as
+    * an incremental stateful stream, emitting each user's stage
+    * completions exactly once (Append mode). Event-time correctness
+    * under disorder follows the as-of argument: an event is only fed to
+    * the machine once the watermark passes its time, so no
+    * earlier-but-late event can invalidate an emitted transition. */
+  def funnelStream(
+      events: Dataset[FunnelEvent],
+      watermarkDelay: String = "10 minutes"): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("t", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val (out, next, timer) = funnelStep(key, it.toSeq,
+            state.getOption.getOrElse(FunnelState(Nil, 0, -1L, -1L, -1L)),
+            state.getCurrentWatermarkMs() * 1000L)
+          next.foreach { st =>
+            state.update(st)
+            timer.foreach(state.setTimeoutTimestamp)
+          }
+          out.iterator
+      }
+  }
+
   /** Stream-static enrichment join: each streaming event picks up its
     * key's static dimension row — the streaming twin of the batch
     * broadcast dim join (J2/J3). Stateless: the static side is (re)read

@@ -387,4 +387,45 @@ class StreamOpsSpec extends SparkSpec {
     val (outP, _, _) = StreamOps.asofStep(1L, Nil, stP, us(400))
     assert(outP.map(m => (m.probe_id, m.build_id)) == Seq((200L, 103L)))
   }
+
+  test("funnelStep: watermark chunking preserves batch semantics; tombstone never re-emits") {
+    import StreamOps.{FunnelEvent, FunnelHit, FunnelState}
+    def us(minute: Long) = BaseUs + minute * 60L * 1000000L
+    def ev(minute: Long, id: Long, kind: Int) =
+      FunnelEvent(1L, new Timestamp(us(minute) / 1000L), us(minute), id, kind)
+    val empty = FunnelState(Nil, 0, -1L, -1L, -1L)
+
+    // all events arrive at once but the watermark is behind: nothing is
+    // final, everything buffers, a timer is armed
+    val evs = Seq(ev(30, 5, 2), ev(10, 1, 1), ev(20, 2, 1), // clicks/views out of order
+      ev(5, 0, 2), // click BEFORE any view — must never fire
+      ev(40, 7, 3), ev(50, 9, 3))
+    val (h0, Some(st1), timer1) = StreamOps.funnelStep(1L, evs, empty, us(0)): @unchecked
+    assert(h0.isEmpty && st1.pending.size == 6 && timer1.isDefined)
+
+    // watermark to minute 25: the view at 10 fires stage 1 (the EARLIEST
+    // view, not the first-arriving); the pre-view click at 5 is consumed
+    // silently; the view at 20 is ignored
+    val (h1, Some(st2), timer2) = StreamOps.funnelStep(1L, Nil, st1, us(25)): @unchecked
+    assert(h1 == Seq(FunnelHit(1L, 1L, us(10))))
+    assert(st2.stage == 1 && st2.t1 == us(10) && st2.pending.size == 3)
+    assert(timer2.isDefined, "pending events must keep a timer armed")
+
+    // watermark past everything: click@30 -> stage 2, purchase@40 -> stage 3,
+    // purchase@50 ignored (already complete)
+    val (h2, Some(st3), timer3) = StreamOps.funnelStep(1L, Nil, st2, us(100)): @unchecked
+    assert(h2 == Seq(FunnelHit(1L, 2L, us(30)), FunnelHit(1L, 3L, us(40))))
+    assert(st3.stage == 3 && st3.pending.isEmpty && timer3.isEmpty)
+
+    // tombstone: a whole new funnel-worth of later events re-emits NOTHING
+    val (h3, Some(st4), _) = StreamOps.funnelStep(1L,
+      Seq(ev(200, 20, 1), ev(210, 21, 2), ev(220, 22, 3)), st3, us(300)): @unchecked
+    assert(h3.isEmpty && st4.stage == 3)
+
+    // chunked delivery == one-shot delivery (the batch-equivalence core):
+    // feeding the same events in one step with the watermark ahead gives
+    // the identical hit sequence
+    val (hAll, _, _) = StreamOps.funnelStep(1L, evs, empty, us(100))
+    assert(hAll == h1 ++ h2)
+  }
 }
