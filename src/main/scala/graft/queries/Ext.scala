@@ -1596,7 +1596,10 @@ object Ext {
       .withColumn("dy", (col("lat2") - col("lat1")) * kLat)
       .filter(col("dx") * col("dx") + col("dy") * col("dy") <= r2)
       .select(col("id1"), col("id2"),
-        round(sqrt(col("dx") * col("dx") + col("dy") * col("dy")), 6).as("dist_m"))
+        // UNrounded: IEEE sqrt is correctly rounded, so the raw double is
+        // bit-identical cross-engine — round(…, 6) is the only lossy step
+        // and hit a decimal-boundary divergence at sf1 (5.6206535…)
+        sqrt(col("dx") * col("dx") + col("dy") * col("dy")).as("dist_m"))
       .orderBy(col("id1"), col("id2"))
   }
 

@@ -1091,12 +1091,12 @@ object ExtOracle {
     // IEEE-identical across engines, so no tolerance anywhere
     "geo_radius_join" ->
       """WITH p AS (SELECT event_id AS pid,
-             22.0 + (event_id % 9973) * 0.00001 AS lat,
-             114.0 + ((user_id * 7919) % 9973) * 0.00001 AS lng
+             CAST(22.0 AS DOUBLE) + (event_id % 9973) * CAST(0.00001 AS DOUBLE) AS lat,
+             CAST(114.0 AS DOUBLE) + ((user_id * 7919) % 9973) * CAST(0.00001 AS DOUBLE) AS lng
            FROM events),
          c AS (SELECT pid, lat, lng,
-             CAST(floor(lng / 0.0003) AS BIGINT) AS ix,
-             CAST(floor(lat / 0.0003) AS BIGINT) AS iy FROM p),
+             CAST(floor(lng / CAST(0.0003 AS DOUBLE)) AS BIGINT) AS ix,
+             CAST(floor(lat / CAST(0.0003 AS DOUBLE)) AS BIGINT) AS iy FROM p),
          probes AS (SELECT pid AS id1, lat AS lat1, lng AS lng1,
              ix + dx.x AS ix, iy + dy.y AS iy
            FROM c, (SELECT unnest(range(-1, 2)) AS x) dx,
@@ -1105,10 +1105,11 @@ object ExtOracle {
              b.lng AS lng2
            FROM probes JOIN c b USING (ix, iy) WHERE id1 < b.pid),
          d AS (SELECT id1, id2,
-             (lng2 - lng1) * 103218.0 AS dx, (lat2 - lat1) * 111320.0 AS dy
+             (lng2 - lng1) * CAST(103218.0 AS DOUBLE) AS dx,
+             (lat2 - lat1) * CAST(111320.0 AS DOUBLE) AS dy
            FROM cand)
-         SELECT id1, id2, round(sqrt(dx * dx + dy * dy), 6) AS dist_m
-         FROM d WHERE dx * dx + dy * dy <= 625.0
+         SELECT id1, id2, sqrt(dx * dx + dy * dy) AS dist_m
+         FROM d WHERE dx * dx + dy * dy <= CAST(625.0 AS DOUBLE)
          ORDER BY id1, id2""",
 
     "geo_zorder_layout" ->
