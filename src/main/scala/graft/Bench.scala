@@ -74,7 +74,18 @@ object Bench {
     println(f"GRAFT_BENCH_CALIB: st=$calibSt%.3f s mt=$calibMt%.3f s threads=$cpus")
     val spark = graft.core.Sessions.local(cpus)
 
+    // opt-out list for corpus shapes that invalidate a query's cost model
+    // (e.g. ScaleUp DENSIFIES the co-purchase graph — same nodes, 10×
+    // degree — which grows triangle wedge work quadratically by
+    // construction; a true larger corpus grows the node set instead).
+    // Exclusions are recorded in the JSON artifact, never silent.
+    val excluded = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    if (excluded.nonEmpty)
+      System.err.println(s"[bench] excluding: ${excluded.mkString(", ")}")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => excluded.contains(n) }
     // untimed warmup: the flagship aggregate touches parquet scan, shuffle,
     // codegen, and AQE once before anything is timed. Fallback to the first
     // query if the flagship was ever renamed (a swallowed NoSuchElement
@@ -217,7 +228,7 @@ object Bench {
       rs.sortBy(t => -t.wallSec).take(n)
         .map(t => s"\"" + t.name + "\":" + t.wallSec).mkString("{", ",", "}")
     val shared =
-      s""""cpu_total":${cpuSum(results)},"total_2nd":$total2,"cpu_total_2nd":${cpuSum(results2)},"n_entries":${results.size},"load_avg_end":$loadAvg,"calib_st_sec":$calibSt,"calib_mt_sec":$calibMt,"calib_end_st_sec":$calibSt2,"calib_end_mt_sec":$calibMt2,"errors":$errs,"errors_2nd":$errs2,"sf":"$sfDir""""
+      s""""cpu_total":${cpuSum(results)},"total_2nd":$total2,"cpu_total_2nd":${cpuSum(results2)},"n_entries":${results.size},"load_avg_end":$loadAvg,"calib_st_sec":$calibSt,"calib_mt_sec":$calibMt,"calib_end_st_sec":$calibSt2,"calib_end_mt_sec":$calibMt2,"errors":$errs,"errors_2nd":$errs2,"excluded":${excluded.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir""""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${topDict(results, 10)},"queries_2nd":${topDict(results2, 10)},$shared,"full":"$outPath"}"""
     val fullJson =
