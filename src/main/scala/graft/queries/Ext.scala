@@ -2137,6 +2137,37 @@ object Ext {
       .orderBy(col("l_returnflag"))
   }
 
+  /** BLOOM SEMI-JOIN REDUCTION — the runtime-filter technique as an
+    * explicit operator: the small side's join keys (orders above the
+    * 99th-percentile price) build a broadcast Bloom filter that prunes
+    * the BIG side AT THE SCAN, so only might-match rows reach the join's
+    * shuffle; the exact join then removes the false positives, making
+    * the sketch result-invisible — the oracle is the PLAIN join. At
+    * 100 TB this is the difference between shuffling the full fact
+    * table and shuffling ~|hot|·(1+fpp) of it; Spark's own runtime
+    * filters do this implicitly when statistics allow, this pins the
+    * shape explicitly with the codegen probe from the decontamination
+    * kit. */
+  def joinBloomSemi(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val hot = t(s, dir, "orders").filter(col("o_totalprice") > 494000.0)
+      .select(col("o_orderkey"))
+    val nHot = hot.count() // driver-sized scalar: sizes the filter
+    val bf = hot.select(col("o_orderkey").as("h"))
+      .stat.bloomFilter("h", math.max(nHot, 1L), 0.01)
+    val bfBc = s.sparkContext.broadcast(bf)
+    def might(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      Bridge.column(graft.functions.BloomMightContainLong(Bridge.expression(c), bfBc))
+    t(s, dir, "lineitem")
+      .filter(might(col("l_orderkey"))) // scan-local prune, no shuffle yet
+      .join(hot, col("l_orderkey") === col("o_orderkey")) // exact: FPs drop out
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Malformed-JSONL accounting — the JSONL twin of [[csvDirtyRead]]:
     * at corpus scale some lines are truncated mid-object and some carry
     * type-corrupted fields, and both must be QUARANTINED with their ids
@@ -3061,6 +3092,7 @@ object Ext {
     "balance_bins" -> balanceBins _,
     "skew_salted_agg" -> skewSaltedAgg _,
     "join_salted_skew" -> joinSaltedSkew _,
+    "join_bloom_semi" -> joinBloomSemi _,
     "win_cumulative_distinct" -> winCumulativeDistinct _,
     "agg_approx" -> aggApprox _,
     "agg_topk_typed" -> aggTopkTyped _,

@@ -1034,6 +1034,16 @@ object ExtOracle {
          TRUE AS p95_ok, TRUE AS hll_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // the Bloom pre-filter is result-invisible (the exact join removes
+    // false positives) — the oracle is the plain join
+    "join_bloom_semi" ->
+      """WITH hot AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 494000.0)
+         SELECT l_returnflag, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+         FROM lineitem JOIN hot ON l_orderkey = o_orderkey
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     // the batch funnel (chained conditional minimums) unpivoted to one
     // row per reached stage — the streaming machine must reproduce it
     "stream_funnel_sink" ->

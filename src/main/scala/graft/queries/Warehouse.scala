@@ -453,6 +453,43 @@ object Warehouse {
       .orderBy(col("user_id"), col("cell_idx"))
   }
 
+  /** Linear-interpolation repair of missing readings — [[tsResampleGrid]]
+    * fills a GRID by carry-forward; this repairs the series itself:
+    * deterministically nulled values (`event_id % 7 == 0`) are
+    * reconstructed as `prev + (next − prev)·(t − t_prev)/(t_next − t_prev)`
+    * from the nearest non-null neighbors (edge rows degrade to the one
+    * existing neighbor). One exchange+sort serves all four neighbor
+    * windows — Catalyst plans a single Window over the per-user time
+    * order. Hash-exact UNROUNDED: the formula is +,−,×,÷ on doubles and
+    * exactly-representable µs longs, the same IEEE ops in the same order
+    * in both engines (the geo_radius_join lesson applied from the
+    * start); a 0/0 at duplicate timestamps would yield NaN identically
+    * on both sides, and the gate compares NaN as equal. */
+  def tsInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("ts_us"), col("event_id"),
+      when(col("event_id") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("value")).as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("pt", last(when(col("v").isNotNull, col("ts_us")),
+        ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("nt", first(when(col("v").isNotNull, col("ts_us")),
+        ignoreNulls = true).over(fwd))
+      .filter(col("v").isNull)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("ts_us") - col("pt")).cast("double") /
+              (col("nt") - col("pt")).cast("double")))
+          .as("v_interp"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> mergeUpsert _,
     "scd2_history" -> scd2History _,
@@ -467,5 +504,6 @@ object Warehouse {
     "join_fuzzy_names" -> joinFuzzyNames _,
     "graph_triangles" -> graphTriangles _,
     "ts_resample_grid" -> tsResampleGrid _,
+    "ts_interpolate" -> tsInterpolate _,
   )
 }

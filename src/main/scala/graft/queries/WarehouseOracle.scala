@@ -208,6 +208,33 @@ object WarehouseOracle {
            ELSE 0.0 END AS clustering
          FROM deg LEFT JOIN cnt USING (node) ORDER BY node""",
 
+    "ts_interpolate" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CASE WHEN event_id % 7 = 0 THEN CAST(NULL AS DOUBLE)
+                  ELSE value END AS v
+           FROM events),
+         n AS (SELECT user_id, ts_us, event_id, v,
+             last_value(v IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS)
+               OVER wb AS pt,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS)
+               OVER wf AS nt
+           FROM ev
+           WINDOW
+             wb AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, event_id, ts_us,
+           CASE WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv) *
+                  (CAST(ts_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+           END AS v_interp
+         FROM n WHERE v IS NULL
+         ORDER BY user_id, ts_us, event_id""",
+
     "ts_resample_grid" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value, event_id
            FROM events),

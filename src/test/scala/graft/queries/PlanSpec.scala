@@ -290,6 +290,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "edge sets lost their broadcast")
   }
 
+  test("ts_interpolate: all four neighbor windows share one exchange+sort") {
+    val p = planOf("ts_interpolate")
+    // Spark splits the frames into up to 3 Window nodes, but they must
+    // all stack over ONE hash exchange — the shuffle count is the scale
+    // property, not the node count
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"window chain re-shuffles $exchanges times:\n$p")
+  }
+
+  test("join_bloom_semi: the bloom probe prunes at the scan, before any exchange") {
+    val p = planOf("join_bloom_semi")
+    assert(p.contains("bloom_might_contain_long"),
+      s"bloom probe missing from the plan:\n$p")
+    // the probe must sit in the scan-side filter, not after the join
+    val probeLine = p.linesIterator.indexWhere(_.contains("bloom_might_contain_long"))
+    val joinLine = p.linesIterator.indexWhere(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    assert(probeLine > joinLine, // tree prints top-down: deeper = later line
+      s"bloom filter applied above the join instead of at the scan:\n$p")
+  }
+
   test("join_fuzzy_names: levenshtein runs only inside prefix blocks (equi-join, no cartesian)") {
     val p = planOf("join_fuzzy_names")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

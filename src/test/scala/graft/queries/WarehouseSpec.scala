@@ -208,6 +208,34 @@ class WarehouseSpec extends SparkSpec {
       case Seq(a, b) => a < b; case _ => true })
   }
 
+  test("ts_interpolate: equals brute-force neighbor interpolation, every nulled row repaired") {
+    val ev = graft.core.Tables.eventsTsUs(spark, sf0001)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byUser = ev.groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._2, e._3)).toIndexedSeq).toMap
+    val got = Warehouse.tsInterpolate(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(2), r.getLong(1)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val nulled = ev.filter(_._3 % 7 == 0)
+    assert(got.size == nulled.length, "every nulled reading is repaired")
+    nulled.foreach { case (u, ts, eid, _) =>
+      val series = byUser(u)
+      val i = series.indexWhere(e => e._2 == ts && e._3 == eid)
+      val prev = series.take(i).reverse.find(_._3 % 7 != 0)
+      val next = series.drop(i + 1).find(_._3 % 7 != 0)
+      val want = (prev, next) match {
+        case (Some(p), Some(n)) =>
+          Some(p._4 + (n._4 - p._4) *
+            ((ts - p._2).toDouble / (n._2 - p._2).toDouble))
+        case (Some(p), None) => Some(p._4)
+        case (None, Some(n)) => Some(n._4)
+        case _ => None
+      }
+      assert(got((u, ts, eid)) == want, s"user $u event $eid")
+    }
+  }
+
   test("agg_incremental_merge: merged partials equal a direct full aggregate") {
     val merged = Warehouse.aggIncrementalMerge(spark, sf001).collect()
       .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
