@@ -128,6 +128,32 @@ object Warehouse {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Exact DISCRETE percentiles (p50/p90 per event type) — the
+    * no-interpolation twin of A3's continuous percentile: the value AT
+    * position ⌈p·n⌉ of the sorted group, an actual data value selected
+    * by integer arithmetic, so the oracle is tolerance-free where
+    * interpolated percentiles need rounding. One exchange+sort serves
+    * the row-numbering; the group sizes ride along as a window count.
+    * Tie rows (equal value) are disambiguated by event_id so the row
+    * numbering is total. */
+  def aggPercentileDisc(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val ranked = events(s, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    // value at position ⌈p·n⌉: rn ≤ ⌈n/2⌉ ⟺ 2·rn ≤ n+1, and
+    // rn ≤ ⌈9n/10⌉ ⟺ 10·rn ≤ 9n+9 — pure integer predicates
+    ranked
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("rn") * 2 <= col("n") + 1, col("value"))).as("p50_disc"),
+        max(when(col("rn") * 10 <= col("n") * 9 + 9, col("value"))).as("p90_disc"),
+        max(col("n")).as("n"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-group mode with a deterministic tie-break (highest count, then
     * lowest user_id) — the imputation/top-entity primitive. */
   def aggMode(s: SparkSession, dir: String): DataFrame = {
@@ -496,6 +522,7 @@ object Warehouse {
     "events_funnel" -> eventsFunnel _,
     "events_retention" -> eventsRetention _,
     "agg_mode" -> aggMode _,
+    "agg_percentile_disc" -> aggPercentileDisc _,
     "profile_columns" -> profileColumns _,
     "agg_incremental_merge" -> aggIncrementalMerge _,
     "profile_histogram" -> profileHistogram _,

@@ -71,6 +71,21 @@ object WarehouseOracle {
          FROM ud JOIN cohort USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // same window + integer position predicates as the engine — the
+    // discrete percentile is a SELECTED value, no interpolation, no
+    // tolerance
+    "agg_percentile_disc" ->
+      """WITH r AS (SELECT event_type, value, event_id,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events
+           WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
+         SELECT event_type,
+           max(CASE WHEN rn * 2 <= n + 1 THEN value END) AS p50_disc,
+           max(CASE WHEN rn * 10 <= n * 9 + 9 THEN value END) AS p90_disc,
+           CAST(max(n) AS BIGINT) AS n
+         FROM r GROUP BY event_type ORDER BY event_type""",
+
     "agg_mode" ->
       """WITH c AS (
            SELECT event_type, user_id, count(*) AS n_events
