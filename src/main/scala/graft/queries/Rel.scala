@@ -398,6 +398,36 @@ object Rel {
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"))
 
+  /** TPC-H Q5 shape — the canonical six-table join-order test: local
+    * supplier revenue per nation inside one region and one order-date
+    * year, with the supplier-customer co-nationality predicate that
+    * makes naive join orders explode. The fact table (lineitem) joins
+    * orders on its key; every dimension chain (customer→nation→region,
+    * supplier) broadcasts — the plan the optimizer should find anyway,
+    * pinned here so the one big shuffle is lineitem⋈orders and nothing
+    * else (`PlanSpec`). Revenue rounding parity follows `q1_agg`. */
+  def q5MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val custNation = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")
+        .filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    t(s, dir, "lineitem")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") === col("c_nationkey")) // local supplier
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** J4: left outer join with agg side + null backfill. */
   def joinLeftOuter(s: SparkSession, dir: String): DataFrame = {
     val oc = t(s, dir, "orders")
@@ -661,6 +691,7 @@ object Rel {
     "join_semi" -> joinSemi _,
     "join_anti" -> joinAnti _,
     "join_broadcast_dims" -> joinBroadcastDims _,
+    "q5_multi_join" -> q5MultiJoin _,
     "join_left_outer" -> joinLeftOuter _,
     "join_composite_key" -> joinCompositeKey _,
     "join_theta_pairs" -> joinThetaPairs _,

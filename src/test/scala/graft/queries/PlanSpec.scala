@@ -259,6 +259,15 @@ class PlanSpec extends SparkSpec {
       s"broadcast hint on the dedup anti-join is back:\n$optimized")
   }
 
+  test("q5_multi_join: one fact shuffle; every dimension chain broadcasts") {
+    val p = planOf("q5_multi_join")
+    // the only sort-merge join allowed is lineitem x orders; customer/
+    // nation/region/supplier must all ride broadcasts
+    val smj = p.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(smj <= 1, s"dimension chain fell back to shuffle joins ($smj SMJs):\n$p")
+    assert(p.contains("BroadcastHashJoin"), "dims lost their broadcast")
+  }
+
   test("events_funnel: stage tables broadcast; the event scan never shuffles to join") {
     val p = planOf("events_funnel")
     assert(p.contains("BroadcastHashJoin"), "stage joins lost their broadcast")
