@@ -119,8 +119,11 @@ object Ext {
     * rep pays read + window cost only, not a re-write. Any pinned
     * partitioning yields the same cum_before (the prefix sum is
     * partitioning-invariant given the range sort), so reuse is exact. */
-  def textPackSequences(s: SparkSession, dir: String): DataFrame = {
-    val budget = 2048L
+  /** The distributed doc-order token prefix sum `(doc_id, n_tokens,
+    * cum_before)` — the two-phase machinery [[textPackSequences]]
+    * documents, factored out so [[sampleWeightedTokens]] shares the
+    * staged relation and the partition-offset pass. */
+  private def docTokenCum(s: SparkSession, dir: String): DataFrame = {
     val local = stage("pack_local", s, dir)(
       docsTok(s, dir)
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
@@ -146,6 +149,12 @@ object Ext {
         coalesce(sum(col("n_tokens")).over(perPid), lit(0L)))
       .join(broadcast(offDf), "pid")
       .withColumn("cum_before", col("poff") + col("local_before"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"))
+  }
+
+  def textPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    docTokenCum(s, dir)
       .select(
         col("doc_id"), col("n_tokens"),
         expr(s"cum_before div $budget").as("seq_start"),
@@ -153,6 +162,28 @@ object Ext {
           .otherwise(expr(s"(cum_before + n_tokens - 1) div $budget"))
           .as("seq_end"),
         (col("cum_before") % budget).as("seq_off"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TOKEN-PROPORTIONAL document sampling — systematic sampling on the
+    * cumulative-token axis: a doc is selected iff its token interval
+    * `[cum, cum+n)` contains a multiple of `step`, so selection
+    * probability is proportional to length and exactly |corpus|/step
+    * docs come out — "sample N tokens uniformly", the weighting
+    * training-data subsampling actually needs (doc-uniform sampling
+    * over-represents short docs token-wise). Pure integer predicate
+    * (`⌈cum/step⌉·step < cum+n` — no trunc-vs-floor hazard at 0), over
+    * the same staged distributed prefix sum as [[textPackSequences]].
+    * Rerun-stable and shuffle-free beyond the shared prefix machinery. */
+  def sampleWeightedTokens(s: SparkSession, dir: String): DataFrame = {
+    val step = 1024L
+    docTokenCum(s, dir)
+      .filter(col("n_tokens") > 0)
+      .withColumn("first_grid",
+        expr(s"((cum_before + $step - 1) div $step) * $step"))
+      .filter(col("first_grid") < col("cum_before") + col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+        expr(s"first_grid div $step").as("grid_idx"))
       .orderBy(col("doc_id"))
   }
 
@@ -3014,6 +3045,7 @@ object Ext {
     "text_lang_id" -> textLangId _,
     "text_subword" -> textSubword _,
     "sample_systematic" -> sampleSystematic _,
+    "sample_weighted_tokens" -> sampleWeightedTokens _,
     "sample_stratified" -> sampleStratified _,
     "mix_domains" -> mixDomains _,
     "mix_temperature" -> mixTemperature _,

@@ -276,6 +276,22 @@ object ExtOracle {
            cum_before % 2048 AS seq_off
          FROM c ORDER BY doc_id""",
 
+    // token-proportional systematic sampling over the same single-stream
+    // cumsum — selection is a pure integer predicate
+    "sample_weighted_tokens" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum_before FROM t)
+         SELECT doc_id, n_tokens, cum_before,
+           ((cum_before + 1023) // 1024) AS grid_idx
+         FROM c
+         WHERE n_tokens > 0
+           AND ((cum_before + 1023) // 1024) * 1024 < cum_before + n_tokens
+         ORDER BY doc_id""",
+
     "text_repetition" ->
       s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents)
          SELECT doc_id,

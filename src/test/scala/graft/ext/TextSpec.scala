@@ -124,6 +124,23 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("sample_weighted_tokens: exactly one doc per grid step, interval contains its grid point") {
+    val rows = graft.queries.Ext.sampleWeightedTokens(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(graft.ext.Text.tokens(col("text")).as("t"))
+      .agg(sum(size(col("t")))).collect()(0).getLong(0)
+    // each selected doc owns its OWN grid step (doc length < step here,
+    // so no doc can span two points), and the point sits in its interval
+    assert(rows.map(_._4).distinct.length == rows.length)
+    rows.foreach { case (_, n, cum, grid) =>
+      val point = grid * 1024L
+      assert(point >= cum && point < cum + n, "grid point inside the doc's interval")
+    }
+    // systematic on the token axis: one doc per full step of corpus mass
+    assert(math.abs(rows.length - total / 1024.0) <= 2)
+  }
+
   test("text_dup_span_share: equals a brute-force positional-shingle count") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
