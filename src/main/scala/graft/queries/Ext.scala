@@ -165,6 +165,22 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** EPOCH-FACTOR OVERSAMPLING manifest — the upsampling half of the
+    * mixing kit ([[mixDomains]]/[[mixTemperature]] downsample by rate;
+    * rare-but-valuable domains instead repeat for multiple epochs): each
+    * source gets a deterministic integer epoch factor (1–3 here, derived
+    * from the source id) and every doc emits one manifest row per epoch
+    * — the exact multiset a weighted training loader consumes.
+    * Scan-local generator (sequence+explode), no shuffle beyond the
+    * final order; integer arithmetic end to end. */
+  def mixOversample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("factor",
+        (expr("CAST(substr(source, 4) AS INT)") % 3 + 1).cast("long"))
+      .select(col("doc_id"), col("source"), col("factor"),
+        explode(sequence(lit(0L), col("factor") - 1)).as("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+
   /** TOKEN-PROPORTIONAL document sampling — systematic sampling on the
     * cumulative-token axis: a doc is selected iff its token interval
     * `[cum, cum+n)` contains a multiple of `step`, so selection
@@ -3046,6 +3062,7 @@ object Ext {
     "text_subword" -> textSubword _,
     "sample_systematic" -> sampleSystematic _,
     "sample_weighted_tokens" -> sampleWeightedTokens _,
+    "mix_oversample" -> mixOversample _,
     "sample_stratified" -> sampleStratified _,
     "mix_domains" -> mixDomains _,
     "mix_temperature" -> mixTemperature _,

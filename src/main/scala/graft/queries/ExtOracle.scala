@@ -276,6 +276,14 @@ object ExtOracle {
            cum_before % 2048 AS seq_off
          FROM c ORDER BY doc_id""",
 
+    // epoch-factor upsampling: one manifest row per (doc, epoch)
+    "mix_oversample" ->
+      """SELECT doc_id, source,
+         CAST((CAST(substr(source, 4) AS INT) % 3) + 1 AS BIGINT) AS factor,
+         CAST(unnest(range((CAST(substr(source, 4) AS INT) % 3) + 1)) AS BIGINT)
+           AS epoch
+         FROM documents ORDER BY doc_id, epoch""",
+
     // token-proportional systematic sampling over the same single-stream
     // cumsum — selection is a pure integer predicate
     "sample_weighted_tokens" ->

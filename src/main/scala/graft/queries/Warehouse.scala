@@ -154,6 +154,33 @@ object Warehouse {
       .orderBy(col("event_type"))
   }
 
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands on the DAY axis (where [[Rel.winSessionize]] works
+    * in µs gaps): `day − row_number()` is constant exactly within a
+    * consecutive run, so streaks fall out of one groupBy; the report
+    * rolls up each user's streak count, best length, and the EARLIEST
+    * start among maximal streaks (total order, deterministic). All
+    * integers — zero tolerance. One exchange serves window + both
+    * rollups. */
+  def winStreak(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val streaks = ud
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    val wu = Window.partitionBy(col("user_id"))
+    streaks
+      .withColumn("max_len", max(col("len")).over(wu))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("len")).as("best_len"),
+        min(when(col("len") === col("max_len"), col("start_day")))
+          .as("best_start_day"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-group mode with a deterministic tie-break (highest count, then
     * lowest user_id) — the imputation/top-entity primitive. */
   def aggMode(s: SparkSession, dir: String): DataFrame = {
@@ -523,6 +550,7 @@ object Warehouse {
     "events_retention" -> eventsRetention _,
     "agg_mode" -> aggMode _,
     "agg_percentile_disc" -> aggPercentileDisc _,
+    "win_streak" -> winStreak _,
     "profile_columns" -> profileColumns _,
     "agg_incremental_merge" -> aggIncrementalMerge _,
     "profile_histogram" -> profileHistogram _,

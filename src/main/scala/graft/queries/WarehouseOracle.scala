@@ -71,6 +71,21 @@ object WarehouseOracle {
          FROM ud JOIN cohort USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // gaps-and-islands on the day axis: day - row_number() is constant
+    // within a consecutive run
+    "win_streak" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // $DayUs AS day FROM events),
+         g AS (SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+           FROM ud),
+         st AS (SELECT user_id, grp, count(*) AS len, min(day) AS start_day
+           FROM g GROUP BY 1, 2),
+         m AS (SELECT *, max(len) OVER (PARTITION BY user_id) AS max_len FROM st)
+         SELECT user_id, count(*) AS n_streaks, max(len) AS best_len,
+           min(CASE WHEN len = max_len THEN start_day END) AS best_start_day
+         FROM m GROUP BY user_id ORDER BY user_id""",
+
     // same window + integer position predicates as the engine — the
     // discrete percentile is a SELECTED value, no interpolation, no
     // tolerance

@@ -190,4 +190,61 @@ class StreamQuerySpec extends SparkSpec {
       s"expected the restored-state match (1,200,100) exactly once, got $got")
     Seq(pDir, bDir, ckDir, outDir).foreach(Tmp.deleteRecursively)
   }
+
+  test("checkpoint recovery: funnel progress and pending buffer survive a restart") {
+    // run 1 completes stage 1 (view final under the watermark) and
+    // BUFFERS a not-yet-final click; the restarted run only advances the
+    // watermark via a sentinel — stage 2 can only come from restored
+    // state, and stage 1 must NOT re-emit (tombstoned progress).
+    import graft.core.Tmp
+    import sqlImplicits._
+    val inDir = Tmp.jvmScopedDir("spec_funnel_rec_in", "x")
+    val ckDir = Tmp.jvmScopedDir("spec_funnel_rec_ck", "x")
+    val outDir = Tmp.jvmScopedDir("spec_funnel_rec_out", "x")
+    Seq(inDir, ckDir, outDir).foreach(Tmp.deleteRecursively)
+    new java.io.File(inDir).mkdirs()
+    def stage(name: String, rows: Seq[(Long, Long, Long, Int)]): Unit = {
+      val tmp = Tmp.jvmScopedDir("spec_funnel_rec_stage", name)
+      rows.map { case (u, m, id, k) =>
+        (u, new java.sql.Timestamp(m * 60L * 1000L), m * 60L * 1000000L, id, k) }
+        .toDF("user_id", "t", "ts_us", "event_id", "kind")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(inDir, name).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Tmp.deleteRecursively(tmp)
+    }
+    def runOnce(): Unit = {
+      import sqlImplicits._
+      val in = spark.readStream
+        .schema("user_id BIGINT, t TIMESTAMP, ts_us BIGINT, event_id BIGINT, kind INT")
+        .parquet(inDir)
+        .as[graft.streaming.StreamOps.FunnelEvent]
+      val q = graft.streaming.StreamOps.funnelStream(in, "10 minutes").toDF()
+        .writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.coalesce(1).write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: view @6000 (finalized by the click@6020 advancing the
+    // watermark to 6010) emits stage 1; the click itself stays pending
+    stage("f0.parquet", Seq((1L, 6000L, 1L, 1), (1L, 6020L, 2L, 2)))
+    runOnce()
+    // run 2, restarted: sentinel walks the watermark past the click —
+    // stage 2 must emerge from the RESTORED pending buffer + progress
+    stage("f1.parquet", Seq((-1L, 7000L, -1L, 0)))
+    runOnce()
+    val got = spark.read.parquet(outDir).filter(col("user_id") >= 0)
+      .select(col("stage"), col("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 6000L * 60L * 1000000L), (2L, 6020L * 60L * 1000000L)),
+      s"expected stages 1 and 2 exactly once across the restart, got $got")
+    Seq(inDir, ckDir, outDir).foreach(Tmp.deleteRecursively)
+  }
 }
