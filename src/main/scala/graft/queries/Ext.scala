@@ -176,7 +176,8 @@ object Ext {
   def mixOversample(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("factor",
-        (expr("CAST(substr(source, 4) AS INT)") % 3 + 1).cast("long"))
+        (expr("CAST(regexp_extract(source, '([0-9]+)', 1) AS INT)") % 3 + 1)
+          .cast("long"))
       .select(col("doc_id"), col("source"), col("factor"),
         explode(sequence(lit(0L), col("factor") - 1)).as("epoch"))
       .orderBy(col("doc_id"), col("epoch"))

@@ -279,9 +279,11 @@ object ExtOracle {
     // epoch-factor upsampling: one manifest row per (doc, epoch)
     "mix_oversample" ->
       """SELECT doc_id, source,
-         CAST((CAST(substr(source, 4) AS INT) % 3) + 1 AS BIGINT) AS factor,
-         CAST(unnest(range((CAST(substr(source, 4) AS INT) % 3) + 1)) AS BIGINT)
-           AS epoch
+         CAST((CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 3) + 1
+           AS BIGINT) AS factor,
+         CAST(unnest(range(
+           (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 3) + 1))
+           AS BIGINT) AS epoch
          FROM documents ORDER BY doc_id, epoch""",
 
     // token-proportional systematic sampling over the same single-stream

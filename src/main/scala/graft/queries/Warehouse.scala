@@ -111,15 +111,22 @@ object Warehouse {
       .orderBy(col("user_id"))
   }
 
+  /** THE day axis: distinct `(user_id, day)` with day = exact integer
+    * `µs div 86400e6` — the single definition [[eventsRetention]] and
+    * [[winStreak]] share, so "what is a day" can never diverge between
+    * the retention matrix and the streak report. */
+  private def userDays(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+      .distinct()
+
   /** Cohort retention — users grouped by first active day, counted per
     * day-offset thereafter. The distinct `(user, day)` relation shuffles
     * once; the |users|-sized cohort table broadcasts back onto it, so the
     * retention matrix costs one wide shuffle + one broadcast join at any
-    * scale. Day index is exact integer `µs div 86400e6`. */
+    * scale. */
   def eventsRetention(s: SparkSession, dir: String): DataFrame = {
-    val ud = events(s, dir)
-      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
-      .distinct()
+    val ud = userDays(s, dir)
     val cohort = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
     ud.join(broadcast(cohort), Seq("user_id"))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
@@ -163,8 +170,7 @@ object Warehouse {
     * integers — zero tolerance. One exchange serves window + both
     * rollups. */
   def winStreak(s: SparkSession, dir: String): DataFrame = {
-    val ud = events(s, dir)
-      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day")).distinct()
+    val ud = userDays(s, dir)
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
     val streaks = ud
       .withColumn("grp", col("day") - row_number().over(w))

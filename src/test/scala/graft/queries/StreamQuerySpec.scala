@@ -11,6 +11,39 @@ import graft.SparkSpec
   * makes, minus the engine swap). */
 class StreamQuerySpec extends SparkSpec {
 
+  /** Land `df` as a single parquet part file at `dir/name` — the
+    * append-one-file feed every recovery test uses to extend a running
+    * stream's input between restarted runs. ONE copy of the
+    * write-then-move mechanics so the three recovery harnesses cannot
+    * drift. */
+  private def stagePartFile(df: org.apache.spark.sql.DataFrame,
+      dir: String, name: String): Unit = {
+    val tmp = graft.core.Tmp.jvmScopedDir("spec_stage_part", s"$dir/$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(dir, name).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.core.Tmp.deleteRecursively(tmp)
+  }
+
+  /** One AvailableNow run of a streaming DataFrame into an append
+    * parquet sink under a persistent checkpoint — the restartable
+    * runner shared by the recovery tests. */
+  private def runAvailableNow(outDir: String, ckDir: String)
+      (build: => org.apache.spark.sql.DataFrame): Unit = {
+    val q = build
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.coalesce(1).write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   test("stream_interval_join_sink reproduces the batch interval join") {
     val got = Ext.all("stream_interval_join_sink")(spark, sf0001)
       .collect().map(_.toString).toSeq
@@ -87,32 +120,15 @@ class StreamQuerySpec extends SparkSpec {
     Seq(inDir, ckDir, outDir).foreach(Tmp.deleteRecursively)
     new java.io.File(inDir).mkdirs()
     // epoch-aligned hour windows: minutes 6000–6060 form one window
-    def stage(name: String, minutes: Seq[Long]): Unit = {
-      val tmp = Tmp.jvmScopedDir("spec_recover_stage", name)
-      minutes.map(m => (1L, m * 60L * 1000000L, 1.0))
-        .toDF("user_id", "ts_us", "value")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        new java.io.File(inDir, name).toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      Tmp.deleteRecursively(tmp)
-    }
-    def runOnce(): Unit = {
+    def stage(name: String, minutes: Seq[Long]): Unit =
+      stagePartFile(minutes.map(m => (1L, m * 60L * 1000000L, 1.0))
+        .toDF("user_id", "ts_us", "value"), inDir, name)
+    def runOnce(): Unit = runAvailableNow(outDir, ckDir) {
       val stream = spark.readStream
         .schema("user_id BIGINT, ts_us BIGINT, value DOUBLE")
         .parquet(inDir)
         .withColumn("t", timestamp_micros(col("ts_us")))
-      val q = graft.streaming.StreamOps.tumblingCounts(stream, "1 hour")
-        .writeStream.outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckDir)
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          b.coalesce(1).write.mode("append").parquet(outDir)
-        }
-        .start()
-      q.awaitTermination()
+      graft.streaming.StreamOps.tumblingCounts(stream, "1 hour")
     }
     // run 1: two events in the hour-100 window; watermark (max−10min =
     // 6005) stays below the window end → nothing may emit
@@ -144,34 +160,17 @@ class StreamQuerySpec extends SparkSpec {
     val outDir = Tmp.jvmScopedDir("spec_asof_rec_out", "x")
     Seq(pDir, bDir, ckDir, outDir).foreach(Tmp.deleteRecursively)
     Seq(pDir, bDir).foreach(d => new java.io.File(d).mkdirs())
-    def stage(dir: String, name: String, rows: Seq[(Long, Long, Long)]): Unit = {
-      val tmp = Tmp.jvmScopedDir("spec_asof_rec_stage", s"$dir/$name")
-      rows.map { case (u, m, id) =>
+    def stage(dir: String, name: String, rows: Seq[(Long, Long, Long)]): Unit =
+      stagePartFile(rows.map { case (u, m, id) =>
         (u, new java.sql.Timestamp(m * 60L * 1000L), m * 60L * 1000000L, id) }
-        .toDF("user_id", "t", "ts_us", "ref_id")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        new java.io.File(dir, name).toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      Tmp.deleteRecursively(tmp)
-    }
-    def runOnce(): Unit = {
+        .toDF("user_id", "t", "ts_us", "ref_id"), dir, name)
+    def runOnce(): Unit = runAvailableNow(outDir, ckDir) {
       def rd(path: String) = spark.readStream
         .schema("user_id BIGINT, t TIMESTAMP, ts_us BIGINT, ref_id BIGINT")
         .parquet(path)
-      val q = graft.streaming.StreamOps
+      graft.streaming.StreamOps
         .asofJoinStream(rd(pDir), rd(bDir), "10 minutes")
         .toDF()
-        .writeStream.outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckDir)
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          b.coalesce(1).write.mode("append").parquet(outDir)
-        }
-        .start()
-      q.awaitTermination()
     }
     // run 1: build @6010 and probe @6015 for user 1 — watermark ends at
     // 6005, the probe is NOT final and must be buffered, not emitted
@@ -203,34 +202,16 @@ class StreamQuerySpec extends SparkSpec {
     val outDir = Tmp.jvmScopedDir("spec_funnel_rec_out", "x")
     Seq(inDir, ckDir, outDir).foreach(Tmp.deleteRecursively)
     new java.io.File(inDir).mkdirs()
-    def stage(name: String, rows: Seq[(Long, Long, Long, Int)]): Unit = {
-      val tmp = Tmp.jvmScopedDir("spec_funnel_rec_stage", name)
-      rows.map { case (u, m, id, k) =>
+    def stage(name: String, rows: Seq[(Long, Long, Long, Int)]): Unit =
+      stagePartFile(rows.map { case (u, m, id, k) =>
         (u, new java.sql.Timestamp(m * 60L * 1000L), m * 60L * 1000000L, id, k) }
-        .toDF("user_id", "t", "ts_us", "event_id", "kind")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        new java.io.File(inDir, name).toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      Tmp.deleteRecursively(tmp)
-    }
-    def runOnce(): Unit = {
-      import sqlImplicits._
+        .toDF("user_id", "t", "ts_us", "event_id", "kind"), inDir, name)
+    def runOnce(): Unit = runAvailableNow(outDir, ckDir) {
       val in = spark.readStream
         .schema("user_id BIGINT, t TIMESTAMP, ts_us BIGINT, event_id BIGINT, kind INT")
         .parquet(inDir)
         .as[graft.streaming.StreamOps.FunnelEvent]
-      val q = graft.streaming.StreamOps.funnelStream(in, "10 minutes").toDF()
-        .writeStream.outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckDir)
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          b.coalesce(1).write.mode("append").parquet(outDir)
-        }
-        .start()
-      q.awaitTermination()
+      graft.streaming.StreamOps.funnelStream(in, "10 minutes").toDF()
     }
     // run 1: view @6000 (finalized by the click@6020 advancing the
     // watermark to 6010) emits stage 1; the click itself stays pending
