@@ -2712,18 +2712,33 @@ object Ext {
     * contract as [[streamAsofSink]]: one real file + two sentinel files
     * with ascending mtimes, `maxFilesPerTrigger=1`, so the watermark
     * provably passes every real event before the query stops. */
-  def streamFunnelSink(s: SparkSession, dir: String): DataFrame = {
+  def streamFunnelSink(s: SparkSession, dir: String): DataFrame =
+    streamFunnelSinkImpl(s, dir, tws = false)
+
+  /** [[streamFunnelSink]] on the `transformWithState` API
+    * ([[graft.streaming.StreamOps.FunnelProcessor]]) — the dual-API
+    * proof the sessionize pair established, now for the funnel: both
+    * APIs route through the ONE pure `funnelStep`, and both sinks hash
+    * against the SAME batch oracle. Input staging is shared with the
+    * fMGWS twin (content deterministic per sf dir). */
+  def streamFunnelTwsSink(s: SparkSession, dir: String): DataFrame =
+    streamFunnelSinkImpl(s, dir, tws = true)
+
+  private def streamFunnelSinkImpl(
+      s: SparkSession, dir: String, tws: Boolean): DataFrame = {
     import graft.core.Tmp
-    val log = graft.core.PhaseLog.start("stream_funnel")
+    val log = graft.core.PhaseLog.start(
+      if (tws) "stream_funnel_tws" else "stream_funnel")
     val ev = events(s, dir)
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), timestamp_micros(col("ts_us")).as("t"),
         col("ts_us"), col("event_id"),
         when(col("event_type") === "view", 1)
           .when(col("event_type") === "click", 2).otherwise(3).as("kind"))
-    val inDir = Tmp.jvmScopedDir("stream_funnel_in", dir)
-    val outDir = Tmp.jvmScopedDir("stream_funnel_out", dir)
-    val ckDir = Tmp.jvmScopedDir("stream_funnel_ck", dir)
+    val tag = if (tws) "stream_funnel_tws" else "stream_funnel"
+    val inDir = Tmp.jvmScopedDir("stream_funnel_in", dir) // shared by both APIs
+    val outDir = Tmp.jvmScopedDir(s"${tag}_out", dir)
+    val ckDir = Tmp.jvmScopedDir(s"${tag}_ck", dir)
     val wmUs = 600000000L // 10 min watermark delay
     val stagedMarker = new java.io.File(inDir, "_graft_staged")
     if (!stagedMarker.exists()) {
@@ -2747,9 +2762,13 @@ object Ext {
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
       .as[graft.streaming.StreamOps.FunnelEvent]
-    runStreamToParquet(s, outDir, ckDir,
-      Map("spark.sql.shuffle.partitions" -> "8"), log) {
-      graft.streaming.StreamOps.funnelStream(in, "10 minutes").toDF()
+    val confs = Map("spark.sql.shuffle.partitions" -> "8") ++
+      (if (tws) Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      else Map.empty)
+    runStreamToParquet(s, outDir, ckDir, confs, log) {
+      if (tws) graft.streaming.StreamOps.funnelStreamTws(in, "10 minutes").toDF()
+      else graft.streaming.StreamOps.funnelStream(in, "10 minutes").toDF()
     }
     s.read.parquet(outDir)
       .filter(col("user_id") >= 0)
@@ -3138,6 +3157,7 @@ object Ext {
     "stream_asof_sink" -> streamAsofSink _,
     "stream_enrich_sink" -> streamEnrichSink _,
     "stream_funnel_sink" -> streamFunnelSink _,
+    "stream_funnel_tws_sink" -> streamFunnelTwsSink _,
     "stream_sessionize_tws_sink" -> streamSessionizeTwsSink _,
     "balance_bins" -> balanceBins _,
     "skew_salted_agg" -> skewSaltedAgg _,

@@ -72,6 +72,25 @@ object ExtOracle {
        WHERE doc_id NOT IN (SELECT v FROM losers)
        ORDER BY doc_id"""
 
+  /** The batch funnel (chained conditional minimums) unpivoted to one
+    * row per reached stage — shared by BOTH streaming funnel sinks. */
+  private val funnelSinkSql =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev
+              WHERE event_type = 'view' GROUP BY user_id),
+       s2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM ev e
+              JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts_us > s1.t1
+              GROUP BY e.user_id),
+       s3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM ev e
+              JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2
+              GROUP BY e.user_id)
+       SELECT user_id, CAST(1 AS BIGINT) AS stage, t1 AS ts_us FROM s1
+       UNION ALL SELECT user_id, 2, t2 FROM s2
+       UNION ALL SELECT user_id, 3, t3 FROM s3
+       ORDER BY user_id, stage"""
+
   /** Sequential double dot product of two FLOAT[] lists. */
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
@@ -1072,22 +1091,10 @@ object ExtOracle {
 
     // the batch funnel (chained conditional minimums) unpivoted to one
     // row per reached stage — the streaming machine must reproduce it
-    "stream_funnel_sink" ->
-      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
-         s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev
-                WHERE event_type = 'view' GROUP BY user_id),
-         s2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM ev e
-                JOIN s1 ON e.user_id = s1.user_id
-                WHERE e.event_type = 'click' AND e.ts_us > s1.t1
-                GROUP BY e.user_id),
-         s3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM ev e
-                JOIN s2 ON e.user_id = s2.user_id
-                WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2
-                GROUP BY e.user_id)
-         SELECT user_id, CAST(1 AS BIGINT) AS stage, t1 AS ts_us FROM s1
-         UNION ALL SELECT user_id, 2, t2 FROM s2
-         UNION ALL SELECT user_id, 3, t3 FROM s3
-         ORDER BY user_id, stage""",
+    "stream_funnel_sink" -> funnelSinkSql,
+    // same oracle for the transformWithState twin — both APIs route
+    // through the one pure funnelStep and must reproduce the batch funnel
+    "stream_funnel_tws_sink" -> funnelSinkSql,
 
     // the oracle is the PLAIN join — equal hashes prove the salting is
     // result-invisible

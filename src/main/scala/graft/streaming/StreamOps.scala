@@ -441,6 +441,56 @@ object StreamOps {
       }
   }
 
+  /** [[funnelStream]] on the `transformWithState` API — the same
+    * [[funnelStep]] state machine driven by explicit `ValueState` +
+    * event-time timers (the dual-API pattern [[SessionProcessor]] set):
+    * input rows and expired timers both route through the ONE pure step,
+    * so the two APIs cannot diverge semantically. */
+  class FunnelProcessor
+    extends StatefulProcessor[Long, FunnelEvent, FunnelHit] {
+
+    @transient private var state: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FunnelState](
+        "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+
+    private def step(key: Long, evs: Seq[FunnelEvent], wmUs: Long)
+        : Iterator[FunnelHit] = {
+      val st0 = if (state.exists()) state.get()
+        else FunnelState(Nil, 0, -1L, -1L, -1L)
+      val (out, next, timer) = funnelStep(key, evs, st0, wmUs)
+      next.foreach { st =>
+        state.update(st)
+        timer.foreach(ms => getHandle.registerTimer(ms))
+      }
+      out.iterator
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[FunnelEvent],
+        tv: TimerValues): Iterator[FunnelHit] =
+      step(key, rows.toSeq, tv.getCurrentWatermarkInMs() * 1000L)
+
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[FunnelHit] =
+      step(key, Nil, tv.getCurrentWatermarkInMs() * 1000L)
+  }
+
+  /** [[funnelStream]] via [[FunnelProcessor]] (requires the RocksDB state
+    * store provider, like [[sessionizeTws]]). */
+  def funnelStreamTws(
+      events: Dataset[FunnelEvent],
+      watermarkDelay: String = "10 minutes"): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("t", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new FunnelProcessor, TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Stream-static enrichment join: each streaming event picks up its
     * key's static dimension row — the streaming twin of the batch
     * broadcast dim join (J2/J3). Stateless: the static side is (re)read
