@@ -388,6 +388,54 @@ class StreamOpsSpec extends SparkSpec {
     assert(outP.map(m => (m.probe_id, m.build_id)) == Seq((200L, 103L)))
   }
 
+  test("funnelStep property: any watermark chunking emits exactly the one-shot hit sequence") {
+    // 100 seeded random event sequences, each delivered (a) in one step
+    // with the watermark past everything, and (b) in random arrival
+    // order across a random ascending watermark ladder — the hit
+    // sequences must be identical. This is the strongest statement of
+    // the machine's event-time correctness: delivery order and batch
+    // boundaries are invisible.
+    import StreamOps.{FunnelEvent, FunnelState}
+    val rnd = new scala.util.Random(7)
+    def us(minute: Long) = BaseUs + minute * 60L * 1000000L
+    val empty = FunnelState(Nil, 0, -1L, -1L, -1L)
+    (1 to 100).foreach { trial =>
+      val n = 3 + rnd.nextInt(12)
+      val evs = (1 to n).map { i =>
+        val m = 1 + rnd.nextInt(50)
+        FunnelEvent(1L, new Timestamp(us(m) / 1000L), us(m), i.toLong,
+          1 + rnd.nextInt(3))
+      }
+      val (oneShot, _, _) = StreamOps.funnelStep(1L, evs, empty, us(1000))
+      // random ladder: shuffle arrival, split into chunks, advance the
+      // watermark monotonically between steps, finish past everything
+      val arrival = rnd.shuffle(evs)
+      val cuts = (0 until 2 + rnd.nextInt(3))
+        .map(_ => rnd.nextInt(arrival.size + 1)).sorted
+      val chunks = (Seq(0) ++ cuts ++ Seq(arrival.size)).distinct.sorted
+        .sliding(2).map { case Seq(a, b) => arrival.slice(a, b) }.toSeq
+      // the watermark contract: it may only advance to the minimum ts
+      // still UNDELIVERED — the engine never hands the operator an event
+      // older than a watermark it already announced
+      var wm = 0L
+      var st = empty
+      var delivered = 0
+      val got = scala.collection.mutable.ArrayBuffer.empty[StreamOps.FunnelHit]
+      chunks.foreach { chunk =>
+        delivered += chunk.size
+        val undelivered = arrival.drop(delivered)
+        val bound = if (undelivered.isEmpty) us(1000)
+          else undelivered.map(_.ts_us).min
+        wm = math.max(wm, math.min(bound, us(rnd.nextInt(60).toLong)))
+        val (h, next, _) = StreamOps.funnelStep(1L, chunk, st, wm)
+        got ++= h; st = next.get
+      }
+      val (hFinal, _, _) = StreamOps.funnelStep(1L, Nil, st, us(1000))
+      got ++= hFinal
+      assert(got.toSeq == oneShot, s"trial $trial: chunked=$got oneShot=$oneShot")
+    }
+  }
+
   test("funnelStep: watermark chunking preserves batch semantics; tombstone never re-emits") {
     import StreamOps.{FunnelEvent, FunnelHit, FunnelState}
     def us(minute: Long) = BaseUs + minute * 60L * 1000000L
