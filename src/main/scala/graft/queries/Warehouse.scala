@@ -57,6 +57,114 @@ object Warehouse {
       .orderBy(col("o_orderkey"))
   }
 
+  /** CDC LOG COMPACTION + APPLY — the general form of [[mergeUpsert]]:
+    * a change log carries multiple sequenced ops per key (U…U, U→D,
+    * inserts) and the LAST op wins — compaction is one row_number window
+    * over (key, seq desc) with a documented op tie-break, then deletes
+    * anti-join, upserts override, inserts append. The log here is
+    * derived deterministically from the base so the oracle rebuilds the
+    * identical feed: seq 1 updates every 5th key (+10), seq 2 re-updates
+    * every 10th (+20, superseding) and DELETES every 11th (a %55 key
+    * sees U then D → net delete; a %110 key has two seq-2 ops → 'D' < 'U'
+    * alphabetically, D wins, documented), inserts at key+20M. Scale:
+    * compaction shuffles the LOG (not the base) once; the apply is the
+    * merge shape. */
+  def mergeCdc(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val log = base.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") + 10.0).as("price"),
+        lit("U").as("op"), lit(1L).as("seq"))
+      .unionAll(base.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 20.0).as("price"),
+          lit("U").as("op"), lit(2L).as("seq")))
+      .unionAll(base.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"), lit(0.0).as("price"),
+          lit("D").as("op"), lit(2L).as("seq")))
+      .unionAll(base.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+          col("o_totalprice").as("price"), lit("I").as("op"), lit(1L).as("seq")))
+    val latest = log.withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_orderkey"))
+          .orderBy(col("seq").desc, col("op").asc)))
+      .filter(col("rn") === 1)
+    val dels = latest.filter(col("op") === "D").select(col("o_orderkey"))
+    val lives = latest.filter(col("op") =!= "D")
+      .select(col("o_orderkey"), col("price").as("o_totalprice"), col("op").as("src"))
+    base
+      .join(latest.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .withColumn("src", lit("B"))
+      .unionByName(lives)
+      .join(dels, Seq("o_orderkey"), "left_anti")
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** SNAPSHOT DIFF — the table-to-table change report data ops run
+    * before promoting a new corpus generation: full-outer join two
+    * snapshots on the key and classify every difference as Added /
+    * Removed / Changed (with old and new values side by side; unchanged
+    * rows — the overwhelming majority — are filtered before the sink).
+    * The "next" snapshot is a deterministic mutation of the base so the
+    * oracle reconstructs both sides. One shuffle on the key; at 100 TB
+    * both snapshots bucket on the key and the diff is co-located. */
+  def diffSnapshots(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val next = base.filter(col("o_orderkey") % 17 =!= 0) // removals
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 50.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderstatus"))
+      .unionByName(base.filter(col("o_orderkey") % 89 === 0) // additions
+        .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+          col("o_totalprice"), col("o_orderstatus")))
+    val a = base.select(col("o_orderkey"), col("o_totalprice").as("old_price"),
+      col("o_orderstatus").as("old_status"))
+    val b = next.select(col("o_orderkey"), col("o_totalprice").as("new_price"),
+      col("o_orderstatus").as("new_status"))
+    a.join(b, Seq("o_orderkey"), "full")
+      .withColumn("change",
+        when(col("old_price").isNull, lit("A"))
+          .when(col("new_price").isNull, lit("R"))
+          .when(col("old_price") =!= col("new_price") ||
+            col("old_status") =!= col("new_status"), lit("C")))
+      .filter(col("change").isNotNull)
+      .select(col("o_orderkey"), col("change"),
+        col("old_price"), col("new_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Pareto / ABC analysis — parts ranked by revenue with cumulative
+    * share classes (A ≤ 80 %, B ≤ 95 %, C above) — ENTIRELY in integer
+    * cents: per-row `round(price·100)` is the same nearest-integer in
+    * both engines, cent sums are exact longs, and the cumulative share
+    * is `cum·10⁶ div total` ppm — so the running sum is order-exact
+    * where a double cumsum would be at the mercy of each engine's
+    * window-sum association. The global ranking window runs over the
+    * DIMENSION-sized per-part rollup (the day-axis argument); at a
+    * 100 M-part catalog the same two-phase prefix sum as
+    * text_pack_sequences applies. */
+  def winParetoAbc(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev_cents"))
+    val w = Window.orderBy(col("rev_cents").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+      .withColumn("total", sum(col("rev_cents")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // parts-per-100k, not ppm: cum·10⁵ stays under 2⁶³ up to ~$920 B
+      // of cumulative cents (ppm would overflow at sf1's ~$180 B)
+      .withColumn("share_p100k", expr("(cum_cents * 100000) div total"))
+      .withColumn("abc",
+        when(col("share_p100k") <= 80000L, "A")
+          .when(col("share_p100k") <= 95000L, "B").otherwise("C"))
+      .select(col("l_partkey"), col("rev_cents"), col("cum_cents"),
+        col("share_p100k"), col("abc"))
+      .orderBy(col("l_partkey"))
+  }
+
   /** SCD type 2 — validity-interval history of each user's `event_type`
     * attribute: consecutive runs collapse to one row with
     * `[valid_from, valid_to)` microsecond bounds, a per-user version
@@ -551,6 +659,9 @@ object Warehouse {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> mergeUpsert _,
+    "merge_cdc" -> mergeCdc _,
+    "diff_snapshots" -> diffSnapshots _,
+    "win_pareto_abc" -> winParetoAbc _,
     "scd2_history" -> scd2History _,
     "events_funnel" -> eventsFunnel _,
     "events_retention" -> eventsRetention _,

@@ -24,6 +24,77 @@ object WarehouseOracle {
          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
          ORDER BY o_orderkey""",
 
+    "merge_cdc" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+         log AS (
+           SELECT o_orderkey, o_totalprice + 10.0 AS price, 'U' AS op, 1 AS seq
+           FROM base WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT o_orderkey, o_totalprice + 20.0, 'U', 2
+           FROM base WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey, 0.0, 'D', 2 FROM base WHERE o_orderkey % 11 = 0
+           UNION ALL
+           SELECT o_orderkey + 20000000, o_totalprice, 'I', 1
+           FROM base WHERE o_orderkey % 97 = 0),
+         latest AS (
+           SELECT * FROM (SELECT *, row_number() OVER
+               (PARTITION BY o_orderkey ORDER BY seq DESC, op ASC) AS rn
+             FROM log) WHERE rn = 1)
+         SELECT b.o_orderkey, b.o_totalprice, 'B' AS src FROM base b
+         WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+         UNION ALL
+         SELECT o_orderkey, price, op FROM latest WHERE op <> 'D'
+         ORDER BY o_orderkey""",
+
+    "diff_snapshots" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+         nxt AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 50.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+           FROM base WHERE o_orderkey % 17 <> 0
+           UNION ALL
+           SELECT o_orderkey + 30000000, o_totalprice, o_orderstatus
+           FROM base WHERE o_orderkey % 89 = 0),
+         j AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             a.o_totalprice AS old_price, a.o_orderstatus AS old_status,
+             b.o_totalprice AS new_price, b.o_orderstatus AS new_status
+           FROM base a FULL JOIN nxt b ON a.o_orderkey = b.o_orderkey)
+         SELECT o_orderkey,
+           CASE WHEN old_price IS NULL THEN 'A'
+                WHEN new_price IS NULL THEN 'R'
+                WHEN old_price <> new_price OR old_status <> new_status THEN 'C'
+           END AS change,
+           old_price, new_price
+         FROM j
+         WHERE old_price IS NULL OR new_price IS NULL
+            OR old_price <> new_price OR old_status <> new_status
+         ORDER BY o_orderkey""",
+
+    // integer cents end to end: round(price*100) is the same nearest
+    // integer in both engines, cent sums are exact longs, cumulative
+    // share in parts-per-100k via integral division
+    "win_pareto_abc" ->
+      """WITH rev AS (
+           SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+           FROM lineitem GROUP BY l_partkey),
+         c AS (SELECT l_partkey, rev_cents,
+             CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_cents,
+             CAST(sum(rev_cents) OVER () AS BIGINT) AS total
+           FROM rev)
+         SELECT l_partkey, rev_cents, cum_cents,
+           (cum_cents * 100000) // total AS share_p100k,
+           CASE WHEN (cum_cents * 100000) // total <= 80000 THEN 'A'
+                WHEN (cum_cents * 100000) // total <= 95000 THEN 'B'
+                ELSE 'C' END AS abc
+         FROM c ORDER BY l_partkey""",
+
     "scd2_history" ->
       """WITH ch AS (
            SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,

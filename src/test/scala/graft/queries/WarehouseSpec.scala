@@ -146,6 +146,52 @@ class WarehouseSpec extends SparkSpec {
     assert(base.keys.forall(byKey.contains))
   }
 
+  test("merge_cdc: last op wins per key; deletes remove; brute-force equal") {
+    val base = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val want = scala.collection.mutable.Map.empty[Long, (Double, String)]
+    base.foreach { case (k, p) => want(k) = (p, "B") }
+    base.keys.foreach { k =>
+      // replay in seq order; within seq 2 the 'D' < 'U' tie-break
+      if (k % 5 == 0) want(k) = (base(k) + 10.0, "U")
+      if (k % 97 == 0) want(k + 20000000L) = (base(k), "I")
+      if (k % 11 == 0) want.remove(k) // seq-2 D beats any seq-2 U on ties
+      else if (k % 10 == 0) want(k) = (base(k) + 20.0, "U")
+    }
+    val got = Warehouse.mergeCdc(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(got == want.toMap)
+  }
+
+  test("win_pareto_abc: conservation, monotone cumulative, correct class boundaries") {
+    val rows = Warehouse.winParetoAbc(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val total = rows.map(_._2).sum
+    assert(rows.map(_._3).max == total, "last cumulative equals the total")
+    // resort into ranking order and check monotone + exact share math
+    val ranked = rows.sortBy(r => (-r._2, r._1))
+    ranked.foldLeft(0L) { case (prev, (_, rev, cum, p100k, abc)) =>
+      assert(cum == prev + rev, "cumulative is exact cent addition")
+      assert(p100k == cum * 100000L / total)
+      assert(abc == (if (p100k <= 80000) "A" else if (p100k <= 95000) "B" else "C"))
+      cum
+    }
+  }
+
+  test("diff_snapshots: every emitted row is a real difference, every mutation is emitted") {
+    val rows = Warehouse.diffSnapshots(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val keys = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    keys.foreach { k =>
+      if (k % 17 == 0) assert(rows.get(k).contains("R"), s"removed $k")
+      else if (k % 13 == 0) assert(rows.get(k).contains("C"), s"changed $k")
+      else assert(!rows.contains(k), s"unchanged $k must not be emitted")
+      if (k % 89 == 0) assert(rows.get(k + 30000000L).contains("A"), s"added $k")
+    }
+  }
+
   test("scd2_history: intervals tile each user's timeline with no gaps or overlaps") {
     val rows = Warehouse.scd2History(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
