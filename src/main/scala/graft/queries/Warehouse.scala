@@ -295,6 +295,38 @@ object Warehouse {
       .orderBy(col("user_id"))
   }
 
+  /** ROBUST outlier report — median / MAD / |outliers| per event type,
+    * the heavy-tail-safe alternative to z-scores (stddev is itself
+    * blown up by the outliers it should flag). Both the median and the
+    * MAD are DISCRETE selections (the [[aggPercentileDisc]] integer
+    * position predicate), deviations are single IEEE subtractions, and
+    * the 3×MAD outlier threshold is one multiply+compare on identical
+    * doubles — so the whole report is hash-exact with zero tolerance,
+    * where any interpolated/stddev formulation would need rounding.
+    * Two window passes (value rank, then deviation rank), each over one
+    * exchange; the per-type medians broadcast back. */
+  def aggRobustOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("value"), col("event_id"))
+    def discMedian(df: DataFrame, v: String, out: String) = {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col(v).asc, col("event_id").asc)
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("rn") * 2 <= col("n") + 1, col(v))).as(out))
+    }
+    val med = discMedian(ev, "value", "median")
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("median")))
+    val mad = discMedian(dev, "dev", "mad")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("median")).as("median"), max(col("mad")).as("mad"),
+        sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-group mode with a deterministic tie-break (highest count, then
     * lowest user_id) — the imputation/top-entity primitive. */
   def aggMode(s: SparkSession, dir: String): DataFrame = {
@@ -668,6 +700,7 @@ object Warehouse {
     "agg_mode" -> aggMode _,
     "agg_percentile_disc" -> aggPercentileDisc _,
     "win_streak" -> winStreak _,
+    "agg_robust_outliers" -> aggRobustOutliers _,
     "profile_columns" -> profileColumns _,
     "agg_incremental_merge" -> aggIncrementalMerge _,
     "profile_histogram" -> profileHistogram _,

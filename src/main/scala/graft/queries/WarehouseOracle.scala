@@ -142,6 +142,36 @@ object WarehouseOracle {
          FROM ud JOIN cohort USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // median and MAD as DISCRETE selections (the percentile_disc
+    // position predicate), deviations/threshold as identical IEEE ops
+    "agg_robust_outliers" ->
+      """WITH ev AS (SELECT event_type, value, event_id FROM events),
+         r1 AS (SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM ev),
+         med AS (SELECT event_type,
+             max(CASE WHEN rn * 2 <= n + 1 THEN value END) AS median
+           FROM r1 GROUP BY event_type),
+         dv AS (SELECT e.event_type, e.value, e.event_id, m.median,
+             abs(e.value - m.median) AS dev
+           FROM ev e JOIN med m USING (event_type)),
+         r2 AS (SELECT event_type, dev,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY dev, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM dv),
+         mad AS (SELECT event_type,
+             max(CASE WHEN rn * 2 <= n + 1 THEN dev END) AS mad
+           FROM r2 GROUP BY event_type)
+         SELECT d.event_type, count(*) AS n,
+           max(d.median) AS median, max(m.mad) AS mad,
+           CAST(sum(CASE WHEN d.dev > m.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+         FROM dv d JOIN mad m USING (event_type)
+         GROUP BY d.event_type ORDER BY d.event_type""",
+
     // gaps-and-islands on the day axis: day - row_number() is constant
     // within a consecutive run
     "win_streak" ->

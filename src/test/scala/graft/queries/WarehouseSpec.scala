@@ -192,6 +192,28 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("agg_robust_outliers: matches a brute-force sorted-selection median/MAD") {
+    val ev = graft.core.Tables.eventsTsUs(spark, sf0001)
+      .select(col("event_type"), col("value"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    def disc(xs: Seq[(Double, Long)]): Double = {
+      val sorted = xs.sortBy(identity)
+      sorted((sorted.size + 1) / 2 - 1)._1 // value at ceil(n/2), 1-based
+    }
+    val want = ev.groupBy(_._1).map { case (t, rows) =>
+      val med = disc(rows.map(r => (r._2, r._3)).toSeq)
+      val devs = rows.map(r => (math.abs(r._2 - med), r._3)).toSeq
+      val mad = disc(devs)
+      t -> ((rows.length.toLong, med, mad, devs.count(_._1 > mad * 3).toLong))
+    }
+    val got = Warehouse.aggRobustOutliers(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got == want)
+    // the report must actually flag something on a uniform-ish feed
+    assert(got.values.exists(_._4 > 0))
+  }
+
   test("scd2_history: intervals tile each user's timeline with no gaps or overlaps") {
     val rows = Warehouse.scd2History(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
