@@ -327,6 +327,42 @@ object Warehouse {
       .orderBy(col("event_type"))
   }
 
+  /** Event-type TRANSITION MATRIX — consecutive-pair counts per user
+    * stream (the first-order Markov statistics behavior models train
+    * on), plus each source state's outgoing total so row probabilities
+    * are reconstructible without floats. One lag window over the
+    * per-user time order (ts, event_id tie-break), one count shuffle —
+    * all integers, zero tolerance. */
+  def eventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val pairs = events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("from_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Seasonality rollup — events per (day-of-week, hour-of-day). DOW
+    * comes from pure EPOCH ARITHMETIC, `(epoch_days + 4) % 7` with
+    * 0 = Sunday (1970-01-01 was a Thursday) — NOT from each engine's
+    * dayofweek() (Spark counts 1 = Sunday, DuckDB 0 = Sunday; the
+    * calendar functions are a classic silent cross-engine divergence).
+    * Hour is `µs div 3600e6 % 24` — UTC by construction. Scan-local
+    * derivation, one 168-row aggregate. */
+  def aggSeasonality(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(expr(s"(ts_us div $DayUs + 4) % 7").as("dow"),
+        expr("(ts_us div 3600000000) % 24").as("hour"),
+        col("value"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .orderBy(col("dow"), col("hour"))
+
   /** Per-group mode with a deterministic tie-break (highest count, then
     * lowest user_id) — the imputation/top-entity primitive. */
   def aggMode(s: SparkSession, dir: String): DataFrame = {
@@ -701,6 +737,8 @@ object Warehouse {
     "agg_percentile_disc" -> aggPercentileDisc _,
     "win_streak" -> winStreak _,
     "agg_robust_outliers" -> aggRobustOutliers _,
+    "events_transitions" -> eventsTransitions _,
+    "agg_seasonality" -> aggSeasonality _,
     "profile_columns" -> profileColumns _,
     "agg_incremental_merge" -> aggIncrementalMerge _,
     "profile_histogram" -> profileHistogram _,

@@ -142,6 +142,26 @@ object WarehouseOracle {
          FROM ud JOIN cohort USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "events_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev_type
+           FROM events),
+         p AS (SELECT prev_type AS from_type, event_type AS to_type,
+             count(*) AS n
+           FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total
+         FROM p ORDER BY from_type, to_type""",
+
+    // dow from pure epoch arithmetic — each engine's dayofweek() counts
+    // differently (Spark 1=Sun, DuckDB 0=Sun), the classic divergence
+    "agg_seasonality" ->
+      s"""SELECT (epoch_us(ts) // $DayUs + 4) % 7 AS dow,
+         (epoch_us(ts) // 3600000000) % 24 AS hour,
+         count(*) AS n, round(sum(value), 2) AS sum_v
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // median and MAD as DISCRETE selections (the percentile_disc
     // position predicate), deviations/threshold as identical IEEE ops
     "agg_robust_outliers" ->
