@@ -327,6 +327,59 @@ object Warehouse {
       .orderBy(col("event_type"))
   }
 
+  /** WITHIN-SESSION LAST-TOUCH ATTRIBUTION — for every purchase, the
+    * most recent view/click STRICTLY BEFORE it inside the same 30-min
+    * session (the marketing-attribution primitive [[eventsFunnel]]'s
+    * global ordering can't express): sessionize (the shared
+    * gaps-and-islands kit), then one `last(…, ignoreNulls)` window with
+    * an UNBOUNDED-to-−1 frame per (user, session). Purchases opening a
+    * session attribute to `none`. One exchange serves sessionization
+    * and the touch window. */
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.core.Sessionize.withSessionId(
+      events(s, dir), Seq("user_id"), col("ts_us"),
+      gapMicros = 1800L * 1000000L, tieBreak = Seq(col("event_id")))
+    val prior = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("view", "click")
+    sess
+      .withColumn("touch_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(prior))
+      .withColumn("touch_id",
+        last(when(isTouch, col("event_id")), ignoreNulls = true).over(prior))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("session_id"),
+        col("event_id").as("purchase_id"),
+        coalesce(col("touch_type"), lit("none")).as("touch_type"),
+        col("touch_id"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** CLAMPED RUNNING BALANCE — a running sum that floors at zero
+    * (inventory/credit semantics: you cannot ship stock you don't
+    * have). Naively this needs a stateful scan — `b_t = max(0,
+    * b_{t−1} + x_t)` looks non-relational — but it has the closed form
+    * `b_t = cum_t − min(0, min_{s≤t} cum_s)`, so TWO stacked window
+    * aggregates over ONE exchange+sort compute it exactly. Deltas are
+    * integer cents (round(value·100) − 5000), so every balance is an
+    * exact long. The identity is property-pinned in the spec against a
+    * sequential fold. */
+  def winClampedBalance(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("ts_us"), col("event_id"),
+      (expr("CAST(round(value * 100) AS BIGINT)") - 5000L).as("delta"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("cum", sum(col("delta")).over(w))
+      .withColumn("balance",
+        col("cum") - least(lit(0L), min(col("cum")).over(w)))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("delta"),
+        col("balance"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
   /** Event-type TRANSITION MATRIX — consecutive-pair counts per user
     * stream (the first-order Markov statistics behavior models train
     * on), plus each source state's outgoing total so row probabilities
@@ -738,6 +791,8 @@ object Warehouse {
     "win_streak" -> winStreak _,
     "agg_robust_outliers" -> aggRobustOutliers _,
     "events_transitions" -> eventsTransitions _,
+    "events_attribution" -> eventsAttribution _,
+    "win_clamped_balance" -> winClampedBalance _,
     "agg_seasonality" -> aggSeasonality _,
     "profile_columns" -> profileColumns _,
     "agg_incremental_merge" -> aggIncrementalMerge _,

@@ -142,6 +142,54 @@ object WarehouseOracle {
          FROM ud JOIN cohort USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // the win_sessionize session CTE + a strictly-prior last-touch window
+    "events_attribution" ->
+      """WITH g AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         sess AS (
+           SELECT *, CAST(sum(brk) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+           FROM g),
+         t AS (
+           SELECT *,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                 THEN event_type END IGNORE NULLS) OVER p AS touch_type,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                 THEN event_id END IGNORE NULLS) OVER p AS touch_id
+           FROM sess
+           WINDOW p AS (PARTITION BY user_id, session_id
+             ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT user_id, session_id, event_id AS purchase_id,
+           coalesce(touch_type, 'none') AS touch_type, touch_id
+         FROM t WHERE event_type = 'purchase'
+         ORDER BY purchase_id""",
+
+    // clamped running sum via the closed form cum - min(0, prefix-min cum)
+    // — two stacked windows, all integer cents
+    "win_clamped_balance" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CAST(round(value * 100) AS BIGINT) - 5000 AS delta
+           FROM events),
+         c AS (SELECT *,
+             CAST(sum(delta) OVER w AS BIGINT) AS cum
+           FROM d
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id, ts_us, delta,
+           cum - least(0, CAST(min(cum) OVER w AS BIGINT)) AS balance
+         FROM c
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, ts_us, event_id""",
+
     "events_transitions" ->
       """WITH seq AS (SELECT user_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id

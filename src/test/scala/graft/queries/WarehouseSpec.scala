@@ -192,6 +192,46 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("win_clamped_balance: the window identity equals the sequential clamped fold") {
+    val got = Warehouse.winClampedBalance(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1), r.getLong(3), r.getLong(4)))
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      var b = 0L
+      rows.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, delta, balance) =>
+        b = math.max(0L, b + delta)
+        assert(balance == b)
+      }
+    }
+    // the clamp must have actually engaged somewhere
+    assert(got.exists(_._5 == 0L))
+  }
+
+  test("events_attribution: latest prior view/click within the session, none across gaps") {
+    val gap = 1800L * 1000000L
+    val ev = graft.core.Tables.eventsTsUs(spark, sf0001)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      var lastTs = Long.MinValue
+      var touch: Option[(String, Long)] = None
+      sorted.flatMap { case (_, ts, id, ty) =>
+        if (lastTs != Long.MinValue && ts - lastTs > gap) touch = None // new session
+        lastTs = ts
+        val out = if (ty == "purchase")
+          Some(id -> touch.map(t => (t._1, t._2)))
+        else None
+        if (ty == "view" || ty == "click") touch = Some((ty, id))
+        out
+      }
+    }
+    val got = Warehouse.eventsAttribution(spark, sf0001).collect()
+      .map(r => r.getLong(2) -> (if (r.getString(3) == "none") None
+        else Some((r.getString(3), r.getLong(4))))).toMap
+    assert(got == want.toMap)
+    assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
+  }
+
   test("agg_robust_outliers: matches a brute-force sorted-selection median/MAD") {
     val ev = graft.core.Tables.eventsTsUs(spark, sf0001)
       .select(col("event_type"), col("value"), col("event_id")).collect()
