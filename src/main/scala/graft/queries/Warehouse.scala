@@ -380,6 +380,36 @@ object Warehouse {
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
+  /** QUANTILE NORMALIZATION — map every value onto the GLOBAL
+    * distribution at its within-group relative rank (the batch-effect /
+    * score-calibration transform: after it, every event type has the
+    * same value distribution). Entirely SELECTION-based: within-group
+    * rank r of n_g maps to global position ⌈r·N/n_g⌉ (one integer
+    * expression), and the normalized value is the global order
+    * statistic AT that position — an actual data value, so the
+    * transform is hash-exact with no interpolation anywhere. Two rank
+    * windows + one equi-join on position; the global ranking runs over
+    * the same dimension-size caveat as [[winParetoAbc]]. */
+  def mixQuantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("value"), col("event_id"))
+    val n = ev.count() // driver-sized scalar (A9 pattern)
+    val wg = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val ranked = ev
+      .withColumn("r", row_number().over(wg).cast("long"))
+      .withColumn("n_g", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))).cast("long"))
+      .withColumn("pos", expr(s"(r * ${n}L + n_g - 1) div n_g"))
+    val globalOrder = ev
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("value").asc, col("event_id").asc)).cast("long"))
+      .select(col("pos"), col("value").as("norm_value"))
+    ranked.join(globalOrder, Seq("pos"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("norm_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Event-type TRANSITION MATRIX — consecutive-pair counts per user
     * stream (the first-order Markov statistics behavior models train
     * on), plus each source state's outgoing total so row probabilities
@@ -793,6 +823,7 @@ object Warehouse {
     "events_transitions" -> eventsTransitions _,
     "events_attribution" -> eventsAttribution _,
     "win_clamped_balance" -> winClampedBalance _,
+    "mix_quantile_normalize" -> mixQuantileNormalize _,
     "agg_seasonality" -> aggSeasonality _,
     "profile_columns" -> profileColumns _,
     "agg_incremental_merge" -> aggIncrementalMerge _,

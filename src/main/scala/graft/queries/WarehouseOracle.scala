@@ -142,6 +142,25 @@ object WarehouseOracle {
          FROM ud JOIN cohort USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // selection-based quantile normalization: within-group rank maps to
+    // the global order statistic at ceil(r*N/n_g) — no interpolation
+    "mix_quantile_normalize" ->
+      """WITH ev AS (SELECT event_type, value, event_id FROM events),
+         g AS (SELECT *,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS BIGINT) AS r,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_g,
+             CAST((SELECT count(*) FROM ev) AS BIGINT) AS n
+           FROM ev),
+         ranked AS (SELECT *, (r * n + n_g - 1) // n_g AS pos FROM g),
+         gord AS (SELECT CAST(row_number() OVER (ORDER BY value, event_id)
+               AS BIGINT) AS pos,
+             value AS norm_value
+           FROM ev)
+         SELECT event_id, event_type, ranked.value, norm_value
+         FROM ranked JOIN gord USING (pos)
+         ORDER BY event_id""",
+
     // the win_sessionize session CTE + a strictly-prior last-touch window
     "events_attribution" ->
       """WITH g AS (

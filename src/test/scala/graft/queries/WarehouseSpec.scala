@@ -232,6 +232,24 @@ class WarehouseSpec extends SparkSpec {
     assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
   }
 
+  test("mix_quantile_normalize: after the transform every group draws from the same global values") {
+    val rows = Warehouse.mixQuantileNormalize(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    val globalValues = rows.map(_._3).sorted
+    // every normalized value is a real global order statistic
+    val gset = globalValues.toSet
+    assert(rows.forall(r => gset.contains(r._4)))
+    // rank preservation within each group: norm order == value order
+    rows.groupBy(_._2).values.foreach { g =>
+      val byVal = g.sortBy(r => (r._3, r._1)).map(_._4)
+      assert(byVal.sorted.sameElements(byVal), "monotone within group")
+    }
+    // the max of every group maps to (nearly) the global max position
+    rows.groupBy(_._2).values.foreach { g =>
+      assert(g.maxBy(r => (r._3, r._1))._4 == globalValues.last)
+    }
+  }
+
   test("agg_robust_outliers: matches a brute-force sorted-selection median/MAD") {
     val ev = graft.core.Tables.eventsTsUs(spark, sf0001)
       .select(col("event_type"), col("value"), col("event_id")).collect()
