@@ -82,6 +82,13 @@ object Bench {
     val excluded = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // a typo'd exclusion silently excludes NOTHING while the operator
+    // believes the query was dropped — flag unknown names loudly
+    val unknownExcl = excluded.diff(SparkEntry.queries.keySet)
+    if (unknownExcl.nonEmpty)
+      System.err.println(
+        s"[bench] WARNING: excluded names not in the registry (typo?): " +
+        unknownExcl.toSeq.sorted.mkString(", "))
     if (excluded.nonEmpty)
       System.err.println(s"[bench] excluding: ${excluded.mkString(", ")}")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -195,51 +202,46 @@ object Bench {
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
-    // COMPACT summary lines, printed BEFORE *and* AFTER the JSON (round-5
-    // verdict #5): the driver captures a bounded END-anchored tail, and the
-    // r5 artifact kept only the end of the long JSON line — the leading
-    // copies were cut anyway. Printing the same lines after the JSON means
-    // the last lines of stdout always carry the totals, whatever the tail
-    // bound; the leading copies still serve a head-anchored reader.
+    // COMPACT summary lines first, then the JSON line printed exactly
+    // ONCE, LAST in stdout (round-7 verdict #3, third attempt at r6 #3):
+    // the driver keeps a bounded END-anchored tail of stdout, and r7's
+    // tail still started mid-JSON because the line was printed twice with
+    // summary lines AFTER it. Last + small (top-5 dicts, ≤ ~1.5 KB)
+    // means the complete JSON always survives the tail bound.
     def top(rs: Seq[Timing], f: Timing => Double, n: Int): String =
       rs.sortBy(t => -f(t)).take(n)
         .map(t => f"${t.name}=${f(t)}%.2f").mkString(",")
-    def printSummary(): Unit = {
-      println(f"GRAFT_BENCH_SUMMARY: total=$total%.2f s pass2=$total2%.2f s " +
-        f"entries=${results.size} cpu=${cpuSum(results)}%.2f s load_end=$loadAvg%.2f " +
-        f"threads=${Thread.activeCount()} threads_p1=$threadsP1 threads_p2=$threadsP2 " +
-        f"calib_st=$calibSt%.3f calib_mt=$calibMt%.3f " +
-        f"calib_end_st=$calibSt2%.3f calib_end_mt=$calibMt2%.3f")
-      println(s"GRAFT_BENCH_TOP_WALL: ${top(results, _.wallSec, 10)}")
-      println(s"GRAFT_BENCH_TOP_CPU: ${top(results, _.cpuSec, 10)}")
-      println(s"GRAFT_BENCH_TOP_WALL_2ND: ${top(results2, _.wallSec, 10)}")
-    }
-    printSummary()
+    println(f"GRAFT_BENCH_SUMMARY: total=$total%.2f s pass2=$total2%.2f s " +
+      f"entries=${results.size} cpu=${cpuSum(results)}%.2f s load_end=$loadAvg%.2f " +
+      f"threads=${Thread.activeCount()} threads_p1=$threadsP1 threads_p2=$threadsP2 " +
+      f"calib_st=$calibSt%.3f calib_mt=$calibMt%.3f " +
+      f"calib_end_st=$calibSt2%.3f calib_end_mt=$calibMt2%.3f")
+    println(s"GRAFT_BENCH_TOP_WALL: ${top(results, _.wallSec, 10)}")
+    println(s"GRAFT_BENCH_TOP_CPU: ${top(results, _.cpuSec, 10)}")
+    println(s"GRAFT_BENCH_TOP_WALL_2ND: ${top(results2, _.wallSec, 10)}")
     // end-of-run thread-name histogram (round-6 verdict #4): the absolute
     // high-water is Spark pool sizing, not growth — the histogram in the
     // bench tail names the pools so a drift is diagnosable from artifacts
     ThreadProbe.printTop("bench_end")
 
     // the FULL per-query dicts go to the artifact FILE only; the stdout
-    // JSON stays ≤ ~2 KB (round-6 verdict #3: the ~17 KB full line
-    // overran the driver's tail bound and BENCH_r06 recorded
-    // "parsed": null — totals + errors + top-10 dicts parse fine)
+    // JSON stays ≤ ~1.5 KB — totals + errors + top-5 dicts parse fine
     def topDict(rs: Seq[Timing], n: Int): String =
       rs.sortBy(t => -t.wallSec).take(n)
         .map(t => s"\"" + t.name + "\":" + t.wallSec).mkString("{", ",", "}")
     val shared =
       s""""cpu_total":${cpuSum(results)},"total_2nd":$total2,"cpu_total_2nd":${cpuSum(results2)},"n_entries":${results.size},"load_avg_end":$loadAvg,"calib_st_sec":$calibSt,"calib_mt_sec":$calibMt,"calib_end_st_sec":$calibSt2,"calib_end_mt_sec":$calibMt2,"errors":$errs,"errors_2nd":$errs2,"excluded":${excluded.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir""""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${topDict(results, 10)},"queries_2nd":${topDict(results2, 10)},$shared,"full":"$outPath"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${topDict(results, 5)},"queries_2nd":${topDict(results2, 5)},$shared,"full":"$outPath"}"""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${dict(results, _.wallSec)},"cpu_queries":${dict(results, _.cpuSec)},"queries_2nd":${dict(results2, _.wallSec)},"cpu_queries_2nd":${dict(results2, _.cpuSec)},$shared}"""
-    println(json)
-    println(s"GRAFT_BENCH_JSON: $json")
-    printSummary()
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
+    // NOTHING may print after this line (spark.stop() above so its own
+    // shutdown logging can't trail the JSON on stdout)
+    println(s"GRAFT_BENCH_JSON: $json")
   }
 }

@@ -28,6 +28,19 @@ import org.apache.spark.sql.functions._
   * stores (the engine contract); `tools/check.py` re-exposes it to
   * DuckDB as a timestamp when it sees the BIGINT probe shape.
   *
+  * NODE-GROWING mode (4th arg `grow-parts`, round-7 verdict stretch #8):
+  * the default "more facts, same dims" shape DENSIFIES the co-purchase
+  * graph — same part nodes, factor× the orders, so per-node degree
+  * grows factor× and triangle wedge work grows factor² BY CONSTRUCTION
+  * (an artifact of the probe, not the operator; r7 excluded
+  * `graph_triangles` from sf1 runs for exactly this). With `grow-parts`,
+  * the `part` dim is replicated with per-replica key offsets and
+  * lineitem's `l_partkey` follows — factor× the NODES at constant
+  * per-node degree, the way a real larger catalog grows — so the graph
+  * family scales linearly and re-enters large-probe runs. FK
+  * consistency is preserved (every l_partkey still resolves in `part`);
+  * part-dim queries simply see the honestly-bigger catalog.
+  *
   * Probe data only: nothing under /root/testdata is touched, and the
   * driver's own gates never read this output.
   */
@@ -37,6 +50,7 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(src, out) = args.take(2)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val growParts = args.length > 3 && args(3) == "grow-parts"
     val spark = graft.core.Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     val reps = spark.range(factor).select(col("id").cast("int").as("rep"))
@@ -48,15 +62,23 @@ object ScaleUp {
       df.repartition(col(partCol))
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
 
-    Seq("region", "nation", "customer", "supplier", "part").foreach(copy)
+    Seq("region", "nation", "customer", "supplier").foreach(copy)
 
     val off = col("rep") * KeySpan
+    if (growParts)
+      write(reped(spark.read.parquet(s"$src/part.parquet"))
+        .withColumn("p_partkey", col("p_partkey") + off)
+        .drop("rep"), "part", "p_partkey")
+    else copy("part")
+
     write(reped(spark.read.parquet(s"$src/orders.parquet"))
       .withColumn("o_orderkey", col("o_orderkey") + off)
       .drop("rep"), "orders", "o_orderkey")
 
     write(reped(spark.read.parquet(s"$src/lineitem.parquet"))
       .withColumn("l_orderkey", col("l_orderkey") + off)
+      .withColumn("l_partkey",
+        if (growParts) col("l_partkey") + off else col("l_partkey"))
       .drop("rep"), "lineitem", "l_orderkey")
 
     write(reped(spark.read.parquet(s"$src/events.parquet"))
@@ -89,7 +111,8 @@ object ScaleUp {
               .cast("float"))))
       .drop("rep"), "embeddings", "vec_id")
 
-    println(s"[scaleup] wrote ${factor}x corpus from $src to $out")
+    println(s"[scaleup] wrote ${factor}x corpus from $src to $out" +
+      (if (growParts) " (grow-parts: replicated part dim, offset l_partkey)" else ""))
     spark.stop()
   }
 }

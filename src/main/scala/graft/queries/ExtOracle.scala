@@ -298,10 +298,10 @@ object ExtOracle {
     // epoch-factor upsampling: one manifest row per (doc, epoch)
     "mix_oversample" ->
       """SELECT doc_id, source,
-         CAST((CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 3) + 1
+         CAST((COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT), 0) % 3) + 1
            AS BIGINT) AS factor,
          CAST(unnest(range(
-           (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 3) + 1))
+           (COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT), 0) % 3) + 1))
            AS BIGINT) AS epoch
          FROM documents ORDER BY doc_id, epoch""",
 
@@ -460,6 +460,16 @@ object ExtOracle {
       """SELECT doc_id, n_chars FROM documents
          WHERE CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 10 = 0
          ORDER BY doc_id""",
+
+    // fixed-k per-group reservoir: deterministic md5(doc_id) order,
+    // exactly 20 per source — rank and hash string both value-checked
+    "sample_reservoir_group" ->
+      """SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS m,
+           row_number() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         FROM documents
+         QUALIFY rn <= 20
+         ORDER BY source, rn""",
 
     // quality-ordered budget selection: the single-stream window cumsum
     // over (quality DESC, doc_id) must equal the engine's two-phase
@@ -1115,8 +1125,8 @@ object ExtOracle {
          fst AS (SELECT user_id, min(day) AS day FROM ud GROUP BY user_id),
          nw AS (SELECT day, count(*) AS n_new FROM fst GROUP BY day)
          SELECT day, n_active, COALESCE(n_new, 0) AS n_new,
-           sum(COALESCE(n_new, 0)) OVER (ORDER BY day
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_cum
+           CAST(sum(COALESCE(n_new, 0)) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum
          FROM act LEFT JOIN nw USING (day)
          ORDER BY day""",
 

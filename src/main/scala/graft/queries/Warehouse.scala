@@ -68,7 +68,11 @@ object Warehouse {
     * sees U then D → net delete; a %110 key has two seq-2 ops → 'D' < 'U'
     * alphabetically, D wins, documented), inserts at key+20M. Scale:
     * compaction shuffles the LOG (not the base) once; the apply is the
-    * merge shape. */
+    * merge shape. Like [[mergeUpsert]]'s +10M, the +20M insert offset is
+    * a SYNTHETIC-FEED convention with headroom below sf10 (max
+    * o_orderkey ≈ 6·SF·10⁵; beyond that, derive the offset from
+    * max(key)+1) — a real CDC feed carries its own keys and needs no
+    * offset at all. */
   def mergeCdc(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
     val log = base.filter(col("o_orderkey") % 5 === 0)
@@ -105,7 +109,10 @@ object Warehouse {
     * rows — the overwhelming majority — are filtered before the sink).
     * The "next" snapshot is a deterministic mutation of the base so the
     * oracle reconstructs both sides. One shuffle on the key; at 100 TB
-    * both snapshots bucket on the key and the diff is co-located. */
+    * both snapshots bucket on the key and the diff is co-located. The
+    * +30M addition offset shares [[mergeUpsert]]'s synthetic-feed
+    * headroom caveat (valid below sf10; derive from max(key)+1 past
+    * that — real snapshots carry their own keys). */
   def diffSnapshots(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
@@ -243,21 +250,60 @@ object Warehouse {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** DISTRIBUTED per-group rank — `row_number()` and group size over
+    * (groupCols, orderCols) WITHOUT `Window.partitionBy(group)`'s
+    * one-task-per-group sort funnel: with 5 event types, the naive
+    * window hands each task 20% of the corpus at any scale. Instead the
+    * grouped generalization of [[Ext.textPackSequences]]'s two-phase
+    * prefix machinery: range-partition on (group ++ order) — a huge
+    * group SPANS many partitions — per-(pid, group) `row_number` (the
+    * window key includes the physical partition id, fully parallel),
+    * and a |pids × groups|-row count table whose per-group running sum
+    * over pid order gives each (pid, group) its global rank offset,
+    * broadcast back. The staged relation pins one range partitioning
+    * for both passes (repartitionByRange samples boundaries per job).
+    * Adds `rn` (1-based rank within group) and `n` (group size). */
+  private def groupedRank(name: String, s: SparkSession, dir: String,
+      df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val g = groupCols.map(col)
+    val local = Ext.stage(name, s, dir)(
+      df.repartitionByRange(32, (g.map(_.asc) ++ orderCols): _*)
+        .sortWithinPartitions((g ++ orderCols): _*)
+        .withColumn("pid", spark_partition_id()))
+    val counts = local.groupBy((col("pid") +: g): _*)
+      .agg(count(lit(1)).as("c"))
+    // tiny (|pids|·|groups| rows): per-group offset of each pid = rows of
+    // the same group in EARLIER pids; per-group total rides along
+    val offs = counts
+      .withColumn("goff", coalesce(sum(col("c")).over(
+        Window.partitionBy(g: _*).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(g: _*)))
+      .select((col("pid") +: g) ++ Seq(col("goff"), col("n")): _*)
+    val wLocal = Window.partitionBy((col("pid") +: g): _*).orderBy(orderCols: _*)
+    local
+      .withColumn("lr", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offs), "pid" +: groupCols)
+      .withColumn("rn", col("goff") + col("lr"))
+      .drop("pid", "lr", "goff")
+  }
+
   /** Exact DISCRETE percentiles (p50/p90 per event type) — the
     * no-interpolation twin of A3's continuous percentile: the value AT
     * position ⌈p·n⌉ of the sorted group, an actual data value selected
     * by integer arithmetic, so the oracle is tolerance-free where
-    * interpolated percentiles need rounding. One exchange+sort serves
-    * the row-numbering; the group sizes ride along as a window count.
-    * Tie rows (equal value) are disambiguated by event_id so the row
-    * numbering is total. */
+    * interpolated percentiles need rounding. Tie rows (equal value) are
+    * disambiguated by event_id so the row numbering is total.
+    *
+    * 100 TB path: the ranking is [[groupedRank]]'s two-phase
+    * distributed selection — no per-group single-task sort even with 5
+    * event types holding 20% of the corpus each. When an approximate
+    * answer suffices, pair with the sketch path ([[Rel.aggApprox]],
+    * `approx_percentile`) instead and skip the rank entirely. */
   def aggPercentileDisc(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value").asc, col("event_id").asc)
-    val ranked = events(s, dir)
-      .select(col("event_type"), col("value"), col("event_id"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val ranked = groupedRank("pdisc", s, dir,
+      events(s, dir).select(col("event_type"), col("value"), col("event_id")),
+      Seq("event_type"), Seq(col("value").asc, col("event_id").asc))
     // value at position ⌈p·n⌉: rn ≤ ⌈n/2⌉ ⟺ 2·rn ≤ n+1, and
     // rn ≤ ⌈9n/10⌉ ⟺ 10·rn ≤ 9n+9 — pure integer predicates
     ranked
@@ -267,6 +313,36 @@ object Warehouse {
         max(when(col("rn") * 10 <= col("n") * 9 + 9, col("value"))).as("p90_disc"),
         max(col("n")).as("n"))
       .orderBy(col("event_type"))
+  }
+
+  /** Per-group WINSORIZATION — every value clamped to its event type's
+    * [p05, p95] DISCRETE percentile band (the outlier-taming transform
+    * quality/score columns get before feeding a trainer; the robust
+    * cousin of z-score clipping, and the row-level complement of
+    * [[aggRobustOutliers]]'s report). Both bounds are ⌈p·n⌉ selections
+    * — actual data values — and the clamp is a comparison on identical
+    * doubles, so the whole transform is hash-exact with zero tolerance.
+    *
+    * Shares [[aggPercentileDisc]]'s STAGED rank relation verbatim (same
+    * `stage` key "pdisc": whichever query runs first pays the landing,
+    * the other reads the files — the "index is a table" reuse story at
+    * query-family scale). The bounds table is |types|-sized and
+    * broadcasts back onto the scan. */
+  def aggWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("value"), col("event_id"))
+    // p05: rn ≤ ⌈n/20⌉ ⟺ 20·rn ≤ n+19; p95: rn ≤ ⌈19n/20⌉ ⟺ 20·rn ≤ 19n+19
+    val bounds = groupedRank("pdisc", s, dir, ev,
+      Seq("event_type"), Seq(col("value").asc, col("event_id").asc))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("rn") * 20 <= col("n") + 19, col("value"))).as("p05"),
+        max(when(col("rn") * 20 <= col("n") * 19 + 19, col("value"))).as("p95"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(col("value") < col("p05"), col("p05"))
+          .when(col("value") > col("p95"), col("p95"))
+          .otherwise(col("value")).as("value_w"))
+      .orderBy(col("event_id"))
   }
 
   /** Longest consecutive-day activity streak per user — the classic
@@ -303,22 +379,23 @@ object Warehouse {
     * the 3×MAD outlier threshold is one multiply+compare on identical
     * doubles — so the whole report is hash-exact with zero tolerance,
     * where any interpolated/stddev formulation would need rounding.
-    * Two window passes (value rank, then deviation rank), each over one
-    * exchange; the per-type medians broadcast back. */
+    * Two selection passes (value rank, then deviation rank), each the
+    * [[groupedRank]] two-phase distributed selection — no per-group
+    * single-task sort funnel with 5 types at 20% of the corpus each;
+    * the per-type medians broadcast back. At 100 TB, when the report
+    * tolerates approximation, swap both selections for
+    * `approx_percentile` sketches ([[Ext.aggApprox]]). */
   def aggRobustOutliers(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).select(col("event_type"), col("value"), col("event_id"))
-    def discMedian(df: DataFrame, v: String, out: String) = {
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col(v).asc, col("event_id").asc)
-      df.withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    def discMedian(name: String, df: DataFrame, v: String, out: String) =
+      groupedRank(name, s, dir, df, Seq("event_type"),
+        Seq(col(v).asc, col("event_id").asc))
         .groupBy(col("event_type"))
         .agg(max(when(col("rn") * 2 <= col("n") + 1, col(v))).as(out))
-    }
-    val med = discMedian(ev, "value", "median")
+    val med = discMedian("ro_med", ev, "value", "median")
     val dev = ev.join(broadcast(med), Seq("event_type"))
       .withColumn("dev", abs(col("value") - col("median")))
-    val mad = discMedian(dev, "dev", "mad")
+    val mad = discMedian("ro_dev", dev, "dev", "mad")
     dev.join(broadcast(mad), Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -387,12 +464,50 @@ object Warehouse {
     * rank r of n_g maps to global position ⌈r·N/n_g⌉ (one integer
     * expression), and the normalized value is the global order
     * statistic AT that position — an actual data value, so the
-    * transform is hash-exact with no interpolation anywhere. Two rank
-    * windows + one equi-join on position; the global ranking runs over
-    * the same dimension-size caveat as [[winParetoAbc]]. */
+    * transform is hash-exact with no interpolation anywhere.
+    *
+    * The GLOBAL ranking is the distributed two-phase prefix machinery
+    * of [[Ext.textPackSequences]] (range-partition on (value, event_id),
+    * per-partition `row_number` — the window's partition key IS the
+    * physical partition, fully parallel — plus a |partitions|-row
+    * offset table broadcast back), NOT a `Window.orderBy` with no
+    * partition key: that shape funnels the whole corpus through one
+    * task, the canonical 100 TB scale-killer. The staged relation pins
+    * one range partitioning for both the offset pass and the rank pass
+    * (repartitionByRange samples boundaries per job). The WITHIN-group
+    * rank still windows over `event_type` (5 keys) — at 100 TB pair it
+    * with the [[groupedRank]] two-phase per-group selection or
+    * the sketch path ([[Ext.aggApprox]]); here groups are
+    * dimension-bounded per the [[winParetoAbc]] caveat. */
   def mixQuantileNormalize(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).select(col("event_type"), col("value"), col("event_id"))
-    val n = ev.count() // driver-sized scalar (A9 pattern)
+    // Phase 1: range-partition the (value, event_id) order, stage it so
+    // the offset pass and the rank pass read ONE pinned partitioning.
+    val local = Ext.stage("qn_global", s, dir)(
+      ev.select(col("value"), col("event_id"))
+        .repartitionByRange(32, col("value").asc, col("event_id").asc)
+        .sortWithinPartitions(col("value"), col("event_id"))
+        .withColumn("pid", spark_partition_id()))
+    // pid → count of all rows in EARLIER partitions (pids are ordered by
+    // the range sort, so this is the global rank offset); total = N.
+    val (offsets, n) = {
+      var acc = 0L
+      val offs = local.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+        .orderBy(col("pid"))
+        .collect().map { r =>
+          val o = (r.getInt(0), acc); acc += r.getLong(1); o
+        }.toSeq
+      (offs, acc)
+    }
+    import s.implicits._
+    val offDf = offsets.toDF("pid", "poff")
+    val wp = Window.partitionBy(col("pid"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val globalOrder = local
+      .withColumn("lr", row_number().over(wp).cast("long"))
+      .join(broadcast(offDf), "pid")
+      .select((col("poff") + col("lr")).as("pos"),
+        col("value").as("norm_value"))
     val wg = Window.partitionBy(col("event_type"))
       .orderBy(col("value").asc, col("event_id").asc)
     val ranked = ev
@@ -400,10 +515,6 @@ object Warehouse {
       .withColumn("n_g", count(lit(1)).over(
         Window.partitionBy(col("event_type"))).cast("long"))
       .withColumn("pos", expr(s"(r * ${n}L + n_g - 1) div n_g"))
-    val globalOrder = ev
-      .withColumn("pos", row_number().over(
-        Window.orderBy(col("value").asc, col("event_id").asc)).cast("long"))
-      .select(col("pos"), col("value").as("norm_value"))
     ranked.join(globalOrder, Seq("pos"))
       .select(col("event_id"), col("event_type"), col("value"),
         col("norm_value"))
@@ -818,6 +929,7 @@ object Warehouse {
     "events_retention" -> eventsRetention _,
     "agg_mode" -> aggMode _,
     "agg_percentile_disc" -> aggPercentileDisc _,
+    "agg_winsorize" -> aggWinsorize _,
     "win_streak" -> winStreak _,
     "agg_robust_outliers" -> aggRobustOutliers _,
     "events_transitions" -> eventsTransitions _,

@@ -289,6 +289,23 @@ object WarehouseOracle {
            CAST(max(n) AS BIGINT) AS n
          FROM r GROUP BY event_type ORDER BY event_type""",
 
+    "agg_winsorize" ->
+      """WITH r AS (SELECT event_type, value, event_id,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events
+           WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)),
+         b AS (SELECT event_type,
+             max(CASE WHEN rn * 20 <= n + 19 THEN value END) AS p05,
+             max(CASE WHEN rn * 20 <= n * 19 + 19 THEN value END) AS p95
+           FROM r GROUP BY event_type)
+         SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN e.value < b.p05 THEN b.p05
+                WHEN e.value > b.p95 THEN b.p95
+                ELSE e.value END AS value_w
+         FROM events e JOIN b USING (event_type)
+         ORDER BY e.event_id""",
+
     "agg_mode" ->
       """WITH c AS (
            SELECT event_type, user_id, count(*) AS n_events
@@ -403,7 +420,7 @@ object WarehouseOracle {
            FROM n LEFT JOIN (SELECT e.dst, SUM(r.rank // d.d) AS m FROM e
              JOIN r4 r ON e.src = r.node JOIN deg d ON e.src = d.src
              GROUP BY e.dst) s ON s.dst = n.node)
-         SELECT node AS part_key, rank FROM r5 ORDER BY part_key""",
+         SELECT node AS part_key, CAST(rank AS BIGINT) AS rank FROM r5 ORDER BY part_key""",
 
     "graph_triangles" ->
       """WITH e AS (

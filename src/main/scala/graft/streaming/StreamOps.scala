@@ -389,12 +389,21 @@ object StreamOps {
     * t3 — greedy-on-sorted ≡ the batch funnel's chained conditional
     * minimums, because the first qualifying event in time order IS the
     * minimum). Completed-stage state persists as an O(1) tombstone so a
-    * user's later events can never re-emit a stage. */
+    * user's later events can never re-emit a stage.
+    *
+    * GENUINELY LATE arrivals (ts already behind the watermark when the
+    * row shows up) are DROPPED at entry: Spark does not pre-filter late
+    * rows for flatMapGroupsWithState, so without the explicit filter a
+    * late event would be consumed in ARRIVAL order and could emit
+    * transitions the batch oracle's time order never would. Dropping
+    * pins the same contract windowed aggregations have — an emitted
+    * transition is final, and late data is discarded, never reordered. */
   private[graft] def funnelStep(
       key: Long, evs: Seq[FunnelEvent], st0: FunnelState, wmUs: Long)
       : (Seq[FunnelHit], Option[FunnelState], Option[Long]) = {
     val all = st0.pending ++
-      evs.filter(_.kind > 0).map(e => (e.ts_us, e.event_id, e.kind))
+      evs.filter(e => e.kind > 0 && e.ts_us >= wmUs)
+        .map(e => (e.ts_us, e.event_id, e.kind))
     val (ready, pending) = all.partition(_._1 < wmUs)
     var (stage, t1, t2, t3) = (st0.stage, st0.t1, st0.t2, st0.t3)
     val hits = ready.sortBy(e => (e._1, e._2)).flatMap { case (ts, _, kind) =>
@@ -419,7 +428,10 @@ object StreamOps {
     * completions exactly once (Append mode). Event-time correctness
     * under disorder follows the as-of argument: an event is only fed to
     * the machine once the watermark passes its time, so no
-    * earlier-but-late event can invalidate an emitted transition. */
+    * earlier-but-late event can invalidate an emitted transition —
+    * and an event already LATE on arrival is explicitly dropped in
+    * [[funnelStep]] (Spark does not pre-filter late rows for this API),
+    * so the contract holds for genuinely late data too. */
   def funnelStream(
       events: Dataset[FunnelEvent],
       watermarkDelay: String = "10 minutes"): Dataset[FunnelHit] = {

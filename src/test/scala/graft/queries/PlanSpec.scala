@@ -193,6 +193,37 @@ class PlanSpec extends SparkSpec {
       s"single-partition exchange crept into the packing plan:\n$p")
   }
 
+  test("mix_quantile_normalize: global rank never funnels through one partition") {
+    // r7 verdict #2: the global order statistic used to be one
+    // row_number over Window.orderBy with NO partition key — Exchange
+    // SinglePartition over every event row. Now the two-phase
+    // range-partition + per-pid rank + broadcast offsets; the only
+    // windows left are per-(pid)/per-type partitioned.
+    val p = planOf("mix_quantile_normalize")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange back in the quantile-normalize plan:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("Window") && l.contains("pid#")),
+      s"expected the per-physical-partition rank window:\n$p")
+  }
+
+  test("agg_percentile_disc: per-group selection ranks inside (pid, group), not one task per group") {
+    // with 5 event types, Window.partitionBy(event_type) hands each task
+    // 20% of the corpus at any scale — the groupedRank rewrite windows
+    // over (pid, event_type) so a huge group spans many partitions
+    val p = planOf("agg_percentile_disc")
+    assert(p.linesIterator.exists(l => l.contains("Window") && l.contains("pid#")),
+      s"expected the (pid, group) rank window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in the selection plan:\n$p")
+  }
+
+  test("agg_robust_outliers: both selection passes rank inside (pid, group)") {
+    val p = planOf("agg_robust_outliers")
+    val pidWindows = p.linesIterator.count(l => l.contains("Window") && l.contains("pid#"))
+    assert(pidWindows >= 2,
+      s"expected two (pid, group) rank windows (median + MAD), got $pidWindows:\n$p")
+  }
+
   test("sim_pq_topk: ADC scan reads codes (not raw floats); shortlist prunes before the shuffle") {
     val p = planOf("sim_pq_topk")
     // the scoring scan is the published code table — its ReadSchema must

@@ -406,7 +406,16 @@ class StreamOpsSpec extends SparkSpec {
         FunnelEvent(1L, new Timestamp(us(m) / 1000L), us(m), i.toLong,
           1 + rnd.nextInt(3))
       }
-      val (oneShot, _, _) = StreamOps.funnelStep(1L, evs, empty, us(1000))
+      // one-shot = deliver everything while the watermark is behind,
+      // then flush with the watermark past everything (feeding events
+      // with a watermark already ahead of them would make them LATE,
+      // and late arrivals are dropped by contract — see the late-drop
+      // test below)
+      val oneShot = {
+        val (h0, next0, _) = StreamOps.funnelStep(1L, evs, empty, 0L)
+        val (h1, _, _) = StreamOps.funnelStep(1L, Nil, next0.get, us(1000))
+        h0 ++ h1
+      }
       // random ladder: shuffle arrival, split into chunks, advance the
       // watermark monotonically between steps, finish past everything
       val arrival = rnd.shuffle(evs)
@@ -414,19 +423,21 @@ class StreamOpsSpec extends SparkSpec {
         .map(_ => rnd.nextInt(arrival.size + 1)).sorted
       val chunks = (Seq(0) ++ cuts ++ Seq(arrival.size)).distinct.sorted
         .sliding(2).map { case Seq(a, b) => arrival.slice(a, b) }.toSeq
-      // the watermark contract: it may only advance to the minimum ts
-      // still UNDELIVERED — the engine never hands the operator an event
-      // older than a watermark it already announced
+      // the watermark contract: a batch runs under the watermark
+      // ANNOUNCED before its rows were read, so the bound is the minimum
+      // ts not yet delivered INCLUDING the current chunk — the engine
+      // never hands the operator an event older than a watermark it
+      // already announced
       var wm = 0L
       var st = empty
       var delivered = 0
       val got = scala.collection.mutable.ArrayBuffer.empty[StreamOps.FunnelHit]
       chunks.foreach { chunk =>
-        delivered += chunk.size
         val undelivered = arrival.drop(delivered)
         val bound = if (undelivered.isEmpty) us(1000)
           else undelivered.map(_.ts_us).min
         wm = math.max(wm, math.min(bound, us(rnd.nextInt(60).toLong)))
+        delivered += chunk.size
         val (h, next, _) = StreamOps.funnelStep(1L, chunk, st, wm)
         got ++= h; st = next.get
       }
@@ -471,9 +482,91 @@ class StreamOpsSpec extends SparkSpec {
     assert(h3.isEmpty && st4.stage == 3)
 
     // chunked delivery == one-shot delivery (the batch-equivalence core):
-    // feeding the same events in one step with the watermark ahead gives
-    // the identical hit sequence
-    val (hAll, _, _) = StreamOps.funnelStep(1L, evs, empty, us(100))
-    assert(hAll == h1 ++ h2)
+    // the same events delivered in one batch (watermark behind, then a
+    // flush past everything) give the identical hit sequence
+    val (hA, Some(stA), _) = StreamOps.funnelStep(1L, evs, empty, us(0)): @unchecked
+    val (hB, _, _) = StreamOps.funnelStep(1L, Nil, stA, us(100))
+    assert(hA ++ hB == h1 ++ h2)
+  }
+
+  test("funnelStep: a genuinely late arrival (ts behind the announced watermark) is dropped") {
+    // Spark does not pre-filter late rows for flatMapGroupsWithState —
+    // funnelStep pins the windowed-aggregation contract itself: an event
+    // whose ts is already behind the watermark when it ARRIVES is
+    // discarded (never consumed out of time order, never buffered).
+    import StreamOps.{FunnelEvent, FunnelHit, FunnelState}
+    def us(minute: Long) = BaseUs + minute * 60L * 1000000L
+    def ev(minute: Long, id: Long, kind: Int) =
+      FunnelEvent(1L, new Timestamp(us(minute) / 1000L), us(minute), id, kind)
+    val empty = FunnelState(Nil, 0, -1L, -1L, -1L)
+
+    // view@20 delivered on time, matured at wm 30 → stage 1
+    val (_, Some(st1), _) = StreamOps.funnelStep(1L, Seq(ev(20, 1, 1)), empty, us(0)): @unchecked
+    val (h1, Some(st2), _) = StreamOps.funnelStep(1L, Nil, st1, us(30)): @unchecked
+    assert(h1 == Seq(FunnelHit(1L, 1L, us(20))))
+
+    // a click@25 arriving NOW is late (wm already 30): dropped — no hit,
+    // no buffering, state untouched beyond the already-reached stage
+    val (hLate, Some(st3), timer) = StreamOps.funnelStep(1L, Seq(ev(25, 2, 2)), st2, us(30)): @unchecked
+    assert(hLate.isEmpty, "late event must not emit")
+    assert(st3.pending.isEmpty, "late event must not buffer")
+    assert(st3.stage == 1 && timer.isEmpty)
+
+    // and it can never fire retroactively: a later flush emits nothing
+    val (hFlush, _, _) = StreamOps.funnelStep(1L, Nil, st3, us(100))
+    assert(hFlush.isEmpty)
+
+    // an on-time click@35 afterwards still advances the machine — the
+    // drop affected only the late row, not the funnel
+    val (_, Some(st4), _) = StreamOps.funnelStep(1L, Seq(ev(35, 3, 2)), st3, us(30)): @unchecked
+    val (h2, _, _) = StreamOps.funnelStep(1L, Nil, st4, us(100))
+    assert(h2 == Seq(FunnelHit(1L, 2L, us(35))))
+  }
+
+  test("funnelStream end-to-end: reordered delivery (a scrambled sentinel ladder) yields the pinned drop semantics, never undefined output") {
+    // The sink harnesses stage files with ascending mtimes so the file
+    // source delivers them in event-time order — an ASSUMED invariant
+    // until now (r7 verdict stretch #7). This pin drives the REAL
+    // stream (watermark computation, flatMapGroupsWithState wiring)
+    // with batches delivered OUT of event-time order — exactly what a
+    // scrambled ladder produces under maxFilesPerTrigger=1 — and
+    // asserts the outcome is the pinned contract: on-time events emit
+    // the batch-oracle transitions, genuinely late events are dropped,
+    // and nothing out-of-time-order is ever emitted.
+    import StreamOps.{FunnelEvent, FunnelHit}
+    def us(minute: Long) = BaseUs + minute * 60L * 1000000L
+    def fev(user: Long, minute: Long, id: Long, kind: Int) =
+      FunnelEvent(user, new Timestamp(us(minute) / 1000L), us(minute), id, kind)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val out = StreamOps.funnelStream(mem.toDS(), "1 minute")
+    val qname = s"q${System.nanoTime()}"
+    val query = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      // "file 1": user 1's view+click, plus a far-future row that will
+      // push the watermark to minute 499
+      mem.addData(Seq(fev(1, 10, 1, 1), fev(1, 20, 2, 2), fev(2, 500, 3, 1)))
+      query.processAllAvailable()
+      // "file 0" delivered SECOND (the scrambled ladder): user 1's
+      // purchase@30 arrives with the watermark already at 499 — late by
+      // contract, must be dropped, not consumed in arrival order
+      mem.addData(Seq(fev(1, 30, 4, 3)))
+      query.processAllAvailable()
+      // "file 2": an on-time purchase plus a watermark pusher
+      mem.addData(Seq(fev(1, 505, 5, 3), fev(2, 600, 6, 2)))
+      query.processAllAvailable()
+      mem.addData(Seq.empty[FunnelEvent])
+      query.processAllAvailable()
+    } finally query.stop()
+    val hits = spark.table(qname).as[FunnelHit].collect().toSet
+    // on-time path emitted; the late purchase@30 NEVER became stage 3
+    assert(hits.contains(FunnelHit(1L, 1L, us(10))), s"got $hits")
+    assert(hits.contains(FunnelHit(1L, 2L, us(20))), s"got $hits")
+    assert(!hits.exists(h => h.user_id == 1L && h.stage == 3L && h.ts_us == us(30)),
+      s"late purchase consumed out of order: $hits")
+    assert(hits.contains(FunnelHit(1L, 3L, us(505))),
+      s"on-time purchase after the dropped one must still fire: $hits")
+    assert(hits.contains(FunnelHit(2L, 1L, us(500))), s"got $hits")
   }
 }

@@ -62,6 +62,25 @@ for qdir in sorted(glob.glob(f"{outdir}/*/")):
     except Exception as e:
         fails.append(f"{name}: oracle SQL error: {e}")
         continue
+    # The driver's value hash is TYPE-sensitive: DuckDB HUGEINT lands in
+    # pandas as float64 while Spark emits int64, and the hash diverges even
+    # when every value compares equal numerically (r7's graph_pagerank /
+    # win_cumulative_distinct). Fail on any int-vs-float dtype asymmetry
+    # BEFORE canon() coerces it away — the oracle needs an explicit CAST.
+    dtype_mismatch = []
+    shared = set(spark_df.columns) & set(duck_df.columns)
+    for c in sorted(shared):
+        sflt = np.issubdtype(spark_df[c].dtype, np.floating)
+        dflt = np.issubdtype(duck_df[c].dtype, np.floating)
+        sint = np.issubdtype(spark_df[c].dtype, np.integer)
+        dint = np.issubdtype(duck_df[c].dtype, np.integer)
+        if (sflt and dint) or (sint and dflt):
+            dtype_mismatch.append(
+                f"col {c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype}"
+                " (driver hash is type-sensitive — CAST the oracle)")
+    if dtype_mismatch:
+        fails.append(f"{name}: dtype mismatch: " + "; ".join(dtype_mismatch))
+        continue
     a, b = canon(spark_df), canon(duck_df)
     if list(a.columns) != list(b.columns):
         fails.append(f"{name}: column mismatch spark={list(a.columns)} duck={list(b.columns)}")
