@@ -844,6 +844,67 @@ object Warehouse {
       .orderBy(col("node"))
   }
 
+  // ===== physical layout =====
+
+  /** Morton/Z-order bit-spreading fragment for a 10-bit non-negative
+    * integer expression — shifts written as multiplication and masks in
+    * decimal so the IDENTICAL text parses in Spark SQL and DuckDB (the
+    * oracle builder composes the same fragment; the two engines cannot
+    * drift on the interleave). Standard magic-number spreading:
+    * v=(v|v·2⁸)&0x00FF00FF; &0x0F0F0F0F; &0x33333333; &0x55555555. */
+  def spreadBits10(v: String): String = {
+    val a = s"((($v) | (($v) * 256)) & 16711935)"
+    val b = s"((($a) | (($a) * 16)) & 252645135)"
+    val c = s"((($b) | (($b) * 4)) & 858993459)"
+    s"((($c) | (($c) * 2)) & 1431655765)"
+  }
+
+  /** Z-ORDER (Morton) LAYOUT map — each (l_partkey, l_suppkey) pair
+    * scaled onto a 1024×1024 grid (pure integer arithmetic off four
+    * driver scalars, the A9 pattern) and bit-interleaved into a Morton
+    * code; the result is the 64-bucket `zbucket → (count, pk range, sk
+    * range)` map that PROVES the locality property: consecutive z-ranges
+    * cover small tiles in BOTH dimensions at once.
+    *
+    * This is the multi-dimensional clustering step a 100 TB table
+    * layout runs before landing parquet: `repartitionByRange(zval) +
+    * sortWithinPartitions(zval)` makes every file's min/max footer
+    * stats NARROW on every interleaved column simultaneously, so scans
+    * filtered on ANY of the dimensions prune files — where a plain sort
+    * on one key prunes only that key's predicates. The write itself is
+    * exercised (and the per-partition span claim asserted against a
+    * single-key sort) in `ZorderSpec`; the registered query pins the
+    * interleave arithmetic value-exactly against DuckDB. Scale shape:
+    * one scan + one 64-row aggregate; the layout write is the same one
+    * range-shuffle any sorted landing pays. */
+  def layoutZorder(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+    val b = li.agg(
+      min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val (pmin, pmax) = (b.getLong(0), b.getLong(1))
+    val (smin, smax) = (b.getLong(2), b.getLong(3))
+    zorderCoded(li, pmin, pmax, smin, smax)
+      .withColumn("zbucket", expr("zval div 16384"))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+        min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+      .orderBy(col("zbucket"))
+  }
+
+  /** The shared coding step of [[layoutZorder]] (also driven directly by
+    * `ZorderSpec`'s physical-layout assertion): grid-scale both keys to
+    * 10 bits and interleave. */
+  private[queries] def zorderCoded(
+      li: DataFrame, pmin: Long, pmax: Long, smin: Long, smax: Long): DataFrame =
+    li.withColumn("sx",
+        expr(s"((l_partkey - ${pmin}L) * 1024) div ${pmax - pmin + 1}L"))
+      .withColumn("sy",
+        expr(s"((l_suppkey - ${smin}L) * 1024) div ${smax - smin + 1}L"))
+      .withColumn("zval",
+        expr(s"(${spreadBits10("sx")} | (${spreadBits10("sy")} * 2))"))
+
   // ===== time series =====
 
   /** Fixed-grid resampling with LOCF fill: every user × 6-hour cell gets
@@ -930,6 +991,7 @@ object Warehouse {
     "agg_mode" -> aggMode _,
     "agg_percentile_disc" -> aggPercentileDisc _,
     "agg_winsorize" -> aggWinsorize _,
+    "layout_zorder" -> layoutZorder _,
     "win_streak" -> winStreak _,
     "agg_robust_outliers" -> aggRobustOutliers _,
     "events_transitions" -> eventsTransitions _,

@@ -306,6 +306,25 @@ object WarehouseOracle {
          FROM events e JOIN b USING (event_type)
          ORDER BY e.event_id""",
 
+    // z-order: the bit-interleave fragment is the SAME text the engine
+    // parses (Warehouse.spreadBits10) — only the scaling's int-div
+    // syntax differs (// here, div in Spark SQL)
+    "layout_zorder" -> {
+      val zx = Warehouse.spreadBits10("sx")
+      val zy = Warehouse.spreadBits10("sy")
+      s"""WITH b AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+             min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem),
+         g AS (SELECT l_partkey, l_suppkey,
+             ((l_partkey - pmin) * 1024) // (pmax - pmin + 1) AS sx,
+             ((l_suppkey - smin) * 1024) // (smax - smin + 1) AS sy
+           FROM lineitem, b),
+         z AS (SELECT l_partkey, l_suppkey, ($zx | ($zy * 2)) AS zval FROM g)
+         SELECT zval // 16384 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+           min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+           min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+         FROM z GROUP BY zbucket ORDER BY zbucket"""
+    },
+
     "agg_mode" ->
       """WITH c AS (
            SELECT event_type, user_id, count(*) AS n_events

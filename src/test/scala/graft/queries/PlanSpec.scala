@@ -224,6 +224,16 @@ class PlanSpec extends SparkSpec {
       s"expected two (pid, group) rank windows (median + MAD), got $pidWindows:\n$p")
   }
 
+  test("sample_reservoir_group: partial top-k (WindowGroupLimit) prunes before the shuffle") {
+    // the whole scale argument of the per-group reservoir: rn <= k must
+    // plan a PARTIAL WindowGroupLimit below the exchange (each map task
+    // keeps <= k rows per group) plus the final one above — the shuffle
+    // then carries O(groups*k*tasks), never the corpus
+    val p = planOf("sample_reservoir_group")
+    val n = p.linesIterator.count(_.contains("WindowGroupLimit"))
+    assert(n >= 2, s"expected partial+final WindowGroupLimit, got $n:\n$p")
+  }
+
   test("sim_pq_topk: ADC scan reads codes (not raw floats); shortlist prunes before the shuffle") {
     val p = planOf("sim_pq_topk")
     // the scoring scan is the published code table — its ReadSchema must
