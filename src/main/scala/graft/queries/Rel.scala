@@ -512,6 +512,26 @@ object Rel {
       .orderBy(col("event_id"))
   }
 
+  /** TIME-based RANGE frame — events in the trailing hour per user
+    * (`rangeBetween` on the µs axis, the frame kind the rows-frame
+    * family can't express: the window widens and narrows with event
+    * DENSITY, not position — rate limiting, burst detection, trailing
+    * activity features). Peers (equal ts) share one frame by RANGE
+    * semantics in both engines; all outputs are integers (a trailing
+    * count and the id of the frame-opening event), so the parity is
+    * tolerance-free. One exchange on user_id serves the window. */
+  def winRollingRange(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-(hourUs - 1), Window.currentRow)
+    events(s, dir)
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("first_in_frame", min(col("event_id")).over(w))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("n_1h"), col("first_in_frame"))
+      .orderBy(col("event_id"))
+  }
+
   /** W6–W8: forward/backward fill with ignoreNulls frames (`Parallel/
     * Pattern Extraction.scala:117–122`, `Standalone/Pattern
     * Extraction.scala:140–147`). Nulls synthesized on error events. */
@@ -697,6 +717,7 @@ object Rel {
     "join_theta_pairs" -> joinThetaPairs _,
     "win_lag_lead" -> winLagLead _,
     "win_argmax" -> winArgmax _,
+    "win_rolling_range" -> winRollingRange _,
     "win_running_sum" -> winRunningSum _,
     "win_fill" -> winFill _,
     "win_sessionize" -> winSessionize _,

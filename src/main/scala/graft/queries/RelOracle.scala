@@ -240,6 +240,17 @@ object RelOracle {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
 
+    // time-based RANGE frame: trailing-hour count per user; peers share
+    // the frame by RANGE semantics in both engines, outputs all integer
+    "win_rolling_range" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         count(*) OVER w AS n_1h,
+         min(event_id) OVER w AS first_in_frame
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
     "win_fill" ->
       """SELECT event_id, user_id,
          coalesce(last_value(v IGNORE NULLS) OVER (

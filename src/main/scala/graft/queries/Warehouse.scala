@@ -844,6 +844,56 @@ object Warehouse {
       .orderBy(col("node"))
   }
 
+  /** JOIN-KEY SKEW diagnostic — the pre-flight a 100 TB pipeline runs
+    * on a join key BEFORE choosing a strategy (plain shuffle vs salting
+    * vs AQE skew-split): per-key group sizes collapsed to a COUNT
+    * HISTOGRAM (size → how many keys have it), from which the report
+    * reads key count, row count, max group, discrete p50/p99 group
+    * sizes, and the heaviest key's ppm share of all rows. All integer
+    * selections over cumulative histogram counts (`ck ≥ ⌈p·n⌉ ⟺
+    * 100·ck ≥ 99·n` for integer ck), zero tolerance.
+    *
+    * Scale shape: one count shuffle on the key, then a second |keys| →
+    * |distinct sizes| collapse; the global cumulative window runs over
+    * the HISTOGRAM (bounded by the number of distinct group sizes —
+    * hundreds), never over keys or rows. Totals ride the A9
+    * driver-scalar pattern. */
+  def profileSkew(s: SparkSession, dir: String): DataFrame = {
+    val counts = events(s, dir).groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("nk"))
+    val tot = hist.agg(
+      sum(col("nk")), sum(col("c") * col("nk")), max(col("c"))).head()
+    val (nKeys, nRows, maxC) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val cum = hist.withColumn("ck",
+      sum(col("nk")).over(Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.agg(
+        min(when(col("ck") * 2 >= nKeys, col("c"))).as("p50_size"),
+        min(when(col("ck") * 100 >= nKeys * 99, col("c"))).as("p99_size"))
+      .select(lit(nKeys).as("n_keys"), lit(nRows).as("n_rows"),
+        lit(maxC).as("max_size"), col("p50_size"), col("p99_size"),
+        lit(maxC * 1000000L / nRows).as("top1_share_ppm"))
+  }
+
+  /** EXACT JOIN-SIZE pre-flight — |lineitem ⋈ orders| computed WITHOUT
+    * running the join: Σₖ cntA(k)·cntB(k) over the two per-key count
+    * tables (plus the matched-key count and the heaviest key's output
+    * contribution — the row that tells you whether the real join needs
+    * the [[profileSkew]] salting treatment). The count tables are each
+    * one map-side-combined shuffle of a single key column; their join
+    * is |keys|-sized with the smaller side AQE-broadcastable — the
+    * full join's output is NEVER materialized. All integers. */
+  def profileJoinCard(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+    val b = t(s, dir, "orders")
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+    a.join(b, Seq("k"))
+      .agg(count(lit(1)).as("matched_keys"),
+        sum(col("ca") * col("cb")).as("join_rows"),
+        max(col("ca") * col("cb")).as("max_key_rows"))
+  }
+
   // ===== physical layout =====
 
   /** Morton/Z-order bit-spreading fragment for a 10-bit non-negative
@@ -992,6 +1042,8 @@ object Warehouse {
     "agg_percentile_disc" -> aggPercentileDisc _,
     "agg_winsorize" -> aggWinsorize _,
     "layout_zorder" -> layoutZorder _,
+    "profile_skew" -> profileSkew _,
+    "profile_join_card" -> profileJoinCard _,
     "win_streak" -> winStreak _,
     "agg_robust_outliers" -> aggRobustOutliers _,
     "events_transitions" -> eventsTransitions _,

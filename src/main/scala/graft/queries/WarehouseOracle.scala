@@ -306,6 +306,31 @@ object WarehouseOracle {
          FROM events e JOIN b USING (event_type)
          ORDER BY e.event_id""",
 
+    // skew diagnostic: histogram-of-group-sizes selections, all integer
+    "profile_skew" ->
+      """WITH counts AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+         h AS (SELECT c, CAST(count(*) AS BIGINT) AS nk FROM counts GROUP BY c),
+         t AS (SELECT CAST(sum(nk) AS BIGINT) AS n_keys,
+                 CAST(sum(c * nk) AS BIGINT) AS n_rows,
+                 max(c) AS max_size FROM h),
+         cu AS (SELECT c, CAST(sum(nk) OVER (ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ck
+               FROM h)
+         SELECT t.n_keys, t.n_rows, t.max_size,
+           (SELECT min(cu.c) FROM cu, t WHERE cu.ck * 2 >= t.n_keys) AS p50_size,
+           (SELECT min(cu.c) FROM cu, t WHERE cu.ck * 100 >= t.n_keys * 99) AS p99_size,
+           CAST(t.max_size * 1000000 // t.n_rows AS BIGINT) AS top1_share_ppm
+         FROM t""",
+
+    // exact join-size pre-flight off the two per-key count tables
+    "profile_join_card" ->
+      """WITH a AS (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem GROUP BY 1),
+         b AS (SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS matched_keys,
+           CAST(sum(ca * cb) AS BIGINT) AS join_rows,
+           CAST(max(ca * cb) AS BIGINT) AS max_key_rows
+         FROM a JOIN b USING (k)""",
+
     // z-order: the bit-interleave fragment is the SAME text the engine
     // parses (Warehouse.spreadBits10) — only the scaling's int-div
     // syntax differs (// here, div in Spark SQL)
