@@ -574,6 +574,37 @@ object Ext {
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** VOCABULARY COVERAGE / OOV-rate audit — build the top-500 token
+    * vocabulary by global count (ties broken by token, UTF-8 bytewise
+    * in BOTH engines) and report each source's out-of-vocabulary
+    * exposure: token count, OOV token count, distinct OOV types, and
+    * the ppm OOV share (integer division — tolerance-free). The check a
+    * pipeline runs before committing to a fixed tokenizer/vocab: a
+    * source with a high OOV share will fragment into bytes/unknowns.
+    *
+    * Scale shape: one token-count shuffle; the top-V cut is a global
+    * `ORDER BY ... LIMIT V` (TakeOrdered — per-partition heads merged
+    * at the driver, never a full sort); the V-row vocabulary broadcasts
+    * back onto the token stream; the per-source rollup is
+    * |sources × distinct tokens|-bounded. */
+  def textVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val v = 500
+    val tok = docsTok(s, dir)
+      .select(col("source"), explode(col("toks")).as("token"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(v)
+      .select(col("token"), lit(1).as("in_v"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(when(col("in_v").isNull, col("token"))).as("n_oov_types"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** FIXED-K PER-GROUP RESERVOIR sample — exactly 20 documents per
     * source, selected by a DETERMINISTIC content-independent pseudo-random
     * order (md5 of the doc id): the per-stratum "give me k examples of
@@ -3111,6 +3142,7 @@ object Ext {
     "text_lang_id" -> textLangId _,
     "text_subword" -> textSubword _,
     "sample_reservoir_group" -> sampleReservoirGroup _,
+    "text_vocab_coverage" -> textVocabCoverage _,
     "sample_systematic" -> sampleSystematic _,
     "sample_weighted_tokens" -> sampleWeightedTokens _,
     "mix_oversample" -> mixOversample _,

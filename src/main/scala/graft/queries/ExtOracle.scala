@@ -390,6 +390,20 @@ object ExtOracle {
            TRUE AS superset_ok, TRUE AS fp_ok
          FROM documents WHERE doc_id % 97 <> 0 ORDER BY doc_id""",
 
+    // vocab coverage: top-500 vocabulary (count desc, token asc — UTF-8
+    // bytewise ties in both engines), per-source OOV exposure in ppm
+    "text_vocab_coverage" ->
+      s"""WITH tok AS (SELECT source, unnest($toks) AS token FROM documents),
+         g AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+         v AS (SELECT token, 1 AS in_v FROM g ORDER BY n DESC, token LIMIT 500)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.in_v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(count(DISTINCT CASE WHEN v.in_v IS NULL THEN t.token END) AS BIGINT) AS n_oov_types,
+           CAST(sum(CASE WHEN v.in_v IS NULL THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS BIGINT) AS oov_ppm
+         FROM tok t LEFT JOIN v ON t.token = v.token
+         GROUP BY source ORDER BY source""",
+
     "text_top_tokens" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents)
          SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df
