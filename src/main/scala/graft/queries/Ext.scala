@@ -574,6 +574,28 @@ object Ext {
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** HIGHER-ORDER ARRAY FUNCTIONS in one scan-local pass — `filter`,
+    * `transform`, `aggregate` (sequential left fold — exact for the
+    * integer payloads here), and `exists` over the token array, the
+    * codegen'd lambda surface that replaces per-row UDFs for nested
+    * data. Every output is an integer or boolean (no float folds), so
+    * the DuckDB list-lambda twin (`list_filter` / `list_transform` /
+    * `list_aggregate` / emptiness test) matches bit-for-bit; empty
+    * arrays fold to 0 via the initial accumulator (COALESCE'd on the
+    * DuckDB side, whose empty-list sum is NULL). No shuffle at all —
+    * the plan is scan → project → sort. */
+  def fnArrayHof(s: SparkSession, dir: String): DataFrame =
+    docsTok(s, dir)
+      .select(col("doc_id"),
+        expr("CAST(size(filter(toks, t -> length(t) > 4)) AS BIGINT)")
+          .as("n_long_tokens"),
+        expr("CAST(aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x) AS BIGINT)")
+          .as("total_chars"),
+        expr("CAST(array_max(transform(toks, t -> length(t))) AS BIGINT)")
+          .as("max_len"),
+        expr("exists(toks, t -> t rlike '[0-9]')").as("has_digit"))
+      .orderBy(col("doc_id"))
+
   /** VOCABULARY COVERAGE / OOV-rate audit — build the top-500 token
     * vocabulary by global count (ties broken by token, UTF-8 bytewise
     * in BOTH engines) and report each source's out-of-vocabulary
@@ -3143,6 +3165,7 @@ object Ext {
     "text_subword" -> textSubword _,
     "sample_reservoir_group" -> sampleReservoirGroup _,
     "text_vocab_coverage" -> textVocabCoverage _,
+    "fn_array_hof" -> fnArrayHof _,
     "sample_systematic" -> sampleSystematic _,
     "sample_weighted_tokens" -> sampleWeightedTokens _,
     "mix_oversample" -> mixOversample _,

@@ -390,6 +390,21 @@ object ExtOracle {
            TRUE AS superset_ok, TRUE AS fp_ok
          FROM documents WHERE doc_id % 97 <> 0 ORDER BY doc_id""",
 
+    // higher-order list lambdas; integer folds only, empty list -> 0
+    "fn_array_hof" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents)
+         SELECT doc_id,
+           CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT)
+             AS n_long_tokens,
+           CAST(COALESCE(list_aggregate(
+             list_transform(toks, x -> length(x)), 'sum'), 0) AS BIGINT)
+             AS total_chars,
+           CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT)
+             AS max_len,
+           len(list_filter(toks, x -> regexp_matches(x, '[0-9]'))) > 0
+             AS has_digit
+         FROM tok ORDER BY doc_id""",
+
     // vocab coverage: top-500 vocabulary (count desc, token asc — UTF-8
     // bytewise ties in both engines), per-source OOV exposure in ppm
     "text_vocab_coverage" ->

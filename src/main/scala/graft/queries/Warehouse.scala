@@ -195,6 +195,28 @@ object Warehouse {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** POINT-IN-TIME (AS-OF) read over [[scd2History]] — the temporal
+    * query SCD2 exists to answer: each user's state AT time T, rolled
+    * up per state with user counts, earliest entry time and version
+    * mass (all integers). T is the integer midpoint of the event-time
+    * span (two driver scalars, the A9 pattern; the oracle rebuilds the
+    * same T from min/max subqueries). Interval semantics are
+    * `[valid_from, valid_to)` with NULL = open. Scale: the history's
+    * one exchange+sort plus a |states|-row rollup — the as-of filter is
+    * scan-local over the history relation. */
+  def scd2Asof(s: SparkSession, dir: String): DataFrame = {
+    val r = events(s, dir).agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val tAt = (r.getLong(0) + r.getLong(1)) / 2
+    scd2History(s, dir)
+      .filter(col("valid_from_us") <= tAt &&
+        (col("valid_to_us").isNull || col("valid_to_us") > tAt))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("valid_from_us")).as("earliest_from_us"),
+        sum(col("version")).as("sum_version"))
+      .orderBy(col("event_type"))
+  }
+
   // ===== event analytics =====
 
   /** Ordered 3-stage funnel (view → click → purchase) per user: each
@@ -234,6 +256,30 @@ object Warehouse {
     events(s, dir)
       .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
       .distinct()
+
+  /** ROLLING 7-DAY DISTINCT ACTIVES (WAU) per day, beside the DAU — the
+    * sliding-window COUNT DISTINCT Spark's window frames cannot express
+    * directly (no `count(DISTINCT …) OVER`). Standard contribute-ahead
+    * rewrite: each distinct `(user, day)` row contributes the user to
+    * the 7 report days `[day, day+6]` (explode of a 7-element sequence,
+    * scan-local), re-distinct, count per report day — `u` active on any
+    * day in `[d−6, d]` contributes to exactly `d`. Report restricted to
+    * days with ≥1 active (inner join with DAU). All integers.
+    *
+    * Scale: the explode is a bounded 7× of the already-|users×days|
+    * distinct relation, then ONE distinct shuffle — never a per-day
+    * self-join of the event stream, and no O(window) state per key. */
+  def winRollingWau(s: SparkSession, dir: String): DataFrame = {
+    val ud = userDays(s, dir)
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("rday"))
+      .distinct()
+      .groupBy(col("rday").as("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .orderBy(col("day"))
+  }
 
   /** Cohort retention — users grouped by first active day, counted per
     * day-offset thereafter. The distinct `(user, day)` relation shuffles
@@ -1044,6 +1090,8 @@ object Warehouse {
     "layout_zorder" -> layoutZorder _,
     "profile_skew" -> profileSkew _,
     "profile_join_card" -> profileJoinCard _,
+    "scd2_asof" -> scd2Asof _,
+    "win_rolling_wau" -> winRollingWau _,
     "win_streak" -> winStreak _,
     "agg_robust_outliers" -> aggRobustOutliers _,
     "events_transitions" -> eventsTransitions _,

@@ -306,6 +306,46 @@ object WarehouseOracle {
          FROM events e JOIN b USING (event_type)
          ORDER BY e.event_id""",
 
+    // as-of read over the SCD2 intervals at the span midpoint
+    "scd2_asof" ->
+      """WITH ch AS (
+           SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             lag(event_type) OVER w AS prev_type
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         runs AS (
+           SELECT user_id, event_type, ts_us, event_id FROM ch
+           WHERE prev_type IS NULL OR prev_type <> event_type),
+         hist AS (
+           SELECT user_id, event_type, ts_us AS valid_from_us,
+             lead(ts_us) OVER w AS valid_to_us,
+             CAST(row_number() OVER w AS BIGINT) AS version
+           FROM runs
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         t AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS t_at
+           FROM events)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+           min(valid_from_us) AS earliest_from_us,
+           CAST(sum(version) AS BIGINT) AS sum_version
+         FROM hist, t
+         WHERE valid_from_us <= t_at
+           AND (valid_to_us IS NULL OR valid_to_us > t_at)
+         GROUP BY event_type ORDER BY event_type""",
+
+    // rolling 7-day distinct actives via the contribute-ahead rewrite
+    "win_rolling_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day FROM events),
+         dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+           FROM ud GROUP BY day),
+         sp AS (SELECT DISTINCT user_id, day + o AS rday
+           FROM ud, (SELECT unnest(range(0, 7)) AS o)),
+         wau AS (SELECT rday AS day, CAST(count(*) AS BIGINT) AS wau
+           FROM sp GROUP BY rday)
+         SELECT d.day, d.dau, w.wau
+         FROM dau d JOIN wau w USING (day)
+         ORDER BY d.day""",
+
     // skew diagnostic: histogram-of-group-sizes selections, all integer
     "profile_skew" ->
       """WITH counts AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
