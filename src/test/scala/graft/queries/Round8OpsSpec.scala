@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Structural invariants of the round-8 operator family — properties the
+  * DuckDB hash gate cannot see (it proves value parity, not that the
+  * values mean what the scaladoc claims). */
+class Round8OpsSpec extends SparkSpec {
+
+  test("zorder interleave is a bijection: decoding zval recovers (sx, sy) exactly") {
+    // decode in plain Scala (independent of the SQL fragment under test)
+    def compact(z: Long): Long = {
+      var v = z & 0x55555555L
+      v = (v | (v >> 1)) & 0x33333333L
+      v = (v | (v >> 2)) & 0x0F0F0F0FL
+      v = (v | (v >> 4)) & 0x00FF00FFL
+      (v | (v >> 8)) & 0x0000FFFFL
+    }
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_partkey"), col("l_suppkey"))
+    val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val rows = Warehouse.zorderCoded(li, b.getLong(0), b.getLong(1),
+        b.getLong(2), b.getLong(3))
+      .select(col("sx"), col("sy"), col("zval")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sx, sy, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(sx >= 0 && sx < 1024 && sy >= 0 && sy < 1024, s"grid out of range: $sx $sy")
+      assert(compact(z) == sx, s"x decode: z=$z sx=$sx got ${compact(z)}")
+      assert(compact(z >> 1) == sy, s"y decode: z=$z sy=$sy got ${compact(z >> 1)}")
+    }
+  }
+
+  test("agg_winsorize: bounds hold and only out-of-band values move") {
+    val out = Warehouse.aggWinsorize(spark, sf0001).collect()
+    val bounds = out.groupBy(_.getString(1)).map { case (t, rs) =>
+      // within each type the clamped column must lie inside [min, max]
+      // of the clamped values AND every untouched row keeps its value
+      val moved = rs.filter(r => r.getDouble(2) != r.getDouble(3))
+      val kept = rs.filter(r => r.getDouble(2) == r.getDouble(3))
+      (t, rs.size, moved.size, kept.size)
+    }
+    bounds.foreach { case (t, n, moved, kept) =>
+      assert(moved + kept == n)
+      // a 5%/95% clamp moves roughly 10% of rows — never most of them
+      assert(moved < n / 2, s"$t: $moved of $n rows clamped")
+      assert(moved > 0, s"$t: clamp moved nothing — degenerate bounds")
+    }
+    // clamped values are order statistics: every value_w must appear as
+    // some raw value of the same type (selection, not interpolation)
+    val byType = out.groupBy(_.getString(1))
+    byType.foreach { case (_, rs) =>
+      val raw = rs.map(_.getDouble(2)).toSet
+      rs.foreach(r => assert(raw.contains(r.getDouble(3)),
+        s"value_w ${r.getDouble(3)} is not a data value"))
+    }
+  }
+
+  test("profile_skew: internal consistency (p50 <= p99 <= max, totals add up)") {
+    val r = Warehouse.profileSkew(spark, sf0001).head()
+    val (nKeys, nRows, maxS, p50, p99, ppm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(p50 <= p99 && p99 <= maxS)
+    assert(nKeys > 0 && nRows >= nKeys)
+    assert(ppm == maxS * 1000000L / nRows)
+    // cross-check totals against a direct count
+    val ev = graft.core.Tables.eventsTsUs(spark, sf0001)
+    assert(nRows == ev.count())
+    assert(nKeys == ev.select(col("user_id")).distinct().count())
+  }
+
+  test("profile_join_card predicts the materialized join size exactly") {
+    val pred = Warehouse.profileJoinCard(spark, sf0001).head()
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val or = spark.read.parquet(s"$sf0001/orders.parquet")
+    val real = li.join(or, li("l_orderkey") === or("o_orderkey")).count()
+    assert(pred.getLong(1) == real, s"predicted ${pred.getLong(1)} real $real")
+  }
+
+  test("win_rolling_wau: wau >= dau every day, and wau(d) is the exact distinct over [d-6, d]") {
+    val out = Warehouse.winRollingWau(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (d, dau, wau) => assert(wau >= dau, s"day $d: wau $wau < dau $dau") }
+    // brute-force cross-check on three sampled days
+    val ud = graft.core.Tables.eventsTsUs(spark, sf0001)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = out.map(_._1)
+    Seq(days.head, days(days.length / 2), days.last).foreach { d =>
+      val expect = ud.filter { case (_, day) => day >= d - 6 && day <= d }
+        .map(_._1).distinct.length.toLong
+      val got = out.find(_._1 == d).get._3
+      assert(got == expect, s"day $d: wau $got expected $expect")
+    }
+  }
+
+  test("sample_reservoir_group: exactly k per source and rerun-identical") {
+    val a = Ext.sampleReservoirGroup(spark, sf0001).collect()
+    val perSource = a.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    perSource.foreach { case (s, n) => assert(n == 20, s"$s: $n rows") }
+    val b = Ext.sampleReservoirGroup(spark, sf0001).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted),
+      "reservoir is not rerun-stable")
+  }
+
+  test("scd2_asof: per-state user counts sum to the users alive at T") {
+    val out = Warehouse.scd2Asof(spark, sf0001).collect()
+    val total = out.map(_.getLong(1)).sum
+    // every user with any event before-or-at T is in exactly one state
+    val ev = graft.core.Tables.eventsTsUs(spark, sf0001)
+    val r = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val tAt = (r.getLong(0) + r.getLong(1)) / 2
+    val alive = ev.filter(col("ts_us") <= tAt)
+      .select(col("user_id")).distinct().count()
+    assert(total == alive, s"state rows sum $total, users alive at T $alive")
+  }
+}
