@@ -574,6 +574,54 @@ object Ext {
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** EXACT WEIGHTED PERCENTILES per group — the token-weighted median
+    * (and p90) of the quality score per source: "half the TOKENS sit at
+    * or below this quality", the statistic that actually matters when
+    * documents differ 100× in length (the unweighted median over-counts
+    * short docs). Selection-based and integer-thresholded: the answer
+    * is the q of the first doc (q asc, doc_id tie-break) whose group
+    * cumulative token weight crosses ⌈p·total⌉ (`2·cw ≥ tw`, `10·cw ≥
+    * 9·tw`) — an actual data value, zero tolerance.
+    *
+    * The per-group cumulative WEIGHT is the weight generalization of
+    * [[graft.queries.Warehouse]]'s groupedRank two-phase machinery:
+    * range-partition on (source, q, doc_id) — a huge source SPANS
+    * partitions — per-(pid, source) window cumsum (fully parallel),
+    * |pids × sources|-row weight-offset table broadcast back. Staged to
+    * pin one partitioning for both passes. Zero-weight docs can never
+    * be selected spuriously: they add nothing to `cw`, so the first
+    * crossing doc carries positive weight (or shares the crossing `cw`
+    * with an earlier, smaller-q doc that wins the `min`). */
+  def aggWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val local = stage("wmed_local", s, dir)(
+      docsTok(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(col("toks")).cast("long").as("ntok"),
+          Text.qualityScore(col("toks")).as("q"))
+        .repartitionByRange(32, col("source").asc, col("q").asc, col("doc_id").asc)
+        .sortWithinPartitions(col("source"), col("q"), col("doc_id"))
+        .withColumn("pid", spark_partition_id()))
+    val sums = local.groupBy(col("pid"), col("source")).agg(sum(col("ntok")).as("sw"))
+    val offs = sums
+      .withColumn("goff", coalesce(sum(col("sw")).over(
+        Window.partitionBy(col("source")).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tw", sum(col("sw")).over(Window.partitionBy(col("source"))))
+      .select(col("pid"), col("source"), col("goff"), col("tw"))
+    val wLocal = Window.partitionBy(col("pid"), col("source"))
+      .orderBy(col("q"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local
+      .withColumn("cw", sum(col("ntok")).over(wLocal))
+      .join(broadcast(offs), Seq("pid", "source"))
+      .withColumn("cwg", col("cw") + col("goff"))
+      .groupBy(col("source"))
+      .agg(max(col("tw")).as("total_tokens"),
+        min(when(col("cwg") * 2 >= col("tw"), col("q"))).as("wmedian_q"),
+        min(when(col("cwg") * 10 >= col("tw") * 9, col("q"))).as("wp90_q"))
+      .orderBy(col("source"))
+  }
+
   /** HIGHER-ORDER ARRAY FUNCTIONS in one scan-local pass — `filter`,
     * `transform`, `aggregate` (sequential left fold — exact for the
     * integer payloads here), and `exists` over the token array, the
@@ -3166,6 +3214,7 @@ object Ext {
     "sample_reservoir_group" -> sampleReservoirGroup _,
     "text_vocab_coverage" -> textVocabCoverage _,
     "fn_array_hof" -> fnArrayHof _,
+    "agg_weighted_median" -> aggWeightedMedian _,
     "sample_systematic" -> sampleSystematic _,
     "sample_weighted_tokens" -> sampleWeightedTokens _,
     "mix_oversample" -> mixOversample _,

@@ -390,6 +390,26 @@ object ExtOracle {
            TRUE AS superset_ok, TRUE AS fp_ok
          FROM documents WHERE doc_id % 97 <> 0 ORDER BY doc_id""",
 
+    // exact token-weighted quality percentiles: per-source window cumsum
+    // over (q, doc_id) must equal the engine's two-phase distributed
+    // weight prefix sum; selections are integer cross-multiplications
+    "agg_weighted_median" ->
+      s"""WITH tok AS (SELECT doc_id, source, $toks AS toks FROM documents),
+         base AS (SELECT source, doc_id,
+             CAST(len(toks) AS BIGINT) AS ntok,
+             round((CAST(${hits(en)} AS DOUBLE) / len(toks)) * 0.5
+               + least(len(toks), 100) * 0.005, 6) AS q
+           FROM tok),
+         cum AS (SELECT source, q, ntok,
+             sum(ntok) OVER (PARTITION BY source ORDER BY q, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(ntok) OVER (PARTITION BY source) AS tw
+           FROM base)
+         SELECT source, CAST(max(tw) AS BIGINT) AS total_tokens,
+           min(CASE WHEN cw * 2 >= tw THEN q END) AS wmedian_q,
+           min(CASE WHEN cw * 10 >= tw * 9 THEN q END) AS wp90_q
+         FROM cum GROUP BY source ORDER BY source""",
+
     // higher-order list lambdas; integer folds only, empty list -> 0
     "fn_array_hof" ->
       s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents)

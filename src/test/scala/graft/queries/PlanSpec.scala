@@ -224,6 +224,14 @@ class PlanSpec extends SparkSpec {
       s"expected two (pid, group) rank windows (median + MAD), got $pidWindows:\n$p")
   }
 
+  test("agg_weighted_median: weight cumsum ranks inside (pid, source), no single-partition funnel") {
+    val p = planOf("agg_weighted_median")
+    assert(p.linesIterator.exists(l => l.contains("Window") && l.contains("pid#")),
+      s"expected the per-physical-partition weight cumsum window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in the weighted-median plan:\n$p")
+  }
+
   test("sample_reservoir_group: partial top-k (WindowGroupLimit) prunes before the shuffle") {
     // the whole scale argument of the per-group reservoir: rn <= k must
     // plan a PARTIAL WindowGroupLimit below the exchange (each map task

@@ -107,6 +107,31 @@ class Round8OpsSpec extends SparkSpec {
       "reservoir is not rerun-stable")
   }
 
+  test("agg_weighted_median equals the brute-force weighted selection") {
+    val out = Ext.aggWeightedMedian(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // independent reference: collect (source, ntok, q), sort, scan
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("toks", graft.ext.Text.tokens(col("text")))
+      .select(col("source"), col("doc_id"),
+        size(col("toks")).cast("long").as("ntok"),
+        graft.ext.Text.qualityScore(col("toks")).as("q"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getLong(1)))
+    docs.groupBy(_._1).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._4)) // (q, doc_id)
+      val tw = sorted.map(_._2).sum
+      def sel(num: Long, den: Long): Double = {
+        var cw = 0L
+        sorted.find { r => cw += r._2; cw * den >= tw * num }.get._3
+      }
+      val (gotTw, gotM, gotP) = out(src)
+      assert(gotTw == tw, s"$src total")
+      assert(gotM == sel(1, 2), s"$src median: got $gotM want ${sel(1, 2)}")
+      assert(gotP == sel(9, 10), s"$src p90: got $gotP want ${sel(9, 10)}")
+    }
+  }
+
   test("scd2_asof: per-state user counts sum to the users alive at T") {
     val out = Warehouse.scd2Asof(spark, sf0001).collect()
     val total = out.map(_.getLong(1)).sum
