@@ -574,6 +574,38 @@ object Ext {
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** LABEL-BLOCKED k-NN GRAPH — every vector's top-3 nearest SAME-LABEL
+    * neighbors by exact cosine: the neighborhood relation SemDeDup-style
+    * semantic dedup, graph-based diversity sampling, and local-density
+    * scoring all consume. Blocking on the cluster/label key keeps the
+    * pair work Σ|block|² (linear when blocks are bounded), never N² —
+    * the [[dedupSemanticApply]] argument applied to graph construction;
+    * norms fold once per row, and the `rank ≤ k` filter plans the
+    * partial WindowGroupLimit ([[sampleReservoirGroup]]'s shape) so the
+    * per-query shuffle carries candidate heads, not whole blocks. At
+    * 100 TB the label key is the IVF/k-means cell id from the published
+    * index ([[simIvfTopk]]) — same plan, trained blocking. */
+  def simKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Similarity
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", Similarity.l2Norm(col("embedding")))
+    val q = e.select(col("label"), col("vec_id").as("qid"),
+      col("embedding").as("qvec"), col("nrm").as("qn"))
+    val c = e.select(col("label"), col("vec_id"),
+      col("embedding"), col("nrm").as("cn"))
+    val scored = q.join(c, Seq("label"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos",
+        Similarity.dot(col("qvec"), col("embedding")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("label"), col("rank"),
+        col("vec_id").as("nbr_id"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** EXACT WEIGHTED PERCENTILES per group — the token-weighted median
     * (and p90) of the quality score per source: "half the TOKENS sit at
     * or below this quality", the statistic that actually matters when
@@ -3255,6 +3287,7 @@ object Ext {
     "dedup_embedding" -> dedupEmbedding _,
     "dedup_semantic_apply" -> dedupSemanticApply _,
     "sim_bruteforce_topk" -> simBruteforceTopk _,
+    "sim_knn_graph" -> simKnnGraph _,
     "sim_lsh_topk" -> simLshTopk _,
     "sim_ivf_topk" -> simIvfTopk _,
     "sim_ivf_warm" -> simIvfWarm _,

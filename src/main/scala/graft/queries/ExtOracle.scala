@@ -770,6 +770,20 @@ object ExtOracle {
          WHERE vec_id NOT IN (SELECT v FROM losers)
          ORDER BY vec_id""",
 
+    // label-blocked exact k-NN graph: per vector the top-3 same-label
+    // neighbors; cosine text identical to the brute-force oracle's
+    "sim_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         scored AS (SELECT a.vec_id AS qid, a.label, b.vec_id AS nbr_id,
+             ${cosSql("a.embedding", "b.embedding")} AS cos
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         ranked AS (SELECT qid, label, nbr_id, cos,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC, nbr_id) AS BIGINT) AS "rank"
+           FROM scored)
+         SELECT qid, label, "rank", nbr_id, cos FROM ranked
+         WHERE "rank" <= 3 ORDER BY qid, "rank"""",
+
     "sim_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
            WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 200),

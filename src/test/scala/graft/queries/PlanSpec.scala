@@ -224,6 +224,13 @@ class PlanSpec extends SparkSpec {
       s"expected two (pid, group) rank windows (median + MAD), got $pidWindows:\n$p")
   }
 
+  test("sim_knn_graph: block join + partial top-k (no cartesian, no full-block shuffle)") {
+    val p = planOf("sim_knn_graph")
+    assert(!p.contains("CartesianProduct"), s"label block join fell to cartesian:\n$p")
+    val n = p.linesIterator.count(_.contains("WindowGroupLimit"))
+    assert(n >= 2, s"expected partial+final WindowGroupLimit on the rank<=k cut, got $n:\n$p")
+  }
+
   test("agg_weighted_median: weight cumsum ranks inside (pid, source), no single-partition funnel") {
     val p = planOf("agg_weighted_median")
     assert(p.linesIterator.exists(l => l.contains("Window") && l.contains("pid#")),
