@@ -18,7 +18,7 @@ object Ext {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
-  private def docsTok(s: SparkSession, dir: String): DataFrame =
+  private[queries] def docsTok(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").withColumn("toks", Text.tokens(col("text")))
 
   private def events(s: SparkSession, dir: String): DataFrame =
@@ -1123,7 +1123,7 @@ object Ext {
             .select(col("doc_id").as("id"), col("toks")), 3),
         JaccardMaxDocFreq))
 
-  private def jaccardPairs08(s: SparkSession, dir: String): DataFrame =
+  private[queries] def jaccardPairs08(s: SparkSession, dir: String): DataFrame =
     persistentIndex(s, "pairs08", dir, Pairs08Params,
         sourcePath = s"$dir/documents.parquet")(
       Dedup.jaccardPairsFromRows(shingles3Pruned(s, dir),
@@ -1365,6 +1365,32 @@ object Ext {
         jaccardPairs08(s, dir).select(col("id1"), col("id2")))
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
+
+  /** QUALITY-PRIORITY applied dedup — keep, per duplicate component,
+    * the member with the HIGHEST quality score (ties → lowest doc_id)
+    * instead of [[dedupApply]]'s canonical min-id survivor: the
+    * curation policy an LLM corpus actually wants (of N near-identical
+    * pages, retain the best-written one). Same staged pair graph and
+    * components as `dedup_apply`; the winner election is one
+    * `row_number` window PARTITIONED BY COMPONENT — components are
+    * duplicate clusters, bounded by cluster size at any corpus scale,
+    * so the window never sees a corpus-sized partition. */
+  def dedupApplyPriority(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs08(s, dir).select(col("id1"), col("id2"))
+    val comps = Dedup.connectedComponents(pairs)
+    val q = docsTok(s, dir).select(col("doc_id").as("id"),
+      Text.qualityScore(col("toks")).as("q"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("q").desc, col("id").asc)
+    val losers = comps.join(q, Seq("id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1)
+      .select(col("id").as("_loser"))
+    t(s, dir, "documents")
+      .join(losers, col("doc_id") === col("_loser"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
 
   /** The canonical corpus-scale dedup flow END-TO-END: MinHash+LSH
     * proposes candidate pairs (linear banding, 16 bands × 2 rows —
@@ -3282,6 +3308,7 @@ object Ext {
     "dedup_simhash_recall" -> dedupSimhashRecall _,
     "dedup_components" -> dedupComponents _,
     "dedup_apply" -> dedupApply _,
+    "dedup_apply_priority" -> dedupApplyPriority _,
     "dedup_apply_minhash" -> dedupApplyMinhash _,
     "dedup_incremental" -> dedupIncremental _,
     "dedup_embedding" -> dedupEmbedding _,

@@ -705,6 +705,28 @@ object ExtOracle {
 
     "dedup_apply" -> dedupApplySql,
 
+    // same pair graph/components; the survivor is the quality argmax
+    // (q desc, id tie-break) instead of min id
+    "dedup_apply_priority" ->
+      s"""WITH RECURSIVE
+         $shingleCtes,
+         e AS (SELECT id1 AS src, id2 AS dst FROM pairs0
+               UNION ALL SELECT id2, id1 FROM pairs0),
+         reach(v, label) AS (
+           SELECT DISTINCT src, src FROM e
+           UNION
+           SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.v),
+         comp AS (SELECT v, min(label) AS component FROM reach GROUP BY v),
+         q AS (SELECT id, round((CAST(${hits(en)} AS DOUBLE) / len(toks)) * 0.5
+             + least(len(toks), 100) * 0.005, 6) AS q FROM tok),
+         ranked AS (SELECT c.v, row_number() OVER (PARTITION BY c.component
+             ORDER BY q.q DESC, c.v) AS rk
+           FROM comp c JOIN q ON q.id = c.v),
+         losers AS (SELECT v FROM ranked WHERE rk > 1)
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT v FROM losers)
+         ORDER BY doc_id""",
+
     // sketch-then-verify must reproduce the full exact mine (the sketch
     // only PROPOSES pairs; exact Jaccard decides) — so the oracle IS
     // dedup_apply's, shared by reference so the two can never diverge,

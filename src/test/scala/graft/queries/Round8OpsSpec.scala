@@ -132,6 +132,40 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_apply_priority keeps the quality argmax of each duplicate component") {
+    val kept = Ext.dedupApplyPriority(spark, sf001).collect()
+      .map(_.getLong(0)).toSet
+    val minIdKept = Ext.dedupApply(spark, sf001).collect()
+      .map(_.getLong(0)).toSet
+    // same corpus, same pair graph ⇒ identical survivor COUNT — only the
+    // per-component election differs
+    assert(kept.size == minIdKept.size,
+      s"priority kept ${kept.size}, min-id kept ${minIdKept.size}")
+    // the election must actually differ somewhere at this SF (a vacuous
+    // pass would mean the policy is dead weight)
+    assert(kept != minIdKept, "priority election never diverged from min-id")
+    // independent check: within every component the kept member has the
+    // max quality (ties → min id) among the component's members
+    val pairs = Ext.jaccardPairs08(spark, sf001)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) => val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val q = Ext.docsTok(spark, sf001)
+      .select(col("doc_id"), graft.ext.Text.qualityScore(col("toks")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    members.groupBy(find).foreach { case (_, ms) =>
+      val winner = ms.minBy(id => (-q(id), id))
+      assert(kept.contains(winner), s"winner $winner dropped")
+      ms.filterNot(_ == winner).foreach(m =>
+        assert(!kept.contains(m), s"loser $m kept"))
+    }
+  }
+
   test("scd2_asof: per-state user counts sum to the users alive at T") {
     val out = Warehouse.scd2Asof(spark, sf0001).collect()
     val total = out.map(_.getLong(1)).sum
