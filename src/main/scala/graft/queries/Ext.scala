@@ -742,6 +742,24 @@ object Ext {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
       .orderBy(col("split"))
 
+  /** LEAKAGE-SAFE group-disjoint split: the split label hashes the DOMAIN
+    * (`source`), not the document, so near-duplicate / boilerplate-sharing
+    * pages from one domain can never straddle the train/test boundary —
+    * the classic eval-leakage failure of row-hash splits
+    * ([[splitTrainTest]] would happily place two mirror pages of one site
+    * on both sides). `n_sources` makes the disjointness visible: the
+    * per-split counts sum to the corpus's distinct-source count, each
+    * source contributing to exactly ONE split (pinned in
+    * Round8OpsSpec). Scale: the label is scan-local (md5 of the source
+    * string); one aggregation, domain-count-sized output. */
+  def splitDomainDisjoint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("split", Text.splitLabel(col("source")))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("split"))
+
   /** Domain mixing to a token budget — the pre-training data-mixture step
     * (DoReMi / The Pile style): each source gets a weight, the corpus gets
     * a total token budget (here: half the corpus), and every source is
@@ -795,6 +813,44 @@ object Ext {
         sum(when(col("bucket") < col("threshold"), col("ntok")).otherwise(0L))
           .as("kept_tokens"))
       .orderBy(col("source"))
+  }
+
+  /** DSIR-flavored importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS): score
+    * every document by how much its hashed-unigram distribution
+    * resembles a TARGET distribution — here the corpus's `lang = 'en'`
+    * slice standing in for a user-supplied quality target — and emit the
+    * top-100 by mean per-token importance. Where DSIR sums
+    * log(p_target/p_raw) over hashed n-gram features, this uses the
+    * rank-equivalent log-free rational form the hash gate can pin
+    * bit-for-bit: each bucket contributes the add-1-smoothed integer
+    * ratio `((ct+1)·10⁶) div (cr+1)` (cr counts ALL tokens, so every
+    * term ≤ 10⁶ and a document sum fits a long at any corpus size); the
+    * global `N_raw/N_target` normalizer multiplies every document's
+    * terms equally and is dropped (rank-invariant).
+    *
+    * Scale: bucket counting shuffles only 4096 keys after map-side
+    * combine; the ratio table is a 4096-row broadcast back onto the
+    * token stream; the per-document fold groups scan-co-partitioned rows
+    * (partial agg collapses each doc before the shuffle); top-100 is a
+    * TakeOrdered, never a global sort. */
+  def mixImportance(s: SparkSession, dir: String): DataFrame = {
+    val tok = docsTok(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(col("toks")).as("tok"))
+      .withColumn("b", Text.hashBucket(col("tok"), 4096).cast("long"))
+    val ratios = tok.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      .withColumn("ratio", expr("((ct + 1) * 1000000) div (cr + 1)"))
+    tok.join(broadcast(ratios.select(col("b"), col("ratio"))), Seq("b"))
+      .groupBy(col("doc_id"), col("source"), col("lang"))
+      .agg(count(lit(1)).as("ntok"), sum(col("ratio")).as("imp_sum"))
+      .withColumn("imp_per_tok", expr("imp_sum div ntok"))
+      .orderBy(col("imp_per_tok").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("source"), col("lang"), col("ntok"),
+        col("imp_sum"), col("imp_per_tok"))
   }
 
   /** Temperature-resampled domain mixture (mT5/XLM-R α-sampling,
@@ -1328,6 +1384,53 @@ object Ext {
         sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_positions"))
       .withColumn("dup_share",
         round(col("n_dup_positions") / col("n_positions"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-document duplicated-span REMOVAL — the apply step of
+    * substring-granular dedup (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" ExactSubstr shape,
+    * re-expressed over positional 3-gram shingles instead of a suffix
+    * array): a token is removed when it is covered by any 3-gram that
+    * occurs at ≥ 2 positions corpus-wide, and the cleaned document is
+    * pinned by md5 of the retained tokens in order — document-level
+    * dedup keeps one copy of a boilerplate page; THIS deletes the
+    * boilerplate span from every page it infects.
+    *
+    * Scale: positional shingles are scan-local generators; the occurrence
+    * count is one shuffle keyed by shingle (map-side combine collapses
+    * repeats); covered positions are ≤ 3× the duplicated starts; the
+    * final per-document fold groups rows that are ALREADY co-partitioned
+    * by the scan, so partial aggregation collapses each document before
+    * the shuffle. Nothing corpus-squared appears — the dup decision is a
+    * count, never a pair relation. */
+  def textDedupSpansApply(s: SparkSession, dir: String): DataFrame = {
+    val tk = docsTok(s, dir).select(col("doc_id"), col("toks"))
+    val pos = tk.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 2),
+        i => struct(i.as("i"),
+          concat_ws(" ", slice(col("toks"), i, lit(3))).as("s")))).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.s").as("s"))
+    val cnt = pos.groupBy(col("s")).agg(count(lit(1)).as("occ"))
+    val covered = pos.join(cnt.filter(col("occ") >= 2), Seq("s"))
+      .select(col("doc_id"),
+        explode(sequence(col("i").cast("long"), col("i").cast("long") + 2))
+          .as("j"))
+      .distinct()
+    val toksPos = tk
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("idx0", "tok")))
+      .select(col("doc_id"), (col("idx0") + 1).cast("long").as("j"), col("tok"))
+    toksPos
+      .join(covered.withColumn("cov", lit(1)), Seq("doc_id", "j"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(when(col("cov").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("cov").isNull,
+            struct(col("j"), col("tok"))))),
+          p => p.getField("tok")))).as("clean_md5"))
       .orderBy(col("doc_id"))
   }
 
@@ -3278,6 +3381,7 @@ object Ext {
     "mix_oversample" -> mixOversample _,
     "sample_stratified" -> sampleStratified _,
     "mix_domains" -> mixDomains _,
+    "mix_importance" -> mixImportance _,
     "mix_temperature" -> mixTemperature _,
     "mix_quality_budget" -> mixQualityBudget _,
     "text_repetition" -> textRepetition _,
@@ -3294,6 +3398,7 @@ object Ext {
     "text_top_tokens" -> textTopTokens _,
     "text_top_tokens_cms" -> textTopTokensCms _,
     "split_train_test" -> splitTrainTest _,
+    "split_domain_disjoint" -> splitDomainDisjoint _,
     "text_fingerprint" -> textFingerprint _,
     "dedup_exact" -> dedupExact _,
     "dedup_lines" -> dedupLines _,
@@ -3302,6 +3407,7 @@ object Ext {
     "dedup_ngram_hashed" -> dedupNgramHashed _,
     "dedup_containment" -> dedupContainment _,
     "text_dup_span_share" -> textDupSpanShare _,
+    "text_dedup_spans_apply" -> textDedupSpansApply _,
     "text_keywords_tfidf" -> textKeywordsTfidf _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,

@@ -614,6 +614,20 @@ object ExtOracle {
              FROM documents))
          GROUP BY split ORDER BY split""",
 
+    // group-disjoint twin: the bucket hashes source, so each source
+    // lands in exactly one split
+    "split_domain_disjoint" ->
+      """SELECT split, count(DISTINCT source) AS n_sources,
+         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+         FROM (SELECT source, n_chars,
+           CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
+                ELSE 'test' END AS split
+           FROM (SELECT source, n_chars,
+             CAST('0x' || substr(md5(source), 1, 15) AS BIGINT)
+               % 10 AS b
+             FROM documents))
+         GROUP BY split ORDER BY split""",
+
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
          count(*) AS n_copies
@@ -658,6 +672,61 @@ object ExtOracle {
              / CAST(count(*) AS DOUBLE), 6) AS dup_share
          FROM pos JOIN cnt USING (s)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    // substring-granular dedup APPLY: a token is removed when covered by
+    // any 3-gram occurring at >= 2 positions corpus-wide; the cleaned
+    // doc is pinned by md5 of the retained tokens in order (coalesce ''
+    // mirrors Spark's concat_ws over an empty array for fully-covered
+    // docs)
+    "text_dedup_spans_apply" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+         pos AS (SELECT doc_id, unnest(list_transform(
+             range(1, len(toks) - 1),
+             i -> struct_pack(i := i,
+               s := toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS p
+           FROM tok WHERE len(toks) >= 3),
+         pos2 AS (SELECT doc_id, p.i AS i, p.s AS s FROM pos),
+         cnt AS (SELECT s, count(*) AS occ FROM pos2 GROUP BY s),
+         dup AS (SELECT doc_id, i FROM pos2 JOIN cnt USING (s)
+           WHERE occ >= 2),
+         cov AS (SELECT DISTINCT doc_id, j FROM
+           (SELECT doc_id, unnest([i, i+1, i+2]) AS j FROM dup)),
+         tp AS (SELECT doc_id, unnest(list_transform(
+             range(1, len(toks) + 1),
+             j -> struct_pack(j := j, tok := toks[j]))) AS p FROM tok),
+         tp2 AS (SELECT doc_id, p.j AS j, p.tok AS tok FROM tp),
+         fl AS (SELECT tp2.doc_id, tp2.j, tp2.tok,
+             cov.j IS NOT NULL AS covd
+           FROM tp2 LEFT JOIN cov
+             ON cov.doc_id = tp2.doc_id AND cov.j = tp2.j)
+         SELECT doc_id, count(*) AS n_tok,
+           CAST(sum(CASE WHEN covd THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           md5(coalesce(
+             string_agg(CASE WHEN NOT covd THEN tok END, ' ' ORDER BY j),
+             '')) AS clean_md5
+         FROM fl GROUP BY doc_id ORDER BY doc_id""",
+
+    // DSIR-flavored importance: add-1-smoothed integer bucket ratios
+    // ((ct+1)*1e6 // (cr+1)) summed per doc — log-free, rank-equivalent
+    // to the log-ratio sum up to the dropped global normalizer
+    "mix_importance" ->
+      s"""WITH tok AS (SELECT doc_id, source, lang, unnest($toks) AS tok
+           FROM documents),
+         tb AS (SELECT doc_id, source, lang, tok,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 4096 AS b
+           FROM tok),
+         r AS (SELECT b, count(*) AS cr,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ct
+           FROM tb GROUP BY b),
+         sc AS (SELECT doc_id, source, lang, count(*) AS ntok,
+             CAST(sum(((ct + 1) * 1000000) // (cr + 1)) AS BIGINT)
+               AS imp_sum
+           FROM tb JOIN r USING (b) GROUP BY doc_id, source, lang)
+         SELECT doc_id, source, lang, ntok, imp_sum,
+           imp_sum // ntok AS imp_per_tok
+         FROM sc ORDER BY imp_per_tok DESC, doc_id LIMIT 100""",
 
     // asymmetric containment miner — integer cross-mult threshold, so
     // the keep decision is float-free in both engines

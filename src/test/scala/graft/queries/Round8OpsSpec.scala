@@ -166,6 +166,83 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("split_domain_disjoint: each source lands in exactly one split") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val nSources = docs.select(col("source")).distinct().count()
+    val nDocs = docs.count()
+    val out = Ext.splitDomainDisjoint(spark, sf001).collect()
+    assert(out.map(_.getLong(1)).sum == nSources,
+      "per-split source counts must sum to the distinct-source total " +
+        "(a source in two splits would double-count)")
+    assert(out.map(_.getLong(2)).sum == nDocs)
+    // independent disjointness check: split label per source is single
+    val perSource = docs
+      .withColumn("split", graft.ext.Text.splitLabel(col("source")))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("split")).as("k")).collect()
+    perSource.foreach(r => assert(r.getLong(1) == 1L,
+      s"source ${r.getString(0)} spans ${r.getLong(1)} splits"))
+  }
+
+  test("text_dedup_spans_apply: untouched docs keep their exact text, and removal agrees with the span-share audit") {
+    val out = Ext.textDedupSpansApply(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    out.values.foreach { case (n, rem, _) =>
+      assert(rem >= 0 && rem <= n, s"removed $rem of $n")
+    }
+    // n_removed = 0 ⇔ clean_md5 is the md5 of the full token join
+    val full = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"),
+        md5(concat_ws(" ", graft.ext.Text.tokens(col("text")))).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, (_, rem, m)) =>
+      if (rem == 0) assert(m == full(id), s"doc $id: untouched but md5 moved")
+      else assert(m != full(id), s"doc $id: $rem tokens removed but md5 kept")
+    }
+    // cross-op pin: a doc has removed tokens iff the span-share audit
+    // counts a duplicated position for it (both build on the same
+    // positional 3-gram counts)
+    val share = Ext.textDupSpanShare(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    share.foreach { case (id, dupPos) =>
+      assert((dupPos > 0) == (out(id)._2 > 0),
+        s"doc $id: dup positions $dupPos vs removed ${out(id)._2}")
+    }
+  }
+
+  test("mix_importance equals an independent Scala recompute and ranks the target language up") {
+    val out = Ext.mixImportance(spark, sf0001).collect()
+    assert(out.length == 100)
+    // independent recompute: md5-bucket unigrams, integer ratios, per-doc sums
+    def bucket(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16) % 4096
+    }
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty).map(bucket)))
+    val cr = new scala.collection.mutable.HashMap[Long, Long]().withDefaultValue(0L)
+    val ct = new scala.collection.mutable.HashMap[Long, Long]().withDefaultValue(0L)
+    docs.foreach { case (_, lang, bs) => bs.foreach { b =>
+      cr(b) += 1; if (lang == "en") ct(b) += 1 } }
+    val scores = docs.filter(_._3.nonEmpty).map { case (id, _, bs) =>
+      val s = bs.map(b => ((ct(b) + 1) * 1000000L) / (cr(b) + 1)).sum
+      (id, s, s / bs.length)
+    }.sortBy { case (id, _, per) => (-per, id) }.take(100)
+      .map { case (id, s, per) => id -> ((s, per)) }.toMap
+    out.foreach { r =>
+      val (id, impSum, perTok) = (r.getLong(0), r.getLong(4), r.getLong(5))
+      val (es, ep) = scores(id)
+      assert(impSum == es && perTok == ep, s"doc $id: $impSum/$perTok vs $es/$ep")
+    }
+    // semantic sanity: the en target slice dominates the importance head
+    val enShare = out.count(_.getString(2) == "en")
+    assert(enShare > 50, s"only $enShare/100 top docs are lang=en")
+  }
+
   test("scd2_asof: per-state user counts sum to the users alive at T") {
     val out = Warehouse.scd2Asof(spark, sf0001).collect()
     val total = out.map(_.getLong(1)).sum
