@@ -606,6 +606,48 @@ object Ext {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** ONE EXACT LLOYD ITERATION (k-means assignment + centroid
+    * recomputation) over QUANTIZED embeddings — the training step behind
+    * the IVF/SemDeDup cluster keys the similarity kit consumes
+    * ([[simIvfTopk]], [[dedupSemanticApply]]). Vectors quantize to
+    * integer centi-units (`floor(x·100)` — float→double widening and
+    * floor are both exact, so both engines see identical longs), seeds
+    * are the first k=8 vectors by id, assignment is the argmin of the
+    * exact INTEGER squared L2 distance (ties → lowest centroid id via
+    * lexicographic struct-min), and the new centroids are emitted as
+    * per-dimension `(n, ssum)` integer sums — the mean is `ssum div n`,
+    * truncation-identical in both engines. No float ever enters an
+    * accumulation, so the whole iteration is hash-exact.
+    *
+    * Scale: this IS the canonical distributed Lloyd step — the k-row
+    * seed table broadcasts, distance+argmin are scan-local per vector
+    * (partial agg collapses the k candidates before any shuffle), and
+    * the centroid update shuffles only k×d keys. Iterating means
+    * re-seeding from this output; at 100 TB the per-row k×d distance
+    * loop graduates from the interpreted HOF to a SeqDot-style codegen
+    * Expression ([[graft.functions]]) — the plan shape is already the
+    * right one. */
+  def simKmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 100).cast("long")).as("q"))
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("q").as("c"))
+    val assigned = e.crossJoin(broadcast(seeds))
+      .withColumn("d2", aggregate(
+        zip_with(col("q"), col("c"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .groupBy(col("vec_id"), col("q"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("q"), col("m.cid").as("cid"))
+    assigned
+      .select(col("cid"), posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy(col("cid"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("ssum"))
+      .withColumn("mean_centi", expr("ssum div n"))
+      .orderBy(col("cid"), col("dim"))
+  }
+
   /** EXACT WEIGHTED PERCENTILES per group — the token-weighted median
     * (and p90) of the quality score per source: "half the TOKENS sit at
     * or below this quality", the statistic that actually matters when
@@ -3421,6 +3463,7 @@ object Ext {
     "dedup_semantic_apply" -> dedupSemanticApply _,
     "sim_bruteforce_topk" -> simBruteforceTopk _,
     "sim_knn_graph" -> simKnnGraph _,
+    "sim_kmeans_step" -> simKmeansStep _,
     "sim_lsh_topk" -> simLshTopk _,
     "sim_ivf_topk" -> simIvfTopk _,
     "sim_ivf_warm" -> simIvfWarm _,

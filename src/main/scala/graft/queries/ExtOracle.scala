@@ -875,6 +875,30 @@ object ExtOracle {
          SELECT qid, label, "rank", nbr_id, cos FROM ranked
          WHERE "rank" <= 3 ORDER BY qid, "rank"""",
 
+    // one Lloyd iteration on centi-quantized integer vectors: integer
+    // squared-L2 argmin (ties -> lowest cid), centroids as (n, ssum)
+    // integer sums; div/'//' both truncate toward zero
+    "sim_kmeans_step" ->
+      """WITH e AS (SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS q
+           FROM embeddings),
+         seeds AS (SELECT vec_id AS cid, q AS c FROM e WHERE vec_id < 8),
+         d AS (SELECT e.vec_id, e.q, s.cid,
+             CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+               i -> (e.q[i] - s.c[i]) * (e.q[i] - s.c[i]))) AS BIGINT)
+               AS d2
+           FROM e CROSS JOIN seeds s),
+         a AS (SELECT vec_id, q, cid FROM
+           (SELECT vec_id, q, cid, row_number() OVER (PARTITION BY vec_id
+              ORDER BY d2, cid) AS rk FROM d) WHERE rk = 1),
+         x AS (SELECT cid, unnest(list_transform(range(1, len(q) + 1),
+             i -> struct_pack(dim := i - 1, v := q[i]))) AS p FROM a)
+         SELECT cid, CAST(p.dim AS BIGINT) AS dim, count(*) AS n,
+           CAST(sum(p.v) AS BIGINT) AS ssum,
+           CAST(sum(p.v) AS BIGINT) // count(*) AS mean_centi
+         FROM x GROUP BY cid, p.dim ORDER BY cid, dim""",
+
     "sim_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
            WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 200),

@@ -1076,6 +1076,102 @@ object Warehouse {
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
+  /** RFM SEGMENTATION — the classic warehouse customer segmentation:
+    * per user, Recency (days since last purchase, exact integer
+    * `µs div 86400e6` against the corpus max), Frequency (purchase
+    * count) and Monetary (floor-cents, so the sum is an exact integer
+    * fold — never an order-dependent double accumulation), each scored
+    * into FIXED bands (5 = best), rolled up per (r, f, m) segment.
+    * Fixed-band scoring is deliberate: quintile scoring needs a global
+    * ntile window (single-partition at corpus scale); bands are
+    * scan-local after the one per-user shuffle, and are what a
+    * production RFM table uses anyway (stable meaning across runs).
+    *
+    * Scale: one filter+groupBy shuffle keyed by user (partial aggs
+    * collapse the purchase stream map-side), the corpus-max timestamp is
+    * the A9 one-row driver scalar, and the segment rollup is ≤ 125
+    * groups. */
+  def eventsRfm(s: SparkSession, dir: String): DataFrame = {
+    val p = events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val nowUs = p.agg(max(col("ts_us"))).head().getLong(0)
+    def band(c: Column, b5: Long, b4: Long, b3: Long, b2: Long,
+        asc: Boolean): Column =
+      if (asc) when(c <= b5, 5L).when(c <= b4, 4L).when(c <= b3, 3L)
+        .when(c <= b2, 2L).otherwise(1L)
+      else when(c >= b5, 5L).when(c >= b4, 4L).when(c >= b3, 3L)
+        .when(c >= b2, 2L).otherwise(1L)
+    p.groupBy(col("user_id"))
+      .agg(max(col("ts_us")).as("last_us"), count(lit(1)).as("freq"),
+        sum(col("cents")).as("cents"))
+      .withColumn("rec_days", expr(s"($nowUs - last_us) div $DayUs"))
+      .withColumn("r_score", band(col("rec_days"), 2, 5, 10, 20, asc = true))
+      .withColumn("f_score", band(col("freq"), 20, 15, 10, 5, asc = false))
+      .withColumn("m_score", band(col("cents"), 90000, 70000, 50000, 30000,
+        asc = false))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("segment_cents"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  /** DATA-QUALITY EXPECTATION AUDIT (the dbt-test / Great-Expectations
+    * contract surface): a rule table — not-null, uniqueness, accepted
+    * values, accepted range, referential integrity — evaluated over
+    * `orders`/`lineitem` in ONE pass per table, emitting per-rule
+    * checked/violation counts and a pass flag. Thresholds are set so the
+    * synthetic corpus genuinely violates some rules (status `P`,
+    * quantity > 45, discount > 0.08) — the audit is exercised, not
+    * vacuous.
+    *
+    * Scale: all per-table rules fold in a single aggregate over a
+    * column-pruned scan (one row out per table, exploded into rule
+    * rows); uniqueness rides the same aggregate's single countDistinct;
+    * referential integrity is the one anti-join — at production scale
+    * AQE broadcasts the orders key set when the dim side is small, and a
+    * bucketed layout makes it co-located. Nothing else shuffles. */
+  def profileExpectations(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    def rule(name: String, table: String, checked: Column, viol: Column) =
+      struct(lit(name).as("rule"), lit(table).as("tbl"),
+        checked.as("n_checked"), viol.as("n_violations"))
+    val oRules = o.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nulls"),
+        countDistinct(col("o_orderkey")).as("dk"),
+        sum(when(!col("o_orderstatus").isin("O", "F"), 1L).otherwise(0L))
+          .as("badstat"))
+      .select(explode(array(
+        rule("not_null:o_custkey", "orders", col("n"), col("nulls")),
+        rule("unique:o_orderkey", "orders", col("n"), col("n") - col("dk")),
+        rule("accepted_values:o_orderstatus[O,F]", "orders", col("n"),
+          col("badstat")))).as("r"))
+    val lRules = l.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 45, 1L)
+          .otherwise(0L)).as("badqty"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.08, 1L)
+          .otherwise(0L)).as("baddisc"))
+      .select(explode(array(
+        rule("range:l_quantity[1,45]", "lineitem", col("n"), col("badqty")),
+        rule("range:l_discount[0,0.08]", "lineitem", col("n"),
+          col("baddisc")))).as("r"))
+    val nL = l.count()
+    val refViol = l.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .select(rule("ref:l_orderkey->o_orderkey", "lineitem", lit(nL),
+        col("v")).as("r"))
+    oRules.unionByName(lRules).unionByName(refViol)
+      .select(col("r.rule").as("rule"), col("r.tbl").as("tbl"),
+        col("r.n_checked").as("n_checked"),
+        col("r.n_violations").as("n_violations"))
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy(col("rule"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> mergeUpsert _,
     "merge_cdc" -> mergeCdc _,
@@ -1108,5 +1204,7 @@ object Warehouse {
     "graph_triangles" -> graphTriangles _,
     "ts_resample_grid" -> tsResampleGrid _,
     "ts_interpolate" -> tsInterpolate _,
+    "events_rfm" -> eventsRfm _,
+    "profile_expectations" -> profileExpectations _,
   )
 }

@@ -113,6 +113,71 @@ object WarehouseOracle {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
          ORDER BY user_id, version""",
 
+    // fixed-band RFM: floor-cents monetary (exact integer fold), recency
+    // as integer days vs the corpus max purchase time
+    "events_rfm" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         mx AS (SELECT max(ts_us) AS now_us FROM p),
+         per AS (SELECT user_id, max(ts_us) AS last_us,
+             count(*) AS freq, CAST(sum(cents) AS BIGINT) AS cents
+           FROM p GROUP BY user_id),
+         sc AS (SELECT
+             (now_us - last_us) // 86400000000 AS rec_days, freq, cents,
+             CASE WHEN (now_us - last_us) // 86400000000 <= 2 THEN 5
+                  WHEN (now_us - last_us) // 86400000000 <= 5 THEN 4
+                  WHEN (now_us - last_us) // 86400000000 <= 10 THEN 3
+                  WHEN (now_us - last_us) // 86400000000 <= 20 THEN 2
+                  ELSE 1 END AS r_score,
+             CASE WHEN freq >= 20 THEN 5 WHEN freq >= 15 THEN 4
+                  WHEN freq >= 10 THEN 3 WHEN freq >= 5 THEN 2
+                  ELSE 1 END AS f_score,
+             CASE WHEN cents >= 90000 THEN 5 WHEN cents >= 70000 THEN 4
+                  WHEN cents >= 50000 THEN 3 WHEN cents >= 30000 THEN 2
+                  ELSE 1 END AS m_score
+           FROM per, mx)
+         SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           count(*) AS n_users, CAST(sum(cents) AS BIGINT) AS segment_cents
+         FROM sc GROUP BY r_score, f_score, m_score
+         ORDER BY r_score, f_score, m_score""",
+
+    // dbt-style expectation audit: one aggregate per table exploded into
+    // rule rows + the referential anti-join
+    "profile_expectations" ->
+      """WITH o AS (SELECT count(*) AS n,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS nulls,
+           count(DISTINCT o_orderkey) AS dk,
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F') THEN 1
+             ELSE 0 END) AS BIGINT) AS badstat
+           FROM orders),
+         l AS (SELECT count(*) AS n,
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 45 THEN 1
+             ELSE 0 END) AS BIGINT) AS badqty,
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.08 THEN 1
+             ELSE 0 END) AS BIGINT) AS baddisc
+           FROM lineitem),
+         refv AS (SELECT count(*) AS v FROM lineitem
+           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+         rules AS (
+           SELECT 'not_null:o_custkey' AS rule, 'orders' AS tbl,
+             n AS n_checked, nulls AS n_violations FROM o
+           UNION ALL SELECT 'unique:o_orderkey', 'orders', n, n - dk FROM o
+           UNION ALL SELECT 'accepted_values:o_orderstatus[O,F]', 'orders',
+             n, badstat FROM o
+           UNION ALL SELECT 'range:l_quantity[1,45]', 'lineitem', n,
+             badqty FROM l
+           UNION ALL SELECT 'range:l_discount[0,0.08]', 'lineitem', n,
+             baddisc FROM l
+           UNION ALL SELECT 'ref:l_orderkey->o_orderkey', 'lineitem',
+             (SELECT n FROM l), v FROM refv)
+         SELECT rule, tbl, n_checked, n_violations,
+           n_violations = 0 AS pass
+         FROM rules ORDER BY rule""",
+
     "events_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
          u AS (SELECT DISTINCT user_id FROM ev),

@@ -243,6 +243,66 @@ class Round8OpsSpec extends SparkSpec {
     assert(enShare > 50, s"only $enShare/100 top docs are lang=en")
   }
 
+  test("events_rfm: segments partition the purchaser set and conserve cents") {
+    val out = Warehouse.eventsRfm(spark, sf001).collect()
+    out.foreach { r =>
+      (1 to 3).foreach(i => assert(r.getLong(i - 1) >= 1 && r.getLong(i - 1) <= 5))
+    }
+    val p = graft.core.Tables.eventsTsUs(spark, sf001)
+      .filter(col("event_type") === "purchase")
+      .agg(countDistinct(col("user_id")),
+        sum(floor(col("value") * 100).cast("long"))).head()
+    assert(out.map(_.getLong(3)).sum == p.getLong(0),
+      "segment user counts must partition the purchaser set")
+    assert(out.map(_.getLong(4)).sum == p.getLong(1),
+      "segment cents must sum to total purchase cents")
+  }
+
+  test("profile_expectations: counts match independent recomputation") {
+    val out = Warehouse.profileExpectations(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out.size == 6)
+    out.values.foreach { case (_, v, pass) => assert(pass == (v == 0)) }
+    val l = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+    val badQty = l.filter(col("l_quantity") < 1 || col("l_quantity") > 45).count()
+    assert(out("range:l_quantity[1,45]") == ((l.count(), badQty, badQty == 0)))
+    assert(badQty > 0, "the audit must be exercised, not vacuous")
+    val dups = o.count() - o.select(col("o_orderkey")).distinct().count()
+    assert(out("unique:o_orderkey")._2 == dups)
+    val orphans = l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti").count()
+    assert(out("ref:l_orderkey->o_orderkey")._2 == orphans)
+  }
+
+  test("sim_kmeans_step equals a brute-force Scala Lloyd iteration") {
+    val out = Ext.simKmeansStep(spark, sf0001).collect()
+    assert(out.length == 8 * 64, s"expected 8 clusters x 64 dims, got ${out.length}")
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 100).toLong).toArray)
+      .sortBy(_._1)
+    val seeds = vecs.filter(_._1 < 8)
+    val assign = vecs.map { case (_, q) =>
+      seeds.map { case (cid, c) =>
+        (q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.min._2
+    }
+    val expect = vecs.map(_._2).zip(assign).flatMap { case (q, cid) =>
+      q.zipWithIndex.map { case (v, d) => (cid, d.toLong) -> v }
+    }.groupBy(_._1).map { case (k, vs) =>
+      k -> ((vs.length.toLong, vs.map(_._2).sum))
+    }
+    out.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      val (n, ssum) = expect(k)
+      assert(r.getLong(2) == n && r.getLong(3) == ssum,
+        s"cluster-dim $k: got (${r.getLong(2)}, ${r.getLong(3)}), want ($n, $ssum)")
+      assert(r.getLong(4) == ssum / n)
+    }
+  }
+
   test("scd2_asof: per-state user counts sum to the users alive at T") {
     val out = Warehouse.scd2Asof(spark, sf0001).collect()
     val total = out.map(_.getLong(1)).sum
