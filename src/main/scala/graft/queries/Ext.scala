@@ -456,6 +456,62 @@ object Ext {
       .orderBy(col("n").desc, col("token"))
       .limit(20)
 
+  /** ONE BPE MERGE-INDUCTION STEP at corpus scale (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units"): the
+    * vocabulary-learning inner loop — count every adjacent character
+    * pair inside every token, emit the top-20 merge candidates by
+    * frequency (ties → lexicographic). Iterating re-runs the count over
+    * the re-segmented corpus; this query pins the first (and most
+    * expensive) iteration, which at training-corpus scale is the one a
+    * distributed engine must own — single-node BPE trainers sample the
+    * corpus instead of counting it.
+    *
+    * Scale: the pair generator is a scan-local substring window (no
+    * array materialization beyond the token's own characters); the count
+    * is one shuffle keyed by the 2-char pair (vocabulary-sized after
+    * map-side combine — pair cardinality is tiny); top-20 is a
+    * TakeOrdered, never a global sort. */
+  def textBpeMerge(s: SparkSession, dir: String): DataFrame =
+    docsTok(s, dir)
+      .select(explode(col("toks")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
+  /** FIRST-OCCURRENCE NOVELTY per document — what fraction of a doc's
+    * positional 3-grams appear here for the FIRST time in doc_id order:
+    * the novelty curve curriculum schedulers and dataset-growth audits
+    * read (a shrinking novelty share over ingestion order means the
+    * crawl has started eating its own tail). A 3-gram's first occurrence
+    * is `min(doc_id)` over the same positional shingle relation
+    * [[textDupSpanShare]] counts; a doc's novelty is the share of its
+    * positions whose shingle it owns first.
+    *
+    * Scale: exactly [[textDupSpanShare]]'s plan — scan-local shingle
+    * generator, ONE shuffle keyed by shingle for the min, broadcast-free
+    * rejoin on the same key, per-doc fold over scan-co-partitioned rows.
+    * The min-doc attribution never builds a pair relation. */
+  def textNovelty(s: SparkSession, dir: String): DataFrame = {
+    val pos = docsTok(s, dir).filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ", slice(col("toks"), i, lit(3))))).as("s"))
+    val first = pos.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    pos.join(first, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_positions"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel") / col("n_positions"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** Count-min-sketch heavy-hitter audit — the one-scan scale path for
     * what [[textTopTokens]] computes with a full token shuffle: the
     * sketch is built in a single pass (counter updates are commutative
@@ -3438,6 +3494,8 @@ object Ext {
     "text_redact_pii" -> textRedactPii _,
     "text_url_domains" -> textUrlDomains _,
     "text_top_tokens" -> textTopTokens _,
+    "text_bpe_merge" -> textBpeMerge _,
+    "text_novelty" -> textNovelty _,
     "text_top_tokens_cms" -> textTopTokensCms _,
     "split_train_test" -> splitTrainTest _,
     "split_domain_disjoint" -> splitDomainDisjoint _,

@@ -656,6 +656,33 @@ object ExtOracle {
          SELECT doc_id, rank, tok, tf, df, score FROM r
          WHERE rank <= 3 ORDER BY doc_id, rank""",
 
+    // BPE merge induction: adjacent character pairs inside tokens,
+    // top-20 by frequency (ties lexicographic)
+    "text_bpe_merge" ->
+      s"""WITH w AS (SELECT unnest($toks) AS w FROM documents),
+         p AS (SELECT unnest(list_transform(range(1, length(w)),
+             i -> substr(w, CAST(i AS INT), 2))) AS pair
+           FROM w WHERE length(w) >= 2)
+         SELECT pair, count(*) AS n FROM p
+         GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+
+    // first-occurrence novelty: a position is novel when its 3-gram's
+    // min(doc_id) is this doc
+    "text_novelty" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+         pos AS (SELECT doc_id, unnest(list_transform(
+             range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+           FROM tok WHERE len(toks) >= 3),
+         f AS (SELECT s, min(doc_id) AS first_doc FROM pos GROUP BY s)
+         SELECT doc_id, count(*) AS n_positions,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+         FROM pos JOIN f USING (s)
+         GROUP BY doc_id ORDER BY doc_id""",
+
     // positional (non-distinct) shingles: a span is duplicated when its
     // 3-gram occurs at >= 2 positions corpus-wide
     "text_dup_span_share" ->

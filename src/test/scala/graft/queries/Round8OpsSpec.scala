@@ -303,6 +303,39 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("text_bpe_merge equals a brute-force pair count") {
+    val out = Ext.textBpeMerge(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val counts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .filter(_.length >= 2)
+      .flatMap(w => (0 until w.length - 1).map(i => w.substring(i, i + 2)))
+      .groupBy(identity).map { case (p, xs) => (p, xs.length.toLong) }
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(out.toSeq == expect)
+  }
+
+  test("text_novelty: earliest doc is all-novel, and novelty matches brute force") {
+    val out = Ext.textNovelty(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .filter(_._2.length >= 3)
+    val tri = docs.flatMap { case (id, ts) =>
+      ts.sliding(3).map(s => (s.mkString(" "), id))
+    }
+    val firstDoc = tri.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).min }
+    docs.foreach { case (id, ts) =>
+      val pos = ts.sliding(3).map(_.mkString(" ")).toSeq
+      val novel = pos.count(s => firstDoc(s) == id).toLong
+      assert(out(id) == ((pos.length.toLong, novel)), s"doc $id")
+    }
+    val firstId = docs.map(_._1).min
+    assert(out(firstId)._1 == out(firstId)._2, "earliest doc must be all-novel")
+  }
+
   test("scd2_asof: per-state user counts sum to the users alive at T") {
     val out = Warehouse.scd2Asof(spark, sf0001).collect()
     val total = out.map(_.getLong(1)).sum
