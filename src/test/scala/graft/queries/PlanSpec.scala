@@ -381,4 +381,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"fuzzy match degenerated to an unblocked cross join:\n$p")
   }
+
+  test("mix_importance: the 4096-row ratio table broadcasts back onto the token stream") {
+    val p = planOf("mix_importance")
+    assert(p.contains("BroadcastHashJoin"),
+      s"ratio rejoin lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream shuffles to meet a 4096-row table:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 planned as a global sort:\n$p")
+  }
+
+  test("sim_kmeans_step: the k-row seed table broadcasts; assignment needs no shuffle before the argmin") {
+    val p = planOf("sim_kmeans_step")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"seed cross join lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"seed join degenerated to a partitioned cartesian:\n$p")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"argmin/centroid aggs lost partial combine:\n$p")
+  }
+
+  test("text_novelty / text_dedup_spans_apply: shingle attribution never builds a pair relation") {
+    Seq("text_novelty", "text_dedup_spans_apply").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q grew a cross join:\n$p")
+    }
+  }
+
+  test("text_bpe_merge: top-20 is a TakeOrdered over a two-phase count, not a global sort") {
+    val p = planOf("text_bpe_merge")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort crept in:\n$p")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"pair count lost map-side combine:\n$p")
+  }
+
+  test("events_rfm: one user shuffle; the segment rollup adds no extra exchange over it") {
+    val p = planOf("events_rfm")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    // user groupBy + <=125-group segment rollup (+AQE artifacts) — the
+    // purchase stream itself must shuffle at most once
+    assert(exchanges <= 2, s"RFM fragmented into $exchanges exchanges:\n$p")
+  }
 }
