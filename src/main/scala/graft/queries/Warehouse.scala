@@ -1076,6 +1076,56 @@ object Warehouse {
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN DELETE CASCADE — the GDPR erasure pipeline: a
+    * forget-set of customers (deterministic here: `c_custkey % 97 = 0`,
+    * standing in for the user-supplied subject list) cascades through
+    * the foreign-key chain customer → orders → lineitem, emitting a
+    * per-table erasure audit: rows before, rows deleted, rows after,
+    * and an order-free `bit_xor` digest of the SURVIVING keys (60-bit
+    * md5 prefix) — so the gate pins exactly which rows survived, not
+    * just how many (a cascade that deleted the wrong orders with the
+    * right count would still be caught).
+    *
+    * Scale: the forget-set is subject-sized (broadcast); each cascade
+    * level is one semi/anti join keyed by the FK — AQE broadcasts the
+    * deleted-key sets when they are small (the production case), and a
+    * base bucketed on the key makes repeated erasure runs co-located.
+    * The audit aggregates are one pass per table; nothing corpus-sized
+    * is collected. */
+  def mergeDeleteCascade(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    val forget = c.filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey"))
+    val delOrders = o.join(broadcast(forget),
+      col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+    def audit(tbl: String, all: DataFrame, joinKey: Column,
+        deleted: DataFrame, delKey: Column, digest: Column): DataFrame = {
+      val survivors = all.join(deleted, joinKey === delKey, "left_anti")
+        .withColumn("h",
+          conv(substring(md5(digest.cast("string")), 1, 15), 16, 10)
+            .cast("long"))
+      val nAll = all.count()
+      val nDel = nAll - survivors.count()
+      survivors
+        .agg(expr("bit_xor(h)").as("survivor_xor"))
+        .select(lit(tbl).as("tbl"), lit(nAll).as("n_before"),
+          lit(nDel).as("n_deleted"), lit(nAll - nDel).as("n_after"),
+          col("survivor_xor"))
+    }
+    audit("customer", c, col("c_custkey"), forget.select(
+        col("c_custkey").as("_del")), col("_del"), col("c_custkey"))
+      .unionByName(audit("orders", o, col("o_custkey"),
+        forget.select(col("c_custkey").as("_del")), col("_del"),
+        col("o_orderkey")))
+      .unionByName(audit("lineitem", l, col("l_orderkey"),
+        delOrders, col("o_orderkey"),
+        concat_ws("#", col("l_orderkey"), col("l_linenumber"))))
+      .orderBy(col("tbl"))
+  }
+
   /** RFM SEGMENTATION — the classic warehouse customer segmentation:
     * per user, Recency (days since last purchase, exact integer
     * `µs div 86400e6` against the corpus max), Frequency (purchase
@@ -1206,5 +1256,6 @@ object Warehouse {
     "ts_interpolate" -> tsInterpolate _,
     "events_rfm" -> eventsRfm _,
     "profile_expectations" -> profileExpectations _,
+    "merge_delete_cascade" -> mergeDeleteCascade _,
   )
 }

@@ -113,6 +113,46 @@ object WarehouseOracle {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
          ORDER BY user_id, version""",
 
+    // GDPR delete cascade: per-table erasure audit with order-free
+    // bit_xor digests of the SURVIVING keys (60-bit md5 prefix)
+    "merge_delete_cascade" ->
+      """WITH forget AS (SELECT c_custkey FROM customer
+           WHERE c_custkey % 97 = 0),
+         del_o AS (SELECT o_orderkey FROM orders
+           WHERE o_custkey IN (SELECT c_custkey FROM forget)),
+         c_s AS (SELECT c_custkey FROM customer
+           WHERE c_custkey NOT IN (SELECT c_custkey FROM forget)),
+         o_s AS (SELECT o_orderkey FROM orders
+           WHERE o_custkey NOT IN (SELECT c_custkey FROM forget)),
+         l_s AS (SELECT l_orderkey, l_linenumber FROM lineitem
+           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_o))
+         SELECT 'customer' AS tbl,
+           (SELECT count(*) FROM customer) AS n_before,
+           (SELECT count(*) FROM customer) - (SELECT count(*) FROM c_s)
+             AS n_deleted,
+           (SELECT count(*) FROM c_s) AS n_after,
+           (SELECT bit_xor(CAST('0x' ||
+              substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT))
+            FROM c_s) AS survivor_xor
+         UNION ALL
+         SELECT 'lineitem',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM l_s),
+           (SELECT count(*) FROM l_s),
+           (SELECT bit_xor(CAST('0x' ||
+              substr(md5(CAST(l_orderkey AS VARCHAR) || '#' ||
+                CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT))
+            FROM l_s)
+         UNION ALL
+         SELECT 'orders',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders) - (SELECT count(*) FROM o_s),
+           (SELECT count(*) FROM o_s),
+           (SELECT bit_xor(CAST('0x' ||
+              substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT))
+            FROM o_s)
+         ORDER BY tbl""",
+
     // fixed-band RFM: floor-cents monetary (exact integer fold), recency
     // as integer days vs the corpus max purchase time
     "events_rfm" ->

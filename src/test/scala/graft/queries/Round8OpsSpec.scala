@@ -336,6 +336,26 @@ class Round8OpsSpec extends SparkSpec {
     assert(out(firstId)._1 == out(firstId)._2, "earliest doc must be all-novel")
   }
 
+  test("merge_delete_cascade: the erasure reaches every dependent row and only those") {
+    val out = Warehouse.mergeDeleteCascade(spark, sf001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out.foreach { case (t, (b, d, a)) =>
+      assert(b == d + a, s"$t: $b != $d + $a")
+    }
+    val c = spark.read.parquet(s"$sf001/customer.parquet")
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+    val l = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val forget = c.filter(col("c_custkey") % 97 === 0)
+    assert(out("customer")._2 == forget.count())
+    val delO = o.join(forget, o("o_custkey") === forget("c_custkey"), "left_semi")
+    assert(out("orders")._2 == delO.count())
+    val delL = l.join(delO.select(col("o_orderkey")),
+      l("l_orderkey") === col("o_orderkey"), "left_semi")
+    assert(out("lineitem")._2 == delL.count())
+    assert(out("lineitem")._2 > 0, "the cascade must actually erase something")
+  }
+
   test("scd2_asof: per-state user counts sum to the users alive at T") {
     val out = Warehouse.scd2Asof(spark, sf0001).collect()
     val total = out.map(_.getLong(1)).sum
