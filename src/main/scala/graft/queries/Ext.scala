@@ -3302,6 +3302,66 @@ object Ext {
       .orderBy(col("user_id"), col("window_start_us"))
   }
 
+  /** STREAMING WINDOWED TOP-K — per finalized tumbling hour, the top-3
+    * event types by count. The stream side is an append-mode windowed
+    * aggregation ([[graft.streaming.StreamOps.tumblingTypeCounts]] —
+    * each (window, type) count emits exactly once when the watermark
+    * passes the window end); the RANK is applied on the landed counts at
+    * read time — the lake-serving pattern for streaming leaderboards,
+    * since a rank inside the stream would have to re-emit a window every
+    * time a later type overtook (append mode forbids it, and update-mode
+    * re-emission is exactly what the landed-then-rank split avoids).
+    * Sentinel staging and mtime ladder as in [[streamTumblingSink]].
+    *
+    * Scale: stream state is |types × open windows|; the rank window
+    * partitions by window start (bounded groups — |types| rows each),
+    * never a global sort. */
+  def streamTopkSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Tmp
+    val log = graft.core.PhaseLog.start("stream_topk")
+    val winUs = 3600000000L // 1 hour tumble
+    val ev = events(s, dir).select(col("event_type"), col("ts_us"))
+    val inDir = Tmp.jvmScopedDir("stream_topk_in", dir)
+    val outDir = Tmp.jvmScopedDir("stream_topk_out", dir)
+    val ckDir = Tmp.jvmScopedDir("stream_topk_ck", dir)
+    val stagedMarker = new java.io.File(inDir, "_graft_staged")
+    if (!stagedMarker.exists()) {
+      val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0)
+      Tmp.deleteRecursively(inDir)
+      new java.io.File(inDir).mkdirs()
+      def sentinel(tsUs: Long): DataFrame =
+        ev.sparkSession.range(1).select(
+          lit("_sentinel").as("event_type"), lit(tsUs).as("ts_us"))
+      val now = System.currentTimeMillis()
+      stageMtimeFile(ev, inDir, "f0.parquet", now - 60000L)
+      stageMtimeFile(sentinel(maxTs + 100L * winUs), inDir, "f1.parquet",
+        now - 40000L)
+      stageMtimeFile(sentinel(maxTs + 200L * winUs), inDir, "f2.parquet",
+        now - 20000L)
+      java.nio.file.Files.createFile(stagedMarker.toPath): Unit
+      log("staged input")
+    } else log("reusing staged input")
+
+    runStreamToParquet(s, outDir, ckDir,
+      Map("spark.sql.shuffle.partitions" -> "8"), log) {
+      val stream = s.readStream
+        .schema("event_type STRING, ts_us BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .withColumn("t", timestamp_micros(col("ts_us")))
+      graft.streaming.StreamOps.tumblingTypeCounts(stream, "1 hour")
+    }
+    val w = Window.partitionBy(col("window_start_us"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    s.read.parquet(outDir)
+      .filter(col("event_type") =!= "_sentinel")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("window_start_us"), col("rank"), col("event_type"),
+        col("n_events"))
+      .orderBy(col("window_start_us"), col("rank"))
+  }
+
   /** Feed-drift report over the mixed-format timestamp feed: per-format
     * row counts from `TimeOps.matchedFormat` (the same generated
     * `yy-`/`yyyy-` mix as [[csvRoundtrip]]) — the monitoring surface that
@@ -3555,6 +3615,7 @@ object Ext {
     "stream_interval_join_sink" -> streamIntervalJoinSink _,
     "stream_interval_outer_sink" -> streamIntervalOuterSink _,
     "stream_tumbling_sink" -> streamTumblingSink _,
+    "stream_topk_sink" -> streamTopkSink _,
     "stream_dedup_sink" -> streamDedupSink _,
     "stream_asof_sink" -> streamAsofSink _,
     "stream_enrich_sink" -> streamEnrichSink _,

@@ -1227,6 +1227,20 @@ object ExtOracle {
            round(sum(CAST(event_id AS DOUBLE)), 2) AS value_sum
          FROM events GROUP BY 1, 2 ORDER BY user_id, window_start_us""",
 
+    // batch twin of the landed-then-ranked streaming leaderboard: exact
+    // per-hour type counts, top-3 by (count desc, type)
+    "stream_topk_sink" ->
+      """WITH c AS (SELECT
+           (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+           event_type, count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT *, CAST(row_number() OVER (
+             PARTITION BY window_start_us
+             ORDER BY n_events DESC, event_type) AS BIGINT) AS "rank"
+           FROM c)
+         SELECT window_start_us, "rank", event_type, n_events FROM r
+         WHERE "rank" <= 3 ORDER BY window_start_us, "rank"""",
+
     "join_interval_native" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts_us
            FROM events WHERE event_type = 'click'),

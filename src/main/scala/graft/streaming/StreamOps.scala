@@ -141,6 +141,23 @@ object StreamOps {
         unix_micros(col("window.start")).as("window_start_us"),
         col("n_events"), col("value_sum"))
 
+  /** Tumbling per-event-type counts — [[tumblingCounts]] keyed on the
+    * TYPE dimension instead of the user: the leaderboard feed a
+    * sink-side rank turns into "top event types per finalized hour"
+    * (see `queries.Ext.streamTopkSink`). Append mode: a window emits
+    * exactly once, when the watermark passes its end. */
+  def tumblingTypeCounts(
+      events: DataFrame, // needs (t: timestamp, event_type)
+      windowLen: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("t", watermarkDelay)
+      .groupBy(col("event_type"), window(col("t"), windowLen))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("n_events"))
+
   /** [[sessionize]] on the `transformWithState` API (Spark 4's arbitrary
     * stateful processing v2): explicit `ValueState` + event-time timers
     * instead of `GroupState` — state lives in the (RocksDB-backed) store,

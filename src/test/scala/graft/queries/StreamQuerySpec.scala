@@ -80,6 +80,33 @@ class StreamQuerySpec extends SparkSpec {
       s"stream emitted ${got.size} windows, batch has ${want.size}")
   }
 
+  test("stream_topk_sink: landed-then-ranked leaderboard equals the batch top-3 per hour") {
+    val winUs = 3600000000L
+    val got = Ext.all("stream_topk_sink")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start_us"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    val want = graft.core.Tables.eventsTsUs(spark, sf0001)
+      .groupBy((expr(s"ts_us div $winUs") * winUs).as("window_start_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("window_start_us"), col("rank"), col("event_type"),
+        col("n_events"))
+      .orderBy(col("window_start_us"), col("rank"))
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want,
+      s"stream leaderboard has ${got.size} rows, batch has ${want.size}")
+    // every finalized window carries a contiguous rank prefix
+    val byWin = Ext.all("stream_topk_sink")(spark, sf0001).collect()
+      .groupBy(_.getLong(0))
+    byWin.values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length))
+    }
+  }
+
   test("stream_asof_sink reproduces the batch as-of exec on every probe") {
     graft.plans.GraftExtensions.ensureStrategies(spark)
     val got = Ext.all("stream_asof_sink")(spark, sf0001)
