@@ -456,6 +456,46 @@ object Ext {
       .orderBy(col("n").desc, col("token"))
       .limit(20)
 
+  /** SKIP-GRAM CO-OCCURRENCE mining (the word2vec/GloVe preprocessing
+    * step): unordered token pairs within a ±2 position window, top-20 by
+    * count (ties lexicographic), each with its unigram counts and the
+    * PMI-proxy lift `c12·N / (c1·c2)` (one double product/quotient in
+    * the identical operand order both engines — no logs, the
+    * text_keywords_tfidf discipline). Pairs canonicalize as
+    * (least, greatest) so (a,b) and (b,a) merge.
+    *
+    * Scale: the pair generator is scan-local (≤ 2 pairs per position,
+    * flatten of bounded inner sequences — never a doc-length cross
+    * join); the count is one shuffle keyed by pair with map-side
+    * combine; top-20 is a TakeOrdered; the unigram counts join only the
+    * 20 survivors (broadcast-sized by construction). */
+  def textCooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val tk = docsTok(s, dir).select(col("toks"))
+    val n = tk.select(explode(col("toks"))).count()
+    val pairs = tk.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(toks) - 1), i -> " +
+          "transform(sequence(i + 1, least(i + 2, size(toks))), j -> " +
+          "struct(least(toks[i-1], toks[j-1]) AS w1, " +
+          "greatest(toks[i-1], toks[j-1]) AS w2))))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val top = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(20)
+    val uni = tk.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    top
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .withColumn("lift", round(
+        (col("c12").cast("double") * lit(n.toDouble)) /
+          (col("c1").cast("double") * col("c2").cast("double")), 6))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        col("lift"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+  }
+
   /** ONE BPE MERGE-INDUCTION STEP at corpus scale (Sennrich et al. 2016,
     * "Neural Machine Translation of Rare Words with Subword Units"): the
     * vocabulary-learning inner loop — count every adjacent character
@@ -910,6 +950,39 @@ object Ext {
           .as("n_kept"),
         sum(when(col("bucket") < col("threshold"), col("ntok")).otherwise(0L))
           .as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** EXACT LARGEST-REMAINDER QUOTA ALLOCATION (Hamilton's method): split
+    * a global sample budget of 1000 slots across sources proportional to
+    * their token mass, in pure integer arithmetic — `floor_q =
+    * (budget·ntok) div total`, then the `budget − Σ floor_q` leftover
+    * slots go to the largest remainders (`(budget·ntok) mod total`, ties
+    * → source asc). The allocation every stratified sampler needs but
+    * float rounding can't deliver: Σ quota = budget EXACTLY, rerun-
+    * stable, no accumulated drift.
+    *
+    * Scale: one aggregate pass to per-source token totals; the
+    * remainder-ranking window is |sources|-sized (domain-count, the
+    * documented driver-sized model) — the corpus is never re-scanned. */
+  def mixAllocationLrm(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000L
+    val per = docsTok(s, dir)
+      .select(col("source"), size(col("toks")).cast("long").as("ntok"))
+      .groupBy(col("source")).agg(sum(col("ntok")).as("tokens_total"))
+    val total = per.agg(sum(col("tokens_total"))).head().getLong(0)
+    val base = per
+      .withColumn("floor_q", expr(s"($budget * tokens_total) div $total"))
+      .withColumn("rem", expr(s"($budget * tokens_total) % $total"))
+    val leftover = budget -
+      base.agg(sum(col("floor_q"))).head().getLong(0)
+    val w = Window.orderBy(col("rem").desc, col("source").asc)
+    base
+      .withColumn("rem_rank", row_number().over(w).cast("long"))
+      .withColumn("quota",
+        col("floor_q") + when(col("rem_rank") <= leftover, 1L).otherwise(0L))
+      .select(col("source"), col("tokens_total"), col("floor_q"),
+        col("rem_rank"), col("quota"))
       .orderBy(col("source"))
   }
 
@@ -3540,6 +3613,8 @@ object Ext {
     "sample_stratified" -> sampleStratified _,
     "mix_domains" -> mixDomains _,
     "mix_importance" -> mixImportance _,
+    "mix_allocation_lrm" -> mixAllocationLrm _,
+    "text_cooccurrence" -> textCooccurrence _,
     "mix_temperature" -> mixTemperature _,
     "mix_quality_budget" -> mixQualityBudget _,
     "text_repetition" -> textRepetition _,

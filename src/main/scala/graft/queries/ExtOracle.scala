@@ -734,6 +734,52 @@ object ExtOracle {
              '')) AS clean_md5
          FROM fl GROUP BY doc_id ORDER BY doc_id""",
 
+    // Hamilton largest-remainder allocation: pure integer floor + mod,
+    // leftover slots to the largest remainders (ties -> source asc)
+    "mix_allocation_lrm" ->
+      s"""WITH per AS (SELECT source,
+           CAST(sum(len($toks)) AS BIGINT) AS tokens_total
+           FROM documents GROUP BY source),
+         tot AS (SELECT CAST(sum(tokens_total) AS BIGINT) AS total,
+           count(*) AS n_src FROM per),
+         base AS (SELECT source, tokens_total,
+             (1000 * tokens_total) // total AS floor_q,
+             (1000 * tokens_total) % total AS rem
+           FROM per, tot),
+         lo AS (SELECT 1000 - CAST(sum(floor_q) AS BIGINT) AS leftover
+           FROM base),
+         rk AS (SELECT *, CAST(row_number() OVER (
+             ORDER BY rem DESC, source ASC) AS BIGINT) AS rem_rank
+           FROM base)
+         SELECT source, tokens_total, floor_q, rem_rank,
+           floor_q + (CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END)
+             AS quota
+         FROM rk, lo ORDER BY source""",
+
+    // skip-gram co-occurrence: unordered pairs within +-2 positions,
+    // top-20 by count; lift is one double product/quotient in the same
+    // operand order as the engine
+    "text_cooccurrence" ->
+      s"""WITH tok AS (SELECT $toks AS toks FROM documents),
+         n AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n_tok FROM tok),
+         pr AS (SELECT unnest(flatten(list_transform(
+             range(1, len(toks)), i -> list_transform(
+               range(i + 1, least(i + 2, len(toks)) + 1), j ->
+                 struct_pack(w1 := least(toks[i], toks[j]),
+                   w2 := greatest(toks[i], toks[j])))))) AS p
+           FROM tok WHERE len(toks) >= 2),
+         pc AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c12
+           FROM pr GROUP BY 1, 2),
+         top AS (SELECT * FROM pc ORDER BY c12 DESC, w1, w2 LIMIT 20),
+         uni AS (SELECT w, count(*) AS c FROM
+           (SELECT unnest(toks) AS w FROM tok) GROUP BY w)
+         SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+           round((CAST(c12 AS DOUBLE) * CAST(n_tok AS DOUBLE)) /
+             (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)), 6) AS lift
+         FROM top JOIN uni u1 ON u1.w = top.w1
+           JOIN uni u2 ON u2.w = top.w2, n
+         ORDER BY c12 DESC, w1, w2""",
+
     // DSIR-flavored importance: add-1-smoothed integer bucket ratios
     // ((ct+1)*1e6 // (cr+1)) summed per doc — log-free, rank-equivalent
     // to the log-ratio sum up to the dropped global normalizer

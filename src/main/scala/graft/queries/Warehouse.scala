@@ -281,6 +281,36 @@ object Warehouse {
       .orderBy(col("day"))
   }
 
+  /** DAU ANOMALY FLAGS — days whose active-user count deviates ≥ 50 %
+    * from the trailing-7-day mean: the ingestion-monitoring alarm that
+    * catches a dead collector or a bot flood before it poisons a
+    * training snapshot. The trailing sum is [[winRollingWau]]'s
+    * contribute-ahead rewrite pointed BACKWARD — each (day, dau) row
+    * contributes to report days `[day+1, day+7]`, so day d accumulates
+    * exactly its 7 predecessors — and the deviation test is the integer
+    * cross-multiplication `100·|7·dau − t7_sum| ≥ 50·t7_sum` (mean never
+    * materializes as a float). Days without full 7-day history are
+    * excluded (`n_hist = 7`), not silently under-compared.
+    *
+    * Scale: the DAU relation is |days|-sized after the one distinct
+    * shuffle; the explode is a bounded 7×; no window over the corpus. */
+  def eventsAnomalyDays(s: SparkSession, dir: String): DataFrame = {
+    val dau = userDays(s, dir)
+      .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val trail = dau
+      .select(col("dau").as("d0"),
+        explode(sequence(col("day") + 1, col("day") + 7)).as("rday"))
+      .groupBy(col("rday").as("day"))
+      .agg(sum(col("d0")).as("t7_sum"), count(lit(1)).as("n_hist"))
+    dau.join(trail, Seq("day"))
+      .filter(col("n_hist") === 7)
+      .withColumn("anomaly",
+        lit(100) * abs(lit(7) * col("dau") - col("t7_sum")) >=
+          lit(50) * col("t7_sum"))
+      .select(col("day"), col("dau"), col("t7_sum"), col("anomaly"))
+      .orderBy(col("day"))
+  }
+
   /** Cohort retention — users grouped by first active day, counted per
     * day-offset thereafter. The distinct `(user, day)` relation shuffles
     * once; the |users|-sized cohort table broadcasts back onto it, so the
@@ -1257,5 +1287,6 @@ object Warehouse {
     "events_rfm" -> eventsRfm _,
     "profile_expectations" -> profileExpectations _,
     "merge_delete_cascade" -> mergeDeleteCascade _,
+    "events_anomaly_days" -> eventsAnomalyDays _,
   )
 }

@@ -113,6 +113,22 @@ object WarehouseOracle {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
          ORDER BY user_id, version""",
 
+    // DAU anomaly: trailing-7 sum via day self-join (|days| rows), the
+    // deviation test is the same integer cross-mult as the engine
+    "events_anomaly_days" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+           epoch_us(ts) // 86400000000 AS day FROM events),
+         dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+         t7 AS (SELECT a.day, CAST(sum(b.dau) AS BIGINT) AS t7_sum,
+             count(*) AS n_hist
+           FROM dau a JOIN dau b ON b.day BETWEEN a.day - 7 AND a.day - 1
+           GROUP BY a.day)
+         SELECT a.day, a.dau, t7.t7_sum,
+           100 * abs(7 * a.dau - t7.t7_sum) >= 50 * t7.t7_sum AS anomaly
+         FROM dau a JOIN t7 ON t7.day = a.day
+         WHERE t7.n_hist = 7
+         ORDER BY a.day""",
+
     // GDPR delete cascade: per-table erasure audit with order-free
     // bit_xor digests of the SURVIVING keys (60-bit md5 prefix)
     "merge_delete_cascade" ->

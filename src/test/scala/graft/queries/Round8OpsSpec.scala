@@ -356,6 +356,68 @@ class Round8OpsSpec extends SparkSpec {
     assert(out("lineitem")._2 > 0, "the cascade must actually erase something")
   }
 
+  test("mix_allocation_lrm: quotas sum to the budget exactly and bumps go to the largest remainders") {
+    val out = Ext.mixAllocationLrm(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.map(_._5).sum == 1000L, "Hamilton must conserve the budget")
+    out.foreach { case (src, _, fq, _, q) =>
+      assert(q == fq || q == fq + 1, s"$src: quota $q vs floor $fq")
+    }
+    // the +1 set must be exactly the rem_rank prefix
+    val bumped = out.filter(r => r._5 == r._3 + 1).map(_._4).sorted
+    assert(bumped.sameElements(1L to bumped.length),
+      s"bumps not a remainder-rank prefix: ${bumped.mkString(",")}")
+    // independent proportionality check: floor_q = (1000*ntok) div total
+    val total = out.map(_._2).sum
+    out.foreach { case (src, ntok, fq, _, _) =>
+      assert(fq == 1000L * ntok / total, s"$src floor")
+    }
+  }
+
+  test("text_cooccurrence equals a brute-force skip-gram count") {
+    val out = Ext.textCooccurrence(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2),
+        r.getLong(3), r.getLong(4))))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("text")).collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty))
+    val uni = docs.flatten.groupBy(identity).map { case (w, xs) =>
+      w -> xs.length.toLong }
+    val pc = new scala.collection.mutable.HashMap[(String, String), Long]()
+      .withDefaultValue(0L)
+    docs.foreach { ts =>
+      for (i <- ts.indices; j <- (i + 1) to math.min(i + 2, ts.length - 1)) {
+        val k = if (ts(i) <= ts(j)) (ts(i), ts(j)) else (ts(j), ts(i))
+        pc(k) += 1
+      }
+    }
+    val expect = pc.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.take(20)
+      .map { case (k, c) => (k, (c, uni(k._1), uni(k._2))) }
+    assert(out.toSeq == expect)
+  }
+
+  test("events_anomaly_days: trailing sums and flags match a brute-force recompute") {
+    val out = Warehouse.eventsAnomalyDays(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val dau = graft.core.Tables.eventsTsUs(spark, sf001)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct().groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (d, (got, t7, flag)) =>
+      assert(got == dau(d))
+      val hist = (d - 7L until d).flatMap(dau.get)
+      assert(hist.length == 7, s"day $d admitted with ${hist.length} history days")
+      assert(t7 == hist.sum, s"day $d trailing sum")
+      assert(flag == (100L * math.abs(7L * got - t7) >= 50L * t7))
+    }
+    // days with incomplete history must be excluded, not flagged
+    val minDay = dau.keys.min
+    (minDay until minDay + 7L).foreach(d =>
+      assert(!out.contains(d), s"day $d lacks history but was reported"))
+  }
+
   test("scd2_asof: per-state user counts sum to the users alive at T") {
     val out = Warehouse.scd2Asof(spark, sf0001).collect()
     val total = out.map(_.getLong(1)).sum
