@@ -723,25 +723,64 @@ object Ext {
     * loop graduates from the interpreted HOF to a SeqDot-style codegen
     * Expression ([[graft.functions]]) — the plan shape is already the
     * right one. */
-  def simKmeansStep(s: SparkSession, dir: String): DataFrame = {
+  /** Shared by [[simKmeansStep]] / [[sampleCoreset]]: centi-quantized
+    * vectors assigned to the nearest of the first-k seed centroids by
+    * exact integer squared L2 (ties → lowest cid). */
+  private[queries] def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 100).cast("long")).as("q"))
     val seeds = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("q").as("c"))
-    val assigned = e.crossJoin(broadcast(seeds))
+    e.crossJoin(broadcast(seeds))
       .withColumn("d2", aggregate(
         zip_with(col("q"), col("c"), (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, x) => acc + x))
       .groupBy(col("vec_id"), col("q"))
       .agg(min(struct(col("d2"), col("cid"))).as("m"))
       .select(col("vec_id"), col("q"), col("m.cid").as("cid"))
-    assigned
+  }
+
+  def simKmeansStep(s: SparkSession, dir: String): DataFrame =
+    kmeansAssign(s, dir)
       .select(col("cid"), posexplode(col("q")).as(Seq("dim", "v")))
       .groupBy(col("cid"), col("dim").cast("long").as("dim"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("ssum"))
       .withColumn("mean_centi", expr("ssum div n"))
       .orderBy(col("cid"), col("dim"))
+
+  /** CORESET / MEDOID SELECTION — per k-means cluster, the member vector
+    * nearest the cluster's (truncated-mean) centroid: the diversity-
+    * sampling step that turns the [[simKmeansStep]] clustering into a
+    * small representative subset (cluster-balanced data pruning, the
+    * SemDeDup/SSL-prototype selection shape). Distance is the exact
+    * integer Σ(qᵢ − mean_centiᵢ)² against the `div`-truncated centroid —
+    * bounded by dims·(2·maxcenti)² REGARDLESS of corpus size (using raw
+    * (n·qᵢ − ssumᵢ)² instead would overflow a long at ~10¹⁰ rows per
+    * cluster), and truncation is identical in both engines, so the
+    * medoid election is hash-exact. Ties → lowest vec_id.
+    *
+    * Scale: reuses [[kmeansAssign]]'s broadcast-seeded scan-local
+    * assignment; the 512-row centroid table broadcasts back; the argmin
+    * is a k-group window over (dist, vec_id) heads. */
+  def sampleCoreset(s: SparkSession, dir: String): DataFrame = {
+    val assigned = kmeansAssign(s, dir)
+    val cent = assigned
+      .select(col("cid"), posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(expr("sum(v) div count(1)").as("mc"))
+    val dist = assigned
+      .select(col("vec_id"), col("cid"),
+        posexplode(col("q")).as(Seq("dim", "v")))
+      .join(broadcast(cent), Seq("cid", "dim"))
+      .groupBy(col("cid"), col("vec_id"))
+      .agg(sum((col("v") - col("mc")) * (col("v") - col("mc"))).as("dist"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    dist.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cid"), col("vec_id"), col("dist"))
+      .orderBy(col("cid"))
   }
 
   /** EXACT WEIGHTED PERCENTILES per group — the token-weighted median
@@ -3657,6 +3696,7 @@ object Ext {
     "sim_bruteforce_topk" -> simBruteforceTopk _,
     "sim_knn_graph" -> simKnnGraph _,
     "sim_kmeans_step" -> simKmeansStep _,
+    "sample_coreset" -> sampleCoreset _,
     "sim_lsh_topk" -> simLshTopk _,
     "sim_ivf_topk" -> simIvfTopk _,
     "sim_ivf_warm" -> simIvfWarm _,

@@ -972,6 +972,38 @@ object ExtOracle {
            CAST(sum(p.v) AS BIGINT) // count(*) AS mean_centi
          FROM x GROUP BY cid, p.dim ORDER BY cid, dim""",
 
+    // per-cluster medoid vs the div-truncated centroid — same assignment
+    // CTEs as sim_kmeans_step, ties -> lowest vec_id
+    "sample_coreset" ->
+      """WITH e AS (SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS q
+           FROM embeddings),
+         seeds AS (SELECT vec_id AS cid, q AS c FROM e WHERE vec_id < 8),
+         d AS (SELECT e.vec_id, e.q, s.cid,
+             CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+               i -> (e.q[i] - s.c[i]) * (e.q[i] - s.c[i]))) AS BIGINT)
+               AS d2
+           FROM e CROSS JOIN seeds s),
+         a AS (SELECT vec_id, q, cid FROM
+           (SELECT vec_id, q, cid, row_number() OVER (PARTITION BY vec_id
+              ORDER BY d2, cid) AS rk FROM d) WHERE rk = 1),
+         x AS (SELECT cid, vec_id, unnest(list_transform(
+             range(1, len(q) + 1),
+             i -> struct_pack(dim := i - 1, v := q[i]))) AS p FROM a),
+         cent AS (SELECT cid, p.dim AS dim,
+             CAST(sum(p.v) AS BIGINT) // count(*) AS mc
+           FROM x GROUP BY cid, p.dim),
+         dist AS (SELECT x.cid, x.vec_id,
+             CAST(sum((x.p.v - cent.mc) * (x.p.v - cent.mc)) AS BIGINT)
+               AS dist
+           FROM x JOIN cent ON cent.cid = x.cid AND cent.dim = x.p.dim
+           GROUP BY x.cid, x.vec_id)
+         SELECT cid, vec_id, dist FROM
+           (SELECT *, row_number() OVER (PARTITION BY cid
+              ORDER BY dist, vec_id) AS rk FROM dist)
+         WHERE rk = 1 ORDER BY cid""",
+
     "sim_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
            WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 200),

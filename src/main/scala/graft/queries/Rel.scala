@@ -633,6 +633,32 @@ object Rel {
       ORDER BY c_mktsegment""")
   }
 
+  /** SQL-text CORRELATED SUBQUERIES — the EXISTS / NOT EXISTS / scalar
+    * forms a SQL-first user writes daily, proven through the `spark.sql`
+    * front door: orders split by whether any line discounts deeper than
+    * 9 %, with the per-order max discount from a correlated scalar
+    * subquery. Catalyst de-correlates all three into joins (EXISTS →
+    * semi, NOT EXISTS → anti, scalar → aggregated left join), so the
+    * executed plan is the same join family the DataFrame queries pin —
+    * this query exists to prove the SQL surface compiles to it. */
+  def sqlCorrelatedExists(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("v_orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    s.sql("""
+      SELECT o_orderstatus,
+             CASE WHEN EXISTS (SELECT 1 FROM v_lineitem
+                               WHERE l_orderkey = o_orderkey
+                                 AND l_discount > 0.09)
+                  THEN 'deep' ELSE 'shallow' END AS discount_band,
+             count(*) AS n_orders,
+             round(sum((SELECT coalesce(max(l_discount), 0.0)
+                        FROM v_lineitem
+                        WHERE l_orderkey = o_orderkey)), 2) AS sum_max_disc
+      FROM v_orders
+      GROUP BY o_orderstatus, discount_band
+      ORDER BY o_orderstatus, discount_band""")
+  }
+
   /** Explicit GROUPING SETS (the general form behind cube/rollup):
     * per-returnflag totals, per-linestatus totals, and the grand total in
     * one pass — `grouping()` markers disambiguate the null slots and
@@ -727,6 +753,7 @@ object Rel {
     "win_rank_ntile" -> winRankNtile _,
     "gen_explode" -> genExplode _,
     "sql_text_rollup" -> sqlTextRollup _,
+    "sql_correlated_exists" -> sqlCorrelatedExists _,
     "agg_grouping_sets" -> aggGroupingSets _,
     "sort_limit" -> sortLimit _,
     "set_ops" -> setOps _,

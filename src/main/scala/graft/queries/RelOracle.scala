@@ -399,6 +399,21 @@ object RelOracle {
          WHERE o_orderstatus = 'O'
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
+    // the same correlated-subquery text DuckDB de-correlates identically
+    "sql_correlated_exists" ->
+      """SELECT o_orderstatus,
+         CASE WHEN EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_orderkey = o_orderkey
+                             AND l_discount > 0.09)
+              THEN 'deep' ELSE 'shallow' END AS discount_band,
+         count(*) AS n_orders,
+         round(sum((SELECT coalesce(max(l_discount), 0.0)
+                    FROM lineitem
+                    WHERE l_orderkey = o_orderkey)), 2) AS sum_max_disc
+         FROM orders
+         GROUP BY o_orderstatus, discount_band
+         ORDER BY o_orderstatus, discount_band""",
+
     "win_change_points" ->
       """WITH f AS (
            SELECT user_id, event_id, epoch_us(ts) AS ts_us,

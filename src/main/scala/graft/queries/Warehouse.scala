@@ -1106,6 +1106,37 @@ object Warehouse {
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
+  /** CATEGORICAL CONTINGENCY / DRIFT AUDIT — the lang × source
+    * association table with integer-exact over/under-representation per
+    * cell: observed count, marginals, expected count and lift both as
+    * parts-per-million (`e_ppm = (rt·ct·10⁶) div N`, `lift_ppm =
+    * (o·N·10⁶) div (rt·ct)`, 10⁶ = independence) — the audit that
+    * catches a crawler suddenly feeding one language from one domain,
+    * without the float chi-squared whose accumulation order the hash
+    * gate can't pin. BIGINT headroom: the `rt·ct·10⁶` product bounds
+    * exact ppm arithmetic to N ≲ 3·10⁹ rows per audited slice; at
+    * 100 TB the audit runs per partition-slice anyway (drift is a
+    * per-ingest question), or counts right-shift by a common 2^k first.
+    *
+    * Scale: three tiny aggregates (cells + two marginals), broadcast
+    * rejoins, |langs × sources| output rows. */
+  def profileContingency(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("lang"), col("source"))
+    val n = d.count()
+    val cells = d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+    val rt = d.groupBy(col("lang")).agg(count(lit(1)).as("rt"))
+    val ct = d.groupBy(col("source")).agg(count(lit(1)).as("ct"))
+    cells
+      .join(broadcast(rt), Seq("lang"))
+      .join(broadcast(ct), Seq("source"))
+      .withColumn("e_ppm", expr(s"(rt * ct * 1000000) div $n"))
+      .withColumn("lift_ppm", expr(s"(o * $n * 1000000) div (rt * ct)"))
+      .select(col("source"), col("lang"), col("o"), col("rt"), col("ct"),
+        col("e_ppm"), col("lift_ppm"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** RIGHT-TO-BE-FORGOTTEN DELETE CASCADE — the GDPR erasure pipeline: a
     * forget-set of customers (deterministic here: `c_custkey % 97 = 0`,
     * standing in for the user-supplied subject list) cascades through
@@ -1288,5 +1319,6 @@ object Warehouse {
     "profile_expectations" -> profileExpectations _,
     "merge_delete_cascade" -> mergeDeleteCascade _,
     "events_anomaly_days" -> eventsAnomalyDays _,
+    "profile_contingency" -> profileContingency _,
   )
 }

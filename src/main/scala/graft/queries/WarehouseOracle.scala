@@ -113,6 +113,19 @@ object WarehouseOracle {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
          ORDER BY user_id, version""",
 
+    // lang x source contingency with ppm-scaled integer expectation/lift
+    "profile_contingency" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+         cells AS (SELECT lang, source, count(*) AS o
+           FROM documents GROUP BY 1, 2),
+         r AS (SELECT lang, count(*) AS rt FROM documents GROUP BY 1),
+         c AS (SELECT source, count(*) AS ct FROM documents GROUP BY 1)
+         SELECT source, lang, o, rt, ct,
+           (rt * ct * 1000000) // n AS e_ppm,
+           (o * n * 1000000) // (rt * ct) AS lift_ppm
+         FROM cells JOIN r USING (lang) JOIN c USING (source), n
+         ORDER BY source, lang""",
+
     // DAU anomaly: trailing-7 sum via day self-join (|days| rows), the
     // deviation test is the same integer cross-mult as the engine
     "events_anomaly_days" ->

@@ -418,6 +418,69 @@ class Round8OpsSpec extends SparkSpec {
       assert(!out.contains(d), s"day $d lacks history but was reported"))
   }
 
+  test("sql_correlated_exists: the SQL text de-correlates (no cartesian) and partitions the orders") {
+    val df = Rel.sqlCorrelatedExists(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"correlated subquery failed to de-correlate:\n$p")
+    val out = df.collect()
+    val nOrders = spark.read.parquet(s"$sf001/orders.parquet").count()
+    assert(out.map(_.getLong(2)).sum == nOrders,
+      "bands must partition the orders")
+    assert(out.map(_.getString(1)).distinct.sorted.sameElements(
+      Seq("deep", "shallow")), "both bands must be populated")
+  }
+
+  test("sample_coreset picks the true medoid of every cluster") {
+    val out = Ext.sampleCoreset(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size == 8)
+    // brute-force: same quantization, assignment, truncated centroid
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 100).toLong).toArray)
+      .sortBy(_._1)
+    val seeds = vecs.filter(_._1 < 8)
+    val byCluster = vecs.groupBy { case (_, q) =>
+      seeds.map { case (cid, c) =>
+        (q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.min._2
+    }
+    byCluster.foreach { case (cid, members) =>
+      val dims = members.head._2.length
+      val mc = (0 until dims).map { d =>
+        members.map(_._2(d)).sum / members.length
+      }
+      val (bestId, bestDist) = members.map { case (id, q) =>
+        (id, q.zip(mc).map { case (v, m) => (v - m) * (v - m) }.sum)
+      }.minBy { case (id, dd) => (dd, id) }
+      assert(out(cid) == ((bestId, bestDist)),
+        s"cluster $cid: got ${out(cid)}, want ($bestId, $bestDist)")
+    }
+  }
+
+  test("profile_contingency: marginals reconcile and ppm fields match a recompute") {
+    val out = Warehouse.profileContingency(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val n = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(out.map(_._3).sum == n, "cell counts must sum to the corpus")
+    out.groupBy(_._2).foreach { case (_, cells) =>
+      assert(cells.map(_._3).sum == cells.head._4, "lang marginal")
+    }
+    out.groupBy(_._1).foreach { case (_, cells) =>
+      assert(cells.map(_._3).sum == cells.head._5, "source marginal")
+    }
+    out.foreach { case (src, lang, o, rt, ct, e, lift) =>
+      assert(e == rt * ct * 1000000L / n, s"$src/$lang e_ppm")
+      assert(lift == o * n * 1000000L / (rt * ct), s"$src/$lang lift_ppm")
+    }
+    // the audit must see real skew somewhere (synthetic corpus is not uniform)
+    assert(out.exists(c => c._7 > 1100000L || c._7 < 900000L),
+      "no cell deviates >10% from independence — audit is vacuous here")
+  }
+
   test("scd2_asof: per-state user counts sum to the users alive at T") {
     val out = Warehouse.scd2Asof(spark, sf0001).collect()
     val total = out.map(_.getLong(1)).sum
