@@ -326,6 +326,78 @@ object Warehouse {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** GROWTH ACCOUNTING — the standard DAU decomposition: per day, how
+    * many active users are NEW (first-ever day), RETAINED (also active
+    * yesterday), or RESURRECTED (returning after a gap), plus how many
+    * of yesterday's actives CHURNED (not active today). The four series
+    * reconcile by construction: `dau(d) = new + retained + resurrected`
+    * and `churned(d) = dau(d−1) − retained(d)` — the identity every
+    * growth dashboard asserts and this query emits pre-checked.
+    *
+    * Scale: one distinct (user, day) shuffle; the lag/lead windows
+    * partition BY USER (bounded per-user day lists, never a corpus
+    * window); the day rollup is |days|-sized. */
+  def eventsLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ud = userDays(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val flagged = ud
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("next", lead(col("day"), 1).over(w))
+    val states = flagged.groupBy(col("day")).agg(
+      sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("prev") === col("day") - 1, 1L).otherwise(0L))
+        .as("n_retained"),
+      sum(when(col("prev").isNotNull && col("prev") < col("day") - 1, 1L)
+        .otherwise(0L)).as("n_resurrected"))
+    val churn = flagged
+      .filter(col("next").isNull || col("next") > col("day") + 1)
+      .groupBy((col("day") + 1).as("day"))
+      .agg(count(lit(1)).as("n_churned"))
+    states.join(churn, Seq("day"), "left")
+      .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+      .withColumn("dau", col("n_new") + col("n_retained") + col("n_resurrected"))
+      .select(col("day"), col("dau"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"))
+      .orderBy(col("day"))
+  }
+
+  /** TIME-TO-CONVERT percentiles — exact p50/p90 of the first-view →
+    * first-subsequent-purchase latency (µs), the funnel-health number
+    * product teams watch. Selection-based and distributed: the latencies
+    * form ONE global group, so the rank comes from [[groupedRank]] with
+    * a constant group key — range-partitioned two-phase selection, never
+    * a single-task global sort ([[aggPercentileDisc]]'s 100 TB
+    * argument applied to the ungrouped case). The answer is an actual
+    * data value (⌈p·n⌉ selection, integer cross-mult), zero tolerance.
+    *
+    * Scale: the per-user firsts are [[eventsFunnel]]'s broadcast-staged
+    * aggregates; latencies are |converting users|-sized; the selection
+    * shuffles that relation once. */
+  def eventsTimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val v1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_us"))
+    val p1 = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(v1), Seq("user_id"))
+      .filter(col("ts_us") > col("v_us"))
+      .groupBy(col("user_id"), col("v_us"))
+      .agg(min(col("ts_us")).as("p_us"))
+    val lat = p1.select(col("user_id"),
+      (col("p_us") - col("v_us")).as("latency_us"), lit("all").as("g"))
+    val ranked = groupedRank("ttc", s, dir, lat, Seq("g"),
+      Seq(col("latency_us").asc, col("user_id").asc))
+    ranked
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        min(when(col("rn") * 2 >= col("n"), col("latency_us")))
+          .as("p50_latency_us"),
+        min(when(col("rn") * 10 >= col("n") * 9, col("latency_us")))
+          .as("p90_latency_us"))
+      .select(col("n_users"), col("p50_latency_us"), col("p90_latency_us"))
+  }
+
   /** DISTRIBUTED per-group rank — `row_number()` and group size over
     * (groupCols, orderCols) WITHOUT `Window.partitionBy(group)`'s
     * one-task-per-group sort funnel: with 5 event types, the naive
@@ -1320,5 +1392,7 @@ object Warehouse {
     "merge_delete_cascade" -> mergeDeleteCascade _,
     "events_anomaly_days" -> eventsAnomalyDays _,
     "profile_contingency" -> profileContingency _,
+    "events_lifecycle" -> eventsLifecycle _,
+    "events_time_to_convert" -> eventsTimeToConvert _,
   )
 }

@@ -113,6 +113,54 @@ object WarehouseOracle {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
          ORDER BY user_id, version""",
 
+    // growth accounting: lag/lead per user, day rollup; churn(d) counts
+    // users active d-1 with no activity at d
+    "events_lifecycle" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+           epoch_us(ts) // 86400000000 AS day FROM events),
+         f AS (SELECT user_id, day,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next
+           FROM ud),
+         st AS (SELECT day,
+           CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(sum(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND prev < day - 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+           FROM f GROUP BY day),
+         ch AS (SELECT day + 1 AS day, count(*) AS n_churned FROM f
+           WHERE next IS NULL OR next > day + 1 GROUP BY day + 1)
+         SELECT st.day, n_new + n_retained + n_resurrected AS dau,
+           n_new, n_retained, n_resurrected,
+           coalesce(ch.n_churned, 0) AS n_churned
+         FROM st LEFT JOIN ch ON ch.day = st.day ORDER BY st.day""",
+
+    // exact global p50/p90 of first-view -> first-purchase latency:
+    // the value at rank ceil(p*n) (integer cross-mult selection)
+    "events_time_to_convert" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+         v1 AS (SELECT user_id, min(ts_us) AS v_us FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+         p1 AS (SELECT e.user_id, v_us, min(ts_us) AS p_us
+           FROM ev e JOIN v1 USING (user_id)
+           WHERE event_type = 'purchase' AND ts_us > v_us
+           GROUP BY e.user_id, v_us),
+         lat AS (SELECT user_id, p_us - v_us AS latency_us FROM p1),
+         rk AS (SELECT latency_us,
+             CAST(row_number() OVER (ORDER BY latency_us, user_id)
+               AS BIGINT) AS rn,
+             count(*) OVER () AS n
+           FROM lat)
+         SELECT (SELECT count(*) FROM lat) AS n_users,
+           min(CASE WHEN rn * 2 >= n THEN latency_us END)
+             AS p50_latency_us,
+           min(CASE WHEN rn * 10 >= n * 9 THEN latency_us END)
+             AS p90_latency_us
+         FROM rk""",
+
     // lang x source contingency with ppm-scaled integer expectation/lift
     "profile_contingency" ->
       """WITH n AS (SELECT count(*) AS n FROM documents),

@@ -481,6 +481,45 @@ class Round8OpsSpec extends SparkSpec {
       "no cell deviates >10% from independence — audit is vacuous here")
   }
 
+  test("events_lifecycle: the growth-accounting identities reconcile") {
+    val out = Warehouse.eventsLifecycle(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    out.foreach { case (d, (dau, nw, rt, rs, _)) =>
+      assert(dau == nw + rt + rs, s"day $d: dau decomposition")
+    }
+    // churned(d) = dau(d-1) - retained(d) on consecutive reported days
+    out.keys.filter(d => out.contains(d - 1)).foreach { d =>
+      val (_, _, rt, _, _) = out(d)
+      assert(out(d - 1)._1 - rt == out(d)._5, s"day $d churn identity")
+    }
+    // every user is new exactly once
+    val users = graft.core.Tables.eventsTsUs(spark, sf001)
+      .select(col("user_id")).distinct().count()
+    assert(out.values.map(_._2).sum == users)
+  }
+
+  test("events_time_to_convert equals a brute-force selection") {
+    val r = Warehouse.eventsTimeToConvert(spark, sf0001).head()
+    val ev = graft.core.Tables.eventsTsUs(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("ts_us")).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val v1 = ev.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val lat = ev.filter(_._2 == "purchase")
+      .flatMap { case (u, _, ts) =>
+        v1.get(u).filter(ts > _).map(v => (u, ts - v))
+      }
+      .groupBy(_._1).map { case (u, xs) => (u, xs.map(_._2).min) }
+      .toSeq.sortBy { case (u, l) => (l, u) }.map(_._2)
+    val n = lat.length
+    def sel(num: Int, den: Int) =
+      lat((n * num + den - 1) / den - 1) // value at rank ceil(p*n)
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == sel(1, 2), s"p50: ${r.getLong(1)} vs ${sel(1, 2)}")
+    assert(r.getLong(2) == sel(9, 10), s"p90: ${r.getLong(2)} vs ${sel(9, 10)}")
+  }
+
   test("scd2_asof: per-state user counts sum to the users alive at T") {
     val out = Warehouse.scd2Asof(spark, sf0001).collect()
     val total = out.map(_.getLong(1)).sum
