@@ -2410,6 +2410,75 @@ object Ext {
       .orderBy(col("p_event"))
   }
 
+  /** PER-DAY BOUNCE RATE — share of gap-sessions (same 30-min gap rule
+    * as `win_sessionize`) holding exactly ONE event, keyed by the
+    * session's start day: the engagement-health ratio every analytics
+    * deployment reports. The ratio is ppm-scaled integer division —
+    * no float, hash-exact.
+    *
+    * Scale: the gaps-and-islands windows partition BY USER (bounded
+    * per-user event lists), the session rollup is |sessions|-sized, the
+    * day rollup |days|-sized. */
+  def winSessionBounce(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    ev
+      .withColumn("brk",
+        when(lag(col("ts_us"), 1).over(w).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("start_us"))
+      .withColumn("day", expr("start_us div 86400000000"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_ppm", expr("(n_bounces * 1000000) div n_sessions"))
+      .orderBy(col("day"))
+  }
+
+  /** NEAREST-in-time as-of join — per click, the single error event of
+    * the same user minimizing |Δt| within ±10 min (sensor/log alignment
+    * where "latest before" is the wrong question and you want the
+    * CLOSEST reading either side). Backward/forward symmetric, so no
+    * merge-scan direction exists to exploit; instead the 1-D version of
+    * the grid-blocked radius join ([[geo radius join]]'s argument): the
+    * build side lands in ±1 time buckets of width = tolerance, the probe
+    * equi-joins its bucket, |Δ| filters, and the winner is one
+    * `min(struct(abs Δ, build ts, build id))` per probe — deterministic
+    * total tie order (equal |Δ| → earlier error, then lower id).
+    *
+    * Scale: the join is equi on (user, bucket) — shuffle-hash/broadcast
+    * eligible, never an inequality cross join; the 3× build replication
+    * is bounded; the per-probe argmin folds map-side. */
+  def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val W = 600000000L // ±10 min in µs
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts_us").as("c_ts"), expr(s"ts_us div $W").as("bucket"))
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("err_id"),
+        col("ts_us").as("e_ts"), expr(s"ts_us div $W").as("b0"))
+      .withColumn("bucket",
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+    clicks.join(errs,
+        col("c_user") === col("e_user") &&
+          clicks("bucket") === errs("bucket") &&
+          abs(col("e_ts") - col("c_ts")) <= W, "left")
+      .groupBy(col("click_id"), col("c_user").as("user_id"), col("c_ts"))
+      .agg(min(struct(abs(col("e_ts") - col("c_ts")).as("adt"),
+        col("e_ts"), col("err_id"))).as("m"))
+      .select(col("click_id"), col("user_id"),
+        coalesce(col("m.adt"), lit(-1L)).as("abs_delta_us"),
+        coalesce(col("m.err_id"), lit(-1L)).as("nearest_err"))
+      .orderBy(col("click_id"))
+  }
+
   /** Range join, bucketized: per click, count error events of the same user
     * within ±10 min. Time-bucket equi-join (±1 bucket on the build side)
     * replaces the unbounded inequality join — the band-join pattern that
@@ -3711,6 +3780,8 @@ object Ext {
     "mm_byte_histogram" -> mmByteHistogram _,
     "mm_resize" -> mmResize _,
     "join_asof" -> joinAsof _,
+    "join_asof_nearest" -> joinAsofNearest _,
+    "win_session_bounce" -> winSessionBounce _,
     "join_asof_native" -> joinAsofNative _,
     "join_asof_tolerance" -> joinAsofTolerance _,
     "join_range_bucketed" -> joinRangeBucketed _,

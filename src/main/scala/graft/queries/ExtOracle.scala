@@ -1484,6 +1484,52 @@ object ExtOracle {
            min(lat) AS min_lat, max(lat) AS max_lat
          FROM z3 GROUP BY z ORDER BY z""",
 
+    // nearest |dt| <= 10min error per click; ties -> earlier error then
+    // lower id (the engine's struct-min order)
+    "join_asof_nearest" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+           epoch_us(ts) AS c_ts FROM events WHERE event_type = 'click'),
+         e AS (SELECT user_id, event_id AS err_id, epoch_us(ts) AS e_ts
+           FROM events WHERE event_type = 'error'),
+         m AS (SELECT c.click_id, c.user_id,
+             abs(e.e_ts - c.c_ts) AS adt, e.e_ts, e.err_id,
+             row_number() OVER (PARTITION BY c.click_id
+               ORDER BY abs(e.e_ts - c.c_ts), e.e_ts, e.err_id) AS rk
+           FROM c JOIN e ON c.user_id = e.user_id
+             AND abs(e.e_ts - c.c_ts) <= 600000000)
+         SELECT c.click_id, c.user_id,
+           coalesce(m.adt, -1) AS abs_delta_us,
+           coalesce(m.err_id, -1) AS nearest_err
+         FROM c LEFT JOIN m ON m.click_id = c.click_id AND m.rk = 1
+         ORDER BY c.click_id""",
+
+    // per-day share of single-event gap sessions, ppm integer ratio
+    "win_session_bounce" ->
+      """WITH g AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         sess AS (
+           SELECT user_id, CAST(sum(brk) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS sid, ts_us
+           FROM g),
+         per AS (SELECT user_id, sid, count(*) AS n_events,
+             min(ts_us) AS start_us
+           FROM sess GROUP BY user_id, sid),
+         byday AS (SELECT start_us // 86400000000 AS day,
+             count(*) AS n_sessions,
+             CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces
+           FROM per GROUP BY 1)
+         SELECT day, n_sessions, n_bounces,
+           (n_bounces * 1000000) // n_sessions AS bounce_ppm
+         FROM byday ORDER BY day""",
+
     "join_range_bucketed" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts_us
            FROM events WHERE event_type = 'click'),

@@ -520,6 +520,37 @@ class Round8OpsSpec extends SparkSpec {
     assert(r.getLong(2) == sel(9, 10), s"p90: ${r.getLong(2)} vs ${sel(9, 10)}")
   }
 
+  test("join_asof_nearest equals a brute-force nearest-neighbor scan") {
+    val W = 600000000L
+    val out = Ext.joinAsofNearest(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val ev = graft.core.Tables.eventsTsUs(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val errsByUser = ev.filter(_._2 == "error").groupBy(_._1)
+    ev.filter(_._2 == "click").foreach { case (u, _, cts, cid) =>
+      val cand = errsByUser.getOrElse(u, Array.empty)
+        .map { case (_, _, ets, eid) => (math.abs(ets - cts), ets, eid) }
+        .filter(_._1 <= W)
+      val want = if (cand.isEmpty) (-1L, -1L)
+        else { val m = cand.min; (m._1, m._3) }
+      assert(out(cid) == want, s"click $cid: ${out(cid)} vs $want")
+    }
+  }
+
+  test("win_session_bounce: session population matches win_sessionize, ratios bounded") {
+    val out = Ext.winSessionBounce(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.foreach { case (d, ns, nb, ppm) =>
+      assert(nb <= ns, s"day $d: more bounces than sessions")
+      assert(ppm == nb * 1000000L / ns, s"day $d ppm")
+    }
+    // cross-op: same gap rule => same total session count as win_sessionize
+    val sessions = Rel.winSessionize(spark, sf001).count()
+    assert(out.map(_._2).sum == sessions,
+      "bounce rollup lost or invented sessions vs win_sessionize")
+  }
+
   test("scd2_asof: per-state user counts sum to the users alive at T") {
     val out = Warehouse.scd2Asof(spark, sf0001).collect()
     val total = out.map(_.getLong(1)).sum
