@@ -144,6 +144,16 @@ object Similarity {
       graft.functions.SeqDotLong(Bridge.expression(a), Bridge.expression(b)))
   }
 
+  /** Exact integer squared L2 distance of two quantized vectors — the
+    * codegen'd [[graft.functions.SeqL2Long]] behind the k-means
+    * assignment/coreset loops; same bit-exactness argument as
+    * [[intDot]]. */
+  def intL2(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(
+      graft.functions.SeqL2Long(Bridge.expression(a), Bridge.expression(b)))
+  }
+
   // --- IVF (inverted-file) index -----------------------------------------
 
   /** Train `nlist` coarse centroids with `iters` Lloyd iterations.

@@ -119,6 +119,25 @@ object VectorMath {
     }
     acc
   }
+
+  /** Exact integer squared L2 distance, long accumulator — the k-means /
+    * coreset hot loop (`Σ (aᵢ − bᵢ)²` over quantized vectors): integer
+    * adds are order-insensitive, so the distance (and every argmin built
+    * on it) is bit-exact across engines. Null on length mismatch or null
+    * elements, like the HOF composition it replaces. */
+  def seqL2Long(a: ArrayData, b: ArrayData, ac: Int, bc: Int): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = elemL(a, i, ac) - elemL(b, i, bc)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Native sequential dot product over two float/double array columns.
@@ -245,5 +264,57 @@ case class SeqDotLong(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SeqDotLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact integer squared-L2 distance over two integral array columns —
+  * the codegen'd hot loop behind the k-means assignment and coreset
+  * medoid election ([[graft.queries.Ext.kmeansAssign]]): one fused
+  * primitive loop instead of the interpreted
+  * `aggregate(zip_with(a, b, (x,y) => (x−y)²))` HOF, with the same
+  * null-propagation contract. Integer adds are order-insensitive, so
+  * the distance is bit-exact in any engine. */
+@ExpressionDescription(
+  usage = "seq_l2_long(a, b) - exact integer squared L2 distance of two integral arrays")
+case class SeqL2Long(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "seq_l2_long"
+
+  private def code(e: Expression): Int =
+    VectorMath.typeCode(e.dataType.asInstanceOf[ArrayType].elementType)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(IntegerType | LongType | ShortType | ByteType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"seq_l2_long needs integral array inputs, " +
+          s"got ${left.dataType.sql} / ${right.dataType.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.seqL2Long(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      code(left), code(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (ac, bc) = (code(left), code(right))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("il2")
+      s"""
+         |java.lang.Long $tmp = graft.functions.VectorMath.seqL2Long($a, $b, $ac, $bc);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SeqL2Long =
     copy(left = newLeft, right = newRight)
 }

@@ -50,6 +50,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SeqDotLong(args(0), args(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("seq_l2_long"),
+      new ExpressionInfo(classOf[graft.functions.SeqL2Long].getName, "seq_l2_long"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "seq_l2_long(array, array)")
+        graft.functions.SeqL2Long(args(0), args(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[graft.functions.WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => {

@@ -733,9 +733,10 @@ object Ext {
     val seeds = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("q").as("c"))
     e.crossJoin(broadcast(seeds))
-      .withColumn("d2", aggregate(
-        zip_with(col("q"), col("c"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
+      // codegen'd fused loop (SeqL2Long) — the interpreted
+      // aggregate(zip_with(...)) HOF this replaces never enters
+      // whole-stage codegen and allocates a zipped array per candidate
+      .withColumn("d2", graft.ext.Similarity.intL2(col("q"), col("c")))
       .groupBy(col("vec_id"), col("q"))
       .agg(min(struct(col("d2"), col("cid"))).as("m"))
       .select(col("vec_id"), col("q"), col("m.cid").as("cid"))
@@ -769,12 +770,15 @@ object Ext {
       .select(col("cid"), posexplode(col("q")).as(Seq("dim", "v")))
       .groupBy(col("cid"), col("dim"))
       .agg(expr("sum(v) div count(1)").as("mc"))
-    val dist = assigned
-      .select(col("vec_id"), col("cid"),
-        posexplode(col("q")).as(Seq("dim", "v")))
-      .join(broadcast(cent), Seq("cid", "dim"))
-      .groupBy(col("cid"), col("vec_id"))
-      .agg(sum((col("v") - col("mc")) * (col("v") - col("mc"))).as("dist"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mc")))),
+        p => p.getField("mc")).as("mcv"))
+    // k-row centroid-ARRAY table broadcast back; the distance is the
+    // codegen'd SeqL2Long loop, scan-local per vector — no per-dim
+    // re-shuffle of the corpus
+    val dist = assigned.join(broadcast(cent), Seq("cid"))
+      .withColumn("dist", graft.ext.Similarity.intL2(col("q"), col("mcv")))
+      .select(col("cid"), col("vec_id"), col("dist"))
     val w = Window.partitionBy(col("cid"))
       .orderBy(col("dist").asc, col("vec_id").asc)
     dist.withColumn("rk", row_number().over(w))

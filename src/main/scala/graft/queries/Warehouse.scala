@@ -326,6 +326,39 @@ object Warehouse {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** COHORT LTV CURVES — cumulative purchase revenue (floor-cents, exact
+    * integer fold) per signup-cohort day and day-offset since cohort
+    * entry: the lifetime-value curve growth teams read next to
+    * [[eventsRetention]]'s activity matrix, sharing its cohort
+    * definition (first active day) so the two can never disagree about
+    * who belongs to a cohort. The running sum is a per-cohort window
+    * over day offsets — |days|-bounded partitions, never corpus-sized.
+    *
+    * Scale: one purchase-stream shuffle keyed by user, the |users|-sized
+    * cohort table broadcast back, a |cohorts × offsets| rollup, and the
+    * cumsum window over that tiny relation. */
+  def eventsCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val cohort = ev
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .join(broadcast(cohort), Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(sum(col("cents")).as("cents"),
+        countDistinct(col("user_id")).as("n_buyers"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .select(col("cohort_day"), col("day_offset"), col("n_buyers"),
+        col("cents"), col("cum_cents"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** GROWTH ACCOUNTING — the standard DAU decomposition: per day, how
     * many active users are NEW (first-ever day), RETAINED (also active
     * yesterday), or RESURRECTED (returning after a gap), plus how many
@@ -1393,6 +1426,7 @@ object Warehouse {
     "events_anomaly_days" -> eventsAnomalyDays _,
     "profile_contingency" -> profileContingency _,
     "events_lifecycle" -> eventsLifecycle _,
+    "events_cohort_ltv" -> eventsCohortLtv _,
     "events_time_to_convert" -> eventsTimeToConvert _,
   )
 }

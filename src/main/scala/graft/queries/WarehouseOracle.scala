@@ -113,6 +113,26 @@ object WarehouseOracle {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
          ORDER BY user_id, version""",
 
+    // cohort LTV: first-active-day cohorts, floor-cents revenue summed
+    // cumulatively over day offsets
+    "events_cohort_ltv" ->
+      """WITH base AS (SELECT user_id, event_type,
+           epoch_us(ts) // 86400000000 AS day,
+           CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+         cohort AS (SELECT user_id, min(day) AS cohort_day
+           FROM base GROUP BY user_id),
+         rev AS (SELECT cohort_day, b.day - cohort_day AS day_offset,
+             CAST(sum(cents) AS BIGINT) AS cents,
+             count(DISTINCT b.user_id) AS n_buyers
+           FROM base b JOIN cohort USING (user_id)
+           WHERE event_type = 'purchase'
+           GROUP BY 1, 2)
+         SELECT cohort_day, day_offset, n_buyers, cents,
+           CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY day_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_cents
+         FROM rev ORDER BY cohort_day, day_offset""",
+
     // growth accounting: lag/lead per user, day rollup; churn(d) counts
     // users active d-1 with no activity at d
     "events_lifecycle" ->

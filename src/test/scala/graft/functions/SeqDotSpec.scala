@@ -96,4 +96,34 @@ class SeqDotSpec extends AnyFunSuite {
     val out = df.select(graft.ext.Similarity.intDot(col("a"), col("b"))).collect()
     assert(out.forall(_.isNullAt(0)))
   }
+
+  test("seq_l2_long: exact integer squared L2, equals the integer HOF") {
+    val hofL2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b,
+          (x, y) => ((x - y) * (x - y)).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 100).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextInt(401).toLong - 200),
+        Array.fill(64)(rnd.nextInt(401).toLong - 200))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        graft.ext.Similarity.intL2(col("a"), col("b")).as("nat"),
+        hofL2(col("a"), col("b")).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2), s"row ${r.getLong(0)}"))
+    // identity and symmetry
+    val d = df.select(graft.ext.Similarity.intL2(col("a"), col("a"))).collect()
+    assert(d.forall(_.getLong(0) == 0L))
+  }
+
+  test("seq_l2_long: null propagation and length mismatch") {
+    val df = Seq(
+      (1L, Some(Array(1L, 2L)), Some(Array(3L))),
+      (2L, Some(Array(1L)), None)
+    ).toDF("id", "a", "b")
+    val out = df.select(graft.ext.Similarity.intL2(col("a"), col("b"))).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
 }

@@ -94,6 +94,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .selectExpr("seq_dot_long(a, b) AS d")
       .head()
     assert(r.getLong(0) == 17L)
+    val l2 = Seq((Array(1L, 2L), Array(4L, 6L)))
+      .toDF("a", "b")
+      .selectExpr("seq_l2_long(a, b) AS d")
+      .head()
+    assert(l2.getLong(0) == 25L)
     val sh = Seq(Tuple1(Seq("x", "y", "x", "y")))
       .toDF("toks")
       .selectExpr("word_shingles(toks, 2) AS s")

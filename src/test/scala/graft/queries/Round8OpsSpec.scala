@@ -551,6 +551,26 @@ class Round8OpsSpec extends SparkSpec {
       "bounce rollup lost or invented sessions vs win_sessionize")
   }
 
+  test("events_cohort_ltv: revenue conserved, cumulative curve monotone") {
+    val out = Warehouse.eventsCohortLtv(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val totalCents = graft.core.Tables.eventsTsUs(spark, sf001)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(floor(col("value") * 100).cast("long"))).head().getLong(0)
+    assert(out.map(_._4).sum == totalCents,
+      "cohort cells must conserve total purchase revenue")
+    out.groupBy(_._1).foreach { case (cd, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._5 == a._5 + b._4, s"cohort $cd: cumsum broken at ${b._2}")
+        case _ =>
+      }
+      assert(sorted.head._5 == sorted.head._4)
+      sorted.foreach { case (_, off, _, _, _) => assert(off >= 0) }
+    }
+  }
+
   test("scd2_asof: per-state user counts sum to the users alive at T") {
     val out = Warehouse.scd2Asof(spark, sf0001).collect()
     val total = out.map(_.getLong(1)).sum
