@@ -1025,6 +1025,41 @@ object Warehouse {
       .orderBy(col("node"))
   }
 
+  /** BFS LEVELS — minimum hop distance (≤ 3) from the five lowest-id
+    * part nodes over the shared co-purchase graph: the reachability /
+    * blast-radius primitive (recall expansion from a seed set, related-
+    * item discovery) and the third operator on [[stagedEdges]]'s staged
+    * relation. Frontier-iterated: each hop joins the CURRENT frontier
+    * to the edges, anti-joins everything already visited (so a node's
+    * recorded level IS its minimum distance), and `localCheckpoint`s the
+    * visited set — the NOTES rule: per-iteration lineage must truncate
+    * to a leaf or round-N planning cost grows super-linearly.
+    *
+    * Scale: per hop, one join keyed by src (co-bucketed with the staged
+    * edges on a cluster) + one anti-join against the visited set;
+    * frontier and visited are |nodes|-bounded, never path-counted —
+    * where the oracle's recursive CTE enumerates PATHS (fine for DuckDB
+    * at gate scale, exponential at 100 TB), the engine's visited-set BFS
+    * is linear in edges × hops. */
+  def graphBfsLevels(s: SparkSession, dir: String): DataFrame = {
+    val edges = stagedEdges(s, dir).select(col("src"), col("dst"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var visited = nodes.orderBy(col("node")).limit(5)
+      .select(col("node"), lit(0L).as("level"))
+      .localCheckpoint()
+    for (h <- 1 to 3) {
+      val frontier = visited.filter(col("level") === (h - 1).toLong)
+      val next = edges.join(frontier, col("src") === col("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node").as("v")),
+          col("node") === col("v"), "left_anti")
+        .withColumn("level", lit(h.toLong))
+      visited = visited.unionByName(next).localCheckpoint()
+    }
+    visited.select(col("node").as("part_key"), col("level"))
+      .orderBy(col("part_key"))
+  }
+
   /** JOIN-KEY SKEW diagnostic — the pre-flight a 100 TB pipeline runs
     * on a join key BEFORE choosing a strategy (plain shuffle vs salting
     * vs AQE skew-split): per-key group sizes collapsed to a COUNT
@@ -1427,6 +1462,7 @@ object Warehouse {
     "profile_contingency" -> profileContingency _,
     "events_lifecycle" -> eventsLifecycle _,
     "events_cohort_ltv" -> eventsCohortLtv _,
+    "graph_bfs_levels" -> graphBfsLevels _,
     "events_time_to_convert" -> eventsTimeToConvert _,
   )
 }

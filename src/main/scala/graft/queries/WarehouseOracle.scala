@@ -678,6 +678,24 @@ object WarehouseOracle {
              * (max(mx) - min(mn)) / 10.0 AS bin_lo
          FROM v, b GROUP BY 1 ORDER BY 1""",
 
+    // min hop distance <= 3 from the 5 lowest-id nodes; the recursive
+    // CTE enumerates paths and min-folds — fine at gate scale, where the
+    // engine's visited-set BFS is the linear form
+    "graph_bfs_levels" ->
+      """WITH RECURSIVE e AS (
+           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         seeds AS (SELECT src AS node FROM e GROUP BY src
+           ORDER BY src LIMIT 5),
+         walk(node, level) AS (
+           SELECT node, 0 FROM seeds
+           UNION ALL
+           SELECT e.dst, w.level + 1 FROM walk w JOIN e ON e.src = w.node
+           WHERE w.level < 3)
+         SELECT node AS part_key, CAST(min(level) AS BIGINT) AS level
+         FROM walk GROUP BY node ORDER BY part_key""",
+
     "graph_pagerank" ->
       """WITH e AS (
            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

@@ -418,6 +418,32 @@ class PlanSpec extends SparkSpec {
     assert(hashAggs >= 2, s"pair count lost map-side combine:\n$p")
   }
 
+  test("text_cooccurrence: pair mining is scan-local generation + TakeOrdered, no cross join") {
+    val p = planOf("text_cooccurrence")
+    assert(!p.contains("CartesianProduct"), s"pair mine grew a cross join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 planned as a global sort:\n$p")
+  }
+
+  test("join_asof_nearest: equi-join on (user, bucket), never an inequality cross join") {
+    val p = planOf("join_asof_nearest")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nearest-asof degenerated to an unbounded join:\n$p")
+  }
+
+  test("sample_coreset: the centroid-array table broadcasts; the distance is the codegen seq_l2_long") {
+    val p = planOf("sample_coreset")
+    assert(p.contains("seq_l2_long"), s"fused L2 loop missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"centroid rejoin lost its broadcast:\n$p")
+  }
+
+  test("events_lifecycle / events_cohort_ltv: windows partition by bounded keys, no single-partition window") {
+    Seq("events_lifecycle", "events_cohort_ltv").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+        s"$q grew a corpus-sized single-partition window:\n$p")
+    }
+  }
+
   test("events_rfm: one user shuffle; the segment rollup adds no extra exchange over it") {
     val p = planOf("events_rfm")
     val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))

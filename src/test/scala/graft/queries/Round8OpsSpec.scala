@@ -571,6 +571,29 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("graph_bfs_levels equals a brute-force BFS") {
+    val out = Warehouse.graphBfsLevels(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj: Map[Long, Seq[Long]] = li.toSeq.groupBy(_._1).values.toSeq
+      .flatMap { grp =>
+        val ps = grp.map(_._2).distinct
+        for (a <- ps; b <- ps if a != b) yield (a, b)
+      }
+      .distinct.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val seeds = adj.keys.toSeq.sorted.take(5)
+    val dist = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+    var frontier = seeds
+    for (h <- 1 to 3) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Nil)).distinct
+        .filterNot(dist.contains)
+      frontier.foreach(dist(_) = h.toLong)
+    }
+    assert(out == dist.toMap, s"BFS mismatch: ${out.size} vs ${dist.size} nodes")
+  }
+
   test("scd2_asof: per-state user counts sum to the users alive at T") {
     val out = Warehouse.scd2Asof(spark, sf0001).collect()
     val total = out.map(_.getLong(1)).sum
