@@ -2046,6 +2046,34 @@ object Ext {
     * shuffle-free file GROUPS instead (bin-pack inputs, one task per
     * output file) — the verification contract (count + content digest +
     * size bound) is exactly the same, which is what this query pins. */
+  /** HIVE-PARTITIONED WRITE → PRUNED READ round trip: the events stream
+    * lands partitioned by `event_type` (the layout a 100 TB event lake
+    * actually uses), and the read back filters ONE partition — the scan
+    * must list only that directory (`PartitionFilters` in the plan,
+    * pinned in PlanSpec), so at production scale the query touches 1/5
+    * of the files regardless of corpus size. Values are gated against
+    * the unpartitioned source (partitioning must never change results;
+    * value_cents is the exact integer fold).
+    *
+    * Scale: one partitioned write (scratch, stage-guarded per JVM × sf),
+    * then a partition-pruned scan + one aggregate. */
+  def srcPartitionPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.core.Tmp.jvmScopedDir("part_events", dir)
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    }
+    s.read.parquet(out)
+      .filter(col("event_type") === "click")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("value_cents"))
+      .orderBy(col("event_type"))
+  }
+
   def srcCompactSmallFiles(s: SparkSession, dir: String): DataFrame = {
     val log = graft.core.PhaseLog.start("compact")
     val frag = graft.core.Tmp.jvmScopedDir("compact_frag", dir)
@@ -3797,6 +3825,7 @@ object Ext {
     "jsonl_dirty_read" -> jsonlDirtyRead _,
     "src_schema_evolution" -> srcSchemaEvolution _,
     "src_compact_small_files" -> srcCompactSmallFiles _,
+    "src_partition_pruned_read" -> srcPartitionPrunedRead _,
     "src_bucketed_join" -> srcBucketedJoin _,
     "fn_time_format_stats" -> fnTimeFormatStats _,
     "geo_zorder_layout" -> geoZorderLayout _,

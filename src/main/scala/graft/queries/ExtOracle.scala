@@ -366,6 +366,16 @@ object ExtOracle {
     // table's rows — count + order-free 60-bit-md5 bit_xor digest are
     // SQL-expressible over the SOURCE; the file-layout booleans
     // (count reduced, per-file size bound) are pinned TRUE
+    // the partitioned round trip must be value-identical to the
+    // unpartitioned source
+    "src_partition_pruned_read" ->
+      """SELECT event_type, count(*) AS n,
+         count(DISTINCT user_id) AS n_users,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+         FROM events WHERE event_type = 'click'
+         GROUP BY event_type ORDER BY event_type""",
+
     "src_compact_small_files" ->
       """SELECT count(*) AS n_rows,
          bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))

@@ -1025,6 +1025,34 @@ object Warehouse {
       .orderBy(col("node"))
   }
 
+  /** SEQUENCE SUPPORT — for every ordered event-type pair (a, b), how
+    * many users exhibit "some a, then later some b" (the level-1
+    * PrefixSpan/SPAM support count behind sequential pattern mining;
+    * distinct from [[eventsTransitions]], which counts ADJACENT
+    * occurrences). "a then b anywhere" ⟺ `min ts(a) < max ts(b)` per
+    * user, so the whole mine reduces to one per-(user, type) min/max
+    * aggregate and a |types|² pairing inside each user — never a
+    * self-join of the event stream. Ties at the same µs don't count
+    * (strict <), pinning the boundary deterministically.
+    *
+    * Scale: one shuffle keyed by (user, type) with map-side combine;
+    * the pairing fans each user's ≤ |types| rows by |types| (a bounded
+    * constant); the support rollup is |types|²-sized. */
+  def eventsSeqSupport(s: SparkSession, dir: String): DataFrame = {
+    val bounds = events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+    val a = bounds.select(col("user_id"), col("event_type").as("a"),
+      col("first_us"))
+    val b = bounds.select(col("user_id"), col("event_type").as("b"),
+      col("last_us"))
+    a.join(b, Seq("user_id"))
+      .filter(col("first_us") < col("last_us"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** BFS LEVELS — minimum hop distance (≤ 3) from the five lowest-id
     * part nodes over the shared co-purchase graph: the reachability /
     * blast-radius primitive (recall expansion from a seed set, related-
@@ -1463,6 +1491,7 @@ object Warehouse {
     "events_lifecycle" -> eventsLifecycle _,
     "events_cohort_ltv" -> eventsCohortLtv _,
     "graph_bfs_levels" -> graphBfsLevels _,
+    "events_seq_support" -> eventsSeqSupport _,
     "events_time_to_convert" -> eventsTimeToConvert _,
   )
 }

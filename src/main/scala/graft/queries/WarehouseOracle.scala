@@ -678,6 +678,18 @@ object WarehouseOracle {
              * (max(mx) - min(mn)) / 10.0 AS bin_lo
          FROM v, b GROUP BY 1 ORDER BY 1""",
 
+    // sequence support: "some a then later some b" per user <=>
+    // min ts(a) < max ts(b), strict
+    "events_seq_support" ->
+      """WITH bounds AS (SELECT user_id, event_type,
+           min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+           FROM events GROUP BY 1, 2)
+         SELECT a.event_type AS a, b.event_type AS b,
+           count(*) AS support
+         FROM bounds a JOIN bounds b ON a.user_id = b.user_id
+         WHERE a.first_us < b.last_us
+         GROUP BY 1, 2 ORDER BY a, b""",
+
     // min hop distance <= 3 from the 5 lowest-id nodes; the recursive
     // CTE enumerates paths and min-folds — fine at gate scale, where the
     // engine's visited-set BFS is the linear form

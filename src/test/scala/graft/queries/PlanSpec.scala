@@ -444,6 +444,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("src_partition_pruned_read: the scan lists only the filtered partition") {
+    val p = planOf("src_partition_pruned_read")
+    val scanLine = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(scanLine.contains("event_type"),
+      s"partition filter did not reach the scan:\n$p")
+  }
+
   test("events_rfm: one user shuffle; the segment rollup adds no extra exchange over it") {
     val p = planOf("events_rfm")
     val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))

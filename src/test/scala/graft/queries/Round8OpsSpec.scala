@@ -594,6 +594,25 @@ class Round8OpsSpec extends SparkSpec {
     assert(out == dist.toMap, s"BFS mismatch: ${out.size} vs ${dist.size} nodes")
   }
 
+  test("events_seq_support equals a brute-force sequence scan") {
+    val out = Warehouse.eventsSeqSupport(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ev = graft.core.Tables.eventsTsUs(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val types = ev.map(_._2).distinct.sorted
+    val byUser = ev.groupBy(_._1)
+    val expect = (for (a <- types; b <- types) yield {
+      val sup = byUser.values.count { es =>
+        val as = es.filter(_._2 == a).map(_._3)
+        val bs = es.filter(_._2 == b).map(_._3)
+        as.nonEmpty && bs.nonEmpty && as.min < bs.max
+      }.toLong
+      (a, b) -> sup
+    }).filter(_._2 > 0).toMap
+    assert(out == expect)
+  }
+
   test("scd2_asof: per-state user counts sum to the users alive at T") {
     val out = Warehouse.scd2Asof(spark, sf0001).collect()
     val total = out.map(_.getLong(1)).sum
