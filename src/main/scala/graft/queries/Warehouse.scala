@@ -1025,6 +1025,87 @@ object Warehouse {
       .orderBy(col("node"))
   }
 
+  /** INTERVAL-UNION METERING — each event projects a ±15 min activity
+    * interval; per user, overlapping/touching intervals merge and the
+    * query emits the island count and total covered µs: the
+    * effective-usage / billing primitive ("how long was the user
+    * actually active", where summing raw durations double-counts
+    * overlaps). Classic gaps-and-islands: an island starts when a start
+    * exceeds the running max of all earlier ends (strict >, so touching
+    * intervals merge); all integer µs.
+    *
+    * Scale: both windows partition BY USER over (start, end, event_id) —
+    * bounded per-user lists, one shuffle; the rollup is |users|-sized. */
+  def winIntervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val pad = 900000000L // ±15 min
+    val ev = events(s, dir).select(col("user_id"), col("event_id"),
+      (col("ts_us") - pad).as("st"), (col("ts_us") + pad).as("en"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("st"), col("en"), col("event_id"))
+    val prevMax = max(col("en")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    ev
+      .withColumn("brk",
+        when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("st")).as("i_st"), max(col("en")).as("i_en"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("i_en") - col("i_st")).as("active_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** PEAK CONCURRENCY — the maximum number of simultaneously-active
+    * ±15 min event intervals corpus-wide, and the earliest boundary
+    * instant attaining it: the sweep-line classic (capacity planning,
+    * "how many sessions at once"). Boundaries are (+1 at start, −1 at
+    * end) with ends ordered BEFORE starts at equal t (half-open
+    * intervals — touching never double-counts), and the running sum is
+    * the DISTRIBUTED two-phase prefix sum ([[Ext]]'s `pack_local`
+    * machinery: range-partition on the total boundary order, per-pid
+    * cumsum, driver-collected 32-row pid offsets broadcast back) — the
+    * global ordered sweep WITHOUT the corpus-sized single-partition
+    * window the naive form plans.
+    *
+    * Scale: one range shuffle of 2×|events| boundary rows; every window
+    * is per-pid; the offset table is |pids|-sized. */
+  def eventsConcurrencyPeak(s: SparkSession, dir: String): DataFrame = {
+    val pad = 900000000L
+    val ev = events(s, dir).select(col("event_id"), col("ts_us"))
+    val bounds = ev
+      .select(col("event_id"), (col("ts_us") - pad).as("t"), lit(1L).as("d"))
+      .unionByName(ev.select(col("event_id"), (col("ts_us") + pad).as("t"),
+        lit(-1L).as("d")))
+    val local = Ext.stage("concpeak", s, dir)(
+      bounds.repartitionByRange(32, col("t"), col("d"), col("event_id"))
+        .sortWithinPartitions(col("t"), col("d"), col("event_id"))
+        .withColumn("pid", spark_partition_id()))
+    val offsets = {
+      var acc = 0L
+      local.groupBy(col("pid")).agg(sum(col("d")).as("s"))
+        .orderBy(col("pid"))
+        .collect().map { r =>
+          val o = (r.getInt(0), acc); acc += r.getLong(1); o
+        }.toSeq
+    }
+    import s.implicits._
+    val offDf = offsets.toDF("pid", "poff")
+    val wPid = Window.partitionBy(col("pid"))
+      .orderBy(col("t"), col("d"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val running = local
+      .withColumn("lc", sum(col("d")).over(wPid))
+      .join(broadcast(offDf), "pid")
+      .withColumn("c", col("poff") + col("lc"))
+    val peak = running.agg(max(col("c"))).head().getLong(0)
+    running.filter(col("c") === peak)
+      .agg(min(col("t")).as("at_t_us"))
+      .select(lit(ev.count()).as("n_intervals"), lit(peak).as("peak"),
+        col("at_t_us"))
+  }
+
   /** SEQUENCE SUPPORT — for every ordered event-type pair (a, b), how
     * many users exhibit "some a, then later some b" (the level-1
     * PrefixSpan/SPAM support count behind sequential pattern mining;
@@ -1492,6 +1573,8 @@ object Warehouse {
     "events_cohort_ltv" -> eventsCohortLtv _,
     "graph_bfs_levels" -> graphBfsLevels _,
     "events_seq_support" -> eventsSeqSupport _,
+    "win_interval_union" -> winIntervalUnion _,
+    "events_concurrency_peak" -> eventsConcurrencyPeak _,
     "events_time_to_convert" -> eventsTimeToConvert _,
   )
 }

@@ -678,6 +678,50 @@ object WarehouseOracle {
              * (max(mx) - min(mn)) / 10.0 AS bin_lo
          FROM v, b GROUP BY 1 ORDER BY 1""",
 
+    // per-user union of padded intervals: islands on strict start >
+    // running max end, all integer microseconds
+    "win_interval_union" ->
+      """WITH iv AS (SELECT user_id, event_id,
+           epoch_us(ts) - 900000000 AS st, epoch_us(ts) + 900000000 AS en
+           FROM events),
+         g AS (SELECT user_id, st, en,
+             CASE WHEN max(en) OVER (PARTITION BY user_id
+                 ORDER BY st, en, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR st > max(en) OVER (PARTITION BY user_id
+                 ORDER BY st, en, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS brk,
+             event_id
+           FROM iv),
+         isl AS (SELECT user_id, st, en,
+             CAST(sum(brk) OVER (PARTITION BY user_id
+               ORDER BY st, en, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS island
+           FROM g),
+         per AS (SELECT user_id, island, min(st) AS i_st, max(en) AS i_en
+           FROM isl GROUP BY user_id, island)
+         SELECT user_id, count(*) AS n_islands,
+           CAST(sum(i_en - i_st) AS BIGINT) AS active_us
+         FROM per GROUP BY user_id ORDER BY user_id""",
+
+    // sweep line: ends (-1) before starts (+1) at equal t; peak and its
+    // earliest attaining boundary instant
+    "events_concurrency_peak" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+         b AS (SELECT event_id, ts_us - 900000000 AS t, 1 AS d FROM ev
+               UNION ALL
+               SELECT event_id, ts_us + 900000000, -1 FROM ev),
+         r AS (SELECT t, CAST(sum(d) OVER (ORDER BY t, d, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS c
+           FROM b),
+         p AS (SELECT max(c) AS peak FROM r)
+         SELECT (SELECT count(*) FROM ev) AS n_intervals, peak,
+           (SELECT min(t) FROM r, p WHERE c = peak) AS at_t_us
+         FROM p""",
+
     // sequence support: "some a then later some b" per user <=>
     // min ts(a) < max ts(b), strict
     "events_seq_support" ->

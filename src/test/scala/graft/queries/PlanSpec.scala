@@ -444,6 +444,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("events_concurrency_peak: the sweep's running sum never funnels through one partition") {
+    // the final one-row min/max merges legitimately exchange to a single
+    // partition; the pin is that the CUMSUM WINDOW itself partitions by
+    // pid (the two-phase sweep), never running unpartitioned
+    val p = planOf("events_concurrency_peak")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .mkString("\n")
+    assert(windows.nonEmpty, s"expected the per-pid cumsum window:\n$p")
+    assert(windows.contains("pid"),
+      s"running-sum window lost its pid partitioning:\n$windows")
+  }
+
   test("src_partition_pruned_read: the scan lists only the filtered partition") {
     val p = planOf("src_partition_pruned_read")
     val scanLine = p.linesIterator.filter(_.contains("PartitionFilters"))

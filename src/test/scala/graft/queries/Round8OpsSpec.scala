@@ -613,6 +613,45 @@ class Round8OpsSpec extends SparkSpec {
     assert(out == expect)
   }
 
+  test("win_interval_union equals a brute-force interval merge") {
+    val pad = 900000000L
+    val out = Warehouse.winIntervalUnion(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ev = graft.core.Tables.eventsTsUs(spark, sf0001)
+      .select(col("user_id"), col("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    ev.groupBy(_._1).foreach { case (u, es) =>
+      val iv = es.map(_._2).sorted.map(t => (t - pad, t + pad))
+      val merged = iv.foldLeft(List.empty[(Long, Long)]) {
+        case (acc, (st, en)) => acc match {
+          case (a, b) :: rest if st <= b => (a, math.max(b, en)) :: rest
+          case _ => (st, en) :: acc
+        }
+      }
+      val want = (merged.length.toLong, merged.map(i => i._2 - i._1).sum)
+      assert(out(u) == want, s"user $u: ${out(u)} vs $want")
+    }
+  }
+
+  test("events_concurrency_peak equals a brute-force sweep") {
+    val pad = 900000000L
+    val r = Warehouse.eventsConcurrencyPeak(spark, sf0001).head()
+    val ts = graft.core.Tables.eventsTsUs(spark, sf0001)
+      .select(col("ts_us"), col("event_id")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val bounds = ts.flatMap { case (t, id) =>
+      Seq((t - pad, 1L, id), (t + pad, -1L, id))
+    }.sortBy { case (t, d, id) => (t, d, id) }
+    var c = 0L; var peak = 0L; var at = Long.MinValue
+    bounds.foreach { case (t, d, _) =>
+      c += d
+      if (c > peak) { peak = c; at = t }
+    }
+    assert(r.getLong(0) == ts.length.toLong)
+    assert(r.getLong(1) == peak, s"peak ${r.getLong(1)} vs $peak")
+    assert(r.getLong(2) == at, s"at ${r.getLong(2)} vs $at")
+  }
+
   test("scd2_asof: per-state user counts sum to the users alive at T") {
     val out = Warehouse.scd2Asof(spark, sf0001).collect()
     val total = out.map(_.getLong(1)).sum
