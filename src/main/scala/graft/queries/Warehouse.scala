@@ -248,6 +248,44 @@ object Warehouse {
       .orderBy(col("user_id"))
   }
 
+  /** BOUNDED-DELAY FUNNEL — [[eventsFunnel]] with a 7-day conversion
+    * window per step: a click only counts if within 7 days of the first
+    * qualifying view, a purchase within 7 days of that click — the form
+    * every product funnel actually uses (an unbounded funnel credits
+    * conversions months later). Same broadcast-staged min-aggregates;
+    * the bound is one extra integer µs predicate per stage, so the plan
+    * is unchanged.
+    *
+    * Scale: identical to [[eventsFunnel]] — |users|-sized stage tables
+    * broadcast back onto the filtered event stream; no new shuffles. */
+  def eventsFunnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 7L * DayUs
+    val ev = events(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))
+    val users = ev.select(col("user_id")).distinct()
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1_us"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(broadcast(t1), Seq("user_id"))
+      .filter(col("ts_us") > col("t1_us") &&
+        col("ts_us") <= col("t1_us") + winUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2_us"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(t2), Seq("user_id"))
+      .filter(col("ts_us") > col("t2_us") &&
+        col("ts_us") <= col("t2_us") + winUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3_us"))
+    users
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .withColumn("depth",
+        when(col("t3_us").isNotNull, 3L).when(col("t2_us").isNotNull, 2L)
+          .when(col("t1_us").isNotNull, 1L).otherwise(0L))
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("depth"))
+  }
+
   /** THE day axis: distinct `(user_id, day)` with day = exact integer
     * `µs div 86400e6` — the single definition [[eventsRetention]] and
     * [[winStreak]] share, so "what is a day" can never diverge between
@@ -308,6 +346,30 @@ object Warehouse {
         lit(100) * abs(lit(7) * col("dau") - col("t7_sum")) >=
           lit(50) * col("t7_sum"))
       .select(col("day"), col("dau"), col("t7_sum"), col("anomaly"))
+      .orderBy(col("day"))
+  }
+
+  /** STICKINESS — DAU / rolling-28-day-MAU per day, the
+    * engagement-density ratio (ppm integer division, no float):
+    * [[winRollingWau]]'s contribute-ahead rewrite at window 28, report
+    * restricted to days with a full 28-day contribution history so the
+    * early ramp can't masquerade as high stickiness.
+    *
+    * Scale: the explode is a bounded 28× of the |users×days| distinct
+    * relation, one re-distinct shuffle — no per-day self-join, no
+    * O(window) state. */
+  def winMauStickiness(s: SparkSession, dir: String): DataFrame = {
+    val ud = userDays(s, dir)
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val firstDay = ud.agg(min(col("day"))).head().getLong(0)
+    val mau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 27)).as("rday"))
+      .distinct()
+      .groupBy(col("rday").as("day")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("day"))
+      .filter(col("day") >= firstDay + 27)
+      .withColumn("stickiness_ppm", expr("(dau * 1000000) div mau"))
       .orderBy(col("day"))
   }
 
@@ -1575,6 +1637,8 @@ object Warehouse {
     "events_seq_support" -> eventsSeqSupport _,
     "win_interval_union" -> winIntervalUnion _,
     "events_concurrency_peak" -> eventsConcurrencyPeak _,
+    "events_funnel_windowed" -> eventsFunnelWindowed _,
+    "win_mau_stickiness" -> winMauStickiness _,
     "events_time_to_convert" -> eventsTimeToConvert _,
   )
 }

@@ -336,6 +336,46 @@ object WarehouseOracle {
                 LEFT JOIN s3 USING (user_id)
          ORDER BY u.user_id""",
 
+    // funnel with a 7-day conversion window per step, rolled up by depth
+    "events_funnel_windowed" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+         u AS (SELECT DISTINCT user_id FROM ev),
+         s1 AS (SELECT user_id, min(ts_us) AS t1_us FROM ev
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts_us) AS t2_us FROM ev e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts_us > s1.t1_us
+                  AND e.ts_us <= s1.t1_us + 604800000000
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts_us) AS t3_us FROM ev e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2_us
+                  AND e.ts_us <= s2.t2_us + 604800000000
+                GROUP BY e.user_id),
+         d AS (SELECT CAST(CASE WHEN t3_us IS NOT NULL THEN 3
+                     WHEN t2_us IS NOT NULL THEN 2
+                     WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS depth
+           FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+                  LEFT JOIN s3 USING (user_id))
+         SELECT depth, count(*) AS n_users FROM d
+         GROUP BY depth ORDER BY depth""",
+
+    // DAU / rolling-28-day MAU, full-history days only, ppm integer
+    "win_mau_stickiness" ->
+      s"""WITH ud AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+         dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+         m AS (SELECT DISTINCT user_id, day + k AS rday
+           FROM ud, unnest(range(0, 28)) t(k)),
+         mau AS (SELECT rday AS day, count(*) AS mau FROM m GROUP BY rday),
+         f AS (SELECT min(day) AS d0 FROM ud)
+         SELECT day, dau, mau, (dau * 1000000) // mau AS stickiness_ppm
+         FROM dau JOIN mau USING (day), f
+         WHERE day >= d0 + 27
+         ORDER BY day""",
+
     "events_retention" ->
       s"""WITH ud AS (
            SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events),

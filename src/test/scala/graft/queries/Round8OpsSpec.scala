@@ -652,6 +652,37 @@ class Round8OpsSpec extends SparkSpec {
     assert(r.getLong(2) == at, s"at ${r.getLong(2)} vs $at")
   }
 
+  test("events_funnel_windowed: partitions the users and never converts deeper than the unbounded funnel") {
+    val out = Warehouse.eventsFunnelWindowed(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unbounded = Warehouse.eventsFunnel(spark, sf001).collect()
+      .groupBy(_.getLong(4)).view.mapValues(_.length.toLong).toMap
+    assert(out.values.sum == unbounded.values.sum,
+      "windowed funnel must partition the same user set")
+    // windowing can only shrink the set reaching depth >= k
+    (1L to 3L).foreach { k =>
+      val w = out.filter(_._1 >= k).values.sum
+      val u = unbounded.filter(_._1 >= k).values.sum
+      assert(w <= u, s"depth>=$k: windowed $w > unbounded $u")
+    }
+  }
+
+  test("win_mau_stickiness: mau is the exact 28-day distinct and bounds hold") {
+    val out = Warehouse.winMauStickiness(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val ud = graft.core.Tables.eventsTsUs(spark, sf001)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.foreach { case (d, dau, mau, ppm) =>
+      assert(dau <= mau && ppm <= 1000000L)
+      val exact = ud.filter { case (_, dd) => dd >= d - 27 && dd <= d }
+        .map(_._1).distinct.length.toLong
+      assert(mau == exact, s"day $d: mau $mau vs exact $exact")
+      assert(ppm == dau * 1000000L / mau)
+    }
+  }
+
   test("scd2_asof: per-state user counts sum to the users alive at T") {
     val out = Warehouse.scd2Asof(spark, sf0001).collect()
     val total = out.map(_.getLong(1)).sum
