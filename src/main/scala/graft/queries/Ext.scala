@@ -1709,6 +1709,35 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** CROSS-SOURCE DUPLICATION MATRIX — the Jaccard ≥ 0.8 pair graph
+    * rolled up by the (source, source) provenance pair: which domains
+    * copy each other, and how much duplication is WITHIN one source vs
+    * syndicated across two — the audit that tells a crawl team whether
+    * dedup budget should go to per-site boilerplate or cross-site
+    * mirrors. Pairs canonicalize as (least, greatest) of the two source
+    * names so the matrix is triangular; `within` marks same-source
+    * cells. Shares the STAGED pair relation — marginal cost is two
+    * |docs|-sized provenance joins over |pairs| rows.
+    *
+    * Scale: the pair graph is orders smaller than the corpus; the doc →
+    * source lookup broadcasts at dim scale or hash-joins |pairs|. */
+  def dedupCrossSource(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs08(s, dir).select(col("id1"), col("id2"))
+    val src = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id1"), col("source").as("s1")),
+        Seq("id1"))
+      .join(src.select(col("doc_id").as("id2"), col("source").as("s2")),
+        Seq("id2"))
+      .select(least(col("s1"), col("s2")).as("src_a"),
+        greatest(col("s1"), col("s2")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("within", col("src_a") === col("src_b"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** The canonical corpus-scale dedup flow END-TO-END: MinHash+LSH
     * proposes candidate pairs (linear banding, 16 bands × 2 rows —
     * detection odds 1−(1−J²)¹⁶ ≈ 1−8·10⁻⁸ at the J ≥ 0.8 pairs this
@@ -3790,6 +3819,7 @@ object Ext {
     "dedup_components" -> dedupComponents _,
     "dedup_apply" -> dedupApply _,
     "dedup_apply_priority" -> dedupApplyPriority _,
+    "dedup_cross_source" -> dedupCrossSource _,
     "dedup_apply_minhash" -> dedupApplyMinhash _,
     "dedup_incremental" -> dedupIncremental _,
     "dedup_embedding" -> dedupEmbedding _,

@@ -843,6 +843,18 @@ object ExtOracle {
          FROM pairs0
          ORDER BY id1, id2""",
 
+    // provenance rollup of the same pair graph: triangular source matrix
+    "dedup_cross_source" ->
+      s"""WITH $shingleCtes,
+         ps AS (SELECT least(d1.source, d2.source) AS src_a,
+             greatest(d1.source, d2.source) AS src_b
+           FROM pairs0
+           JOIN documents d1 ON d1.doc_id = pairs0.id1
+           JOIN documents d2 ON d2.doc_id = pairs0.id2)
+         SELECT src_a, src_b, count(*) AS n_pairs,
+           src_a = src_b AS within
+         FROM ps GROUP BY src_a, src_b ORDER BY src_a, src_b""",
+
     "dedup_components" ->
       s"""WITH RECURSIVE
          $shingleCtes,

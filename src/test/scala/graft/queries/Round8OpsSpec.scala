@@ -683,6 +683,18 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_cross_source: matrix is triangular and conserves the pair population") {
+    val out = Ext.dedupCrossSource(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    out.foreach { case (a, b, _, within) =>
+      assert(a <= b, "matrix must be triangular")
+      assert(within == (a == b))
+    }
+    val totalPairs = Ext.jaccardPairs08(spark, sf001).count()
+    assert(out.map(_._3).sum == totalPairs,
+      "matrix cells must conserve the pair population")
+  }
+
   test("scd2_asof: per-state user counts sum to the users alive at T") {
     val out = Warehouse.scd2Asof(spark, sf0001).collect()
     val total = out.map(_.getLong(1)).sum
