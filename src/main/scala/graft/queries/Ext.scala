@@ -765,7 +765,12 @@ object Ext {
     * assignment; the 512-row centroid table broadcasts back; the argmin
     * is a k-group window over (dist, vec_id) heads. */
   def sampleCoreset(s: SparkSession, dir: String): DataFrame = {
-    val assigned = kmeansAssign(s, dir)
+    // STAGED: the assignment feeds two branches here (centroid build +
+    // distance probe) — unstaged, the k×|corpus| distance argmin would
+    // execute twice in this one query (Spark re-evaluates the lazy DAG
+    // per branch). simKmeansStep deliberately keeps the live plan (its
+    // plan pin asserts the broadcast-seeded assignment shape).
+    val assigned = stage("kmeans_assign", s, dir)(kmeansAssign(s, dir))
     val cent = assigned
       .select(col("cid"), posexplode(col("q")).as(Seq("dim", "v")))
       .groupBy(col("cid"), col("dim"))

@@ -636,11 +636,12 @@ object Rel {
   /** SQL-text CORRELATED SUBQUERIES — the EXISTS / NOT EXISTS / scalar
     * forms a SQL-first user writes daily, proven through the `spark.sql`
     * front door: orders split by whether any line discounts deeper than
-    * 9 %, with the per-order max discount from a correlated scalar
-    * subquery. Catalyst de-correlates all three into joins (EXISTS →
-    * semi, NOT EXISTS → anti, scalar → aggregated left join), so the
-    * executed plan is the same join family the DataFrame queries pin —
-    * this query exists to prove the SQL surface compiles to it. */
+    * 9 %, flagged when NO line was returned, with the per-order max
+    * discount from a correlated scalar subquery. Catalyst de-correlates
+    * all three into joins (EXISTS → semi, NOT EXISTS → anti, scalar →
+    * aggregated left join), so the executed plan is the same join family
+    * the DataFrame queries pin — this query exists to prove the SQL
+    * surface compiles to it. */
   def sqlCorrelatedExists(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").createOrReplaceTempView("v_orders")
     t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
@@ -650,13 +651,16 @@ object Rel {
                                WHERE l_orderkey = o_orderkey
                                  AND l_discount > 0.09)
                   THEN 'deep' ELSE 'shallow' END AS discount_band,
+             NOT EXISTS (SELECT 1 FROM v_lineitem
+                         WHERE l_orderkey = o_orderkey
+                           AND l_returnflag = 'R') AS return_free,
              count(*) AS n_orders,
              round(sum((SELECT coalesce(max(l_discount), 0.0)
                         FROM v_lineitem
                         WHERE l_orderkey = o_orderkey)), 2) AS sum_max_disc
       FROM v_orders
-      GROUP BY o_orderstatus, discount_band
-      ORDER BY o_orderstatus, discount_band""")
+      GROUP BY o_orderstatus, discount_band, return_free
+      ORDER BY o_orderstatus, discount_band, return_free""")
   }
 
   /** Explicit GROUPING SETS (the general form behind cube/rollup):

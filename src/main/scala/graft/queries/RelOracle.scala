@@ -406,13 +406,16 @@ object RelOracle {
                            WHERE l_orderkey = o_orderkey
                              AND l_discount > 0.09)
               THEN 'deep' ELSE 'shallow' END AS discount_band,
+         NOT EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_returnflag = 'R') AS return_free,
          count(*) AS n_orders,
          round(sum((SELECT coalesce(max(l_discount), 0.0)
                     FROM lineitem
                     WHERE l_orderkey = o_orderkey)), 2) AS sum_max_disc
          FROM orders
-         GROUP BY o_orderstatus, discount_band
-         ORDER BY o_orderstatus, discount_band""",
+         GROUP BY o_orderstatus, discount_band, return_free
+         ORDER BY o_orderstatus, discount_band, return_free""",
 
     "win_change_points" ->
       """WITH f AS (

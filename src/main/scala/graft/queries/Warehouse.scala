@@ -333,8 +333,17 @@ object Warehouse {
     * Scale: the DAU relation is |days|-sized after the one distinct
     * shuffle; the explode is a bounded 7×; no window over the corpus. */
   def eventsAnomalyDays(s: SparkSession, dir: String): DataFrame = {
-    val dau = userDays(s, dir)
+    val raw = userDays(s, dir)
       .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    // DENSIFY the day axis: a day with no events at all IS the dead
+    // collector this audit exists to flag — without the spine that day
+    // has no row and silently vanishes (and suppresses the next week's
+    // n_hist) instead of alarming. The spine is |days|-sized (one
+    // aggregated min/max row exploded), so nothing corpus-sized moves.
+    val spine = raw.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val dau = spine.join(raw, Seq("day"), "left")
+      .withColumn("dau", coalesce(col("dau"), lit(0L)))
     val trail = dau
       .select(col("dau").as("d0"),
         explode(sequence(col("day") + 1, col("day") + 7)).as("rday"))
@@ -361,7 +370,8 @@ object Warehouse {
   def winMauStickiness(s: SparkSession, dir: String): DataFrame = {
     val ud = userDays(s, dir)
     val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-    val firstDay = ud.agg(min(col("day"))).head().getLong(0)
+    val fdRow = ud.agg(min(col("day"))).head()
+    val firstDay = if (fdRow.isNullAt(0)) 0L else fdRow.getLong(0)
     val mau = ud
       .select(col("user_id"),
         explode(sequence(col("day"), col("day") + 27)).as("rday"))
@@ -448,11 +458,17 @@ object Warehouse {
       .filter(col("next").isNull || col("next") > col("day") + 1)
       .groupBy((col("day") + 1).as("day"))
       .agg(count(lit(1)).as("n_churned"))
-    states.join(churn, Seq("day"), "left")
-      .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
-      .withColumn("dau", col("n_new") + col("n_retained") + col("n_resurrected"))
-      .select(col("day"), col("dau"), col("n_new"), col("n_retained"),
-        col("n_resurrected"), col("n_churned"))
+    // FULL outer: a day with zero actives but nonzero churn (everyone
+    // left yesterday — the total-outage day) must still get a row, or
+    // summing n_churned undercounts exactly on the worst days
+    states.join(churn, Seq("day"), "full_outer")
+      .select(col("day"),
+        (coalesce(col("n_new"), lit(0L)) + coalesce(col("n_retained"), lit(0L))
+          + coalesce(col("n_resurrected"), lit(0L))).as("dau"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
       .orderBy(col("day"))
   }
 
@@ -482,15 +498,17 @@ object Warehouse {
       (col("p_us") - col("v_us")).as("latency_us"), lit("all").as("g"))
     val ranked = groupedRank("ttc", s, dir, lat, Seq("g"),
       Seq(col("latency_us").asc, col("user_id").asc))
+    // GLOBAL aggregate (no groupBy): a conversion-free slice must still
+    // emit its one (0, null, null) row, exactly like the oracle's grand
+    // aggregate — groupBy on an empty relation would emit zero rows and
+    // diverge
     ranked
-      .groupBy(col("g"))
       .agg(
         count(lit(1)).as("n_users"),
         min(when(col("rn") * 2 >= col("n"), col("latency_us")))
           .as("p50_latency_us"),
         min(when(col("rn") * 10 >= col("n") * 9, col("latency_us")))
           .as("p90_latency_us"))
-      .select(col("n_users"), col("p50_latency_us"), col("p90_latency_us"))
   }
 
   /** DISTRIBUTED per-group rank — `row_number()` and group size over
@@ -1161,10 +1179,15 @@ object Warehouse {
       .withColumn("lc", sum(col("d")).over(wPid))
       .join(broadcast(offDf), "pid")
       .withColumn("c", col("poff") + col("lc"))
-    val peak = running.agg(max(col("c"))).head().getLong(0)
+    val peakRow = running.agg(max(col("c"))).head()
+    val peak = if (peakRow.isNullAt(0)) 0L else peakRow.getLong(0)
+    // n_intervals from the STAGED boundary relation (2 rows per event,
+    // metadata-cheap parquet count) — re-counting the raw events table
+    // would be a second full scan of the query's biggest input
+    val nIntervals = local.count() / 2
     running.filter(col("c") === peak)
       .agg(min(col("t")).as("at_t_us"))
-      .select(lit(ev.count()).as("n_intervals"), lit(peak).as("peak"),
+      .select(lit(nIntervals).as("n_intervals"), lit(peak).as("peak"),
         col("at_t_us"))
   }
 
@@ -1479,13 +1502,19 @@ object Warehouse {
         .withColumn("h",
           conv(substring(md5(digest.cast("string")), 1, 15), 16, 10)
             .cast("long"))
+      // ONE pass over the anti-join: count + digest in the same
+      // aggregate (a separate survivors.count() would re-execute the
+      // join — on the 100 TB lineitem this halves the cascade's scans);
+      // only the pre-delete count touches the base again, column-pruned
       val nAll = all.count()
-      val nDel = nAll - survivors.count()
-      survivors
-        .agg(expr("bit_xor(h)").as("survivor_xor"))
-        .select(lit(tbl).as("tbl"), lit(nAll).as("n_before"),
-          lit(nDel).as("n_deleted"), lit(nAll - nDel).as("n_after"),
-          col("survivor_xor"))
+      val r = survivors
+        .agg(count(lit(1)).as("n_after"), expr("bit_xor(h)").as("x"))
+        .head()
+      val nAfter = r.getLong(0)
+      val xor = if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))
+      import s.implicits._
+      Seq((tbl, nAll, nAll - nAfter, nAfter, Option(xor).map(_.longValue())))
+        .toDF("tbl", "n_before", "n_deleted", "n_after", "survivor_xor")
     }
     audit("customer", c, col("c_custkey"), forget.select(
         col("c_custkey").as("_del")), col("_del"), col("c_custkey"))
@@ -1517,7 +1546,11 @@ object Warehouse {
     val p = events(s, dir).filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_us"),
         floor(col("value") * 100).cast("long").as("cents"))
-    val nowUs = p.agg(max(col("ts_us"))).head().getLong(0)
+    // null on a purchase-free slice — the 0L default is inert (p is
+    // empty, so the pipeline yields zero segments either way) but a bare
+    // getLong would NPE the whole run
+    val nowRow = p.agg(max(col("ts_us"))).head()
+    val nowUs = if (nowRow.isNullAt(0)) 0L else nowRow.getLong(0)
     def band(c: Column, b5: Long, b4: Long, b3: Long, b2: Long,
         asc: Boolean): Column =
       if (asc) when(c <= b5, 5L).when(c <= b4, 4L).when(c <= b3, 3L)

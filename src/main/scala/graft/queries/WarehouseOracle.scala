@@ -152,10 +152,14 @@ object WarehouseOracle {
            FROM f GROUP BY day),
          ch AS (SELECT day + 1 AS day, count(*) AS n_churned FROM f
            WHERE next IS NULL OR next > day + 1 GROUP BY day + 1)
-         SELECT st.day, n_new + n_retained + n_resurrected AS dau,
-           n_new, n_retained, n_resurrected,
+         SELECT coalesce(st.day, ch.day) AS day,
+           CAST(coalesce(n_new, 0) + coalesce(n_retained, 0)
+             + coalesce(n_resurrected, 0) AS BIGINT) AS dau,
+           CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+           CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+           CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
            coalesce(ch.n_churned, 0) AS n_churned
-         FROM st LEFT JOIN ch ON ch.day = st.day ORDER BY st.day""",
+         FROM st FULL JOIN ch ON ch.day = st.day ORDER BY day""",
 
     // exact global p50/p90 of first-view -> first-purchase latency:
     // the value at rank ceil(p*n) (integer cross-mult selection)
@@ -199,7 +203,12 @@ object WarehouseOracle {
     "events_anomaly_days" ->
       """WITH ud AS (SELECT DISTINCT user_id,
            epoch_us(ts) // 86400000000 AS day FROM events),
-         dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+         raw AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+         b AS (SELECT min(day) AS lo, max(day) AS hi FROM raw),
+         spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+         dau AS (SELECT spine.day,
+             CAST(coalesce(raw.dau, 0) AS BIGINT) AS dau
+           FROM spine LEFT JOIN raw ON raw.day = spine.day),
          t7 AS (SELECT a.day, CAST(sum(b.dau) AS BIGINT) AS t7_sum,
              count(*) AS n_hist
            FROM dau a JOIN dau b ON b.day BETWEEN a.day - 7 AND a.day - 1

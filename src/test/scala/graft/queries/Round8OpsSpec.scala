@@ -397,24 +397,26 @@ class Round8OpsSpec extends SparkSpec {
     assert(out.toSeq == expect)
   }
 
-  test("events_anomaly_days: trailing sums and flags match a brute-force recompute") {
+  test("events_anomaly_days: trailing sums and flags match a brute-force recompute over the dense day spine") {
     val out = Warehouse.eventsAnomalyDays(spark, sf001).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
       .toMap
-    val dau = graft.core.Tables.eventsTsUs(spark, sf001)
+    // the spine makes zero-DAU days first-class: default 0 over the range
+    val observed = graft.core.Tables.eventsTsUs(spark, sf001)
       .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
       .distinct().groupBy(col("day")).agg(count(lit(1)).as("dau"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (lo, hi) = (observed.keys.min, observed.keys.max)
+    def dau(d: Long): Long = observed.getOrElse(d, 0L)
+    assert(out.keySet == (lo + 7 to hi).toSet,
+      "every spine day with full history must be reported, exactly once")
     out.foreach { case (d, (got, t7, flag)) =>
       assert(got == dau(d))
-      val hist = (d - 7L until d).flatMap(dau.get)
-      assert(hist.length == 7, s"day $d admitted with ${hist.length} history days")
-      assert(t7 == hist.sum, s"day $d trailing sum")
+      val t7w = (d - 7L until d).map(dau).sum
+      assert(t7 == t7w, s"day $d trailing sum")
       assert(flag == (100L * math.abs(7L * got - t7) >= 50L * t7))
     }
-    // days with incomplete history must be excluded, not flagged
-    val minDay = dau.keys.min
-    (minDay until minDay + 7L).foreach(d =>
+    (lo until lo + 7L).foreach(d =>
       assert(!out.contains(d), s"day $d lacks history but was reported"))
   }
 
@@ -425,10 +427,12 @@ class Round8OpsSpec extends SparkSpec {
       s"correlated subquery failed to de-correlate:\n$p")
     val out = df.collect()
     val nOrders = spark.read.parquet(s"$sf001/orders.parquet").count()
-    assert(out.map(_.getLong(2)).sum == nOrders,
+    assert(out.map(_.getLong(3)).sum == nOrders,
       "bands must partition the orders")
     assert(out.map(_.getString(1)).distinct.sorted.sameElements(
       Seq("deep", "shallow")), "both bands must be populated")
+    assert(out.map(_.getBoolean(2)).distinct.length == 2,
+      "the NOT EXISTS band must split both ways")
   }
 
   test("sample_coreset picks the true medoid of every cluster") {
