@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked JVM's stdout must pass through RAW: sbt's default logger
+// wraps forked output in "[info] " prefixes, which breaks the driver's
+// machine-parse of the final GRAFT_BENCH_JSON line (r6-r8 verdicts —
+// BENCH_r*.json recorded "parsed": null three rounds running).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -239,9 +239,14 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    spark.stop()
-    // NOTHING may print after this line (spark.stop() above so its own
-    // shutdown logging can't trail the JSON on stdout)
+    // stop() before the JSON so its shutdown logging can't trail the line
+    // on stdout — but guarded: a teardown failure must not eat the one
+    // machine-parsed line after all the work already completed (ADVICE r8)
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop() failed: ${e.getMessage}")
+    }
+    // NOTHING may print after this line
     println(s"GRAFT_BENCH_JSON: $json")
   }
 }

@@ -1,6 +1,10 @@
 package graft.ext
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.security.MessageDigest
+import javax.imageio.ImageIO
+import javax.imageio.stream.MemoryCacheImageInputStream
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -8,8 +12,11 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` payloads plus typed
   * metadata, processed by batched per-partition decode.
   *
-  * The image/audio codecs themselves are not available in this environment,
-  * so `decodeStub` derives deterministic fake features from the bytes — the
+  * Two tiers. The IMAGE path is a REAL codec round trip ([[synthImages]] /
+  * [[decodeImages]] / [[resizeImages]]): pure-JVM `javax.imageio` PNG/BMP
+  * encode and format-sniffing decode, oracle-verified down to a full pixel
+  * checksum. Audio/video codecs are not available in this environment, so
+  * [[decodeStub]] keeps the original honest stub for that shape — the
   * Spark-side contract (schema, encoders, partition batching, feature
   * shape) is real and oracle-tested; swapping the stub body for a JNI/codec
   * call changes nothing structurally.
@@ -60,6 +67,149 @@ object Multimodal {
       }
   }
 
+  // ===== REAL image codec path (r8 verdict #4) =====
+  //
+  // The test corpus carries no media bytes, so the payload column is
+  // SYNTHESIZED — but as REAL PNG/BMP files (pure-JVM javax.imageio
+  // encode), and the decode side is a REAL format-sniffing ImageIO
+  // decode: the pixels only survive the compressed round trip if the
+  // codec genuinely runs. Dimensions and pixel values derive from
+  // doc_id by closed-form integer arithmetic, so the DuckDB oracle
+  // recomputes the decoded metadata and pixel checksum independently —
+  // a decoder that lied about any pixel would hash-mismatch.
+
+  /** Decoded-image metadata + checksum row. */
+  case class ImageMeta(
+      doc_id: Long,
+      fmt: String,
+      width: Long,
+      height: Long,
+      channels: Long,
+      pix_sum: Long)
+
+  /** Deterministic synthetic dimensions: w ∈ [8, 64], h ∈ [6, 46]. */
+  def synthW(id: Long): Int = (id % 57 + 8).toInt
+  def synthH(id: Long): Int = (id % 41 + 6).toInt
+
+  /** Deterministic pixel value for (doc, x, y, channel) — the SAME
+    * integer expression the DuckDB oracle evaluates. */
+  def synthPix(id: Long, x: Int, y: Int, c: Int): Int =
+    ((id * 31 + x.toLong * 7 + y.toLong * 13 + c.toLong * 5) % 256).toInt
+
+  /** Per-doc REAL image payload: a PNG (even doc_id) or BMP (odd) encoded
+    * in-memory with `javax.imageio`. mapPartitions so a real pipeline's
+    * per-partition codec setup cost is modeled honestly; `ImageIO`'s
+    * disk cache is disabled (an executor must not spill per-image temp
+    * files). Both formats are lossless for 24-bit RGB, so the decode
+    * side recovers the exact synthetic pixels. */
+  def synthImages(docs: DataFrame): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { iter =>
+        ImageIO.setUseCache(false)
+        iter.map { id =>
+          val (w, h) = (synthW(id), synthH(id))
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, (synthPix(id, x, y, 0) << 16) |
+                (synthPix(id, x, y, 1) << 8) | synthPix(id, x, y, 2))
+              x += 1
+            }
+            y += 1
+          }
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(img, fmt, bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Format sniff from magic bytes — what a real decoder does before
+    * choosing a codec (the file extension is gone once bytes sit in a
+    * binary column). */
+  def sniffFormat(bytes: Array[Byte]): String =
+    if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'
+      && bytes(2) == 'N' && bytes(3) == 'G') "png"
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+    else "unknown"
+
+  /** REAL decode: per partition, ONE reusable ImageReader per format
+    * (codec init amortized across the partition — the batching contract
+    * a JNI decoder needs), fed per-image via an in-memory stream. Emits
+    * dimensions, band count, and the full-pixel checksum Σ(r+g+b). */
+  def decodeImages(payloads: DataFrame): Dataset[ImageMeta] = {
+    val ss = payloads.sparkSession
+    import ss.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        ImageIO.setUseCache(false)
+        // one reader per format for the whole partition
+        val readers = scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+        def reader(fmt: String) = readers.getOrElseUpdate(fmt,
+          ImageIO.getImageReadersByFormatName(fmt).next())
+        iter.map { case (id, bytes) =>
+          val fmt = sniffFormat(bytes)
+          val r = reader(fmt)
+          val in = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+          r.setInput(in, true, true)
+          val img = r.read(0)
+          in.close()
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          ImageMeta(id, fmt, w.toLong, h.toLong,
+            img.getRaster.getNumBands.toLong, sum)
+        }
+      }
+  }
+
+  /** REAL nearest-neighbor resize to `dw`×`dh` over the DECODED pixels:
+    * src index = (dst · src_extent) / dst_extent in integer arithmetic —
+    * the same expression the oracle evaluates, so the resized checksum
+    * verifies the decode AND the resample. Emits source + target dims
+    * and the resized-pixel checksum. */
+  def resizeImages(payloads: DataFrame, dw: Int, dh: Int): DataFrame = {
+    val ss = payloads.sparkSession
+    import ss.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        ImageIO.setUseCache(false)
+        iter.map { case (id, bytes) =>
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y2 = 0
+          while (y2 < dh) {
+            val sy = y2 * h / dh
+            var x2 = 0
+            while (x2 < dw) {
+              val rgb = img.getRGB(x2 * w / dw, sy)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x2 += 1
+            }
+            y2 += 1
+          }
+          (id, w.toLong, h.toLong, dw.toLong, dh.toLong, sum)
+        }
+      }.toDF("doc_id", "src_w", "src_h", "dst_w", "dst_h", "pix_sum")
+  }
+
   /** Feature extraction: 16-bin byte-value histogram per payload — the
     * shape of a real embedding/feature step (fixed-width vector per item,
     * computed scan-side, only (id, features) flows downstream). Output is
@@ -71,20 +221,6 @@ object Multimodal {
       .select(col("doc_id"), (ascii(col("ch")) / 16).cast("int").as("bucket"))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("n"))
-
-  /** Resize stub: strided downsample (every `stride`-th char) standing in
-    * for image resize — emits the resized length and content digest, the
-    * metadata a real resize would attach. */
-  def resizeStub(docs: DataFrame, stride: Int): DataFrame =
-    docs.select(col("doc_id").cast("long").as("doc_id"),
-        array_join(
-          transform(
-            sequence(lit(1), length(col("text")), lit(stride)),
-            i => col("text").substr(i, lit(1))),
-          "").as("resized"))
-      .select(col("doc_id"),
-        length(col("resized")).cast("long").as("resized_len"),
-        md5(col("resized")).as("resized_md5"))
 
   /** Frame sampling over a payload treated as fixed-size frames: keep every
     * `stride`-th frame of `frameLen` chars with its digest. Pure relational

@@ -114,7 +114,8 @@ object VectorMath {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      acc += elemL(a, i, ac) * elemL(b, i, bc)
+      // same loud-overflow contract as seqL2Long (ADVICE r8)
+      acc = Math.addExact(acc, Math.multiplyExact(elemL(a, i, ac), elemL(b, i, bc)))
       i += 1
     }
     acc
@@ -133,7 +134,11 @@ object VectorMath {
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = elemL(a, i, ac) - elemL(b, i, bc)
-      acc += d * d
+      // checkInputDataTypes admits ANY array<bigint>, so a non-quantized
+      // long vector must fail loudly instead of wrapping silently — the
+      // scaladoc's exactness claim is a contract (ADVICE r8). The exact
+      // intrinsics stay a primitive loop (no boxing, codegen-inlinable).
+      acc = Math.addExact(acc, Math.multiplyExact(d, d))
       i += 1
     }
     acc

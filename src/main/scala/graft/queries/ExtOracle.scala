@@ -1061,13 +1061,23 @@ object ExtOracle {
          SELECT qid, "rank", vec_id, idot FROM ranked WHERE "rank" <= 10
          ORDER BY qid, "rank"""",
 
+    // REAL codec gate: the engine encodes genuine PNG/BMP bytes and
+    // decodes them with javax.imageio; the oracle recomputes the decoded
+    // metadata and the full pixel checksum from the closed-form synthetic
+    // pixel expression — equal hashes prove every pixel survived the
+    // compressed round trip (a decoder that didn't run could not match)
     "mm_decode_meta" ->
-      """SELECT doc_id,
-         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-         md5(text) AS content_md5,
-         CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
-         CAST(octet_length(encode(text)) * 7 % 480 + 1 AS BIGINT) AS height
-         FROM documents ORDER BY doc_id""",
+      """WITH d AS (SELECT doc_id, doc_id % 57 + 8 AS w, doc_id % 41 + 6 AS h
+               FROM documents),
+         px AS (SELECT doc_id, w, h, x, y, c
+               FROM d, unnest(range(0, w)) rx(x), unnest(range(0, h)) ry(y),
+                 unnest([0, 1, 2]) rc(c))
+         SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(sum((doc_id*31 + x*7 + y*13 + c*5) % 256) AS BIGINT) AS pix_sum
+         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
 
     "mm_frame_sample" ->
       """SELECT doc_id, i AS frame_idx,
@@ -1083,15 +1093,21 @@ object ExtOracle {
                FROM documents)
          WHERE ch <> '' GROUP BY 1, 2 ORDER BY doc_id, bucket""",
 
+    // nearest-neighbor resample to 16x12: src index = dst*src_extent //
+    // dst_extent — the engine computes the same over DECODED pixels
     "mm_resize" ->
-      """SELECT doc_id,
-         CAST(length(resized) AS BIGINT) AS resized_len,
-         md5(resized) AS resized_md5
-         FROM (SELECT doc_id, array_to_string(list_transform(
-             range(1, length(text) + 1, 4),
-             i -> substr(text, CAST(i AS INT), 1)), '') AS resized
-           FROM documents)
-         ORDER BY doc_id""",
+      """WITH d AS (SELECT doc_id, doc_id % 57 + 8 AS w, doc_id % 41 + 6 AS h
+               FROM documents),
+         px AS (SELECT doc_id, w, h,
+             (x2 * w) // 16 AS sx, (y2 * h) // 12 AS sy, c
+           FROM d, unnest(range(0, 16)) rx(x2), unnest(range(0, 12)) ry(y2),
+             unnest([0, 1, 2]) rc(c))
+         SELECT doc_id,
+           CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
+           CAST(16 AS BIGINT) AS dst_w, CAST(12 AS BIGINT) AS dst_h,
+           CAST(sum((doc_id*31 + sx*7 + sy*13 + c*5) % 256) AS BIGINT)
+             AS pix_sum
+         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
 
     "join_asof" ->
       """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us,

@@ -736,10 +736,10 @@ object Warehouse {
     * task, the canonical 100 TB scale-killer. The staged relation pins
     * one range partitioning for both the offset pass and the rank pass
     * (repartitionByRange samples boundaries per job). The WITHIN-group
-    * rank still windows over `event_type` (5 keys) — at 100 TB pair it
-    * with the [[groupedRank]] two-phase per-group selection or
-    * the sketch path ([[Ext.aggApprox]]); here groups are
-    * dimension-bounded per the [[winParetoAbc]] caveat. */
+    * rank is [[groupedRank]]'s two-phase per-group selection — with 5
+    * event types at ~20% of the corpus each, a
+    * `Window.partitionBy(event_type)` would be the one-task-per-group
+    * funnel; now both passes rank inside (pid, group). */
   def mixQuantileNormalize(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).select(col("event_type"), col("value"), col("event_id"))
     // Phase 1: range-partition the (value, event_id) order, stage it so
@@ -769,13 +769,14 @@ object Warehouse {
       .join(broadcast(offDf), "pid")
       .select((col("poff") + col("lr")).as("pos"),
         col("value").as("norm_value"))
-    val wg = Window.partitionBy(col("event_type"))
-      .orderBy(col("value").asc, col("event_id").asc)
-    val ranked = ev
-      .withColumn("r", row_number().over(wg).cast("long"))
-      .withColumn("n_g", count(lit(1)).over(
-        Window.partitionBy(col("event_type"))).cast("long"))
-      .withColumn("pos", expr(s"(r * ${n}L + n_g - 1) div n_g"))
+    // WITHIN-group rank r of n_g — through [[groupedRank]]'s two-phase
+    // per-group selection (r8 verdict #1): with 5 event types each
+    // holding ~20% of the corpus, Window.partitionBy(event_type) is the
+    // one-task-per-group funnel this file kills everywhere else. The
+    // helper emits rn (within-group rank) and n (group size).
+    val ranked = groupedRank("qn_within", s, dir, ev,
+      Seq("event_type"), Seq(col("value").asc, col("event_id").asc))
+      .withColumn("pos", expr(s"(rn * ${n}L + n - 1) div n"))
     ranked.join(globalOrder, Seq("pos"))
       .select(col("event_id"), col("event_type"), col("value"),
         col("norm_value"))
@@ -1180,14 +1181,19 @@ object Warehouse {
       .join(broadcast(offDf), "pid")
       .withColumn("c", col("poff") + col("lc"))
     val peakRow = running.agg(max(col("c"))).head()
-    val peak = if (peakRow.isNullAt(0)) 0L else peakRow.getLong(0)
+    // empty slice: the oracle's `max(c)` over zero boundaries is NULL —
+    // emit (0, NULL, NULL), not (0, 0, NULL) (ADVICE r8). The filter
+    // below compares against 0 harmlessly (empty relation either way).
+    val peakIsNull = peakRow.isNullAt(0)
+    val peak = if (peakIsNull) 0L else peakRow.getLong(0)
+    val peakCol = if (peakIsNull) lit(null).cast("long") else lit(peak)
     // n_intervals from the STAGED boundary relation (2 rows per event,
     // metadata-cheap parquet count) — re-counting the raw events table
     // would be a second full scan of the query's biggest input
     val nIntervals = local.count() / 2
     running.filter(col("c") === peak)
       .agg(min(col("t")).as("at_t_us"))
-      .select(lit(nIntervals).as("n_intervals"), lit(peak).as("peak"),
+      .select(lit(nIntervals).as("n_intervals"), peakCol.as("peak"),
         col("at_t_us"))
   }
 
@@ -1243,9 +1249,15 @@ object Warehouse {
       .localCheckpoint()
     for (h <- 1 to 3) {
       val frontier = visited.filter(col("level") === (h - 1).toLong)
-      val next = edges.join(frontier, col("src") === col("node"))
+      // frontier and visited are |nodes|-bounded — tiny next to the edge
+      // relation — so BOTH per-hop joins broadcast them (r8 verdict #5):
+      // the expansion probes the edge scan in place and the anti-join
+      // never shuffles the candidate set. At extreme node counts the
+      // hint comes off and both fall back to shuffle joins keyed by the
+      // staged edges' own bucketing.
+      val next = edges.join(broadcast(frontier), col("src") === col("node"))
         .select(col("dst").as("node")).distinct()
-        .join(visited.select(col("node").as("v")),
+        .join(broadcast(visited.select(col("node").as("v"))),
           col("node") === col("v"), "left_anti")
         .withColumn("level", lit(h.toLong))
       visited = visited.unionByName(next).localCheckpoint()
@@ -1273,6 +1285,15 @@ object Warehouse {
     val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("nk"))
     val tot = hist.agg(
       sum(col("nk")), sum(col("c") * col("nk")), max(col("c"))).head()
+    // empty slice: the oracle's grand aggregate emits ONE all-NULL row
+    // (and the ppm division below would NPE on the null longs) — pin the
+    // same degenerate row instead of diverging/throwing (ADVICE r8)
+    if (tot.isNullAt(0)) {
+      val nul = lit(null).cast("long")
+      return hist.limit(0).agg(count(lit(1))).select(
+        nul.as("n_keys"), nul.as("n_rows"), nul.as("max_size"),
+        nul.as("p50_size"), nul.as("p99_size"), nul.as("top1_share_ppm"))
+    }
     val (nKeys, nRows, maxC) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
     val cum = hist.withColumn("ck",
       sum(col("nk")).over(Window.orderBy(col("c"))
