@@ -523,6 +523,77 @@ object Ext {
       .orderBy(col("n").desc, col("pair"))
       .limit(20)
 
+  /** BPE MERGE INDUCTION over 10 rounds (r8 verdict #3 — the loop
+    * [[textBpeMerge]] pins one step of): the actual tokenizer-train
+    * surface. Classic trainer state: the corpus collapses ONCE to the
+    * word-TYPE frequency table (vocabulary-sized — merges operate on
+    * types weighted by counts, so round cost is independent of corpus
+    * size after the first shuffle); each round counts adjacent symbol
+    * pairs weighted by word frequency, elects the argmax pair (count
+    * desc, then lexicographic — a deterministic total order), applies
+    * the merge to every word's symbol sequence, and `localCheckpoint`s
+    * (the NOTES lineage rule — same per-round pattern as
+    * [[Warehouse.graphBfsLevels]]).
+    *
+    * The merge-application trick: a word's symbol sequence is one string
+    * with every symbol wrapped in a delimiter that cannot occur in a
+    * token ("␟a␟␟b␟␟c␟"), so one occurrence of pair (a,b) is the literal
+    * substring "␟a␟␟b␟" — never a false match across symbol boundaries —
+    * and `replace`'s leftmost-non-overlapping scan IS greedy BPE merge
+    * order (codegen'd StringReplace, no UDF). [a,a,a] merges to [aa,a],
+    * and back-to-back occurrences [a,b,a,b] both merge, because each
+    * wrapped symbol carries its own delimiters.
+    *
+    * Scale: per round ONE vocabulary-sized pair-count shuffle (map-side
+    * combined), a TakeOrdered(1) election (one row to the driver — the
+    * same bounded collect as the k-means seed), and a scan-local string
+    * rewrite. 10 rounds ≈ 10 tiny jobs; the corpus is touched exactly
+    * once. No DuckDB oracle (an iterative argmax-dependent fixpoint is
+    * not SQL-expressible) — value-gated by the brute-force reference
+    * trainer twin in Round9OpsSpec instead. */
+  def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val D = "\u001f"
+    val rounds = 10
+    def wrap(sym: org.apache.spark.sql.Column) =
+      concat(lit(D), array_join(sym, D + D), lit(D))
+    var vocab = docsTok(s, dir)
+      .select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(wrap(filter(split(col("w"), ""), x => x =!= "")).as("seg"),
+        col("cnt"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val best = vocab
+        .select(col("cnt"),
+          filter(split(col("seg"), D), x => x =!= "").as("sym"))
+        .filter(size(col("sym")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(sym) - 1), " +
+            "i -> struct(sym[i-1] AS p1, sym[i] AS p2))")).as("p"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("p1"), col("p2"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (p1, p2, n) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((r, p1, p2, n))
+        vocab = vocab
+          .withColumn("seg", replace(col("seg"),
+            lit(D + p1 + D + D + p2 + D), lit(D + p1 + p2 + D)))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    import s.implicits._
+    merges.result().toDF("merge_round", "lhs", "rhs", "n")
+      .orderBy(col("merge_round"))
+  }
+
   /** FIRST-OCCURRENCE NOVELTY per document — what fraction of a doc's
     * positional 3-grams appear here for the FIRST time in doc_id order:
     * the novelty curve curriculum schedulers and dataset-growth audits
@@ -3816,6 +3887,7 @@ object Ext {
     "text_url_domains" -> textUrlDomains _,
     "text_top_tokens" -> textTopTokens _,
     "text_bpe_merge" -> textBpeMerge _,
+    "text_bpe_train" -> textBpeTrain _,
     "text_novelty" -> textNovelty _,
     "text_top_tokens_cms" -> textTopTokensCms _,
     "split_train_test" -> splitTrainTest _,

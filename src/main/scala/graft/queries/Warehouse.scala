@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.ext.Dedup
 
 /** Warehouse-side analytics the reference's batch pipeline implies but
   * never spells out: upsert maintenance of a dimension table, SCD-type-2
@@ -1266,6 +1267,39 @@ object Warehouse {
       .orderBy(col("part_key"))
   }
 
+  /** CONNECTED COMPONENTS over the REPEAT-co-purchase graph (r8 verdict
+    * stretch #7): parts linked when they share ≥ 2 distinct orders — the
+    * single-order threshold yields one giant near-clique (measured: all
+    * 2000 parts, one component), while the repeat threshold leaves real
+    * cluster structure (9 components at sf0.01). Labels are the
+    * component's minimum node id, via [[Dedup.connectedComponents]]'s
+    * measured HYBRID: edge count ≤ 4M → exact driver union-find (the
+    * pair graph is orders smaller than the corpus, and every distributed
+    * round costs a shuffle barrier); bigger → iterative min-label
+    * propagation with per-round `localCheckpoint` (diameter-bounded).
+    * The oracle is the same recursive min-reach CTE `dedup_apply` uses.
+    *
+    * Scale: the weighted edge mine is one distinct + one self-join
+    * keyed by order (orders bound the fan-out) + one count shuffle on
+    * the pair — the same plan family as [[stagedEdges]]; everything
+    * after operates on the |edges|-sized relation, never the corpus. */
+  def graphComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Ext.stage("cc_edges", s, dir)({
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      op.as("a").join(op.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("id1"), col("b.l_partkey").as("id2"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("id1"), col("id2"))
+    })
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("part_key"), col("component"))
+      .orderBy(col("part_key"))
+  }
+
   /** JOIN-KEY SKEW diagnostic — the pre-flight a 100 TB pipeline runs
     * on a join key BEFORE choosing a strategy (plain shuffle vs salting
     * vs AQE skew-split): per-key group sizes collapsed to a COUNT
@@ -1688,6 +1722,7 @@ object Warehouse {
     "events_lifecycle" -> eventsLifecycle _,
     "events_cohort_ltv" -> eventsCohortLtv _,
     "graph_bfs_levels" -> graphBfsLevels _,
+    "graph_components" -> graphComponents _,
     "events_seq_support" -> eventsSeqSupport _,
     "win_interval_union" -> winIntervalUnion _,
     "events_concurrency_peak" -> eventsConcurrencyPeak _,

@@ -783,6 +783,24 @@ object WarehouseOracle {
          WHERE a.first_us < b.last_us
          GROUP BY 1, 2 ORDER BY a, b""",
 
+    // connected components of the repeat-co-purchase graph: min-label
+    // reach, the same recursive CTE form dedup_apply uses (fine at gate
+    // scale; the engine's hybrid union-find/label-prop is the scale form)
+    "graph_components" ->
+      """WITH RECURSIVE
+         op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e0 AS (SELECT a.p AS id1, b.p AS id2 FROM op a JOIN op b
+                ON a.o = b.o AND a.p < b.p
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT id1 AS src, id2 AS dst FROM e0
+               UNION ALL SELECT id2, id1 FROM e0),
+         reach(v, label) AS (
+           SELECT DISTINCT src, src FROM e
+           UNION
+           SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.v)
+         SELECT v AS part_key, min(label) AS component
+         FROM reach GROUP BY v ORDER BY part_key""",
+
     // min hop distance <= 3 from the 5 lowest-id nodes; the recursive
     // CTE enumerates paths and min-folds — fine at gate scale, where the
     // engine's visited-set BFS is the linear form

@@ -1,0 +1,89 @@
+package graft.queries
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Value gates and structural invariants of the round-9 operator family —
+  * properties the DuckDB hash gate cannot see (or, for the iterative BPE
+  * trainer, the value gate itself, since an argmax-dependent fixpoint is
+  * not SQL-expressible).
+  */
+class Round9OpsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  /** Reference BPE trainer: greedy leftmost non-overlapping merge over
+    * word-type frequencies, argmax by (count desc, UTF-8 byte-order
+    * lexicographic) — the byte ordering matches Spark's UTF8String sort
+    * (Java String compare would diverge on non-ASCII ties). */
+  private def refBpe(words: Seq[(String, Long)], rounds: Int): Seq[(Int, String, String, Long)] = {
+    def cmpUtf8(a: String, b: String): Int = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      var c = 0
+      while (i < n && c == 0) { c = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+      if (c != 0) c else x.length - y.length
+    }
+    implicit val utf8Order: Ordering[String] = (a, b) => cmpUtf8(a, b)
+    var vocab: Seq[(Vector[String], Long)] =
+      words.map { case (w, c) => w.map(_.toString).toVector -> c }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((sym, c) <- vocab; i <- 0 until sym.length - 1)
+        counts((sym(i), sym(i + 1))) += c
+      if (counts.isEmpty) done = true
+      else {
+        val ((p1, p2), n) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((r, p1, p2, n))
+        vocab = vocab.map { case (sym, c) =>
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < sym.length) {
+            if (i + 1 < sym.length && sym(i) == p1 && sym(i + 1) == p2) {
+              merged += p1 + p2; i += 2
+            } else { merged += sym(i); i += 1 }
+          }
+          merged.result() -> c
+        }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  test("text_bpe_train matches the brute-force reference trainer on real data") {
+    val words = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toSeq
+    val expected = refBpe(words, 10)
+    val got = Ext.textBpeTrain(spark, sf0001)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == expected, s"merge tables diverge:\nengine=$got\nref=$expected")
+  }
+
+  test("text_bpe_train: greedy merge semantics on a crafted corpus (overlap + adjacency)") {
+    // tokens: "abab" x3, "aaa" x2, "ab" x1 — hand-computed merge ladder:
+    //   r1 (a,b)  n=7   abab has TWO non-overlapping (a,b); both merge
+    //   r2 (a,a)  n=4   [a,a,a] counts two overlapping pairs but merges
+    //                   greedily leftmost to [aa, a]
+    //   r3 (ab,ab) n=3
+    //   r4 (aa,a)  n=2
+    //   r5 — no pairs left, loop stops early
+    val dir = java.nio.file.Files.createTempDirectory("bpe9").toString
+    Seq((1L, "abab abab aaa"), (2L, "abab aaa ab"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Ext.textBpeTrain(spark, dir)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "b", 7L), (2, "a", "a", 4L),
+      (3, "ab", "ab", 3L), (4, "aa", "a", 2L)), s"got $got")
+  }
+}
