@@ -1970,8 +1970,10 @@ object Ext {
         t(s, dir, "embeddings").select(col("vec_id"), col("embedding")), k = 10)
       .orderBy(col("qid"), col("rank"))
 
-  /** LSH-bucketed approximate top-10 (the scale path; no oracle —
-    * hyperplanes are engine-side state). */
+  /** LSH-bucketed approximate top-10 (the scale path). HASH-GREEN since
+    * r9: the seeded hyperplanes are deterministic driver-sized state, so
+    * the oracle embeds the same planes as SQL literals and mirrors
+    * signature → band buckets → candidate join → exact cosine ranking. */
   def simLshTopk(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(queryVecs(s, dir),
         t(s, dir, "embeddings").select(col("vec_id"), col("embedding")), k = 10)
@@ -3718,11 +3720,21 @@ object Ext {
   /** O4: cost-balanced repartition — per-supplier row counts bin-packed
     * into 8 bins (outliers isolated), then the fact table repartitioned by
     * bin. Output: per-bin load summary plus the BALANCE INVARIANT itself —
-    * `balance_ratio` = max bin load / mean bin load, the number the whole
-    * operator exists to bound (≤ overflowFactor = 1.2 when no key is an
-    * outlier, `BalanceSpec`-pinned), so the rows-only check surfaces a
-    * packing regression instead of just the output shape. No SQL twin
-    * (driver-side bin-packing plan) → rows-only check. */
+    * `balance_ppm` = max bin load over mean bin load in parts-per-million
+    * (exact long arithmetic: max·10⁶·|bins| div Σ — a float ratio would
+    * reopen the round-at-k-dp parity trap), the number the whole operator
+    * exists to bound (≤ 1.2·10⁶ when no key is an outlier,
+    * `BalanceSpec`-pinned).
+    *
+    * HASH-GREEN against a full DuckDB mirror of the packing plan (r8
+    * verdict stretch #8 — this was rows-only through r8): first-fit-
+    * decreasing is sequential, but over the PER-KEY aggregate (hundreds
+    * of rows at any corpus scale), so the oracle steps it one key per
+    * recursive-CTE iteration carrying the 8 bin loads as a list — the
+    * same (-cost, key) order, the same `(Σ/8)·1.2` capacity, the same
+    * spill-to-lightest fallback. Costs are integer counts, so every
+    * IEEE add in the load vector is exact and the two engines cannot
+    * drift. */
   def balanceBins(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     // no orderBy: costBalancedRepartition sorts the collected aggregates
@@ -3735,8 +3747,10 @@ object Ext {
         "l_suppkey", costs, targetBins = 8)
       .groupBy(col("_bin"))
       .agg(countDistinct(col("l_suppkey")).as("n_keys"), count(lit(1)).as("n_rows"))
-      .withColumn("balance_ratio",
-        round(max(col("n_rows")).over(whole) / avg(col("n_rows")).over(whole), 4))
+      .withColumn("_num",
+        max(col("n_rows")).over(whole) * lit(1000000L) * count(lit(1)).over(whole))
+      .withColumn("balance_ppm", expr("_num div (sum(n_rows) OVER ())"))
+      .drop("_num")
       .orderBy(col("_bin"))
   }
 

@@ -1026,6 +1026,44 @@ object ExtOracle {
               ORDER BY dist, vec_id) AS rk FROM dist)
          WHERE rk = 1 ORDER BY cid""",
 
+    // LSH hash-green (was rows-only through r8): the "engine-side state"
+    // — the 16 seeded Gaussian hyperplanes — is deterministic and
+    // driver-sized, so the oracle builder embeds the SAME planes as
+    // literal lists and DuckDB recomputes signatures (sequential-fold
+    // dots, exactly SeqDot's order), 4-bit band buckets, the candidate
+    // join, and the exact cosine ranking over candidates. Doubles parse
+    // correctly-rounded from Double.toString, so both engines evaluate
+    // identical IEEE operations.
+    "sim_lsh_topk" -> {
+      val planeRows = graft.ext.Similarity.hyperplanes(16, 64).zipWithIndex
+        .map { case (p, i) => s"($i, [${p.mkString(", ")}])" }
+        .mkString(",\n           ")
+      s"""WITH planes(p, coefs) AS (VALUES
+           $planeRows),
+         sigs AS (SELECT e.vec_id,
+             CAST(sum(CASE WHEN ${dotSql("e.embedding", "pl.coefs")} >= 0
+               THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS sig
+           FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
+         b AS (SELECT vec_id, band, (sig >> (band * 4)) & 15 AS bucket
+           FROM sigs, unnest([0, 1, 2, 3]) t(band)),
+         q AS (SELECT vec_id AS qid FROM embeddings
+           WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 200),
+         cand AS (SELECT DISTINCT q.qid, c.vec_id
+           FROM q JOIN b qb ON qb.vec_id = q.qid
+           JOIN b c ON c.band = qb.band AND c.bucket = qb.bucket
+             AND c.vec_id <> q.qid),
+         scored AS (SELECT cand.qid, cand.vec_id,
+             ${cosSql("eq.embedding", "ec.embedding")} AS cos
+           FROM cand
+           JOIN embeddings eq ON eq.vec_id = cand.qid
+           JOIN embeddings ec ON ec.vec_id = cand.vec_id),
+         ranked AS (SELECT qid, vec_id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+               AS "rank" FROM scored)
+         SELECT qid, "rank", vec_id, cos FROM ranked WHERE "rank" <= 10
+         ORDER BY qid, "rank""""
+    },
+
     "sim_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
            WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 200),
@@ -1469,6 +1507,60 @@ object ExtOracle {
       """SELECT l_returnflag, count(*) AS n,
          round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // full mirror of Balance.plan's first-fit-decreasing packing: the
+    // plan is sequential but over the per-KEY aggregate (driver-sized),
+    // so a recursive CTE steps one key per iteration carrying the 8 bin
+    // loads as a list — same (-cost, key) order, same (sum/8)*1.2
+    // capacity, same spill-to-lightest fallback, same dedicated-outlier
+    // bins (> 3*mean) numbered before the packed ones. Costs are integer
+    // counts: every load-vector add is IEEE-exact in both engines.
+    "balance_bins" ->
+      """WITH RECURSIVE
+         costs AS (SELECT CAST(l_suppkey AS VARCHAR) AS key,
+             CAST(count(*) AS DOUBLE) AS cost
+           FROM lineitem GROUP BY 1),
+         stats AS (SELECT sum(cost) / count(*) AS mean_cost FROM costs),
+         flagged AS (SELECT key, cost, cost > 3 * mean_cost AS outlier
+           FROM costs, stats),
+         outliers AS (SELECT key, cost,
+             row_number() OVER (ORDER BY -cost, key) - 1 AS bin
+           FROM flagged WHERE outlier),
+         base AS (SELECT count(*) AS n_out FROM outliers),
+         normal AS (SELECT key, cost,
+             row_number() OVER (ORDER BY -cost, key) AS rn
+           FROM flagged WHERE NOT outlier),
+         cap AS (SELECT (sum(cost) / 8) * 1.2 AS capacity FROM normal),
+         pack(rn, key, bin, loads) AS (
+           SELECT 0, NULL, NULL,
+             [CAST(0 AS DOUBLE), 0, 0, 0, 0, 0, 0, 0]
+           UNION ALL
+           SELECT n.rn, n.key,
+             CAST(coalesce(
+               list_min(list_filter(list_transform(p.loads,
+                 (x, i) -> CASE WHEN x + n.cost <= c.capacity THEN i END),
+                 x -> x IS NOT NULL)),
+               list_position(p.loads, list_min(p.loads))) - 1 AS INT),
+             list_transform(p.loads, (x, i) -> CASE WHEN i = coalesce(
+                 list_min(list_filter(list_transform(p.loads,
+                   (x2, i2) -> CASE WHEN x2 + n.cost <= c.capacity
+                     THEN i2 END),
+                   x2 -> x2 IS NOT NULL)),
+                 list_position(p.loads, list_min(p.loads)))
+               THEN x + n.cost ELSE x END)
+           FROM pack p JOIN normal n ON n.rn = p.rn + 1, cap c),
+         assign AS (
+           SELECT key, CAST(bin AS BIGINT) + (SELECT n_out FROM base)
+             AS bin
+           FROM pack WHERE key IS NOT NULL
+           UNION ALL SELECT key, bin FROM outliers),
+         per AS (SELECT a.bin AS _bin, count(*) AS n_keys,
+             CAST(sum(c.cost) AS BIGINT) AS n_rows
+           FROM assign a JOIN costs c USING (key) GROUP BY 1)
+         SELECT _bin, n_keys, n_rows,
+           CAST((max(n_rows) OVER ()) * 1000000 * (count(*) OVER ())
+             // (sum(n_rows) OVER ()) AS BIGINT) AS balance_ppm
+         FROM per ORDER BY _bin""",
 
     // Morton bucketing: the fleet synthesis, the quantization, and the
     // three mask-shift spread rounds are written in the engine's exact
