@@ -187,9 +187,22 @@ object TrajectoryClustering {
     def packed(side: String) = array(
       col(s"$side.hlng"), col(s"$side.hlat"),
       col(s"$side.llng"), col(s"$side.llat"), col(s"$side.len"))
+    // EXPLICIT user-numbered repartition on the pair-join key (r9): the
+    // summaries relation is byte-TINY while the join's output is
+    // QUADRATIC in it, so AQE's byte-based partition coalescing folds
+    // the (line × salt) cells into one or two tasks and serializes the
+    // whole pair scan (measured at 10× data: stage wall 37 s at
+    // parallelism ~1.5 → 10.6 s at ~9 once the shuffle keeps its
+    // width). REPARTITION_BY_NUM is the one shuffle origin AQE never
+    // coalesces — the salt fan-out keeps its task grid, and the join
+    // needs no further exchange since both sides arrive partitioned on
+    // exactly the join key.
+    val numParts = spark.sessionState.conf.numShufflePartitions
     val probe = summaries.withColumn("salt", pmod(col("tid"), lit(pairSalts)))
+      .repartition(numParts, col("line"), col("salt"))
     val build = summaries.withColumn("salt",
       explode(sequence(lit(0), lit(pairSalts - 1))))
+      .repartition(numParts, col("line"), col("salt"))
     // DBSCAN's output depends only on each point's eps-NEIGHBORHOOD set
     // (see Dbscan.fitAdjacency), so only pairs that can be edges cross
     // the wire: the pair scan keeps (i) finite d <= eps — real edges —
@@ -209,17 +222,33 @@ object TrajectoryClustering {
       .mapPartitions { it =>
         val maxFin = scala.collection.mutable.HashMap.empty[String, Double]
         val kept = it.flatMap { case (line, i, j, sa, sb) =>
-          // 2-point summary trajectories reproduce the full-trajectory
-          // distance bit-for-bit: every term reads head/last/length only
-          val tr1 = IndexedSeq(
-            TrajectoryDistance.P(sa(0), sa(1)), TrajectoryDistance.P(sa(2), sa(3)))
-          val tr2 = IndexedSeq(
-            TrajectoryDistance.P(sb(0), sb(1)), TrajectoryDistance.P(sb(2), sb(3)))
-          val d = TrajectoryDistance.totalWithLengths(tr1, tr2, sa(4), sb(4))
-          if (java.lang.Double.isFinite(d)) {
-            if (d > maxFin.getOrElse(line, 0.0)) maxFin(line) = d
-            if (d <= bc.value(line).eps) Some((line, i, j, d)) else None
-          } else Some((line, i, j, Double.NaN))
+          val eps = bc.value(line).eps
+          // trig-free sound lower bound first (r9): a pair that provably
+          // exceeds eps skips the full trig evaluation entirely. Its lb
+          // still feeds the max-finite tracker — lb ≤ d, and the only
+          // consumer is the `2·maxFinite ≤ eps` clamp test, where ANY
+          // witness > eps pins the same (false) outcome as the true
+          // maximum (which is ≥ this pair's d > eps); with zero pruned
+          // pairs the tracker is exactly the old one. NaN coords make
+          // lb NaN → never pruned → the clamp path sees them unchanged.
+          val lb = TrajectoryDistance.lowerBoundKm(
+            sa(0), sa(1), sa(2), sa(3), sb(0), sb(1), sb(2), sb(3))
+          if (lb > eps) {
+            if (lb > maxFin.getOrElse(line, 0.0)) maxFin(line) = lb
+            None
+          } else {
+            // 2-point summary trajectories reproduce the full-trajectory
+            // distance bit-for-bit: every term reads head/last/length only
+            val tr1 = IndexedSeq(
+              TrajectoryDistance.P(sa(0), sa(1)), TrajectoryDistance.P(sa(2), sa(3)))
+            val tr2 = IndexedSeq(
+              TrajectoryDistance.P(sb(0), sb(1)), TrajectoryDistance.P(sb(2), sb(3)))
+            val d = TrajectoryDistance.totalWithLengths(tr1, tr2, sa(4), sb(4))
+            if (java.lang.Double.isFinite(d)) {
+              if (d > maxFin.getOrElse(line, 0.0)) maxFin(line) = d
+              if (d <= eps) Some((line, i, j, d)) else None
+            } else Some((line, i, j, Double.NaN))
+          }
         }
         // `++`'s by-name argument evaluates only after `kept` is
         // exhausted, so the sentinels see the partition's complete maxima
@@ -236,7 +265,6 @@ object TrajectoryClustering {
     // whose work matters exceed it and keep their dedicated task.
     val costs = lineCounts.map { case (l, t) => l -> (t.toDouble * t) }
       .sortBy { case (l, c) => (-c, l) }.toSeq // deterministic plan input
-    val numParts = spark.sessionState.conf.numShufflePartitions
     // Balance.plan adds dedicated outlier bins ON TOP of targetBins, so
     // a first plan can exceed the partition count; shrink the normal-bin
     // target by the overflow and re-plan (outlier count depends only on

@@ -102,4 +102,53 @@ object TrajectoryDistance {
       len1: Double, len2: Double): Double =
     2.0 * endpointProjectionKm(tr1, tr2) +
       angularKmWithLengths(tr1, tr2, len1, len2)
+
+  /** PROVABLE cheap lower bound on [[totalWithLengths]] — the trig-free
+    * prune gate of the O(T²) pair scan. Soundness chain, every step an
+    * exact inequality of the haversine formula (no small-angle
+    * approximations that could over-prune):
+    *
+    *  - `total = d1 + d2 + angular ≥ d1 + d2` (angular ≥ 0: both its
+    *    branches are products of non-negative terms);
+    *  - each `dᵢ = gc(pᵢ, proj)` where proj is a CLAMPED convex
+    *    combination of chord2's endpoints, so proj.lat/lng lie inside
+    *    chord2's bounding box — `|Δφ| ≥ latGap(pᵢ, box)` and
+    *    `|Δλ| ≥ lngGap(pᵢ, box)`;
+    *  - `gc ≥ R·|Δφ|`: haversine `h ≥ sin²(Δφ/2)` ⟹ `asin(√h) ≥ |Δφ|/2`;
+    *  - `gc ≥ (2/π)·R·cfloor·|Δλ|` for `|Δλ| ≤ π`: `h ≥ cosφ₁cosφ₂·
+    *    sin²(Δλ/2)`, `cosφ ≥ cos(maxAbsLat) ≥ 1 − maxAbsLat²/2 = cfloor`
+    *    (Taylor bound, exact direction), `asin x ≥ x`, `sin x ≥ (2/π)x`
+    *    on [0, π/2].
+    *
+    * NaN coordinates poison the bound to NaN, and `NaN > eps` is false —
+    * a NaN pair is never pruned (its clamp-rule handling is downstream).
+    * Cost: ~15 flops, zero trig/alloc. */
+  def lowerBoundKm(
+      h1lng: Double, h1lat: Double, l1lng: Double, l1lat: Double,
+      s2lng: Double, s2lat: Double, e2lng: Double, e2lat: Double): Double = {
+    // ANY non-finite coordinate → NaN (never prune): a partially-NaN
+    // pair could still yield a finite lat-gap bound here while the true
+    // distance evaluates NaN and must reach the clamp rule downstream
+    if (!java.lang.Double.isFinite(h1lng + h1lat + l1lng + l1lat +
+        s2lng + s2lat + e2lng + e2lat)) return Double.NaN
+    val latLo = math.min(s2lat, e2lat); val latHi = math.max(s2lat, e2lat)
+    val lngLo = math.min(s2lng, e2lng); val lngHi = math.max(s2lng, e2lng)
+    val maxAbsLat = math.toRadians(math.max(
+      math.max(math.abs(h1lat), math.abs(l1lat)),
+      math.max(math.abs(latLo), math.abs(latHi))))
+    val cfloor = 1.0 - maxAbsLat * maxAbsLat / 2.0
+    def one(plng: Double, plat: Double): Double = {
+      val gLat = math.toRadians(
+        math.max(0.0, math.max(latLo - plat, plat - latHi)))
+      val gLng = math.toRadians(
+        math.max(0.0, math.max(lngLo - plng, plng - lngHi)))
+      val viaLat = EarthRadiusKm * gLat
+      val viaLng =
+        if (gLng <= math.Pi && cfloor > 0.0)
+          (2.0 / math.Pi) * EarthRadiusKm * cfloor * gLng
+        else 0.0
+      math.max(viaLat, viaLng)
+    }
+    one(h1lng, h1lat) + one(l1lng, l1lat)
+  }
 }

@@ -61,15 +61,17 @@ object Pipeline {
     // alone may never run under a large fixed heap — NOTES.md).
     // no terminus geography in the synthetic feed → qualification off
     // (the reference's standalone variant uses an allowlist here)
+    val logPhase = graft.core.PhaseLog.start("pipeline")
     val (pats, patsStore) = Stage.materialize(
       PatternExtraction.run(syntheticFleet(s, dir), busLine = None,
         cfg = PatternExtraction.Config(qualify = false)))
+    logPhase("stage1 patterns materialized")
     val params = (0 until 8)
       .map(i => s"L$i" -> TrajectoryClustering.Params(eps = 5.0, minSamples = 2))
       .toMap
     val (clustered, clusteredStore) = Stage.materialize(
       TrajectoryClustering.run(pats, params))
-    val logPhase = graft.core.PhaseLog.start("pipeline")
+    logPhase("stage2 clustered materialized")
     // one agg action: sum of per-row hashes (int hash widened by sum to
     // long) is invariant to partitioning and row order
     val s1 = pats.agg(coalesce(sum(hash(

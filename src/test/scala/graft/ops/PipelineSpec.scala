@@ -120,6 +120,35 @@ class PipelineSpec extends SparkSpec {
     assert(plan("LH") != plan("LS"))
   }
 
+  test("stage 2: pair-prune path (far-apart groups) equals the local path exactly") {
+    // two vehicle groups on ONE line ~0.1 deg (~10 km) apart: cross-group
+    // pairs have lower bound > eps=5 and take the r9 prune path, while
+    // within-group pairs evaluate fully — labels must still be
+    // bit-identical to the no-prune local path (which never prunes)
+    val rows = for {
+      (grp, base) <- Seq(("A", 114.00), ("B", 114.10))
+      v <- 1 to 6
+      n <- 0 to 2
+    } yield (s"$grp-V$v", "LP", base + n * 0.001 + v * 1e-5, 22.5,
+      f"19-02-01 08:00:${n * 10}%02d", 1L)
+    val pats = rows.toDF("id", "linenumber", "lng", "lat", "t", "patternID")
+      .withColumn("t", to_timestamp($"t", "yy-MM-dd HH:mm:ss"))
+    val prm = Map("LP" -> TrajectoryClustering.Params(5.0, 2))
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getInt(3))).sortBy(t => (t._1, t._2, t._3))
+    // sanity: the cross-group bound really is above eps (prune active)
+    assert(TrajectoryDistance.lowerBoundKm(
+      114.0, 22.5, 114.003, 22.5, 114.1, 22.5, 114.103, 22.5) > 5.0)
+    val local = sortedRows(TrajectoryClustering.cluster(pats, prm))
+    val dist = sortedRows(
+      TrajectoryClustering.cluster(pats, prm, maxLocalPairs = 0))
+    assert(local.nonEmpty && local.toSeq == dist.toSeq)
+    // both groups cluster internally (distinct clusters), so the pruned
+    // relation still carried every within-group edge
+    assert(local.map(_._4).toSet.size >= 2)
+  }
+
   test("stage 2: single-trajectory line survives the distributed path too") {
     val lone = Seq(
       ("V1", "L9", 114.00, 22.50, "19-02-01 08:00:00"),

@@ -57,6 +57,37 @@ class Round9OpsSpec extends SparkSpec {
     out.result()
   }
 
+  test("trajectory pair-prune lower bound never exceeds the true distance") {
+    import graft.ops.TrajectoryDistance
+    // deterministic pseudo-random sweep over realistic AND adversarial
+    // coordinate ranges (prune soundness = the bound is NEVER above the
+    // true distance; one violation would flip a DBSCAN edge)
+    val rnd = new scala.util.Random(7)
+    def coord(span: Double, base: Double) = base + rnd.nextDouble() * span
+    for (trial <- 0 until 20000) {
+      val (baseLng, baseLat, span) =
+        if (trial % 3 == 0) (114.0, 22.5, 0.2) // the fleet's real window
+        else if (trial % 3 == 1) (-179.0, -80.0, 3.0) // high-lat wide
+        else (0.0, 0.0, 90.0) // adversarially wide
+      val v = Array.fill(8)(0.0)
+      for (k <- 0 until 8)
+        v(k) = if (k % 2 == 0) coord(span, baseLng) else coord(span, baseLat)
+      val tr1 = IndexedSeq(TrajectoryDistance.P(v(0), v(1)), TrajectoryDistance.P(v(2), v(3)))
+      val tr2 = IndexedSeq(TrajectoryDistance.P(v(4), v(5)), TrajectoryDistance.P(v(6), v(7)))
+      val d = TrajectoryDistance.totalWithLengths(tr1, tr2,
+        TrajectoryDistance.lengthKm(tr1), TrajectoryDistance.lengthKm(tr2))
+      val lb = TrajectoryDistance.lowerBoundKm(
+        v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7))
+      assert(lb <= d + 1e-9,
+        s"UNSOUND prune bound: lb=$lb > d=$d for ${v.toSeq}")
+    }
+    // non-finite coordinates must never prune (their true distance is
+    // NaN and belongs to the downstream clamp rule)
+    assert(!(TrajectoryDistance.lowerBoundKm(Double.NaN, 0, 0, 0, 1, 1, 2, 2) > 0.0))
+    assert(!(TrajectoryDistance.lowerBoundKm(
+      Double.PositiveInfinity, 0, 0, 0, 1, 1, 2, 2) > 0.0))
+  }
+
   test("text_bpe_train matches the brute-force reference trainer on real data") {
     val words = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(explode(split(col("text"), " ")).as("w"))
