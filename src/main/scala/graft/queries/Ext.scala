@@ -863,6 +863,63 @@ object Ext {
       .orderBy(col("cid"))
   }
 
+  /** FULLY VALUE-ORACLED IVF top-k (r9): the complete ANN index
+    * lifecycle — train, invert, probe, rank — with EVERY step in exact
+    * integer arithmetic, so unlike [[simIvfTopk]] (float Lloyd training,
+    * recall-gated) the whole path is hash-exact against DuckDB.
+    * Train: one Lloyd step over the centi-quantized corpus from the
+    * first-8 seeds (the [[simKmeansStep]] machinery — `div`-truncated
+    * integer centroids). Invert: every vector assigned to its nearest
+    * trained centroid by exact integer L2 (ties → lowest cell). Probe:
+    * each query visits its nprobe=2 nearest cells. Rank: exact integer
+    * dot product over candidates ([[simQuantizedTopk]]'s scoring), ties
+    * → lowest vec_id.
+    *
+    * Scale: the index is the classic IVF plan — the k-row centroid
+    * table broadcasts everywhere it appears, assignment/probing are
+    * scan-local codegen'd SeqL2Long loops with partial-agg argmin, the
+    * inverted file is ONE staged relation (shared with
+    * [[sampleCoreset]]'s assignment stage), and candidates are an
+    * equi-join on the cell id — |Q|·(corpus·nprobe/k) scored rows, never
+    * |Q|·|corpus|. */
+  def simIvfExactTopk(s: SparkSession, dir: String): DataFrame = {
+    val assigned = stage("kmeans_assign", s, dir)(kmeansAssign(s, dir))
+    val cent = assigned
+      .select(col("cid"), posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(expr("sum(v) div count(1)").as("mc"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mc")))),
+        p => p.getField("mc")).as("mcv"))
+    // invert: nearest TRAINED centroid per vector (the stage's cid was
+    // the seed assignment used to train; the file is keyed by the
+    // trained cells)
+    val inv = assigned.select(col("vec_id"), col("q"))
+      .crossJoin(broadcast(cent))
+      .withColumn("d2", graft.ext.Similarity.intL2(col("q"), col("mcv")))
+      .groupBy(col("vec_id"), col("q"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("q"), col("m.cid").as("cell"))
+    val probes = inv.filter(col("vec_id") % 50 === 0)
+      .orderBy(col("vec_id")).limit(200)
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
+    val qcells = probes.crossJoin(broadcast(cent))
+      .withColumn("d2", graft.ext.Similarity.intL2(col("qq"), col("mcv")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("d2").asc, col("cid").asc)))
+      .filter(col("rk") <= 2)
+      .select(col("qid"), col("qq"), col("cid").as("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("idot").desc, col("vec_id").asc)
+    inv.join(broadcast(qcells), Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("idot", graft.ext.Similarity.intDot(col("qq"), col("q")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("vec_id"), col("idot"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** EXACT WEIGHTED PERCENTILES per group — the token-weighted median
     * (and p90) of the quality score per source: "half the TOKENS sit at
     * or below this quality", the statistic that actually matters when
@@ -3931,6 +3988,7 @@ object Ext {
     "sim_knn_graph" -> simKnnGraph _,
     "sim_kmeans_step" -> simKmeansStep _,
     "sample_coreset" -> sampleCoreset _,
+    "sim_ivf_exact_topk" -> simIvfExactTopk _,
     "sim_lsh_topk" -> simLshTopk _,
     "sim_ivf_topk" -> simIvfTopk _,
     "sim_ivf_warm" -> simIvfWarm _,

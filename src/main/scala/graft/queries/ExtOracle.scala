@@ -1026,6 +1026,60 @@ object ExtOracle {
               ORDER BY dist, vec_id) AS rk FROM dist)
          WHERE rk = 1 ORDER BY cid""",
 
+    // the fully value-oracled IVF lifecycle (r9): quantize -> one-step
+    // integer Lloyd train -> invert -> probe 2 cells -> integer-dot
+    // rank. Every step is exact integer arithmetic (floor-quantize,
+    // trunc-div centroids — DuckDB // truncates toward zero exactly
+    // like Spark div on integers), so the whole index path hash-matches.
+    "sim_ivf_exact_topk" -> {
+      def l2(a: String, b: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(list_zip($a, $b),
+              p -> CAST((p[1] - p[2]) * (p[1] - p[2]) AS BIGINT))),
+            (x, y) -> x + y)"""
+      def idot(a: String, b: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(list_zip($a, $b),
+              p -> CAST(p[1] * p[2] AS BIGINT))), (x, y) -> x + y)"""
+      s"""WITH qv AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS q
+           FROM embeddings),
+         seeds AS (SELECT vec_id AS cid, q AS c FROM qv WHERE vec_id < 8),
+         a0 AS (SELECT vec_id, q, cid FROM (
+             SELECT qv.vec_id, qv.q, s.cid,
+               row_number() OVER (PARTITION BY qv.vec_id
+                 ORDER BY ${l2("qv.q", "s.c")}, s.cid) AS rk
+             FROM qv CROSS JOIN seeds s) WHERE rk = 1),
+         x AS (SELECT cid, unnest(list_transform(range(1, len(q) + 1),
+             i -> struct_pack(dim := i - 1, v := q[i]))) AS p FROM a0),
+         cent AS (SELECT cid, p.dim AS dim,
+             CAST(sum(p.v) AS BIGINT) // count(*) AS mc
+           FROM x GROUP BY cid, p.dim),
+         centv AS (SELECT cid, list(mc ORDER BY dim) AS mcv
+           FROM cent GROUP BY cid),
+         inv AS (SELECT vec_id, q, cell FROM (
+             SELECT qv.vec_id, qv.q, c.cid AS cell,
+               row_number() OVER (PARTITION BY qv.vec_id
+                 ORDER BY ${l2("qv.q", "c.mcv")}, c.cid) AS rk
+             FROM qv CROSS JOIN centv c) WHERE rk = 1),
+         q200 AS (SELECT vec_id AS qid, q AS qq FROM inv
+           WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 200),
+         qc AS (SELECT qid, qq, cell FROM (
+             SELECT q200.qid, q200.qq, c.cid AS cell,
+               row_number() OVER (PARTITION BY q200.qid
+                 ORDER BY ${l2("q200.qq", "c.mcv")}, c.cid) AS rk
+             FROM q200 CROSS JOIN centv c) WHERE rk <= 2),
+         cand AS (SELECT qc.qid, inv.vec_id,
+             ${idot("qc.qq", "inv.q")} AS idot
+           FROM qc JOIN inv USING (cell) WHERE qc.qid <> inv.vec_id),
+         ranked AS (SELECT qid, vec_id, idot,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY idot DESC, vec_id) AS "rank"
+           FROM cand)
+         SELECT qid, "rank", vec_id, idot FROM ranked WHERE "rank" <= 10
+         ORDER BY qid, "rank""""
+    },
+
     // LSH hash-green (was rows-only through r8): the "engine-side state"
     // — the 16 seeded Gaussian hyperplanes — is deterministic and
     // driver-sized, so the oracle builder embeds the SAME planes as

@@ -229,6 +229,18 @@ class PlanSpec extends SparkSpec {
       s"expected two (pid, group) rank windows (median + MAD), got $pidWindows:\n$p")
   }
 
+  test("sim_ivf_exact_topk: centroid model broadcasts everywhere, candidates join on the cell") {
+    val p = planOf("sim_ivf_exact_topk")
+    assert(!p.contains("CartesianProduct"),
+      s"a centroid cross join fell out of broadcast:\n$p")
+    // train-assign, invert, probe, and the candidate join all carry the
+    // k-row model (or the |Q|-row probe set) as a broadcast — the corpus
+    // side never shuffles to meet the index
+    assert(p.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("BroadcastHashJoin")) >= 3,
+      s"expected >= 3 broadcast joins in the IVF lifecycle:\n$p")
+  }
+
   test("sim_knn_graph: block join + partial top-k (no cartesian, no full-block shuffle)") {
     val p = planOf("sim_knn_graph")
     assert(!p.contains("CartesianProduct"), s"label block join fell to cartesian:\n$p")
