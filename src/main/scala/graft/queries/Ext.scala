@@ -3751,6 +3751,63 @@ object Ext {
       .orderBy(col("window_start_us"), col("rank"))
   }
 
+  /** STREAMING CDC UPSERT SINK — the TWELFTH Structured Streaming job
+    * under the batch oracle gate: the events feed replayed as a keyed
+    * changelog (purchases are deletes, everything else an upsert; the
+    * (ts, event_id) pair is the record version), materialized to each
+    * key's last-writer-wins row by
+    * [[graft.streaming.StreamOps.cdcStream]] — the streaming complement
+    * of the batch `merge_scd1`. The mtime ladder lands the data file
+    * BEFORE the per-key end-of-feed sentinels, so the close timers
+    * provably arm on the sentinel batch (the multi-batch path), and the
+    * fold's "apply only if strictly newer" makes any delivery order
+    * converge to the same table — hash-equal to DuckDB's batch
+    * last-row-per-key recompute. Deleted keys emit nothing. */
+  def streamCdcSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Tmp
+    import graft.streaming.StreamOps
+    import s.implicits._
+    val log = graft.core.PhaseLog.start("stream_cdc")
+    val ev = events(s, dir).select(col("user_id"), col("ts_us"),
+      col("event_id"), col("value"),
+      when(col("event_type") === "purchase", "d").otherwise("u").as("op"))
+    val inDir = Tmp.jvmScopedDir("stream_cdc_in", dir)
+    val outDir = Tmp.jvmScopedDir("stream_cdc_out", dir)
+    val ckDir = Tmp.jvmScopedDir("stream_cdc_ck", dir)
+    val stagedMarker = new java.io.File(inDir, "_graft_staged")
+    if (!stagedMarker.exists()) {
+      val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0)
+      Tmp.deleteRecursively(inDir)
+      new java.io.File(inDir).mkdirs()
+      val sentinels = ev.groupBy(col("user_id")).agg(
+        lit(maxTs + 3600000000L * 100).as("ts_us"),
+        lit(0L).as("event_id"), lit(0.0).as("value"), lit("x").as("op"))
+      val now = System.currentTimeMillis()
+      stageMtimeFile(ev, inDir, "f0.parquet", now - 60000L)
+      stageMtimeFile(sentinels, inDir, "f1.parquet", now - 30000L)
+      java.nio.file.Files.createFile(stagedMarker.toPath): Unit
+      log("staged input")
+    } else log("reusing staged input")
+
+    runStreamToParquet(s, outDir, ckDir,
+      Map("spark.sql.shuffle.partitions" -> "8"), log) {
+      val stream = s.readStream
+        .schema("user_id BIGINT, ts_us BIGINT, event_id BIGINT, " +
+          "value DOUBLE, op STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .withColumn("t", timestamp_micros(col("ts_us")))
+        .select(col("user_id"), col("t"), col("ts_us"), col("event_id"),
+          col("value"), col("op"))
+        .as[StreamOps.CdcOp]
+      StreamOps.cdcStream(stream).toDF()
+    }
+    s.read.parquet(outDir)
+      .select(col("user_id"), col("last_ts_us"), col("last_event_id"),
+        col("last_value"), col("n_ops"))
+      .orderBy(col("user_id"))
+  }
+
   /** Feed-drift report over the mixed-format timestamp feed: per-format
     * row counts from `TimeOps.matchedFormat` (the same generated
     * `yy-`/`yyyy-` mix as [[csvRoundtrip]]) — the monitoring surface that
@@ -4026,6 +4083,7 @@ object Ext {
     "stream_interval_outer_sink" -> streamIntervalOuterSink _,
     "stream_tumbling_sink" -> streamTumblingSink _,
     "stream_topk_sink" -> streamTopkSink _,
+    "stream_cdc_sink" -> streamCdcSink _,
     "stream_dedup_sink" -> streamDedupSink _,
     "stream_asof_sink" -> streamAsofSink _,
     "stream_enrich_sink" -> streamEnrichSink _,

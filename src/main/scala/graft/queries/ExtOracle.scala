@@ -1420,6 +1420,22 @@ object ExtOracle {
            ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
          ORDER BY p_event""",
 
+    // batch twin of the streaming CDC materialization: last row per key
+    // by (ts, event_id) version; keys whose last op is a delete
+    // (purchase) are absent; n_ops counts the key's full changelog
+    "stream_cdc_sink" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+             CASE WHEN event_type = 'purchase' THEN 'd' ELSE 'u' END AS op
+           FROM events),
+         l AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY ts_us DESC, event_id DESC) AS rk FROM ev),
+         n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_ops
+           FROM ev GROUP BY user_id)
+         SELECT l.user_id, l.ts_us AS last_ts_us,
+           l.event_id AS last_event_id, l.value AS last_value, n.n_ops
+         FROM l JOIN n USING (user_id) WHERE l.rk = 1 AND l.op = 'u'
+         ORDER BY l.user_id""",
+
     // the doubled feed deduped on the unique event_id = the original feed
     "stream_dedup_sink" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id

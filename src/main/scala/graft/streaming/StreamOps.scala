@@ -126,6 +126,77 @@ object StreamOps {
       }
   }
 
+  /** One CDC changelog record. `op` ∈ {"u" upsert, "d" delete, "x"
+    * sentinel (close marker — no content)}; `(ts_us, event_id)` is the
+    * record's VERSION. */
+  case class CdcOp(user_id: Long, t: java.sql.Timestamp, ts_us: Long,
+      event_id: Long, value: Double, op: String)
+
+  /** Per-key CDC state: the max-version record seen + op count. O(1). */
+  case class CdcState(tsUs: Long, eventId: Long, value: Double, op: String,
+      n: Long)
+
+  /** Final materialized row for a live (non-deleted) key. */
+  case class CdcRow(user_id: Long, last_ts_us: Long, last_event_id: Long,
+      last_value: Double, n_ops: Long)
+
+  /** STREAMING CDC UPSERT MATERIALIZATION — the streaming complement of
+    * the batch `merge_scd1`: consume a keyed changelog and emit, once
+    * the watermark passes the feed, each key's last-writer-wins row
+    * (deleted keys emit nothing). "Apply only if strictly newer by
+    * (ts, event_id)" makes the fold ORDER-INDEPENDENT: any delivery
+    * permutation of the same records converges to the max-version
+    * record, so reordered/late-but-in-watermark delivery cannot corrupt
+    * the table (property-pinned in the spec). State is one record per
+    * live key — never a buffer of the changelog; the final emission
+    * rides the same watermark-clamped event-time timer discipline as
+    * [[sessionize]]. */
+  def cdcStream(
+      ops: Dataset[CdcOp],
+      watermarkDelay: String = "10 minutes"): Dataset[CdcRow] = {
+    import ops.sparkSession.implicits._
+    ops
+      .withWatermark("t", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcState, CdcRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[CdcOp], state: GroupState[CdcState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            if (st.op == "d") Iterator.empty
+            else Iterator.single(CdcRow(key, st.tsUs, st.eventId, st.value, st.n))
+          } else {
+            var st = state.getOption
+            var sawSentinel = false
+            it.foreach { e =>
+              if (e.op == "x") sawSentinel = true
+              else {
+                val newer = st.forall(s =>
+                  e.ts_us > s.tsUs ||
+                    (e.ts_us == s.tsUs && e.event_id > s.eventId))
+                st = Some(
+                  if (newer) CdcState(e.ts_us, e.event_id, e.value, e.op,
+                    st.map(_.n).getOrElse(0L) + 1)
+                  else st.get.copy(n = st.get.n + 1))
+              }
+            }
+            // the close timer arms ONLY on the key's end-of-feed sentinel:
+            // a watermark-relative timer armed per batch would emit a key
+            // early whenever a later batch still carried its (in-
+            // watermark) records, and Append mode cannot retract. A key's
+            // records after its sentinel are a feed-contract violation
+            // (that key stays unemitted rather than emitting twice).
+            st.foreach { s =>
+              state.update(s)
+              if (sawSentinel)
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+            }
+            Iterator.empty
+          }
+      }
+  }
+
   /** Watermarked tumbling-window count/sum — the streaming form of a
     * time-bucketed groupBy (Append mode: a window emits once, when the
     * watermark passes its end). */

@@ -523,6 +523,41 @@ class StreamOpsSpec extends SparkSpec {
     assert(h2 == Seq(FunnelHit(1L, 2L, us(35))))
   }
 
+  test("cdcStream: reordered delivery converges to the same last-writer-wins table; deletes erase; sentinel arms the close") {
+    import StreamOps.{CdcOp, CdcRow}
+    def us(minute: Long) = BaseUs + minute * 60L * 1000000L
+    def op(user: Long, minute: Long, id: Long, v: Double, o: String) =
+      CdcOp(user, new Timestamp(us(minute) / 1000L), us(minute), id, v, o)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[CdcOp]
+    val out = StreamOps.cdcStream(mem.toDS(), "30 minutes")
+    val qname = s"q${System.nanoTime()}"
+    val query = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      // batch 1: the NEWEST records arrive first (scrambled delivery) —
+      // user 1's latest update, user 2's delete-as-last-op
+      mem.addData(Seq(op(1, 20, 5, 5.0, "u"), op(2, 25, 6, 9.0, "d")))
+      query.processAllAvailable()
+      // batch 2: OLDER records late but inside the 30-min watermark —
+      // must fold into n_ops without overwriting the newer state
+      mem.addData(Seq(op(1, 10, 1, 1.0, "u"), op(1, 15, 2, 2.0, "u"),
+        op(2, 5, 3, 3.0, "u")))
+      query.processAllAvailable()
+      // batch 3: per-key end-of-feed sentinels (close timers arm HERE,
+      // not on a per-batch watermark — an early arm would have emitted
+      // user 1 before batch 2's records landed)
+      mem.addData(Seq(op(1, 2000, 0, 0.0, "x"), op(2, 2000, 0, 0.0, "x")))
+      query.processAllAvailable()
+      mem.addData(Seq.empty[CdcOp])
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table(qname).as[CdcRow].collect().toSet
+    // user 1: last-writer (minute 20, id 5), n_ops counts ALL 3 records;
+    // user 2: last op is a delete → absent entirely
+    assert(rows == Set(CdcRow(1L, us(20), 5L, 5.0, 3L)), s"got $rows")
+  }
+
   test("funnelStream end-to-end: reordered delivery (a scrambled sentinel ladder) yields the pinned drop semantics, never undefined output") {
     // The sink harnesses stage files with ascending mtimes so the file
     // source delivers them in event-time order — an ASSUMED invariant
