@@ -2349,6 +2349,127 @@ object Ext {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** GEOFENCE membership rollup — point-in-POLYGON by ray casting, the
+    * missing third spatial primitive next to [[geoRadiusJoin]] (radius)
+    * and [[geoZorderLayout]] (layout): how many pings / distinct
+    * vehicles sit inside each service-area polygon (the reference's
+    * zone semantics, `Standalone/Blind Zone Detection.scala`, use
+    * per-cluster disks; real fleets draw arbitrary polygons).
+    *
+    * Six synthetic star-octagon fences (no horizontal edges BY
+    * CONSTRUCTION — consecutive vertex dy offsets are never 0 — so the
+    * ray-cast never divides by zero on a real crossing) over the same
+    * closed-form point field as [[geoRadiusJoin]]. The crossing test is
+    * the textbook half-open rule: edge (x1,y1)→(x2,y2) crosses the
+    * rightward ray from (px,py) iff (y1>py) ≠ (y2>py) and px is left of
+    * the edge's intersection x. Odd crossings = inside. Every number
+    * here is integer arithmetic × double literals through IEEE
+    * +,−,×,÷ only — all correctly rounded, bit-identical cross-engine —
+    * so the whole rollup is hash-exact with zero tolerance (same
+    * argument as the radius join's equirectangular metric).
+    *
+    * 100 TB: the fence dim (6 rows, each carrying its 8-edge array) is
+    * BROADCAST; the corpus streams through a scan-local `aggregate`
+    * higher-order fold over the edge array (parity is computed per
+    * (point, fence) with NO per-point shuffle — the only exchange is
+    * the |fences|-sized final rollup with map-side partial aggregation).
+    * More fences or more vertices change only the broadcast payload. */
+  def geoGeofenceCount(s: SparkSession, dir: String): DataFrame = {
+    // star-octagon vertex offsets, scaled ×0.004° (~440 m "radius")
+    val dxs = "array(3, 1, 0, -1, -3, -1, 0, 1)"
+    val dys = "array(0, 1, 3, 1, 0, -1, -3, -1)"
+    val fences = s.range(6).toDF("f")
+      .select(col("f"),
+        (lit(114.0) + (col("f") * 37 % 100) * 0.001 + 0.003).as("cx"),
+        (lit(22.0) + col("f") * 0.015 + 0.005).as("cy"))
+      .select(col("f"), expr(
+        s"""transform(sequence(0, 7), i -> struct(
+              cx + element_at($dxs, i + 1) * 0.004d AS x1,
+              cy + element_at($dys, i + 1) * 0.004d AS y1,
+              cx + element_at($dxs, (i + 1) % 8 + 1) * 0.004d AS x2,
+              cy + element_at($dys, (i + 1) % 8 + 1) * 0.004d AS y2))"""
+        ).as("edges"))
+    events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        (lit(114.0) + (col("user_id") * 7919 % 9973) * 0.00001).as("px"),
+        (lit(22.0) + (col("event_id") % 9973) * 0.00001).as("py"))
+      .crossJoin(broadcast(fences))
+      .withColumn("crossings", expr(
+        """aggregate(edges, 0, (acc, e) -> acc + IF(
+             (e.y1 > py) != (e.y2 > py) AND
+             px < e.x1 + (py - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1),
+             1, 0))"""))
+      .filter(col("crossings") % 2 === 1)
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("n_inside"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("f"))
+  }
+
+  /** Per-fence DWELL TIME — microseconds each vehicle spends inside
+    * each geofence, counted over consecutive-ping intervals whose BOTH
+    * endpoints are inside (the conservative estimator: an interval that
+    * crosses the fence boundary contributes nothing — no interpolation,
+    * no clock model, hash-exact integer arithmetic end to end). The
+    * time-dimension companion of [[geoGeofenceCount]]'s membership
+    * snapshot: zone occupancy is the reference's blind-zone grading
+    * question asked of polygons instead of cluster disks.
+    *
+    * Plan shape: the SIX fences collapse into ONE broadcast row holding
+    * a sorted array of (f, edges); every ping computes its 6-bit inside
+    * BITMASK in a single scan-local nested fold (outer fold over
+    * fences, inner ray-cast fold over edges). The corpus is then
+    * shuffled ONCE — `Window.partitionBy(user_id)` for the lag — and
+    * the per-fence explode happens AFTER the window, scan-local, so the
+    * exchange is 1× the corpus, not |fences|×. Final rollup is
+    * |fences|-sized with map-side partials. The oracle windows per
+    * (user, fence) instead; the lag ordering (ts, event_id) is
+    * fence-independent, so the two shapes agree row for row. */
+  def geoGeofenceDwell(s: SparkSession, dir: String): DataFrame = {
+    val dxs = "array(3, 1, 0, -1, -3, -1, 0, 1)"
+    val dys = "array(0, 1, 3, 1, 0, -1, -3, -1)"
+    val fenceArr = s.range(6).toDF("f")
+      .select(col("f"),
+        (lit(114.0) + (col("f") * 37 % 100) * 0.001 + 0.003).as("cx"),
+        (lit(22.0) + col("f") * 0.015 + 0.005).as("cy"))
+      .select(col("f"), expr(
+        s"""transform(sequence(0, 7), i -> struct(
+              cx + element_at($dxs, i + 1) * 0.004d AS x1,
+              cy + element_at($dys, i + 1) * 0.004d AS y1,
+              cx + element_at($dxs, (i + 1) % 8 + 1) * 0.004d AS x2,
+              cy + element_at($dys, (i + 1) % 8 + 1) * 0.004d AS y2))"""
+        ).as("edges"))
+      .agg(sort_array(collect_list(struct(col("f"), col("edges")))).as("fs"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        (lit(114.0) + (col("user_id") * 7919 % 9973) * 0.00001).as("px"),
+        (lit(22.0) + (col("event_id") % 9973) * 0.00001).as("py"))
+      .crossJoin(broadcast(fenceArr))
+      .withColumn("mask", expr(
+        """aggregate(fs, 0, (m, fe) -> m + IF(
+             aggregate(fe.edges, 0, (acc, e) -> acc + IF(
+               (e.y1 > py) != (e.y2 > py) AND
+               px < e.x1 + (py - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1),
+               1, 0)) % 2 = 1,
+             shiftleft(1, cast(fe.f AS int)), 0))"""))
+      .withColumn("pmask", lag(col("mask"), 1).over(w))
+      .withColumn("pts_us", lag(col("ts_us"), 1).over(w))
+      .select(col("user_id"), col("ts_us"), col("pts_us"), col("mask"),
+        col("pmask"), explode(expr("sequence(0, 5)")).as("f"))
+      .withColumn("both", expr(
+        """pmask IS NOT NULL AND (shiftright(mask, f) & 1) = 1
+           AND (shiftright(pmask, f) & 1) = 1"""))
+      .groupBy(col("f"))
+      .agg(
+        sum(when(col("both"), col("ts_us") - col("pts_us"))
+          .otherwise(lit(0L))).as("dwell_us"),
+        countDistinct(when(col("both"), col("user_id")))
+          .as("n_dwell_users"))
+      .orderBy(col("f"))
+  }
+
   def geoZorderLayout(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Column
     // 8-bit Morton spread: abcdefgh → a0b0c0d0e0f0g0h0 (three mask-shift
@@ -4078,6 +4199,8 @@ object Ext {
     "fn_time_format_stats" -> fnTimeFormatStats _,
     "geo_zorder_layout" -> geoZorderLayout _,
     "geo_radius_join" -> geoRadiusJoin _,
+    "geo_geofence_count" -> geoGeofenceCount _,
+    "geo_geofence_dwell" -> geoGeofenceDwell _,
     "stream_sessionize_sink" -> streamSessionizeSink _,
     "stream_interval_join_sink" -> streamIntervalJoinSink _,
     "stream_interval_outer_sink" -> streamIntervalOuterSink _,

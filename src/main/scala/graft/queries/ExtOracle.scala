@@ -1662,6 +1662,95 @@ object ExtOracle {
          FROM d WHERE dx * dx + dy * dy <= CAST(625.0 AS DOUBLE)
          ORDER BY id1, id2""",
 
+    // ray-cast parity mirrors the engine exactly: IEEE +,−,×,÷ only
+    // (correctly rounded in both engines), star octagons have no
+    // horizontal edges, integer crossing counts sum exactly in any order
+    "geo_geofence_count" ->
+      """WITH fc AS (SELECT f,
+             CAST(114.0 AS DOUBLE) + ((f * 37) % 100) * CAST(0.001 AS DOUBLE)
+               + CAST(0.003 AS DOUBLE) AS cx,
+             CAST(22.0 AS DOUBLE) + f * CAST(0.015 AS DOUBLE)
+               + CAST(0.005 AS DOUBLE) AS cy
+           FROM (SELECT unnest(range(0, 6)) AS f)),
+         e AS (SELECT f, cx, cy, unnest(range(0, 8)) AS i FROM fc),
+         ed AS (SELECT f,
+             cx + ([3,1,0,-1,-3,-1,0,1][CAST(i AS INT) + 1])
+               * CAST(0.004 AS DOUBLE) AS x1,
+             cy + ([0,1,3,1,0,-1,-3,-1][CAST(i AS INT) + 1])
+               * CAST(0.004 AS DOUBLE) AS y1,
+             cx + ([3,1,0,-1,-3,-1,0,1][CAST((i + 1) % 8 AS INT) + 1])
+               * CAST(0.004 AS DOUBLE) AS x2,
+             cy + ([0,1,3,1,0,-1,-3,-1][CAST((i + 1) % 8 AS INT) + 1])
+               * CAST(0.004 AS DOUBLE) AS y2
+           FROM e),
+         p AS (SELECT event_id, user_id,
+             CAST(114.0 AS DOUBLE) + ((user_id * 7919) % 9973)
+               * CAST(0.00001 AS DOUBLE) AS px,
+             CAST(22.0 AS DOUBLE) + (event_id % 9973)
+               * CAST(0.00001 AS DOUBLE) AS py
+           FROM events),
+         x AS (SELECT p.event_id, p.user_id, ed.f,
+             CASE WHEN (ed.y1 > p.py) != (ed.y2 > p.py)
+                   AND p.px < ed.x1 + (p.py - ed.y1) * (ed.x2 - ed.x1)
+                     / (ed.y2 - ed.y1)
+                  THEN 1 ELSE 0 END AS c
+           FROM p, ed),
+         inpoly AS (SELECT event_id, user_id, f FROM x
+           GROUP BY 1, 2, 3 HAVING sum(c) % 2 = 1)
+         SELECT f, CAST(count(*) AS BIGINT) AS n_inside,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM inpoly GROUP BY f ORDER BY f""",
+
+    // the oracle windows per (user, fence); the engine windows once per
+    // user on a 6-bit mask and explodes after — the lag order
+    // (ts, event_id) is fence-independent, so they agree row for row
+    "geo_geofence_dwell" ->
+      """WITH fc AS (SELECT f,
+             CAST(114.0 AS DOUBLE) + ((f * 37) % 100) * CAST(0.001 AS DOUBLE)
+               + CAST(0.003 AS DOUBLE) AS cx,
+             CAST(22.0 AS DOUBLE) + f * CAST(0.015 AS DOUBLE)
+               + CAST(0.005 AS DOUBLE) AS cy
+           FROM (SELECT unnest(range(0, 6)) AS f)),
+         e AS (SELECT f, cx, cy, unnest(range(0, 8)) AS i FROM fc),
+         ed AS (SELECT f,
+             cx + ([3,1,0,-1,-3,-1,0,1][CAST(i AS INT) + 1])
+               * CAST(0.004 AS DOUBLE) AS x1,
+             cy + ([0,1,3,1,0,-1,-3,-1][CAST(i AS INT) + 1])
+               * CAST(0.004 AS DOUBLE) AS y1,
+             cx + ([3,1,0,-1,-3,-1,0,1][CAST((i + 1) % 8 AS INT) + 1])
+               * CAST(0.004 AS DOUBLE) AS x2,
+             cy + ([0,1,3,1,0,-1,-3,-1][CAST((i + 1) % 8 AS INT) + 1])
+               * CAST(0.004 AS DOUBLE) AS y2
+           FROM e),
+         p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(114.0 AS DOUBLE) + ((user_id * 7919) % 9973)
+               * CAST(0.00001 AS DOUBLE) AS px,
+             CAST(22.0 AS DOUBLE) + (event_id % 9973)
+               * CAST(0.00001 AS DOUBLE) AS py
+           FROM events),
+         x AS (SELECT p.event_id, p.user_id, p.ts_us, ed.f,
+             CASE WHEN (ed.y1 > p.py) != (ed.y2 > p.py)
+                   AND p.px < ed.x1 + (p.py - ed.y1) * (ed.x2 - ed.x1)
+                     / (ed.y2 - ed.y1)
+                  THEN 1 ELSE 0 END AS c
+           FROM p, ed),
+         ip AS (SELECT event_id, user_id, ts_us, f,
+             sum(c) % 2 = 1 AS inside
+           FROM x GROUP BY 1, 2, 3, 4),
+         lg AS (SELECT user_id, f, ts_us, inside,
+             lag(ts_us) OVER w AS pts_us, lag(inside) OVER w AS pinside
+           FROM ip
+           WINDOW w AS (PARTITION BY user_id, f ORDER BY ts_us, event_id)),
+         b AS (SELECT f, user_id,
+             inside AND coalesce(pinside, false) AS bth,
+             CASE WHEN inside AND coalesce(pinside, false)
+                  THEN ts_us - pts_us ELSE 0 END AS d
+           FROM lg)
+         SELECT f, CAST(sum(d) AS BIGINT) AS dwell_us,
+           CAST(count(DISTINCT CASE WHEN bth THEN user_id END) AS BIGINT)
+             AS n_dwell_users
+         FROM b GROUP BY f ORDER BY f""",
+
     "geo_zorder_layout" ->
       """WITH p AS (SELECT concat('V', user_id) AS id,
            114.0 + (epoch_us(ts) % 86400000000) / 86400000000.0 * 0.2 AS lng,

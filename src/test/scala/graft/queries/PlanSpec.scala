@@ -488,4 +488,18 @@ class PlanSpec extends SparkSpec {
     // purchase stream itself must shuffle at most once
     assert(exchanges <= 2, s"RFM fragmented into $exchanges exchanges:\n$p")
   }
+
+  test("geo_geofence_count/dwell: fences broadcast; the corpus shuffles at most once") {
+    val pc = planOf("geo_geofence_count")
+    assert(pc.contains("BroadcastNestedLoopJoin") || pc.contains("BroadcastExchange"),
+      s"fence dim not broadcast:\n$pc")
+    // parity fold is scan-local: only the |fences|-sized rollup exchanges
+    val pd = planOf("geo_geofence_dwell")
+    assert(pd.contains("BroadcastNestedLoopJoin") || pd.contains("BroadcastExchange"),
+      s"fence array not broadcast:\n$pd")
+    val corpusShuffles = pd.linesIterator
+      .count(l => l.trim.startsWith("Exchange hashpartitioning(user_id"))
+    assert(corpusShuffles <= 1,
+      s"dwell shuffles the corpus $corpusShuffles times (mask window must be the only one):\n$pd")
+  }
 }

@@ -117,4 +117,77 @@ class Round9OpsSpec extends SparkSpec {
     assert(got == Seq((1, "a", "b", 7L), (2, "a", "a", 4L),
       (3, "ab", "ab", 3L), (4, "aa", "a", 2L)), s"got $got")
   }
+
+  test("geo_geofence_count matches a brute-force ray cast") {
+    val dxs = Array(3, 1, 0, -1, -3, -1, 0, 1)
+    val dys = Array(0, 1, 3, 1, 0, -1, -3, -1)
+    val pts = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_id"), col("user_id")).as[(Long, Long)]
+      .collect()
+      .map { case (eid, uid) =>
+        (eid, uid, 114.0 + (uid * 7919 % 9973) * 0.00001,
+          22.0 + (eid % 9973) * 0.00001)
+      }
+    val expected = (0 until 6).map { f =>
+      val cx = 114.0 + (f.toLong * 37 % 100) * 0.001 + 0.003
+      val cy = 22.0 + f * 0.015 + 0.005
+      val inside = pts.filter { case (_, _, px, py) =>
+        val crossings = (0 until 8).count { i =>
+          val (x1, y1) = (cx + dxs(i) * 0.004, cy + dys(i) * 0.004)
+          val (x2, y2) =
+            (cx + dxs((i + 1) % 8) * 0.004, cy + dys((i + 1) % 8) * 0.004)
+          ((y1 > py) != (y2 > py)) &&
+            px < x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+        }
+        crossings % 2 == 1
+      }
+      (f.toLong, inside.length.toLong,
+        inside.map(_._2).distinct.length.toLong)
+    }.filter(_._2 > 0)
+    val got = Ext.geoGeofenceCount(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(expected.map(_._2).sum > 0, "degenerate fixture: no point in any fence")
+  }
+
+  test("geo_geofence_dwell matches a brute-force per-user sweep") {
+    val dxs = Array(3, 1, 0, -1, -3, -1, 0, 1)
+    val dys = Array(0, 1, 3, 1, 0, -1, -3, -1)
+    def inside(f: Int, px: Double, py: Double): Boolean = {
+      val cx = 114.0 + (f.toLong * 37 % 100) * 0.001 + 0.003
+      val cy = 22.0 + f * 0.015 + 0.005
+      (0 until 8).count { i =>
+        val (x1, y1) = (cx + dxs(i) * 0.004, cy + dys(i) * 0.004)
+        val (x2, y2) =
+          (cx + dxs((i + 1) % 8) * 0.004, cy + dys((i + 1) % 8) * 0.004)
+        ((y1 > py) != (y2 > py)) &&
+          px < x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+      } % 2 == 1
+    }
+    val pings = graft.core.Tables.eventsTsUs(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (eid, uid, ts) =>
+        (uid, ts, eid, 114.0 + (uid * 7919 % 9973) * 0.00001,
+          22.0 + (eid % 9973) * 0.00001)
+      }
+      .sortBy { case (uid, ts, eid, _, _) => (uid, ts, eid) }
+    val expected = (0 until 6).map { f =>
+      var dwell = 0L
+      val dwellers = mutable.Set.empty[Long]
+      pings.iterator.sliding(2).withPartial(false).foreach {
+        case Seq((u1, t1, e1, px1, py1), (u2, t2, e2, px2, py2)) =>
+          if (u1 == u2 && inside(f, px1, py1) && inside(f, px2, py2)) {
+            dwell += t2 - t1
+            dwellers += u2
+          }
+        case _ =>
+      }
+      (f.toLong, dwell, dwellers.size.toLong)
+    }
+    val got = Ext.geoGeofenceDwell(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(expected.map(_._2).sum > 0, "degenerate fixture: zero dwell everywhere")
+  }
 }
