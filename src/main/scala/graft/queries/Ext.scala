@@ -2374,11 +2374,14 @@ object Ext {
     * (point, fence) with NO per-point shuffle — the only exchange is
     * the |fences|-sized final rollup with map-side partial aggregation).
     * More fences or more vertices change only the broadcast payload. */
-  def geoGeofenceCount(s: SparkSession, dir: String): DataFrame = {
+  /** (f, edges) rows for the six synthetic star-octagon fences — shared
+    * by the whole geofence family ([[geoGeofenceCount]] documents the
+    * geometry and the IEEE exactness argument). */
+  private def fenceEdges(s: SparkSession): DataFrame = {
     // star-octagon vertex offsets, scaled ×0.004° (~440 m "radius")
     val dxs = "array(3, 1, 0, -1, -3, -1, 0, 1)"
     val dys = "array(0, 1, 3, 1, 0, -1, -3, -1)"
-    val fences = s.range(6).toDF("f")
+    s.range(6).toDF("f")
       .select(col("f"),
         (lit(114.0) + (col("f") * 37 % 100) * 0.001 + 0.003).as("cx"),
         (lit(22.0) + col("f") * 0.015 + 0.005).as("cy"))
@@ -2389,6 +2392,27 @@ object Ext {
               cx + element_at($dxs, (i + 1) % 8 + 1) * 0.004d AS x2,
               cy + element_at($dys, (i + 1) % 8 + 1) * 0.004d AS y2))"""
         ).as("edges"))
+  }
+
+  /** All six fences folded into ONE broadcastable row `fs` (sorted by
+    * f), for the per-ping bitmask shape. */
+  private def fenceEdgesArr(s: SparkSession): DataFrame =
+    fenceEdges(s)
+      .agg(sort_array(collect_list(struct(col("f"), col("edges")))).as("fs"))
+
+  /** Scan-local 6-bit membership bitmask over `fs` for a row carrying
+    * (px, py): outer fold over fences, inner ray-cast parity fold over
+    * each fence's edges. */
+  private val fenceMaskExpr =
+    """aggregate(fs, 0, (m, fe) -> m + IF(
+         aggregate(fe.edges, 0, (acc, e) -> acc + IF(
+           (e.y1 > py) != (e.y2 > py) AND
+           px < e.x1 + (py - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1),
+           1, 0)) % 2 = 1,
+         shiftleft(1, cast(fe.f AS int)), 0))"""
+
+  def geoGeofenceCount(s: SparkSession, dir: String): DataFrame = {
+    val fences = fenceEdges(s)
     events(s, dir)
       .select(col("event_id"), col("user_id"),
         (lit(114.0) + (col("user_id") * 7919 % 9973) * 0.00001).as("px"),
@@ -2426,34 +2450,14 @@ object Ext {
     * (user, fence) instead; the lag ordering (ts, event_id) is
     * fence-independent, so the two shapes agree row for row. */
   def geoGeofenceDwell(s: SparkSession, dir: String): DataFrame = {
-    val dxs = "array(3, 1, 0, -1, -3, -1, 0, 1)"
-    val dys = "array(0, 1, 3, 1, 0, -1, -3, -1)"
-    val fenceArr = s.range(6).toDF("f")
-      .select(col("f"),
-        (lit(114.0) + (col("f") * 37 % 100) * 0.001 + 0.003).as("cx"),
-        (lit(22.0) + col("f") * 0.015 + 0.005).as("cy"))
-      .select(col("f"), expr(
-        s"""transform(sequence(0, 7), i -> struct(
-              cx + element_at($dxs, i + 1) * 0.004d AS x1,
-              cy + element_at($dys, i + 1) * 0.004d AS y1,
-              cx + element_at($dxs, (i + 1) % 8 + 1) * 0.004d AS x2,
-              cy + element_at($dys, (i + 1) % 8 + 1) * 0.004d AS y2))"""
-        ).as("edges"))
-      .agg(sort_array(collect_list(struct(col("f"), col("edges")))).as("fs"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
     events(s, dir)
       .select(col("event_id"), col("user_id"), col("ts_us"),
         (lit(114.0) + (col("user_id") * 7919 % 9973) * 0.00001).as("px"),
         (lit(22.0) + (col("event_id") % 9973) * 0.00001).as("py"))
-      .crossJoin(broadcast(fenceArr))
-      .withColumn("mask", expr(
-        """aggregate(fs, 0, (m, fe) -> m + IF(
-             aggregate(fe.edges, 0, (acc, e) -> acc + IF(
-               (e.y1 > py) != (e.y2 > py) AND
-               px < e.x1 + (py - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1),
-               1, 0)) % 2 = 1,
-             shiftleft(1, cast(fe.f AS int)), 0))"""))
+      .crossJoin(broadcast(fenceEdgesArr(s)))
+      .withColumn("mask", expr(fenceMaskExpr))
       .withColumn("pmask", lag(col("mask"), 1).over(w))
       .withColumn("pts_us", lag(col("ts_us"), 1).over(w))
       .select(col("user_id"), col("ts_us"), col("pts_us"), col("mask"),
@@ -3929,6 +3933,70 @@ object Ext {
       .orderBy(col("user_id"))
   }
 
+  /** STREAMING GEOFENCE ENTER/EXIT SINK — the THIRTEENTH Structured
+    * Streaming job under the batch oracle gate, fusing the round's
+    * point-in-polygon family with the funnel's watermark-gated state
+    * discipline: the events feed replayed as GPS pings, each ping's
+    * 6-fence membership bitmask computed SCAN-LOCAL on the stream side
+    * (stream-static broadcast join to the one-row fence-array dim +
+    * the [[fenceMaskExpr]] ray-cast fold — the stateful operator never
+    * touches geometry), then
+    * [[graft.streaming.StreamOps.geofenceStream]] emits one row per
+    * (vehicle, fence) membership FLIP. Hash-equal to DuckDB's batch
+    * lag-over-(user, fence) recompute of the same ray cast. State =
+    * in-watermark pings per vehicle (rate × delay-bounded) + an O(1)
+    * last-mask record. */
+  def streamGeofenceSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Tmp
+    import graft.streaming.StreamOps
+    import s.implicits._
+    val log = graft.core.PhaseLog.start("stream_geofence")
+    val ev = events(s, dir).select(col("user_id"),
+      timestamp_micros(col("ts_us")).as("t"), col("ts_us"), col("event_id"))
+    val inDir = Tmp.jvmScopedDir("stream_geofence_in", dir)
+    val outDir = Tmp.jvmScopedDir("stream_geofence_out", dir)
+    val ckDir = Tmp.jvmScopedDir("stream_geofence_ck", dir)
+    val wmUs = 600000000L // 10 min watermark delay
+    val stagedMarker = new java.io.File(inDir, "_graft_staged")
+    if (!stagedMarker.exists()) {
+      val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0)
+      Tmp.deleteRecursively(inDir)
+      new java.io.File(inDir).mkdirs()
+      def sentinel(tsUs: Long): DataFrame =
+        s.range(1).select(lit(-1L).as("user_id"),
+          timestamp_micros(lit(tsUs)).as("t"), lit(tsUs).as("ts_us"),
+          lit(-1L).as("event_id"))
+      val now = System.currentTimeMillis()
+      stageMtimeFile(ev, inDir, "f0.parquet", now - 60000L)
+      stageMtimeFile(sentinel(maxTs + 100L * wmUs), inDir, "f1.parquet", now - 40000L)
+      stageMtimeFile(sentinel(maxTs + 200L * wmUs), inDir, "f2.parquet", now - 20000L)
+      java.nio.file.Files.createFile(stagedMarker.toPath): Unit
+      log("staged inputs")
+    } else log("reusing staged inputs")
+    runStreamToParquet(s, outDir, ckDir,
+      Map("spark.sql.shuffle.partitions" -> "8"), log) {
+      val pings = s.readStream
+        .schema("user_id BIGINT, t TIMESTAMP, ts_us BIGINT, event_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .withColumn("px",
+          lit(114.0) + (col("user_id") * 7919 % 9973) * 0.00001)
+        .withColumn("py", lit(22.0) + (col("event_id") % 9973) * 0.00001)
+        .withColumn("one", lit(1))
+        .join(broadcast(fenceEdgesArr(s).withColumn("one", lit(1))), "one")
+        .withColumn("mask", expr(fenceMaskExpr))
+        .select(col("user_id"), col("t"), col("ts_us"), col("event_id"),
+          col("mask"))
+        .as[StreamOps.GeoPing]
+      StreamOps.geofenceStream(pings, "10 minutes").toDF()
+    }
+    s.read.parquet(outDir)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("f"),
+        col("direction"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"), col("f"))
+  }
+
   /** Feed-drift report over the mixed-format timestamp feed: per-format
     * row counts from `TimeOps.matchedFormat` (the same generated
     * `yy-`/`yyyy-` mix as [[csvRoundtrip]]) — the monitoring surface that
@@ -4207,6 +4275,7 @@ object Ext {
     "stream_tumbling_sink" -> streamTumblingSink _,
     "stream_topk_sink" -> streamTopkSink _,
     "stream_cdc_sink" -> streamCdcSink _,
+    "stream_geofence_sink" -> streamGeofenceSink _,
     "stream_dedup_sink" -> streamDedupSink _,
     "stream_asof_sink" -> streamAsofSink _,
     "stream_enrich_sink" -> streamEnrichSink _,

@@ -591,6 +591,75 @@ object StreamOps {
         new FunnelProcessor, TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** One GPS ping on the stream, its geofence membership already folded
+    * to a bitmask (bit f = inside fence f) by the scan-local ray cast
+    * upstream — the stateful operator never re-touches geometry. */
+  case class GeoPing(user_id: Long, t: java.sql.Timestamp, ts_us: Long,
+      event_id: Long, mask: Int)
+
+  /** Per-vehicle detector state: pings still inside the watermark
+    * window (bounded by rate × delay, NEVER corpus-sized) plus the O(1)
+    * last-processed membership mask (`lastMask` = -1 before the first
+    * processed ping). */
+  case class GeoState(pending: Seq[(Long, Long, Int)],
+      lastTs: Long, lastEid: Long, lastMask: Int)
+
+  case class GeoTransition(user_id: Long, ts_us: Long, event_id: Long,
+      f: Long, direction: String)
+
+  /** Pure step of the geofence ENTER/EXIT detector (the [[funnelStep]]
+    * discipline: buffer in-watermark pings, process — in (ts, event_id)
+    * order — only those the watermark has passed, drop genuinely-late
+    * arrivals). A processed ping whose mask differs from the previous
+    * one emits one transition row per flipped bit. */
+  private[graft] def geoStep(
+      key: Long, evs: Seq[GeoPing], st0: GeoState, wmUs: Long)
+      : (Seq[GeoTransition], GeoState, Option[Long]) = {
+    val all = st0.pending ++
+      evs.filter(_.ts_us >= wmUs).map(e => (e.ts_us, e.event_id, e.mask))
+    val (ready, pending) = all.partition(_._1 < wmUs)
+    var (lt, le, lm) = (st0.lastTs, st0.lastEid, st0.lastMask)
+    val hits = ready.sortBy(p => (p._1, p._2)).flatMap { case (ts, eid, m) =>
+      val out: Seq[GeoTransition] =
+        if (lm >= 0 && m != lm) {
+          val diff = m ^ lm
+          (0 until 6).collect { case f if ((diff >> f) & 1) == 1 =>
+            GeoTransition(key, ts, eid, f.toLong,
+              if (((m >> f) & 1) == 1) "enter" else "exit")
+          }
+        } else Seq.empty
+      lt = ts; le = eid; lm = m
+      out
+    }
+    val timer = pending.map(_._1).minOption
+      .map(us => math.max(wmUs / 1000L + 1L, us / 1000L + 1L))
+    (hits, GeoState(pending, lt, le, lm), timer)
+  }
+
+  /** STREAMING GEOFENCE TRANSITIONS — enter/exit rows per (vehicle,
+    * fence), emitted exactly once (Append), event-time-correct under
+    * disorder by the funnel's watermark-gating argument: a ping reaches
+    * the mask-compare only once the watermark passes its time, so no
+    * earlier-but-late ping can invalidate an emitted transition. */
+  def geofenceStream(
+      pings: Dataset[GeoPing],
+      watermarkDelay: String = "10 minutes"): Dataset[GeoTransition] = {
+    import pings.sparkSession.implicits._
+    pings
+      .withWatermark("t", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GeoState, GeoTransition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[GeoPing], state: GroupState[GeoState]) =>
+          val (out, next, timer) = geoStep(key, it.toSeq,
+            state.getOption.getOrElse(GeoState(Nil, -1L, -1L, -1)),
+            state.getCurrentWatermarkMs() * 1000L)
+          state.update(next)
+          timer.foreach(state.setTimeoutTimestamp)
+          out.iterator
+      }
+  }
+
   /** Stream-static enrichment join: each streaming event picks up its
     * key's static dimension row — the streaming twin of the batch
     * broadcast dim join (J2/J3). Stateless: the static side is (re)read

@@ -604,4 +604,40 @@ class StreamOpsSpec extends SparkSpec {
       s"on-time purchase after the dropped one must still fire: $hits")
     assert(hits.contains(FunnelHit(2L, 1L, us(500))), s"got $hits")
   }
+
+  test("geofenceStream: scrambled delivery yields the event-time transition sequence; late pings drop") {
+    import StreamOps.{GeoPing, GeoTransition}
+    def us(minute: Long) = BaseUs + minute * 60L * 1000000L
+    def ping(user: Long, minute: Long, id: Long, mask: Int) =
+      GeoPing(user, new Timestamp(us(minute) / 1000L), us(minute), id, mask)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[GeoPing]
+    val out = StreamOps.geofenceStream(mem.toDS(), "30 minutes")
+    val qname = s"q${System.nanoTime()}"
+    val query = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      // user 1's ladder in event time: m10 mask=001 → m20 mask=011
+      // (enter f1) → m30 mask=010 (exit f0) → m40 mask=010 (no change);
+      // delivered SCRAMBLED across two batches
+      mem.addData(Seq(ping(1, 30, 3, 2), ping(1, 10, 1, 1)))
+      query.processAllAvailable()
+      mem.addData(Seq(ping(1, 40, 4, 2), ping(1, 20, 2, 3)))
+      query.processAllAvailable()
+      // watermark pusher: all of user 1's pings become ready at once and
+      // must be processed in (ts, event_id) order, not arrival order
+      mem.addData(Seq(ping(2, 2000, 9, 0)))
+      query.processAllAvailable()
+      // a genuinely late ping (m15, watermark long past) must be DROPPED
+      // — were it consumed, mask 111 vs the last mask 010 would emit
+      mem.addData(Seq(ping(1, 15, 5, 7)))
+      query.processAllAvailable()
+      mem.addData(Seq.empty[GeoPing])
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table(qname).as[GeoTransition].collect().toSet
+    assert(rows == Set(
+      GeoTransition(1L, us(20), 2L, 1L, "enter"),
+      GeoTransition(1L, us(30), 3L, 0L, "exit")), s"got $rows")
+  }
 }
