@@ -594,6 +594,55 @@ object Ext {
       .orderBy(col("merge_round"))
   }
 
+  /** Fixed 10-rule merge ladder for [[textBpeApply]] — deliberately
+    * multi-level (`scan` = (sc,an) requires both earlier merges;
+    * `order` chains three deep) so the ordered application is actually
+    * exercised. Shared verbatim with the DuckDB oracle builder. */
+  private[queries] val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "a" -> "n", "s" -> "c", "sc" -> "an",
+    "o" -> "r", "d" -> "e", "or" -> "de", "orde" -> "r", "w" -> "i")
+
+  /** BPE tokenizer APPLY — encode every document with a GIVEN ordered
+    * merge table: the run-time half of the tokenizer lifecycle whose
+    * training half is [[textBpeTrain]] (a production pipeline trains
+    * once, freezes the merges, then applies them at corpus scale). The
+    * ladder here is the FIXED literal [[bpeMerges]], so the DuckDB
+    * oracle replays the exact chain and the gate hashes the FULL
+    * per-document subword stream (md5), not just counts; applying a
+    * corpus-TRAINED table is the same expression with
+    * [[textBpeTrain]]'s output substituted (spec territory — a
+    * corpus-dependent table cannot appear in a static oracle).
+    *
+    * Application is [[textBpeTrain]]'s delimiter-wrap + leftmost-
+    * non-overlapping `replace` fold, here as a constant 10-deep
+    * codegen'd expression chain inside a `transform` lambda —
+    * scan-local per word, NO shuffle anywhere (the encode is
+    * embarrassingly parallel at 100 TB; the only exchange is the
+    * driver-facing ORDER BY). */
+  def textBpeApply(s: SparkSession, dir: String): DataFrame = {
+    val D = "\u001f"
+    def encodeWord(w: org.apache.spark.sql.Column) = {
+      val wrapped = concat(lit(D),
+        array_join(filter(split(w, ""), x => x =!= ""), D + D), lit(D))
+      val merged = bpeMerges.foldLeft(wrapped) { case (c, (a, b)) =>
+        replace(c, lit(D + a + D + D + b + D), lit(D + a + b + D))
+      }
+      // subword boundaries ␟␟ → space; the outer ␟ pair strips to ""
+      replace(replace(merged, lit(D + D), lit(" ")), lit(D), lit(""))
+    }
+    docsTok(s, dir)
+      .select(col("doc_id"),
+        transform(filter(col("toks"), w => w =!= ""), encodeWord _)
+          .as("subw"))
+      .select(col("doc_id"),
+        size(col("subw")).cast("long").as("n_words"),
+        coalesce(aggregate(col("subw"), lit(0L),
+          (acc, sw) => acc + size(split(sw, " ")).cast("long")), lit(0L))
+          .as("n_subwords"),
+        md5(array_join(col("subw"), " / ")).as("tok_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** FIRST-OCCURRENCE NOVELTY per document — what fraction of a doc's
     * positional 3-grams appear here for the FIRST time in doc_id order:
     * the novelty curve curriculum schedulers and dataset-growth audits
@@ -2430,6 +2479,49 @@ object Ext {
       .orderBy(col("f"))
   }
 
+  /** SPEEDING-SEGMENT detection — per vehicle, consecutive-ping
+    * segments whose implied speed exceeds a threshold, with the count and
+    * the longest flagged hop (fleet-compliance reporting; the
+    * between-ping twin of the reference's point-proximity grading).
+    * The decision predicate is cross-multiplied —
+    * `dist_m · 10⁶ > v · Δt_us` — so a zero-Δt tie never divides, and
+    * the threshold (0.01 m/s ≈ the synthetic field's p99: event gaps
+    * here are hours, not seconds — the OPERATOR is the point, the
+    * threshold is fleet config) flags a real minority of hops; and
+    * the metric is [[geoRadiusJoin]]'s equirectangular form: only
+    * IEEE +,−,×,√, hash-exact with zero tolerance.
+    *
+    * 100 TB: one corpus shuffle (the per-user lag window), a user-keyed
+    * rollup riding the same partitioning, and a |flagged-users| result.
+    */
+  def geoSpeeding(s: SparkSession, dir: String): DataFrame = {
+    val (kLat, kLng) = (111320.0, 103218.0) // m/° at ~22° lat (literals)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        (lit(114.0) + (col("user_id") * 7919 % 9973) * 0.00001).as("lng"),
+        (lit(22.0) + (col("event_id") % 9973) * 0.00001).as("lat"))
+      .withColumn("plat", lag(col("lat"), 1).over(w))
+      .withColumn("plng", lag(col("lng"), 1).over(w))
+      .withColumn("pts", lag(col("ts_us"), 1).over(w))
+      .filter(col("pts").isNotNull)
+      .withColumn("dx", (col("lng") - col("plng")) * kLng)
+      .withColumn("dy", (col("lat") - col("plat")) * kLat)
+      .withColumn("dist_m",
+        sqrt(col("dx") * col("dx") + col("dy") * col("dy")))
+      .withColumn("speeding",
+        col("dist_m") * 1000000.0 > lit(0.01) * (col("ts_us") - col("pts"))
+          .cast("double"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("speeding"), 1L).otherwise(0L)).as("n_speeding"),
+        max(when(col("speeding"), col("dist_m")))
+          .as("max_speeding_dist_m"))
+      .filter(col("n_speeding") > 0)
+      .orderBy(col("user_id"))
+  }
+
   /** Per-fence DWELL TIME — microseconds each vehicle spends inside
     * each geofence, counted over consecutive-ping intervals whose BOTH
     * endpoints are inside (the conservative estimator: an interval that
@@ -4205,6 +4297,7 @@ object Ext {
     "text_top_tokens" -> textTopTokens _,
     "text_bpe_merge" -> textBpeMerge _,
     "text_bpe_train" -> textBpeTrain _,
+    "text_bpe_apply" -> textBpeApply _,
     "text_novelty" -> textNovelty _,
     "text_top_tokens_cms" -> textTopTokensCms _,
     "split_train_test" -> splitTrainTest _,
@@ -4269,6 +4362,7 @@ object Ext {
     "geo_radius_join" -> geoRadiusJoin _,
     "geo_geofence_count" -> geoGeofenceCount _,
     "geo_geofence_dwell" -> geoGeofenceDwell _,
+    "geo_speeding" -> geoSpeeding _,
     "stream_sessionize_sink" -> streamSessionizeSink _,
     "stream_interval_join_sink" -> streamIntervalJoinSink _,
     "stream_interval_outer_sink" -> streamIntervalOuterSink _,

@@ -259,6 +259,29 @@ object ExtOracle {
              AS mean_bigram_p
          FROM pd ORDER BY doc_id""",
 
+    // replays Ext.bpeMerges' delimiter-wrap replace chain verbatim
+    // (generated from the same Seq, so engine and oracle cannot drift)
+    // and hashes the full per-doc subword stream
+    "text_bpe_apply" -> {
+      val d = "chr(31)"
+      val wrapped = "concat(" + d + ", array_to_string(" +
+        "list_filter(string_split(w, ''), x -> x <> ''), " +
+        d + "||" + d + "), " + d + ")"
+      val merged = Ext.bpeMerges.foldLeft(wrapped) { case (c, (a, b)) =>
+        s"replace($c, $d||'$a'||$d||$d||'$b'||$d, $d||'${a + b}'||$d)"
+      }
+      val sub = s"replace(replace($merged, $d||$d, ' '), $d, '')"
+      s"""WITH tok AS (SELECT doc_id, $toks AS toksf FROM documents),
+         enc AS (SELECT doc_id,
+             list_transform(toksf, w -> $sub) AS subw
+           FROM tok)
+         SELECT doc_id, CAST(len(subw) AS BIGINT) AS n_words,
+           CAST(coalesce(list_sum(list_transform(subw,
+             sw -> len(string_split(sw, ' ')))), 0) AS BIGINT) AS n_subwords,
+           md5(array_to_string(subw, ' / ')) AS tok_md5
+         FROM enc ORDER BY doc_id"""
+    },
+
     "dedup_lines" -> dedupLinesSql,
 
     // shared by reference (the dedupApplySql pattern): the hashed-key
@@ -1795,6 +1818,37 @@ object ExtOracle {
            CAST(count(DISTINCT CASE WHEN bth THEN user_id END) AS BIGINT)
              AS n_dwell_users
          FROM b GROUP BY f ORDER BY f""",
+
+    // cross-multiplied speed predicate (no division), equirectangular
+    // metric: IEEE +,−,×,√ only — hash-exact like geo_radius_join
+    "geo_speeding" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(114.0 AS DOUBLE) + ((user_id * 7919) % 9973)
+               * CAST(0.00001 AS DOUBLE) AS lng,
+             CAST(22.0 AS DOUBLE) + (event_id % 9973)
+               * CAST(0.00001 AS DOUBLE) AS lat
+           FROM events),
+         lg AS (SELECT user_id, ts_us, lat, lng,
+             lag(lat) OVER w AS plat, lag(lng) OVER w AS plng,
+             lag(ts_us) OVER w AS pts
+           FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         seg AS (SELECT user_id,
+             sqrt(((lng - plng) * CAST(103218.0 AS DOUBLE))
+                 * ((lng - plng) * CAST(103218.0 AS DOUBLE))
+               + ((lat - plat) * CAST(111320.0 AS DOUBLE))
+                 * ((lat - plat) * CAST(111320.0 AS DOUBLE))) AS dist_m,
+             ts_us - pts AS dt_us
+           FROM lg WHERE pts IS NOT NULL),
+         f AS (SELECT user_id, dist_m,
+             dist_m * CAST(1000000.0 AS DOUBLE)
+               > CAST(0.01 AS DOUBLE) * CAST(dt_us AS DOUBLE) AS speeding
+           FROM seg)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN speeding THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_speeding,
+           max(CASE WHEN speeding THEN dist_m END) AS max_speeding_dist_m
+         FROM f GROUP BY user_id HAVING n_speeding > 0
+         ORDER BY user_id""",
 
     "geo_zorder_layout" ->
       """WITH p AS (SELECT concat('V', user_id) AS id,

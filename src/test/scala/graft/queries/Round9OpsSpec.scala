@@ -118,6 +118,53 @@ class Round9OpsSpec extends SparkSpec {
       (3, "ab", "ab", 3L), (4, "aa", "a", 2L)), s"got $got")
   }
 
+  test("text_bpe_apply matches an independent greedy merge walker") {
+    // independent semantics: symbol VECTOR walk (single left-to-right
+    // non-overlapping pass per merge, in ladder order) — no string
+    // replace, so a false boundary match in the wrap encoding would
+    // diverge here
+    def applyMerges(word: String): Seq[String] = {
+      var syms = word.map(_.toString).toVector
+      for ((a, b) <- Ext.bpeMerges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+      .map { case (id, text) =>
+        val words = text.split("\\s+").toSeq.filter(_.nonEmpty)
+        val subw = words.map(w => applyMerges(w).mkString(" "))
+        (id, words.size.toLong, subw.map(_.split(" ").length.toLong).sum,
+          md5hex(subw.mkString(" / ")))
+      }.toSeq
+    val got = Ext.textBpeApply(spark, sf0001)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == expected,
+      s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    // non-degenerate: the ladder actually merged (fewer subwords than
+    // characters), and multi-level rules fired ("scan"/"the" encode
+    // to ONE token each)
+    val totalChars = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("text")).as[String].collect()
+      .map(_.count(!_.isWhitespace).toLong).sum
+    assert(expected.map(_._3).sum < totalChars, "no merge ever fired")
+    assert(applyMerges("scan") == Seq("scan") &&
+      applyMerges("the") == Seq("the") &&
+      applyMerges("order") == Seq("order"), "multi-level ladder broken")
+  }
+
   test("geo_geofence_count matches a brute-force ray cast") {
     val dxs = Array(3, 1, 0, -1, -3, -1, 0, 1)
     val dys = Array(0, 1, 3, 1, 0, -1, -3, -1)
