@@ -57,6 +57,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SeqL2Long(args(0), args(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("geofence_mask"),
+      new ExpressionInfo(
+        classOf[graft.functions.GeofenceMask].getName, "geofence_mask"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "geofence_mask(px, py)")
+        graft.functions.GeofenceMask(args(0), args(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[graft.functions.WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => {

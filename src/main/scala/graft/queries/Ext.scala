@@ -2443,22 +2443,17 @@ object Ext {
         ).as("edges"))
   }
 
-  /** All six fences folded into ONE broadcastable row `fs` (sorted by
-    * f), for the per-ping bitmask shape. */
-  private def fenceEdgesArr(s: SparkSession): DataFrame =
-    fenceEdges(s)
-      .agg(sort_array(collect_list(struct(col("f"), col("edges")))).as("fs"))
-
-  /** Scan-local 6-bit membership bitmask over `fs` for a row carrying
-    * (px, py): outer fold over fences, inner ray-cast parity fold over
-    * each fence's edges. */
-  private val fenceMaskExpr =
-    """aggregate(fs, 0, (m, fe) -> m + IF(
-         aggregate(fe.edges, 0, (acc, e) -> acc + IF(
-           (e.y1 > py) != (e.y2 > py) AND
-           px < e.x1 + (py - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1),
-           1, 0)) % 2 = 1,
-         shiftleft(1, cast(fe.f AS int)), 0))"""
+  /** Scan-local 6-bit membership bitmask for a row carrying (px, py) —
+    * the native codegen'd [[graft.functions.GeofenceMask]] (Spark HOFs
+    * are CodegenFallback; the fold form this replaced ran interpreted
+    * per ping). Bit-identical to [[geoGeofenceCount]]'s declarative
+    * parity fold and to the DuckDB mirrors. */
+  private def fenceMask(px: org.apache.spark.sql.Column,
+      py: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.GeofenceMask(
+      Bridge.expression(px), Bridge.expression(py)))
+  }
 
   def geoGeofenceCount(s: SparkSession, dir: String): DataFrame = {
     val fences = fenceEdges(s)
@@ -2531,10 +2526,12 @@ object Ext {
     * snapshot: zone occupancy is the reference's blind-zone grading
     * question asked of polygons instead of cluster disks.
     *
-    * Plan shape: the SIX fences collapse into ONE broadcast row holding
-    * a sorted array of (f, edges); every ping computes its 6-bit inside
-    * BITMASK in a single scan-local nested fold (outer fold over
-    * fences, inner ray-cast fold over edges). The corpus is then
+    * Plan shape: every ping computes its 6-bit inside BITMASK via the
+    * native codegen'd [[graft.functions.GeofenceMask]] — one static
+    * call fused into the scan's whole-stage codegen, no join, no
+    * interpreted lambda (Spark HOFs are CodegenFallback, which is why
+    * the hot path does not use [[geoGeofenceCount]]'s declarative
+    * fold). The corpus is then
     * shuffled ONCE — `Window.partitionBy(user_id)` for the lag — and
     * the per-fence explode happens AFTER the window, scan-local, so the
     * exchange is 1× the corpus, not |fences|×. Final rollup is
@@ -2548,8 +2545,7 @@ object Ext {
       .select(col("event_id"), col("user_id"), col("ts_us"),
         (lit(114.0) + (col("user_id") * 7919 % 9973) * 0.00001).as("px"),
         (lit(22.0) + (col("event_id") % 9973) * 0.00001).as("py"))
-      .crossJoin(broadcast(fenceEdgesArr(s)))
-      .withColumn("mask", expr(fenceMaskExpr))
+      .withColumn("mask", fenceMask(col("px"), col("py")))
       .withColumn("pmask", lag(col("mask"), 1).over(w))
       .withColumn("pts_us", lag(col("ts_us"), 1).over(w))
       .select(col("user_id"), col("ts_us"), col("pts_us"), col("mask"),
@@ -4030,8 +4026,8 @@ object Ext {
     * point-in-polygon family with the funnel's watermark-gated state
     * discipline: the events feed replayed as GPS pings, each ping's
     * 6-fence membership bitmask computed SCAN-LOCAL on the stream side
-    * (stream-static broadcast join to the one-row fence-array dim +
-    * the [[fenceMaskExpr]] ray-cast fold — the stateful operator never
+    * (the codegen'd [[graft.functions.GeofenceMask]], fused into the
+    * micro-batch scan — the stateful operator never
     * touches geometry), then
     * [[graft.streaming.StreamOps.geofenceStream]] emits one row per
     * (vehicle, fence) membership FLIP. Hash-equal to DuckDB's batch
@@ -4074,9 +4070,7 @@ object Ext {
         .withColumn("px",
           lit(114.0) + (col("user_id") * 7919 % 9973) * 0.00001)
         .withColumn("py", lit(22.0) + (col("event_id") % 9973) * 0.00001)
-        .withColumn("one", lit(1))
-        .join(broadcast(fenceEdgesArr(s).withColumn("one", lit(1))), "one")
-        .withColumn("mask", expr(fenceMaskExpr))
+        .withColumn("mask", fenceMask(col("px"), col("py")))
         .select(col("user_id"), col("t"), col("ts_us"), col("event_id"),
           col("mask"))
         .as[StreamOps.GeoPing]

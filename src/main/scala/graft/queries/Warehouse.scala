@@ -743,18 +743,25 @@ object Warehouse {
     * funnel; now both passes rank inside (pid, group). */
   def mixQuantileNormalize(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).select(col("event_type"), col("value"), col("event_id"))
-    // Phase 1: range-partition the (value, event_id) order, stage it so
-    // the offset pass and the rank pass read ONE pinned partitioning.
+    // ONE staged range partitioning serves BOTH rank passes (r9): the
+    // within-group rank does not need its own range shuffle — for any
+    // event type, rows in an earlier range partition order strictly
+    // before rows in a later one (range partitioning over all rows holds
+    // over every subset), so a per-(pid, etype) local rank plus tiny
+    // per-(pid, etype) offsets IS the groupedRank decomposition, on the
+    // global pass's partitioning. Saves a corpus range-shuffle and a
+    // second staged parquet write/read vs the r8 two-helper shape.
     val local = Ext.stage("qn_global", s, dir)(
-      ev.select(col("value"), col("event_id"))
-        .repartitionByRange(32, col("value").asc, col("event_id").asc)
+      ev.repartitionByRange(32, col("value").asc, col("event_id").asc)
         .sortWithinPartitions(col("value"), col("event_id"))
         .withColumn("pid", spark_partition_id()))
+    val counts = local.groupBy(col("pid"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
     // pid → count of all rows in EARLIER partitions (pids are ordered by
     // the range sort, so this is the global rank offset); total = N.
     val (offsets, n) = {
       var acc = 0L
-      val offs = local.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      val offs = counts.groupBy(col("pid")).agg(sum(col("c")).as("c"))
         .orderBy(col("pid"))
         .collect().map { r =>
           val o = (r.getInt(0), acc); acc += r.getLong(1); o
@@ -763,21 +770,37 @@ object Warehouse {
     }
     import s.implicits._
     val offDf = offsets.toDF("pid", "poff")
-    val wp = Window.partitionBy(col("pid"))
+    // tiny (≤ |pids|·|types| rows): within-pid start of each group in
+    // the pid's (etype, value, eid) sort, cross-pid per-group offset,
+    // and the group size — groupedRank's offset table, derived from the
+    // SHARED staged relation instead of a second range shuffle
+    val gOffs = counts
+      .withColumn("wstart", coalesce(sum(col("c")).over(
+        Window.partitionBy(col("pid")).orderBy(col("event_type"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("goff", coalesce(sum(col("c")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("event_type"))))
+      .select(col("pid"), col("event_type"), col("wstart"), col("goff"),
+        col("n"))
+    val wA = Window.partitionBy(col("pid"))
       .orderBy(col("value").asc, col("event_id").asc)
+    val wB = Window.partitionBy(col("pid"))
+      .orderBy(col("event_type").asc, col("value").asc, col("event_id").asc)
     val globalOrder = local
-      .withColumn("lr", row_number().over(wp).cast("long"))
+      .withColumn("lr", row_number().over(wA).cast("long"))
       .join(broadcast(offDf), "pid")
       .select((col("poff") + col("lr")).as("pos"),
         col("value").as("norm_value"))
-    // WITHIN-group rank r of n_g — through [[groupedRank]]'s two-phase
-    // per-group selection (r8 verdict #1): with 5 event types each
-    // holding ~20% of the corpus, Window.partitionBy(event_type) is the
-    // one-task-per-group funnel this file kills everywhere else. The
-    // helper emits rn (within-group rank) and n (group size).
-    val ranked = groupedRank("qn_within", s, dir, ev,
-      Seq("event_type"), Seq(col("value").asc, col("event_id").asc))
-      .withColumn("pos", expr(s"(rn * ${n}L + n - 1) div n"))
+    // within-group rank rn = local rank in the pid's group block
+    // (lrB − wstart) + the group's rows in earlier pids (goff)
+    val ranked = local
+      .withColumn("lrB", row_number().over(wB).cast("long"))
+      .join(broadcast(gOffs), Seq("pid", "event_type"))
+      .withColumn("pos",
+        expr(s"((lrB - wstart + goff) * ${n}L + n - 1) div n"))
     ranked.join(globalOrder, Seq("pos"))
       .select(col("event_id"), col("event_type"), col("value"),
         col("norm_value"))

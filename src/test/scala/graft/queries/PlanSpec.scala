@@ -489,14 +489,15 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"RFM fragmented into $exchanges exchanges:\n$p")
   }
 
-  test("geo_geofence_count/dwell: fences broadcast; the corpus shuffles at most once") {
+  test("geo_geofence_count/dwell: count broadcasts the fence dim; dwell masks natively, one corpus shuffle") {
     val pc = planOf("geo_geofence_count")
     assert(pc.contains("BroadcastNestedLoopJoin") || pc.contains("BroadcastExchange"),
       s"fence dim not broadcast:\n$pc")
-    // parity fold is scan-local: only the |fences|-sized rollup exchanges
+    // the hot path: native codegen mask (no join, no interpreted HOF),
+    // then the per-user lag window is the ONLY corpus exchange
     val pd = planOf("geo_geofence_dwell")
-    assert(pd.contains("BroadcastNestedLoopJoin") || pd.contains("BroadcastExchange"),
-      s"fence array not broadcast:\n$pd")
+    assert(pd.contains("geofence_mask"), s"native mask expression missing:\n$pd")
+    assert(!pd.contains("Join"), s"dwell should not join at all:\n$pd")
     val corpusShuffles = pd.linesIterator
       .count(l => l.trim.startsWith("Exchange hashpartitioning(user_id"))
     assert(corpusShuffles <= 1,
