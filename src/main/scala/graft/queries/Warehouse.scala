@@ -1620,6 +1620,37 @@ object Warehouse {
     * collapse the purchase stream map-side), the corpus-max timestamp is
     * the A9 one-row driver scalar, and the segment rollup is ≤ 125
     * groups. */
+  /** SEQUENCE-PATTERN detection via regex over the ordered event-type
+    * string — the MATCH_RECOGNIZE-shaped operator the funnel/seq-support
+    * family approximates with joins: each user's history collapses to
+    * one character string (type initials are all distinct here: c, e,
+    * p, s, v) in exact (ts, event_id) order, and patterns are plain
+    * regexes — `v[cs]*p` = a view-to-purchase run with no error and no
+    * second view inside, counted leftmost-non-overlapping; `ep` = an
+    * error IMMEDIATELY followed by a purchase. Both engines scan
+    * leftmost-non-overlapping (java.util.regex here, RE2 in the
+    * oracle), and the pattern is backtracking-unambiguous, so the
+    * counts are exact integers.
+    *
+    * Scale: ONE user-keyed shuffle; the per-user string is bounded by
+    * per-user event density (constant as the corpus grows in users —
+    * the same contract every per-user collect in this file rides);
+    * the regex scan is scan-local after the agg. */
+  def eventsPatternRegex(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("user_id"), struct(col("ts_us"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ini")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(e)), x -> x.ini)"), "")
+        .as("seq"))
+      .select(col("user_id"),
+        length(col("seq")).cast("long").as("seq_len"),
+        size(expr("regexp_extract_all(seq, 'v[cs]*p', 0)")).cast("long")
+          .as("n_vp_runs"),
+        col("seq").rlike("ep").as("err_then_purchase"))
+      .orderBy(col("user_id"))
+
   def eventsRfm(s: SparkSession, dir: String): DataFrame = {
     val p = events(s, dir).filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_us"),
@@ -1738,6 +1769,7 @@ object Warehouse {
     "ts_resample_grid" -> tsResampleGrid _,
     "ts_interpolate" -> tsInterpolate _,
     "events_rfm" -> eventsRfm _,
+    "events_pattern_regex" -> eventsPatternRegex _,
     "profile_expectations" -> profileExpectations _,
     "merge_delete_cascade" -> mergeDeleteCascade _,
     "events_anomaly_days" -> eventsAnomalyDays _,

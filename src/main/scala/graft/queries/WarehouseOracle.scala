@@ -259,6 +259,20 @@ object WarehouseOracle {
             FROM o_s)
          ORDER BY tbl""",
 
+    // ordered type-initial string per user + RE2 leftmost-non-overlapping
+    // scan — same match semantics as the engine's java.util.regex on the
+    // backtracking-unambiguous pattern
+    "events_pattern_regex" ->
+      """WITH seq AS (SELECT user_id,
+           string_agg(substr(event_type, 1, 1), ''
+             ORDER BY epoch_us(ts), event_id) AS s
+           FROM events GROUP BY user_id)
+         SELECT user_id, CAST(length(s) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(s, 'v[cs]*p')) AS BIGINT)
+             AS n_vp_runs,
+           regexp_matches(s, 'ep') AS err_then_purchase
+         FROM seq ORDER BY user_id""",
+
     // fixed-band RFM: floor-cents monetary (exact integer fold), recency
     // as integer days vs the corpus max purchase time
     "events_rfm" ->

@@ -1,5 +1,7 @@
 package graft.queries
 
+import java.sql.Timestamp
+
 import scala.collection.mutable
 
 import org.apache.spark.sql.functions._
@@ -163,6 +165,29 @@ class Round9OpsSpec extends SparkSpec {
     assert(applyMerges("scan") == Seq("scan") &&
       applyMerges("the") == Seq("the") &&
       applyMerges("order") == Seq("order"), "multi-level ladder broken")
+  }
+
+  test("events_pattern_regex: crafted ladders pin the leftmost-non-overlapping run count") {
+    // user 1: v c p v p      → runs "vcp","vp" = 2; no 'ep'
+    // user 2: v c v p        → start 0 fails (v blocks [cs]*), "vp" = 1
+    // user 3: e p v s p      → 'ep' flag set, one run "vsp"
+    // user 4: p v c s        → no completed run, no flag
+    val rows = Seq(
+      (1L, "view"), (1L, "click"), (1L, "purchase"), (1L, "view"), (1L, "purchase"),
+      (2L, "view"), (2L, "click"), (2L, "view"), (2L, "purchase"),
+      (3L, "error"), (3L, "purchase"), (3L, "view"), (3L, "signup"), (3L, "purchase"),
+      (4L, "purchase"), (4L, "view"), (4L, "click"), (4L, "signup"))
+      .zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong + 1, new Timestamp((1700000000000L + i * 60000L)),
+          u, t, 0.0, "{}")
+      }
+    val dir = java.nio.file.Files.createTempDirectory("pregex9").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Warehouse.eventsPatternRegex(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 5L, 2L, false), (2L, 4L, 1L, false),
+      (3L, 5L, 1L, true), (4L, 4L, 0L, false)), s"got $got")
   }
 
   test("geo_geofence_count matches a brute-force ray cast") {
