@@ -47,6 +47,63 @@ object Ext {
     * length in [5, 512]) — no float thresholds, so the DuckDB oracle
     * hash-matches every decision with zero tolerance. 100 TB: scan-local
     * per row; the filter adds no shuffle to the scan. */
+  /** END-TO-END CURATION FUNNEL — the per-source survival report a
+    * pretraining-data run prints after its cleaning pipeline: raw docs →
+    * exact-dedup keepers ([[dedupExact]]) → benchmark + contamination
+    * removal ([[textDecontaminate]]) → quality rules
+    * ([[textQualityFilter]]) → surviving doc and token mass per source.
+    * Each stage is individually hash-green elsewhere; this query pins
+    * the COMPOSITION (stage order fixed: dedup, then decontaminate,
+    * then quality — survival counts do not commute).
+    *
+    * Scale: the stages compose as semi/anti joins on doc_id — the
+    * corpus streams through each (benchmark set broadcast, keeper set
+    * is a doc_id projection), and the report itself is four
+    * |sources|-keyed rollups with map-side partials. Nothing
+    * corpus-sized is collected or broadcast. */
+  def pipelineCurationReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsTok(s, dir)
+      .select(col("doc_id"), col("source"), col("text"), col("toks"))
+    val keepers = docs
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val sh = shingles3(s, dir)
+    val bench = sh.filter(col("id") % 97 === 0).select(col("s")).distinct()
+    val contaminated = sh.filter(col("id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("s"))
+      .select(col("id").as("doc_id")).distinct()
+    val d1 = docs.join(keepers, Seq("doc_id"), "left_semi")
+    val d2 = d1.filter(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val d3 = d2
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_unique"),
+        Text.hitCount(col("toks"), Text.stopwords("en")).cast("long")
+          .as("n_stop"),
+        aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
+          .as("sum_len"))
+      .filter(col("n_tokens") >= 5 && col("n_tokens") <= 512 &&
+        col("n_stop") * 20 >= col("n_tokens") &&
+        col("n_unique") * 2 > col("n_tokens") &&
+        col("sum_len") <= col("n_tokens") * 12)
+    def bySource(df: DataFrame, as: String): DataFrame =
+      df.groupBy(col("source")).agg(count(lit(1)).as(as))
+    bySource(docs, "n_raw")
+      .join(bySource(d1, "n_dedup"), Seq("source"), "left")
+      .join(bySource(d2, "n_decon"), Seq("source"), "left")
+      .join(d3.groupBy(col("source")).agg(
+        count(lit(1)).as("n_quality"),
+        sum(col("n_tokens")).as("tokens_out")), Seq("source"), "left")
+      .select(col("source"),
+        col("n_raw"),
+        coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+        coalesce(col("n_decon"), lit(0L)).as("n_decon"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("tokens_out"), lit(0L)).as("tokens_out"))
+      .orderBy(col("source"))
+  }
+
   def textQualityFilter(s: SparkSession, dir: String): DataFrame =
     docsTok(s, dir).select(
         col("doc_id"),
@@ -4283,6 +4340,7 @@ object Ext {
     "text_rarity" -> textRarity _,
     "text_lm_bigram" -> textLmBigram _,
     "text_quality_filter" -> textQualityFilter _,
+    "pipeline_curation_report" -> pipelineCurationReport _,
     "text_contamination" -> textContamination _,
     "text_decontaminate" -> textDecontaminate _,
     "text_decontaminate_bloom" -> textDecontaminateBloom _,

@@ -179,6 +179,51 @@ object ExtOracle {
              AS keep
          FROM st ORDER BY doc_id""",
 
+    // the curation funnel composes the dedup_exact / text_decontaminate /
+    // text_quality_filter oracles in the engine's fixed stage order
+    "pipeline_curation_report" ->
+      s"""WITH tok AS (SELECT doc_id, source, $toks AS toks
+             FROM documents),
+         keepers AS (SELECT min(doc_id) AS doc_id
+           FROM documents GROUP BY md5(text)),
+         sh0 AS (SELECT doc_id AS id, unnest(list_distinct(list_transform(
+             range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+           FROM tok WHERE len(toks) >= 3),
+         bench AS (SELECT DISTINCT s FROM sh0 WHERE id % 97 = 0),
+         contaminated AS (
+           SELECT DISTINCT id FROM sh0 JOIN bench USING (s)
+           WHERE id % 97 <> 0),
+         d1 AS (SELECT t.* FROM tok t
+           WHERE doc_id IN (SELECT doc_id FROM keepers)),
+         d2 AS (SELECT * FROM d1 WHERE doc_id % 97 <> 0
+           AND doc_id NOT IN (SELECT id FROM contaminated)),
+         st AS (SELECT doc_id, source,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+             CAST(${hits(en)} AS BIGINT) AS n_stop,
+             CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0)
+               AS BIGINT) AS sum_len
+           FROM d2),
+         d3 AS (SELECT * FROM st
+           WHERE n_tokens >= 5 AND n_tokens <= 512
+             AND n_stop * 20 >= n_tokens AND n_unique * 2 > n_tokens
+             AND sum_len <= n_tokens * 12),
+         raw AS (SELECT source, count(*) AS n_raw FROM tok GROUP BY source),
+         c1 AS (SELECT source, count(*) AS n_dedup FROM d1 GROUP BY source),
+         c2 AS (SELECT source, count(*) AS n_decon FROM d2 GROUP BY source),
+         c3 AS (SELECT source, count(*) AS n_quality,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens_out
+           FROM d3 GROUP BY source)
+         SELECT source, n_raw,
+           coalesce(n_dedup, 0) AS n_dedup,
+           coalesce(n_decon, 0) AS n_decon,
+           coalesce(n_quality, 0) AS n_quality,
+           coalesce(tokens_out, 0) AS tokens_out
+         FROM raw LEFT JOIN c1 USING (source) LEFT JOIN c2 USING (source)
+           LEFT JOIN c3 USING (source)
+         ORDER BY source""",
+
     "text_lang_id" ->
       s"""WITH tok AS (SELECT lang, $toks AS toks FROM documents),
          sc AS (SELECT lang,
