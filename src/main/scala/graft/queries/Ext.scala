@@ -1162,6 +1162,34 @@ object Ext {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
       .orderBy(col("split"))
 
+  /** CLASS-BALANCED downsampling — every label keeps exactly
+    * k = min(class size) rows, elected by content-stable md5 order (the
+    * [[Text.hashBucket]] key: deterministic, rerun-identical, and
+    * unbiased w.r.t. row position — head-of-file sampling is not). The
+    * classifier-training counterpart of [[sampleStratified]]'s
+    * proportional draw: stratified PRESERVES the imbalance, this
+    * removes it.
+    *
+    * Scale: k is the A9 driver scalar (one |labels|-sized aggregate);
+    * the per-label election is `row_number ≤ k` with a LITERAL k, which
+    * Spark rewrites to WindowGroupLimit — the top-k prunes BEFORE the
+    * label shuffle (the [[sampleReservoirGroup]] plan shape), so a hot
+    * label never funnels its full class through one task. */
+  def sampleBalancedClasses(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val k = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n"))).head().getLong(0)
+    val keyed = emb.withColumn("hk",
+      conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("hk"), col("vec_id"))
+    keyed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= lit(k))
+      .select(col("label").cast("long").as("label"), col("vec_id"))
+      .orderBy(col("label"), col("vec_id"))
+  }
+
   /** LEAKAGE-SAFE group-disjoint split: the split label hashes the DOMAIN
     * (`source`), not the document, so near-duplicate / boilerplate-sharing
     * pages from one domain can never straddle the train/test boundary —
@@ -4353,6 +4381,7 @@ object Ext {
     "text_novelty" -> textNovelty _,
     "text_top_tokens_cms" -> textTopTokensCms _,
     "split_train_test" -> splitTrainTest _,
+    "sample_balanced_classes" -> sampleBalancedClasses _,
     "split_domain_disjoint" -> splitDomainDisjoint _,
     "text_fingerprint" -> textFingerprint _,
     "dedup_exact" -> dedupExact _,

@@ -680,6 +680,18 @@ object ExtOracle {
          GROUP BY source, n_total, tokens_total, threshold
          ORDER BY source""",
 
+    // same md5-prefix content order as the engine; k = min class size
+    "sample_balanced_classes" ->
+      """WITH k AS (SELECT min(n) AS k FROM
+           (SELECT count(*) AS n FROM embeddings GROUP BY label)),
+         r AS (SELECT CAST(label AS BIGINT) AS label, vec_id,
+             row_number() OVER (PARTITION BY label ORDER BY
+               CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                 AS BIGINT), vec_id) AS rn
+           FROM embeddings)
+         SELECT label, vec_id FROM r WHERE rn <= (SELECT k FROM k)
+         ORDER BY label, vec_id""",
+
     "split_train_test" ->
       """SELECT split, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS n_chars

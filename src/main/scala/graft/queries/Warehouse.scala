@@ -1651,6 +1651,33 @@ object Warehouse {
         col("seq").rlike("ep").as("err_then_purchase"))
       .orderBy(col("user_id"))
 
+  /** JOURNEY SIGNATURES — in what ORDER do users first touch each
+    * event type (the "journey map" rollup product analytics builds from
+    * first-touch timestamps): per user, the distinct types sorted by
+    * first occurrence collapse to one initials string ("vcpse" = view
+    * first, signup last), then signatures roll up to population counts.
+    * Unlike [[eventsPatternRegex]]'s full sequence (unique per user),
+    * signatures live in a ≤ Σₖ P(5,k) space, so the counts are dense
+    * and the rollup is readable.
+    *
+    * Scale: first-touch is ONE (user, type)-keyed aggregate (map-side
+    * combined), the signature fold is a per-user collect of ≤ |types|
+    * structs, and the rollup is signature-keyed (≤ 325 groups). */
+  def eventsJourneySignature(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"),
+        substring(col("event_type"), 1, 1).as("ini"))
+      .agg(min(col("ts_us")).as("first_us"))
+      .select(col("user_id"),
+        struct(col("first_us"), col("ini")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(e)), x -> x.ini)"), "")
+        .as("signature"))
+      .groupBy(col("signature"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("signature"))
+
   def eventsRfm(s: SparkSession, dir: String): DataFrame = {
     val p = events(s, dir).filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_us"),
@@ -1770,6 +1797,7 @@ object Warehouse {
     "ts_interpolate" -> tsInterpolate _,
     "events_rfm" -> eventsRfm _,
     "events_pattern_regex" -> eventsPatternRegex _,
+    "events_journey_signature" -> eventsJourneySignature _,
     "profile_expectations" -> profileExpectations _,
     "merge_delete_cascade" -> mergeDeleteCascade _,
     "events_anomaly_days" -> eventsAnomalyDays _,

@@ -273,6 +273,17 @@ object WarehouseOracle {
            regexp_matches(s, 'ep') AS err_then_purchase
          FROM seq ORDER BY user_id""",
 
+    // first-touch order per user collapsed to an initials signature
+    "events_journey_signature" ->
+      """WITH ft AS (SELECT user_id, substr(event_type, 1, 1) AS ini,
+           min(epoch_us(ts)) AS first_us
+           FROM events GROUP BY user_id, substr(event_type, 1, 1)),
+         sig AS (SELECT user_id,
+           string_agg(ini, '' ORDER BY first_us, ini) AS signature
+           FROM ft GROUP BY user_id)
+         SELECT signature, count(*) AS n_users FROM sig
+         GROUP BY signature ORDER BY n_users DESC, signature""",
+
     // fixed-band RFM: floor-cents monetary (exact integer fold), recency
     // as integer days vs the corpus max purchase time
     "events_rfm" ->

@@ -266,6 +266,12 @@ class PlanSpec extends SparkSpec {
     assert(n >= 2, s"expected partial+final WindowGroupLimit, got $n:\n$p")
   }
 
+  test("sample_balanced_classes: the per-label election prunes partial (WindowGroupLimit) before the shuffle") {
+    val p = planOf("sample_balanced_classes")
+    val n = p.linesIterator.count(_.contains("WindowGroupLimit"))
+    assert(n >= 2, s"expected partial+final WindowGroupLimit, got $n:\n$p")
+  }
+
   test("sim_pq_topk: ADC scan reads codes (not raw floats); shortlist prunes before the shuffle") {
     val p = planOf("sim_pq_topk")
     // the scoring scan is the published code table — its ReadSchema must
