@@ -4119,16 +4119,29 @@ object Ext {
     * lag-over-(user, fence) recompute of the same ray cast. State =
     * in-watermark pings per vehicle (rate × delay-bounded) + an O(1)
     * last-mask record. */
-  def streamGeofenceSink(s: SparkSession, dir: String): DataFrame = {
+  def streamGeofenceSink(s: SparkSession, dir: String): DataFrame =
+    streamGeofenceSinkImpl(s, dir, tws = false)
+
+  /** [[streamGeofenceSink]] on the `transformWithState` API
+    * ([[graft.streaming.StreamOps.GeofenceProcessor]]) — the THIRD
+    * dual-API pair (after sessionize and funnel): both APIs route
+    * through the ONE pure `geoStep`, both sinks hash against the SAME
+    * batch oracle, and the staged input is shared. */
+  def streamGeofenceTwsSink(s: SparkSession, dir: String): DataFrame =
+    streamGeofenceSinkImpl(s, dir, tws = true)
+
+  private def streamGeofenceSinkImpl(
+      s: SparkSession, dir: String, tws: Boolean): DataFrame = {
     import graft.core.Tmp
     import graft.streaming.StreamOps
     import s.implicits._
-    val log = graft.core.PhaseLog.start("stream_geofence")
+    val tag = if (tws) "stream_geofence_tws" else "stream_geofence"
+    val log = graft.core.PhaseLog.start(tag)
     val ev = events(s, dir).select(col("user_id"),
       timestamp_micros(col("ts_us")).as("t"), col("ts_us"), col("event_id"))
-    val inDir = Tmp.jvmScopedDir("stream_geofence_in", dir)
-    val outDir = Tmp.jvmScopedDir("stream_geofence_out", dir)
-    val ckDir = Tmp.jvmScopedDir("stream_geofence_ck", dir)
+    val inDir = Tmp.jvmScopedDir("stream_geofence_in", dir) // shared by both APIs
+    val outDir = Tmp.jvmScopedDir(s"${tag}_out", dir)
+    val ckDir = Tmp.jvmScopedDir(s"${tag}_ck", dir)
     val wmUs = 600000000L // 10 min watermark delay
     val stagedMarker = new java.io.File(inDir, "_graft_staged")
     if (!stagedMarker.exists()) {
@@ -4146,8 +4159,11 @@ object Ext {
       java.nio.file.Files.createFile(stagedMarker.toPath): Unit
       log("staged inputs")
     } else log("reusing staged inputs")
-    runStreamToParquet(s, outDir, ckDir,
-      Map("spark.sql.shuffle.partitions" -> "8"), log) {
+    val confs = Map("spark.sql.shuffle.partitions" -> "8") ++
+      (if (tws) Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      else Map.empty)
+    runStreamToParquet(s, outDir, ckDir, confs, log) {
       val pings = s.readStream
         .schema("user_id BIGINT, t TIMESTAMP, ts_us BIGINT, event_id BIGINT")
         .option("maxFilesPerTrigger", "1")
@@ -4159,7 +4175,8 @@ object Ext {
         .select(col("user_id"), col("t"), col("ts_us"), col("event_id"),
           col("mask"))
         .as[StreamOps.GeoPing]
-      StreamOps.geofenceStream(pings, "10 minutes").toDF()
+      if (tws) StreamOps.geofenceStreamTws(pings, "10 minutes").toDF()
+      else StreamOps.geofenceStream(pings, "10 minutes").toDF()
     }
     s.read.parquet(outDir)
       .filter(col("user_id") >= 0)
@@ -4451,6 +4468,7 @@ object Ext {
     "stream_topk_sink" -> streamTopkSink _,
     "stream_cdc_sink" -> streamCdcSink _,
     "stream_geofence_sink" -> streamGeofenceSink _,
+    "stream_geofence_tws_sink" -> streamGeofenceTwsSink _,
     "stream_dedup_sink" -> streamDedupSink _,
     "stream_asof_sink" -> streamAsofSink _,
     "stream_enrich_sink" -> streamEnrichSink _,

@@ -74,6 +74,51 @@ object ExtOracle {
 
   /** The batch funnel (chained conditional minimums) unpivoted to one
     * row per reached stage — shared by BOTH streaming funnel sinks. */
+  // batch twin of the streaming geofence detector (both APIs): the same
+  // ray cast as geo_geofence_count, lag(inside) per (user, fence), one
+  // row per membership flip
+  private val geofenceSinkSql =
+    """WITH fc AS (SELECT f,
+             CAST(114.0 AS DOUBLE) + ((f * 37) % 100) * CAST(0.001 AS DOUBLE)
+               + CAST(0.003 AS DOUBLE) AS cx,
+             CAST(22.0 AS DOUBLE) + f * CAST(0.015 AS DOUBLE)
+               + CAST(0.005 AS DOUBLE) AS cy
+           FROM (SELECT unnest(range(0, 6)) AS f)),
+         e AS (SELECT f, cx, cy, unnest(range(0, 8)) AS i FROM fc),
+         ed AS (SELECT f,
+             cx + ([3,1,0,-1,-3,-1,0,1][CAST(i AS INT) + 1])
+               * CAST(0.004 AS DOUBLE) AS x1,
+             cy + ([0,1,3,1,0,-1,-3,-1][CAST(i AS INT) + 1])
+               * CAST(0.004 AS DOUBLE) AS y1,
+             cx + ([3,1,0,-1,-3,-1,0,1][CAST((i + 1) % 8 AS INT) + 1])
+               * CAST(0.004 AS DOUBLE) AS x2,
+             cy + ([0,1,3,1,0,-1,-3,-1][CAST((i + 1) % 8 AS INT) + 1])
+               * CAST(0.004 AS DOUBLE) AS y2
+           FROM e),
+         p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(114.0 AS DOUBLE) + ((user_id * 7919) % 9973)
+               * CAST(0.00001 AS DOUBLE) AS px,
+             CAST(22.0 AS DOUBLE) + (event_id % 9973)
+               * CAST(0.00001 AS DOUBLE) AS py
+           FROM events),
+         x AS (SELECT p.event_id, p.user_id, p.ts_us, ed.f,
+             CASE WHEN (ed.y1 > p.py) != (ed.y2 > p.py)
+                   AND p.px < ed.x1 + (p.py - ed.y1) * (ed.x2 - ed.x1)
+                     / (ed.y2 - ed.y1)
+                  THEN 1 ELSE 0 END AS c
+           FROM p, ed),
+         ip AS (SELECT event_id, user_id, ts_us, f,
+             sum(c) % 2 = 1 AS inside
+           FROM x GROUP BY 1, 2, 3, 4),
+         lg AS (SELECT user_id, ts_us, event_id, f, inside,
+             lag(inside) OVER w AS pinside
+           FROM ip
+           WINDOW w AS (PARTITION BY user_id, f ORDER BY ts_us, event_id))
+         SELECT user_id, ts_us, event_id, f,
+           CASE WHEN inside THEN 'enter' ELSE 'exit' END AS direction
+         FROM lg WHERE pinside IS NOT NULL AND inside != pinside
+         ORDER BY user_id, ts_us, event_id, f"""
+
   private val funnelSinkSql =
     """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
        s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev
@@ -1519,47 +1564,9 @@ object ExtOracle {
     // batch twin of the streaming geofence detector: the same ray cast
     // as geo_geofence_count, lag(inside) per (user, fence), one row per
     // membership flip (first ping per user establishes the baseline)
-    "stream_geofence_sink" ->
-      """WITH fc AS (SELECT f,
-             CAST(114.0 AS DOUBLE) + ((f * 37) % 100) * CAST(0.001 AS DOUBLE)
-               + CAST(0.003 AS DOUBLE) AS cx,
-             CAST(22.0 AS DOUBLE) + f * CAST(0.015 AS DOUBLE)
-               + CAST(0.005 AS DOUBLE) AS cy
-           FROM (SELECT unnest(range(0, 6)) AS f)),
-         e AS (SELECT f, cx, cy, unnest(range(0, 8)) AS i FROM fc),
-         ed AS (SELECT f,
-             cx + ([3,1,0,-1,-3,-1,0,1][CAST(i AS INT) + 1])
-               * CAST(0.004 AS DOUBLE) AS x1,
-             cy + ([0,1,3,1,0,-1,-3,-1][CAST(i AS INT) + 1])
-               * CAST(0.004 AS DOUBLE) AS y1,
-             cx + ([3,1,0,-1,-3,-1,0,1][CAST((i + 1) % 8 AS INT) + 1])
-               * CAST(0.004 AS DOUBLE) AS x2,
-             cy + ([0,1,3,1,0,-1,-3,-1][CAST((i + 1) % 8 AS INT) + 1])
-               * CAST(0.004 AS DOUBLE) AS y2
-           FROM e),
-         p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-             CAST(114.0 AS DOUBLE) + ((user_id * 7919) % 9973)
-               * CAST(0.00001 AS DOUBLE) AS px,
-             CAST(22.0 AS DOUBLE) + (event_id % 9973)
-               * CAST(0.00001 AS DOUBLE) AS py
-           FROM events),
-         x AS (SELECT p.event_id, p.user_id, p.ts_us, ed.f,
-             CASE WHEN (ed.y1 > p.py) != (ed.y2 > p.py)
-                   AND p.px < ed.x1 + (p.py - ed.y1) * (ed.x2 - ed.x1)
-                     / (ed.y2 - ed.y1)
-                  THEN 1 ELSE 0 END AS c
-           FROM p, ed),
-         ip AS (SELECT event_id, user_id, ts_us, f,
-             sum(c) % 2 = 1 AS inside
-           FROM x GROUP BY 1, 2, 3, 4),
-         lg AS (SELECT user_id, ts_us, event_id, f, inside,
-             lag(inside) OVER w AS pinside
-           FROM ip
-           WINDOW w AS (PARTITION BY user_id, f ORDER BY ts_us, event_id))
-         SELECT user_id, ts_us, event_id, f,
-           CASE WHEN inside THEN 'enter' ELSE 'exit' END AS direction
-         FROM lg WHERE pinside IS NOT NULL AND inside != pinside
-         ORDER BY user_id, ts_us, event_id, f""",
+    "stream_geofence_sink" -> geofenceSinkSql,
+    "stream_geofence_tws_sink" -> geofenceSinkSql,
+
 
     // the doubled feed deduped on the unique event_id = the original feed
     "stream_dedup_sink" ->

@@ -660,6 +660,52 @@ object StreamOps {
       }
   }
 
+  /** [[geofenceStream]] on the `transformWithState` API — the dual-API
+    * pattern [[SessionProcessor]]/[[FunnelProcessor]] set: input rows
+    * and expired timers both route through the ONE pure [[geoStep]], so
+    * the two APIs cannot diverge semantically. */
+  class GeofenceProcessor
+    extends StatefulProcessor[Long, GeoPing, GeoTransition] {
+
+    @transient private var state: ValueState[GeoState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[GeoState](
+        "geofence", Encoders.product[GeoState], TTLConfig.NONE)
+
+    private def step(key: Long, evs: Seq[GeoPing], wmUs: Long)
+        : Iterator[GeoTransition] = {
+      val st0 = if (state.exists()) state.get()
+        else GeoState(Nil, -1L, -1L, -1)
+      val (out, next, timer) = geoStep(key, evs, st0, wmUs)
+      state.update(next)
+      timer.foreach(ms => getHandle.registerTimer(ms))
+      out.iterator
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[GeoPing],
+        tv: TimerValues): Iterator[GeoTransition] =
+      step(key, rows.toSeq, tv.getCurrentWatermarkInMs() * 1000L)
+
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[GeoTransition] =
+      step(key, Nil, tv.getCurrentWatermarkInMs() * 1000L)
+  }
+
+  /** [[geofenceStream]]'s transformWithState form. */
+  def geofenceStreamTws(
+      pings: Dataset[GeoPing],
+      watermarkDelay: String = "10 minutes"): Dataset[GeoTransition] = {
+    import pings.sparkSession.implicits._
+    pings
+      .withWatermark("t", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new GeofenceProcessor, TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Stream-static enrichment join: each streaming event picks up its
     * key's static dimension row — the streaming twin of the batch
     * broadcast dim join (J2/J3). Stateless: the static side is (re)read
