@@ -2507,7 +2507,14 @@ object Ext {
     * higher-order fold over the edge array (parity is computed per
     * (point, fence) with NO per-point shuffle — the only exchange is
     * the |fences|-sized final rollup with map-side partial aggregation).
-    * More fences or more vertices change only the broadcast payload. */
+    * More fences or more vertices change only the broadcast payload.
+    *
+    * This query deliberately keeps the compose-first declarative form;
+    * know its cost: Spark HOFs are CodegenFallback, and at the sf1g
+    * probe this fold burns ~12 CPU-s where [[geoGeofenceDwell]]'s
+    * codegen'd [[graft.functions.GeofenceMask]] does the identical
+    * geometry in ~0.6 — per-ping hot paths must use the native
+    * expression. */
   /** (f, edges) rows for the six synthetic star-octagon fences — shared
     * by the whole geofence family ([[geoGeofenceCount]] documents the
     * geometry and the IEEE exactness argument). */
