@@ -2170,6 +2170,66 @@ object Ext {
         t(s, dir, "embeddings").select(col("vec_id"), col("embedding")), k = 10)
       .orderBy(col("qid"), col("rank"))
 
+  /** HYBRID SEARCH — the RAG-stack staple: lexical and semantic
+    * retrieval fused by Reciprocal Rank Fusion (RRF, Cormack et al.):
+    * for each probe, rank the corpus (a) by exact int8-quantized dot
+    * product against the probe's embedding ([[simQuantizedTopk]]'s
+    * bit-exact leg) and (b) by distinct-token overlap with the probe's
+    * own document ("more like this"), then fuse
+    * `1/(60+rank_v) + 1/(60+rank_t)` over the union of the two top-50
+    * lists. Every score is integer-derived; the fusion is two IEEE
+    * divisions and one add in fixed order — hash-exact, no tolerance.
+    *
+    * Scale: probes are the ≤200-row capped set, broadcast into both
+    * legs. The vector leg is one scan of the embedding relation with
+    * partial top-k (WindowGroupLimit) pruning candidates before the
+    * qid shuffle; the text leg joins the corpus token stream to the
+    * BROADCAST probe-token set (an inverted-index probe — at 100 TB
+    * the df-bounded token join replaces this dense demo corpus's
+    * all-pairs overlap). Fusion joins two ≤ |probes|·50 relations. */
+  def simHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val K = 50
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .orderBy(col("vec_id")).limit(200)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val wV = Window.partitionBy(col("qid"))
+      .orderBy(col("idot").desc, col("vec_id"))
+    val vRank = emb.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .withColumn("idot", Similarity.intDot(col("qq.q"), col("qv.q")))
+      .withColumn("rank_v", row_number().over(wV))
+      .filter(col("rank_v") <= K)
+      .select(col("qid"), col("vec_id"), col("rank_v"))
+    val toks = docsTok(s, dir)
+      .select(col("doc_id"), array_distinct(col("toks")).as("dt"))
+    val qt = toks.join(broadcast(q.select(col("qid"))),
+        col("doc_id") === col("qid"))
+      .select(col("qid"), explode(col("dt")).as("tok"))
+    val wT = Window.partitionBy(col("qid"))
+      .orderBy(col("overlap").desc, col("doc_id"))
+    val tRank = toks.select(col("doc_id"), explode(col("dt")).as("tok"))
+      .join(broadcast(qt), "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("rank_t", row_number().over(wT))
+      .filter(col("rank_t") <= K)
+      .select(col("qid"), col("doc_id").as("vec_id"), col("rank_t"))
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("vec_id"))
+    vRank.join(tRank, Seq("qid", "vec_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("rank_v")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_t")), lit(0.0)))
+      .withColumn("rank", row_number().over(wF).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        col("rank_v").cast("long").as("rank_v"),
+        col("rank_t").cast("long").as("rank_t"), col("rrf"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Int8-quantized top-10: exact integer dot-product ranking over
     * per-vector floor-quantized embeddings — bit-exact in any engine, so
     * unlike the float paths this ANN scoring has a full value oracle. */
@@ -4438,6 +4498,7 @@ object Ext {
     "sim_ivf_warm" -> simIvfWarm _,
     "sim_ann_recall" -> simAnnRecall _,
     "sim_quantized_topk" -> simQuantizedTopk _,
+    "sim_hybrid_rrf" -> simHybridRrf _,
     "sim_pq_topk" -> simPqTopk _,
     "sim_pq_recall" -> simPqRecall _,
     "sim_ivfpq_topk" -> simIvfPqTopk _,

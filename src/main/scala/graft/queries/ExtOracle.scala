@@ -1256,6 +1256,53 @@ object ExtOracle {
          SELECT qid, "rank", vec_id, cos FROM ranked WHERE "rank" <= 10
          ORDER BY qid, "rank"""",
 
+    // RRF fusion of the integer-exact vector ranking and the distinct-
+    // token-overlap text ranking; fusion is two IEEE divisions + one add
+    // in fixed order, tie-broken by vec_id
+    "sim_hybrid_rrf" ->
+      s"""WITH qv AS (SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 /
+               list_max(list_transform(embedding,
+                 y -> abs(CAST(y AS DOUBLE))))) AS INT)) AS q
+         FROM embeddings),
+         q AS (SELECT vec_id AS qid, q AS qq FROM qv
+           WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 200),
+         vscored AS (SELECT qid, vec_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_zip(qq, qv.q),
+                 p -> CAST(p[1] * p[2] AS BIGINT))),
+               (a, b) -> a + b) AS idot
+           FROM qv CROSS JOIN q WHERE qid <> vec_id),
+         vrank AS (SELECT qid, vec_id, rank_v FROM (
+           SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+               ORDER BY idot DESC, vec_id) AS rank_v
+             FROM vscored) WHERE rank_v <= 50),
+         tok AS (SELECT doc_id, list_distinct($toks) AS dt FROM documents),
+         qt AS (SELECT q.qid, unnest(tok.dt) AS tok FROM tok
+           JOIN q ON tok.doc_id = q.qid),
+         hits AS (SELECT qt.qid, d.doc_id AS vec_id, count(*) AS overlap
+           FROM (SELECT doc_id, unnest(dt) AS tok FROM tok) d
+           JOIN qt USING (tok) WHERE d.doc_id <> qt.qid
+           GROUP BY qt.qid, d.doc_id),
+         trank AS (SELECT qid, vec_id, rank_t FROM (
+           SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+               ORDER BY overlap DESC, vec_id) AS rank_t
+             FROM hits) WHERE rank_t <= 50),
+         fused AS (SELECT qid, vec_id,
+             coalesce(1.0 / (60 + rank_v), CAST(0.0 AS DOUBLE))
+               + coalesce(1.0 / (60 + rank_t), CAST(0.0 AS DOUBLE)) AS rrf,
+             rank_v, rank_t
+           FROM vrank FULL OUTER JOIN trank USING (qid, vec_id)),
+         final AS (SELECT qid, vec_id, rrf,
+             CAST(rank_v AS BIGINT) AS rank_v,
+             CAST(rank_t AS BIGINT) AS rank_t,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY rrf DESC, vec_id) AS BIGINT) AS "rank"
+           FROM fused)
+         SELECT qid, "rank", vec_id, rank_v, rank_t, rrf FROM final
+         WHERE "rank" <= 10 ORDER BY qid, "rank"""",
+
     "sim_quantized_topk" ->
       """WITH qv AS (SELECT vec_id,
            list_transform(embedding,
