@@ -1454,6 +1454,36 @@ object Warehouse {
     * shape that survives 100 TB. Tie order (ts, is_grid, event_id) is
     * total, so same-instant events resolve deterministically; the carried
     * value is a stored double, never recomputed. */
+  /** Binary-decay EWMA (α = ½, 16-tap truncation) — the time-series
+    * smoother, made HASH-EXACT by construction: values quantize to
+    * floor-cents, the frame weight for position i (oldest-first) is the
+    * INTEGER 2ⁱ, and the estimate ships as an exact (num, den) pair —
+    * num = Σ xᵢ·2ⁱ over the trailing ≤16-row frame, den = 2ⁿ − 1 — plus
+    * their IEEE quotient (one correctly-rounded division, no
+    * order-dependent float accumulation anywhere). A float-α EWMA is a
+    * sequential recurrence no SQL mirror reproduces; the binary-weight
+    * truncated form is the version an exact gate CAN pin, and at
+    * α = ½ the 16-tap truncation error is ≤ 2⁻¹⁶ of the signal.
+    *
+    * Scale: one per-user window (frames are 16-row bounded), weights
+    * fold scan-local inside the frame array — nothing beyond the one
+    * corpus shuffle every per-user window pays. */
+  def tsEwma(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-15, 0)
+    events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("frame", collect_list(col("cents")).over(w))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("cents"),
+        expr("""aggregate(transform(frame, (x, i) -> x * shiftleft(1L, i)),
+                0L, (a, b) -> a + b)""").as("num"),
+        expr("shiftleft(1L, size(frame)) - 1L").as("den"))
+      .withColumn("ewma", col("num").cast("double") / col("den"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
   def tsResampleGrid(s: SparkSession, dir: String): DataFrame = {
     val cellUs = 21600000000L // 6 h
     val ev = events(s, dir)
@@ -1794,6 +1824,7 @@ object Warehouse {
     "join_fuzzy_names" -> joinFuzzyNames _,
     "graph_triangles" -> graphTriangles _,
     "ts_resample_grid" -> tsResampleGrid _,
+    "ts_ewma" -> tsEwma _,
     "ts_interpolate" -> tsInterpolate _,
     "events_rfm" -> eventsRfm _,
     "events_pattern_regex" -> eventsPatternRegex _,
