@@ -1337,6 +1337,36 @@ object Warehouse {
     * the HISTOGRAM (bounded by the number of distinct group sizes —
     * hundreds), never over keys or rows. Totals ride the A9
     * driver-scalar pattern. */
+  /** Pearson CORRELATION between value and hour-of-day per event type —
+    * by the exact-moments-then-combine pattern: the five sufficient
+    * statistics (Σx, Σy, Σxy, Σx², Σy² over floor-cents × hour) fold as
+    * EXACT integers in any order, and the correlation is ONE fixed
+    * expression over their double casts (every step correctly rounded,
+    * no order-dependent accumulation — `corr()` built-ins stream float
+    * partials and cannot be hash-gated cross-engine). The moments ship
+    * alongside, so downstream can re-derive slope/intercept exactly.
+    *
+    * Scale: one map-side-combined rollup to |types| rows. */
+  def profileCorrelation(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("x"),
+        expr("ts_us % 86400000000 div 3600000000").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_x2"),
+        sum(col("y") * col("y")).as("sum_y2"))
+      .withColumn("corr_xy",
+        (col("n").cast("double") * col("sum_xy") -
+          col("sum_x").cast("double") * col("sum_y")) /
+          sqrt((col("n").cast("double") * col("sum_x2") -
+            col("sum_x").cast("double") * col("sum_x")) *
+            (col("n").cast("double") * col("sum_y2") -
+              col("sum_y").cast("double") * col("sum_y"))))
+      .orderBy(col("event_type"))
+
   def profileSkew(s: SparkSession, dir: String): DataFrame = {
     val counts = events(s, dir).groupBy(col("user_id")).agg(count(lit(1)).as("c"))
     val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("nk"))
@@ -1825,6 +1855,7 @@ object Warehouse {
     "graph_triangles" -> graphTriangles _,
     "ts_resample_grid" -> tsResampleGrid _,
     "ts_ewma" -> tsEwma _,
+    "profile_correlation" -> profileCorrelation _,
     "ts_interpolate" -> tsInterpolate _,
     "events_rfm" -> eventsRfm _,
     "events_pattern_regex" -> eventsPatternRegex _,

@@ -922,6 +922,27 @@ object WarehouseOracle {
          FROM n WHERE v IS NULL
          ORDER BY user_id, ts_us, event_id""",
 
+    // exact integer moments, one fixed-order float combination
+    "profile_correlation" ->
+      """WITH e AS (SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS x,
+             (epoch_us(ts) % 86400000000) // 3600000000 AS y
+           FROM events),
+         m AS (SELECT event_type, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sum_x,
+             CAST(sum(y) AS BIGINT) AS sum_y,
+             CAST(sum(x * y) AS BIGINT) AS sum_xy,
+             CAST(sum(x * x) AS BIGINT) AS sum_x2,
+             CAST(sum(y * y) AS BIGINT) AS sum_y2
+           FROM e GROUP BY event_type)
+         SELECT event_type, n, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+           (CAST(n AS DOUBLE) * sum_xy - CAST(sum_x AS DOUBLE) * sum_y)
+             / sqrt((CAST(n AS DOUBLE) * sum_x2
+                 - CAST(sum_x AS DOUBLE) * sum_x)
+               * (CAST(n AS DOUBLE) * sum_y2
+                 - CAST(sum_y AS DOUBLE) * sum_y)) AS corr_xy
+         FROM m ORDER BY event_type""",
+
     // exact integer num/den of the 16-tap binary-decay EWMA; the only
     // float op is the final correctly-rounded division
     "ts_ewma" ->
