@@ -2230,6 +2230,69 @@ object Ext {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** MMR DIVERSIFIED RERANKING (Carbonell & Goldstein) — the retrieval
+    * post-processor that trades relevance against redundancy: from each
+    * probe's top-20 candidates, greedily select 10 maximizing
+    * `2·rel(c) − max_{s∈selected} sim(c, s)` (λ = ½ scaled ×2 so every
+    * score stays an EXACT integer — rel and sim are both the quantized
+    * int8 dot). Seed = argmax rel; ties break on vec_id. An
+    * argmax-dependent greedy is usually spec-gate territory, but with
+    * ≤20 candidates and integer scores the DuckDB oracle replays the
+    * exact selection as a recursive CTE (the [[balanceBins]]
+    * first-fit precedent), so this is fully value-gated.
+    *
+    * Scale: candidates are k-bounded per probe (the expensive part is
+    * [[simHybridRrf]]-style top-k, already partial-pruned); the greedy
+    * runs over |probes|·k² pair sims — driver-paced rounds over
+    * k-bounded relations with `localCheckpoint` per round (the BPE /
+    * BFS iteration discipline), never corpus-sized. */
+  def simMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .orderBy(col("vec_id")).limit(200)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val wV = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    val rel = emb.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .withColumn("rel", Similarity.intDot(col("qq.q"), col("qv.q")))
+      .withColumn("rk", row_number().over(wV))
+      .filter(col("rk") <= 20)
+      .select(col("qid"), col("vec_id"), col("rel"), col("qv"))
+      .localCheckpoint()
+    val pairs = rel.select(col("qid"), col("vec_id").as("c"),
+        col("rel").as("crel"), col("qv").as("cq"))
+      .join(rel.select(col("qid"), col("vec_id").as("s"), col("qv").as("sq")),
+        Seq("qid"))
+      .filter(col("c") =!= col("s"))
+      .select(col("qid"), col("c"), col("s"),
+        Similarity.intDot(col("cq.q"), col("sq.q")).as("sim"))
+      .localCheckpoint()
+    val w1 = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    var selected = rel
+      .withColumn("rk1", row_number().over(w1)).filter(col("rk1") === 1)
+      .select(col("qid"), col("vec_id"), lit(1L).as("step"))
+      .localCheckpoint()
+    for (step <- 2 to 10) {
+      val msim = pairs
+        .join(selected.select(col("qid"), col("vec_id").as("s")),
+          Seq("qid", "s"))
+        .groupBy(col("qid"), col("c")).agg(max(col("sim")).as("msim"))
+      val wB = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("vec_id"))
+      val best = rel.select(col("qid"), col("vec_id"), col("rel"))
+        .join(selected.select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_anti")
+        .join(msim.withColumnRenamed("c", "vec_id"), Seq("qid", "vec_id"))
+        .withColumn("score", col("rel") * 2 - col("msim"))
+        .withColumn("rkB", row_number().over(wB)).filter(col("rkB") === 1)
+        .select(col("qid"), col("vec_id"), lit(step.toLong).as("step"))
+      selected = selected.union(best).localCheckpoint()
+    }
+    selected.orderBy(col("qid"), col("step"))
+  }
+
   /** Int8-quantized top-10: exact integer dot-product ranking over
     * per-vector floor-quantized embeddings — bit-exact in any engine, so
     * unlike the float paths this ANN scoring has a full value oracle. */
@@ -4499,6 +4562,7 @@ object Ext {
     "sim_ann_recall" -> simAnnRecall _,
     "sim_quantized_topk" -> simQuantizedTopk _,
     "sim_hybrid_rrf" -> simHybridRrf _,
+    "sim_mmr_rerank" -> simMmrRerank _,
     "sim_pq_topk" -> simPqTopk _,
     "sim_pq_recall" -> simPqRecall _,
     "sim_ivfpq_topk" -> simIvfPqTopk _,

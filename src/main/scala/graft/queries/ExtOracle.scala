@@ -1256,6 +1256,56 @@ object ExtOracle {
          SELECT qid, "rank", vec_id, cos FROM ranked WHERE "rank" <= 10
          ORDER BY qid, "rank"""",
 
+    // greedy MMR replayed as a recursive CTE (the balance_bins
+    // first-fit precedent): each iteration's correlated subquery elects
+    // the integer-score argmax given the picks list so far
+    "sim_mmr_rerank" ->
+      """WITH RECURSIVE qv AS (SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 /
+               list_max(list_transform(embedding,
+                 y -> abs(CAST(y AS DOUBLE))))) AS INT)) AS q
+         FROM embeddings),
+         q AS (SELECT vec_id AS qid, q AS qq FROM qv
+           WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 200),
+         scored AS (SELECT qid, vec_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_zip(qq, qv.q),
+                 p -> CAST(p[1] * p[2] AS BIGINT))),
+               (a, b) -> a + b) AS rel
+           FROM qv CROSS JOIN q WHERE qid <> vec_id),
+         rel AS (SELECT qid, vec_id, rel FROM (
+           SELECT qid, vec_id, rel, row_number() OVER (PARTITION BY qid
+               ORDER BY rel DESC, vec_id) AS rk FROM scored) WHERE rk <= 20),
+         cand AS (SELECT r.qid, r.vec_id, r.rel, v.q
+           FROM rel r JOIN qv v USING (vec_id)),
+         pairs AS (SELECT a.qid, a.vec_id AS c, b.vec_id AS s,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_zip(a.q, b.q),
+                 p -> CAST(p[1] * p[2] AS BIGINT))),
+               (x, y) -> x + y) AS sim
+           FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+         seed AS (SELECT qid, vec_id FROM (
+           SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+               ORDER BY rel DESC, vec_id) AS rk FROM rel) WHERE rk = 1),
+         sel AS (
+           SELECT qid, 1 AS step, [vec_id] AS picks FROM seed
+           UNION ALL
+           SELECT qid, step + 1, list_append(picks, (
+               SELECT m.c FROM (
+                 SELECT p.c, max(p.sim) AS msim FROM pairs p
+                 WHERE p.qid = sel.qid AND list_contains(sel.picks, p.s)
+                   AND NOT list_contains(sel.picks, p.c)
+                 GROUP BY p.c) m
+               JOIN rel r ON r.qid = sel.qid AND r.vec_id = m.c
+               ORDER BY 2 * r.rel - m.msim DESC, m.c LIMIT 1))
+           FROM sel WHERE step < 10)
+         SELECT qid, CAST(i AS BIGINT) AS step,
+           picks[CAST(i AS INT)] AS vec_id
+         FROM (SELECT qid, picks FROM sel WHERE step = 10) f,
+           (SELECT unnest(range(1, 11)) AS i)
+         ORDER BY qid, step""",
+
     // RRF fusion of the integer-exact vector ranking and the distinct-
     // token-overlap text ranking; fusion is two IEEE divisions + one add
     // in fixed order, tie-broken by vec_id
