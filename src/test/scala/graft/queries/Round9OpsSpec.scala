@@ -190,6 +190,53 @@ class Round9OpsSpec extends SparkSpec {
       (3L, 5L, 1L, true), (4L, 4L, 0L, false)), s"got $got")
   }
 
+  test("sim_mmr_rerank matches a brute-force greedy over exact integer scores") {
+    def quant(v: Seq[Float]): Array[Long] = {
+      val m = v.map(x => math.abs(x.toDouble)).max
+      v.map(x => math.floor(x.toDouble * 127.0 / m).toLong).toArray
+    }
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().map { case (id, v) => id -> quant(v) }
+      .sortBy(_._1)
+    val byId = vecs.toMap
+    val qids = vecs.map(_._1).filter(_ % 50 == 0).sorted.take(200)
+    val expected = qids.flatMap { qid =>
+      val rel = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, dot(byId(qid), v)) }
+        .sortBy { case (id, r) => (-r, id) }.take(20)
+      val relMap = rel.toMap
+      var picks = Vector(rel.head._1)
+      while (picks.size < 10) {
+        val best = rel.map(_._1).filterNot(picks.contains)
+          .map { c =>
+            val msim = picks.map(s => dot(byId(c), byId(s))).max
+            (c, 2 * relMap(c) - msim)
+          }
+          .minBy { case (c, sc) => (-sc, c) }._1
+        picks = picks :+ best
+      }
+      picks.zipWithIndex.map { case (v, i) => (qid, v, i.toLong + 1) }
+    }.toSeq
+    val got = Ext.simMmrRerank(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected,
+      s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+  }
+
+  test("sim_hybrid_rrf: every fused row carries at least one leg; both legs contribute somewhere") {
+    val rows = Ext.simHybridRrf(spark, sf0001)
+      .select(col("rank_v"), col("rank_t"))
+      .as[(Option[Long], Option[Long])].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._1.nonEmpty || r._2.nonEmpty),
+      "a fused row with NO source rank")
+    assert(rows.exists(_._1.nonEmpty) && rows.exists(_._2.nonEmpty),
+      "one leg never contributed — fusion degenerate")
+  }
+
   test("geo_geofence_count matches a brute-force ray cast") {
     val dxs = Array(3, 1, 0, -1, -3, -1, 0, 1)
     val dys = Array(0, 1, 3, 1, 0, -1, -3, -1)
