@@ -4315,6 +4315,60 @@ object Ext {
       .orderBy(col("user_id"), col("ts_us"), col("event_id"), col("f"))
   }
 
+  /** STREAMING EWMA SINK — the FIFTEENTH Structured Streaming job
+    * under the batch oracle gate, and the first whose batch twin is a
+    * REGISTERED QUERY ([[Warehouse.tsEwma]] — both sides share one
+    * oracle string, so the stream is pinned to the batch operator, not
+    * just to SQL): every event ping emits its trailing-16-frame
+    * binary-decay EWMA as the exact (num, den) integer pair. State per
+    * vehicle = the funnel-style in-watermark pending buffer + an O(16)
+    * frame tail; ordering under scrambled delivery follows the
+    * watermark-gating argument shared by all the sinks here. */
+  def streamEwmaSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Tmp
+    import graft.streaming.StreamOps
+    import s.implicits._
+    val log = graft.core.PhaseLog.start("stream_ewma")
+    val ev = events(s, dir).select(col("user_id"),
+      timestamp_micros(col("ts_us")).as("t"), col("ts_us"), col("event_id"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val inDir = Tmp.jvmScopedDir("stream_ewma_in", dir)
+    val outDir = Tmp.jvmScopedDir("stream_ewma_out", dir)
+    val ckDir = Tmp.jvmScopedDir("stream_ewma_ck", dir)
+    val wmUs = 600000000L
+    val stagedMarker = new java.io.File(inDir, "_graft_staged")
+    if (!stagedMarker.exists()) {
+      val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0)
+      Tmp.deleteRecursively(inDir)
+      new java.io.File(inDir).mkdirs()
+      def sentinel(tsUs: Long): DataFrame =
+        s.range(1).select(lit(-1L).as("user_id"),
+          timestamp_micros(lit(tsUs)).as("t"), lit(tsUs).as("ts_us"),
+          lit(-1L).as("event_id"), lit(0L).as("cents"))
+      val now = System.currentTimeMillis()
+      stageMtimeFile(ev, inDir, "f0.parquet", now - 60000L)
+      stageMtimeFile(sentinel(maxTs + 100L * wmUs), inDir, "f1.parquet", now - 40000L)
+      stageMtimeFile(sentinel(maxTs + 200L * wmUs), inDir, "f2.parquet", now - 20000L)
+      java.nio.file.Files.createFile(stagedMarker.toPath): Unit
+      log("staged inputs")
+    } else log("reusing staged inputs")
+    runStreamToParquet(s, outDir, ckDir,
+      Map("spark.sql.shuffle.partitions" -> "8"), log) {
+      val pings = s.readStream
+        .schema("user_id BIGINT, t TIMESTAMP, ts_us BIGINT, " +
+          "event_id BIGINT, cents BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .as[StreamOps.EwmaPing]
+      StreamOps.ewmaStream(pings, "10 minutes").toDF()
+    }
+    s.read.parquet(outDir)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("cents"),
+        col("num"), col("den"), col("ewma"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
   /** Feed-drift report over the mixed-format timestamp feed: per-format
     * row counts from `TimeOps.matchedFormat` (the same generated
     * `yy-`/`yyyy-` mix as [[csvRoundtrip]]) — the monitoring surface that
@@ -4601,6 +4655,7 @@ object Ext {
     "stream_cdc_sink" -> streamCdcSink _,
     "stream_geofence_sink" -> streamGeofenceSink _,
     "stream_geofence_tws_sink" -> streamGeofenceTwsSink _,
+    "stream_ewma_sink" -> streamEwmaSink _,
     "stream_dedup_sink" -> streamDedupSink _,
     "stream_asof_sink" -> streamAsofSink _,
     "stream_enrich_sink" -> streamEnrichSink _,

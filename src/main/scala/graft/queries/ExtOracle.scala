@@ -1662,6 +1662,8 @@ object ExtOracle {
     // as geo_geofence_count, lag(inside) per (user, fence), one row per
     // membership flip (first ping per user establishes the baseline)
     "stream_geofence_sink" -> geofenceSinkSql,
+    // the streaming EWMA is pinned to the BATCH operator's oracle
+    "stream_ewma_sink" -> WarehouseOracle.tsEwmaSql,
     "stream_geofence_tws_sink" -> geofenceSinkSql,
 
 

@@ -10,6 +10,27 @@ object WarehouseOracle {
 
   private val DayUs = "86400000000"
 
+  /** Shared by the batch query AND the streaming EWMA sink (same
+    * integer num/den contract, same read-back shape). */
+  private[queries] val tsEwmaSql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+           FROM events),
+         f AS (SELECT user_id, ts_us, event_id, cents,
+             list(cents) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS frame
+           FROM e)
+         SELECT user_id, ts_us, event_id, cents,
+           CAST(list_sum(list_transform(frame,
+             (x, i) -> x * ((CAST(1 AS BIGINT) << (i - 1))))) AS BIGINT)
+             AS num,
+           (CAST(1 AS BIGINT) << len(frame)) - 1 AS den,
+           CAST(list_sum(list_transform(frame,
+             (x, i) -> x * ((CAST(1 AS BIGINT) << (i - 1))))) AS DOUBLE)
+             / ((CAST(1 AS BIGINT) << len(frame)) - 1) AS ewma
+         FROM f ORDER BY user_id, ts_us, event_id"""
+
   val all: Map[String, String] = Map(
     "merge_upsert" ->
       """WITH upd AS (
@@ -946,23 +967,7 @@ object WarehouseOracle {
     // exact integer num/den of the 16-tap binary-decay EWMA; the only
     // float op is the final correctly-rounded division
     "ts_ewma" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-             CAST(floor(value * 100) AS BIGINT) AS cents
-           FROM events),
-         f AS (SELECT user_id, ts_us, event_id, cents,
-             list(cents) OVER (PARTITION BY user_id
-               ORDER BY ts_us, event_id
-               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS frame
-           FROM e)
-         SELECT user_id, ts_us, event_id, cents,
-           CAST(list_sum(list_transform(frame,
-             (x, i) -> x * ((CAST(1 AS BIGINT) << (i - 1))))) AS BIGINT)
-             AS num,
-           (CAST(1 AS BIGINT) << len(frame)) - 1 AS den,
-           CAST(list_sum(list_transform(frame,
-             (x, i) -> x * ((CAST(1 AS BIGINT) << (i - 1))))) AS DOUBLE)
-             / ((CAST(1 AS BIGINT) << len(frame)) - 1) AS ewma
-         FROM f ORDER BY user_id, ts_us, event_id""",
+      tsEwmaSql,
 
     "ts_resample_grid" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value, event_id

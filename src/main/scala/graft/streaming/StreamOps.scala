@@ -706,6 +706,62 @@ object StreamOps {
         new GeofenceProcessor, TimeMode.EventTime(), OutputMode.Append())
   }
 
+  case class EwmaPing(user_id: Long, t: java.sql.Timestamp, ts_us: Long,
+      event_id: Long, cents: Long)
+
+  /** Detector state: in-watermark pings (rate × delay-bounded) plus the
+    * last ≤15 PROCESSED cents, oldest first — the 16-tap frame tail. */
+  case class EwmaState(pending: Seq[(Long, Long, Long)], tail: Seq[Long])
+
+  case class EwmaOut(user_id: Long, ts_us: Long, event_id: Long,
+      cents: Long, num: Long, den: Long, ewma: Double)
+
+  /** Pure step of the STREAMING 16-tap binary-decay EWMA (batch twin:
+    * `Warehouse.tsEwma`, same integer num/den contract): watermark-gated
+    * like [[funnelStep]], processing ready pings in (ts, event_id)
+    * order; each emits Σ frameⱼ·2ʲ over its trailing ≤16 frame. */
+  private[graft] def ewmaStep(
+      key: Long, evs: Seq[EwmaPing], st0: EwmaState, wmUs: Long)
+      : (Seq[EwmaOut], EwmaState, Option[Long]) = {
+    val all = st0.pending ++
+      evs.filter(_.ts_us >= wmUs).map(e => (e.ts_us, e.event_id, e.cents))
+    val (ready, pending) = all.partition(_._1 < wmUs)
+    var tail = st0.tail
+    val outs = ready.sortBy(p => (p._1, p._2)).map { case (ts, eid, c) =>
+      val frame = (tail :+ c).takeRight(16)
+      var num = 0L
+      var j = 0
+      while (j < frame.length) { num += frame(j) << j; j += 1 }
+      val den = (1L << frame.length) - 1L
+      tail = frame.takeRight(15)
+      EwmaOut(key, ts, eid, c, num, den, num.toDouble / den)
+    }
+    val timer = pending.map(_._1).minOption
+      .map(us => math.max(wmUs / 1000L + 1L, us / 1000L + 1L))
+    (outs, EwmaState(pending, tail), timer)
+  }
+
+  /** STREAMING EWMA — the time-series smoother as an incremental
+    * stateful stream; O(16) state per key, emission exactly once. */
+  def ewmaStream(
+      pings: Dataset[EwmaPing],
+      watermarkDelay: String = "10 minutes"): Dataset[EwmaOut] = {
+    import pings.sparkSession.implicits._
+    pings
+      .withWatermark("t", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[EwmaPing], state: GroupState[EwmaState]) =>
+          val (out, next, timer) = ewmaStep(key, it.toSeq,
+            state.getOption.getOrElse(EwmaState(Nil, Nil)),
+            state.getCurrentWatermarkMs() * 1000L)
+          state.update(next)
+          timer.foreach(state.setTimeoutTimestamp)
+          out.iterator
+      }
+  }
+
   /** Stream-static enrichment join: each streaming event picks up its
     * key's static dimension row — the streaming twin of the batch
     * broadcast dim join (J2/J3). Stateless: the static side is (re)read

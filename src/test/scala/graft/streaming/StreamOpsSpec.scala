@@ -640,4 +640,36 @@ class StreamOpsSpec extends SparkSpec {
       GeoTransition(1L, us(20), 2L, 1L, "enter"),
       GeoTransition(1L, us(30), 3L, 0L, "exit")), s"got $rows")
   }
+
+  test("ewmaStream: scrambled delivery still emits event-time frames; late pings drop") {
+    import StreamOps.{EwmaOut, EwmaPing}
+    def us(minute: Long) = BaseUs + minute * 60L * 1000000L
+    def ping(user: Long, minute: Long, id: Long, cents: Long) =
+      EwmaPing(user, new Timestamp(us(minute) / 1000L), us(minute), id, cents)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EwmaPing]
+    val out = StreamOps.ewmaStream(mem.toDS(), "30 minutes")
+    val qname = s"q${System.nanoTime()}"
+    val query = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      // event-time ladder 10→20→30 cents 4, 2, 6; delivered scrambled
+      mem.addData(Seq(ping(1, 30, 3, 6), ping(1, 10, 1, 4)))
+      query.processAllAvailable()
+      mem.addData(Seq(ping(1, 20, 2, 2)))
+      query.processAllAvailable()
+      mem.addData(Seq(ping(2, 2000, 9, 1))) // watermark pusher
+      query.processAllAvailable()
+      mem.addData(Seq(ping(1, 15, 5, 100))) // genuinely late: dropped
+      query.processAllAvailable()
+      mem.addData(Seq.empty[EwmaPing])
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table(qname).as[EwmaOut].collect()
+      .filter(_.user_id == 1L).sortBy(_.ts_us)
+    // frames in EVENT-time order: [4]=4/1, [4,2]=4+2·2=8/3, [4,2,6]=4+4+24=32/7
+    assert(rows.map(r => (r.ts_us, r.cents, r.num, r.den)).toSeq == Seq(
+      (us(10), 4L, 4L, 1L), (us(20), 2L, 8L, 3L), (us(30), 6L, 32L, 7L)),
+      s"got ${rows.toSeq}")
+  }
 }
