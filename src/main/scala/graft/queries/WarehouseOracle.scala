@@ -116,6 +116,55 @@ object WarehouseOracle {
                 ELSE 'C' END AS abc
          FROM c ORDER BY l_partkey""",
 
+    // rebuild-then-diff: both histories from the one run-detection
+    // pattern, the delta via null-safe full-outer compare
+    "scd2_backfill" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+             event_id FROM events),
+         late AS (SELECT user_id, 'backfill' AS event_type,
+             (min(ts_us) + max(ts_us)) // 2 AS ts_us,
+             user_id + 1000000000 AS event_id
+           FROM ev WHERE user_id % 13 = 0 GROUP BY user_id),
+         src1 AS (SELECT * FROM ev UNION ALL SELECT * FROM late),
+         ch0 AS (SELECT user_id, event_type, ts_us, event_id,
+             lag(event_type) OVER w AS prev_type FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         r0 AS (SELECT user_id, event_type, ts_us, event_id FROM ch0
+           WHERE prev_type IS NULL OR prev_type <> event_type),
+         h0 AS (SELECT user_id, event_type AS t0,
+             ts_us AS valid_from_us,
+             lead(ts_us) OVER w AS old_valid_to_us,
+             CAST(row_number() OVER w AS BIGINT) AS old_version
+           FROM r0 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         ch1 AS (SELECT user_id, event_type, ts_us, event_id,
+             lag(event_type) OVER w AS prev_type FROM src1
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         r1 AS (SELECT user_id, event_type, ts_us, event_id FROM ch1
+           WHERE prev_type IS NULL OR prev_type <> event_type),
+         h1 AS (SELECT user_id, event_type AS t1,
+             ts_us AS valid_from_us,
+             lead(ts_us) OVER w AS new_valid_to_us,
+             CAST(row_number() OVER w AS BIGINT) AS new_version
+           FROM r1 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         j AS (SELECT coalesce(h0.user_id, h1.user_id) AS user_id,
+             coalesce(h0.valid_from_us, h1.valid_from_us) AS valid_from_us,
+             t0, t1, old_valid_to_us, new_valid_to_us,
+             old_version, new_version
+           FROM h0 FULL OUTER JOIN h1
+             ON h0.user_id = h1.user_id
+             AND h0.valid_from_us = h1.valid_from_us)
+         SELECT user_id, valid_from_us, coalesce(t1, t0) AS event_type,
+           CASE WHEN t0 IS NULL THEN 'A'
+                WHEN old_valid_to_us IS NOT DISTINCT FROM new_valid_to_us
+                  AND old_version = new_version THEN NULL
+                ELSE 'C' END AS change,
+           old_valid_to_us, new_valid_to_us, old_version, new_version
+         FROM j
+         WHERE NOT (t0 IS NOT NULL
+             AND old_valid_to_us IS NOT DISTINCT FROM new_valid_to_us
+             AND old_version = new_version)
+         ORDER BY user_id, valid_from_us""",
+
     "scd2_history" ->
       """WITH ch AS (
            SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
