@@ -104,6 +104,41 @@ object Ext {
       .orderBy(col("source"))
   }
 
+  /** CORPUS-DIVERSITY report per source — the health metrics a data
+    * curator reads next to the [[pipelineCurationReport]] funnel:
+    * type-token ratio and distinct-bigram ratio (both in exact ppm via
+    * integer division) say whether a source is linguistically varied or
+    * boilerplate; a crawler loop or template farm shows up as a ttr
+    * collapse long before eyeballing finds it.
+    *
+    * Scale: token and bigram streams are scan-local generators; each
+    * distinct-count is one hash shuffle with partial aggregation, and
+    * the report is |sources|-sized. */
+  def textDiversityBySource(s: SparkSession, dir: String): DataFrame = {
+    val tk = docsTok(s, dir).select(col("source"), col("toks"))
+    val base = tk.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("n_tokens"))
+    val toks = tk.select(col("source"), explode(col("toks")).as("tok"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("tok")).as("distinct_tokens"))
+    val bi = tk.filter(size(col("toks")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> concat(toks[i-1], ' ', toks[i]))")).as("bg"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bg")).as("distinct_bigrams"))
+    base.join(toks, Seq("source")).join(bi, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("distinct_tokens"),
+        expr("distinct_tokens * 1000000 div n_tokens").as("ttr_ppm"),
+        col("n_bigrams"), col("distinct_bigrams"),
+        expr("distinct_bigrams * 1000000 div n_bigrams")
+          .as("bigram_ttr_ppm"))
+      .orderBy(col("source"))
+  }
+
   def textQualityFilter(s: SparkSession, dir: String): DataFrame =
     docsTok(s, dir).select(
         col("doc_id"),
@@ -4570,6 +4605,7 @@ object Ext {
     "text_lm_bigram" -> textLmBigram _,
     "text_quality_filter" -> textQualityFilter _,
     "pipeline_curation_report" -> pipelineCurationReport _,
+    "text_diversity_by_source" -> textDiversityBySource _,
     "text_contamination" -> textContamination _,
     "text_decontaminate" -> textDecontaminate _,
     "text_decontaminate_bloom" -> textDecontaminateBloom _,

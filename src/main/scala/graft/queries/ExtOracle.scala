@@ -269,6 +269,28 @@ object ExtOracle {
            LEFT JOIN c3 USING (source)
          ORDER BY source""",
 
+    // exact integer counts and ppm ratios per source
+    "text_diversity_by_source" ->
+      s"""WITH tok AS (SELECT source, $toks AS toks FROM documents),
+         base AS (SELECT source, count(*) AS n_docs,
+             CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+           FROM tok GROUP BY source),
+         dt AS (SELECT source, count(DISTINCT tok) AS distinct_tokens
+           FROM (SELECT source, unnest(toks) AS tok FROM tok)
+           GROUP BY source),
+         bi AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+             count(DISTINCT bg) AS distinct_bigrams
+           FROM (SELECT source, unnest(list_transform(
+               range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+             FROM tok WHERE len(toks) >= 2)
+           GROUP BY source)
+         SELECT source, n_docs, n_tokens, distinct_tokens,
+           (distinct_tokens * 1000000) // n_tokens AS ttr_ppm,
+           n_bigrams, distinct_bigrams,
+           (distinct_bigrams * 1000000) // n_bigrams AS bigram_ttr_ppm
+         FROM base JOIN dt USING (source) JOIN bi USING (source)
+         ORDER BY source""",
+
     "text_lang_id" ->
       s"""WITH tok AS (SELECT lang, $toks AS toks FROM documents),
          sc AS (SELECT lang,
