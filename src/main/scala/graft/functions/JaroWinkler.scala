@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Jaro-Winkler similarity — the graded cousin of the
+  * levenshtein entity-resolution join (`join_fuzzy_names`): a REAL
+  * similarity score in [0, 1] instead of an edit-count threshold, which
+  * is what name-matching pipelines actually rank by.
+  *
+  * The algorithm is the textbook one (match window ⌊max(|a|,|b|)/2⌋−1,
+  * transpositions halved, prefix boost ≤ 4 chars at p = 0.1, boost
+  * applied unconditionally) — verified bit-equal to DuckDB's
+  * `jaro_winkler_similarity` on the real name corpus, and every
+  * arithmetic step is a division/add of small integers, so the score is
+  * hash-exact cross-engine. Operates per Java char; the contract is
+  * ASCII name columns (the DuckDB twin is byte-based — identical on
+  * ASCII). Codegen: one static call on two UTF8Strings, fused like
+  * [[Haversine]].
+  */
+@ExpressionDescription(
+  usage = "jaro_winkler(s1, s2) - Jaro-Winkler similarity in [0, 1]")
+case class JaroWinkler(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "jaro_winkler"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.sim(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaroWinkler.sim($a.toString(), $b.toString())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+  def sim(s1: String, s2: String): Double = {
+    if (s1 == s2) return 1.0
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val md = math.max(l1, l2) / 2 - 1
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - md)
+      val hi = math.min(l2, i + md + 1)
+      var j = lo
+      var done = false
+      while (j < hi && !done) {
+        if (!m2(j) && s2.charAt(j) == s1.charAt(i)) {
+          m1(i) = true; m2(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 +
+      (m - t).toDouble / m) / 3
+    var l = 0
+    val maxP = math.min(4, math.min(l1, l2))
+    while (l < maxP && s1.charAt(l) == s2.charAt(l)) l += 1
+    jaro + l * 0.1 * (1 - jaro)
+  }
+}

@@ -57,6 +57,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SeqL2Long(args(0), args(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(
+        classOf[graft.functions.JaroWinkler].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "jaro_winkler(s1, s2)")
+        graft.functions.JaroWinkler(args(0), args(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("geofence_mask"),
       new ExpressionInfo(
         classOf[graft.functions.GeofenceMask].getName, "geofence_mask"),

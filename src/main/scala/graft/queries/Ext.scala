@@ -2724,6 +2724,46 @@ object Ext {
       .orderBy(col("f"))
   }
 
+  /** GRADED fuzzy name matching — [[joinFuzzyNames]]'s ranking twin:
+    * the same dedupe-then-propagate blocked shape, but scored by the
+    * native codegen [[graft.functions.JaroWinkler]] similarity instead
+    * of a levenshtein edit cap, keeping each probe's best match at
+    * jw ≥ 0.93. Boost-threshold variants of Winkler's prefix bonus
+    * cannot disagree across the 0.93 filter (an unboosted jaro ≤ 0.7
+    * boosts to ≤ 0.82), so the gate is variant-proof by construction.
+    *
+    * Scale: identical to the levenshtein twin — |distinct names|²
+    * inside 2-char blocks, never row counts. */
+  def joinFuzzyJw(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    def jw(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      Bridge.column(graft.functions.JaroWinkler(
+        Bridge.expression(a), Bridge.expression(b)))
+    val parts = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+    val nameStats = parts.groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("min_key"))
+    val probeNames = parts
+      .filter(col("p_partkey") % 5 === 0 && length(col("p_name")) >= 4)
+      .select(concat(substring(col("p_name"), 1, 2), expr("substr(p_name, 4)"))
+        .as("probe_name"))
+      .distinct()
+    val cands = probeNames.withColumn("blk", substring(col("probe_name"), 1, 2))
+      .join(nameStats.withColumn("blk", substring(col("p_name"), 1, 2)),
+        Seq("blk"))
+      .withColumn("jw", jw(col("probe_name"), col("p_name")))
+      .filter(col("jw") >= 0.93)
+    val best = Window.partitionBy(col("probe_name"))
+      .orderBy(col("jw").desc, col("min_key").asc)
+    cands
+      .withColumn("rn", row_number().over(best))
+      .withColumn("n_cand_names",
+        count(lit(1)).over(Window.partitionBy(col("probe_name"))))
+      .filter(col("rn") === 1)
+      .select(col("probe_name"), col("min_key").as("match_key"),
+        col("jw"), col("n_cand_names"))
+      .orderBy(col("probe_name"))
+  }
+
   /** SPEEDING-SEGMENT detection — per vehicle, consecutive-ping
     * segments whose implied speed exceeds a threshold, with the count and
     * the longest flagged hop (fleet-compliance reporting; the
@@ -4683,6 +4723,7 @@ object Ext {
     "geo_geofence_count" -> geoGeofenceCount _,
     "geo_geofence_dwell" -> geoGeofenceDwell _,
     "geo_speeding" -> geoSpeeding _,
+    "join_fuzzy_jw" -> joinFuzzyJw _,
     "stream_sessionize_sink" -> streamSessionizeSink _,
     "stream_interval_join_sink" -> streamIntervalJoinSink _,
     "stream_interval_outer_sink" -> streamIntervalOuterSink _,

@@ -2004,6 +2004,30 @@ object ExtOracle {
              AS n_dwell_users
          FROM b GROUP BY f ORDER BY f""",
 
+    // graded fuzzy twin: DuckDB's jaro_winkler_similarity is bit-equal
+    // to the engine's native expression on ASCII names, and no Winkler
+    // boost-threshold variant can cross the 0.93 filter
+    "join_fuzzy_jw" ->
+      """WITH parts AS (SELECT p_partkey, p_name FROM part),
+         ns AS (SELECT p_name, min(p_partkey) AS min_key
+           FROM parts GROUP BY p_name),
+         probes AS (SELECT DISTINCT
+             substr(p_name, 1, 2) || substr(p_name, 4) AS probe_name
+           FROM parts WHERE p_partkey % 5 = 0 AND length(p_name) >= 4),
+         cand AS (SELECT probe_name, min_key,
+             jaro_winkler_similarity(probe_name, p_name) AS jw
+           FROM probes JOIN ns
+             ON substr(probe_name, 1, 2) = substr(p_name, 1, 2)
+           WHERE jaro_winkler_similarity(probe_name, p_name) >= 0.93),
+         best AS (SELECT probe_name, min_key AS match_key, jw,
+             row_number() OVER (PARTITION BY probe_name
+               ORDER BY jw DESC, min_key) AS rn,
+             CAST(count(*) OVER (PARTITION BY probe_name) AS BIGINT)
+               AS n_cand_names
+           FROM cand)
+         SELECT probe_name, match_key, jw, n_cand_names
+         FROM best WHERE rn = 1 ORDER BY probe_name""",
+
     // cross-multiplied speed predicate (no division), equirectangular
     // metric: IEEE +,−,×,√ only — hash-exact like geo_radius_join
     "geo_speeding" ->
