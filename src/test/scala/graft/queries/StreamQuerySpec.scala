@@ -255,4 +255,43 @@ class StreamQuerySpec extends SparkSpec {
       s"expected stages 1 and 2 exactly once across the restart, got $got")
     Seq(inDir, ckDir, outDir).foreach(Tmp.deleteRecursively)
   }
+
+  test("checkpoint recovery: EWMA frame tail AND pending buffer survive a restart") {
+    // run 1 finalizes ping A (cents 4 → num 4/den 1) and BUFFERS ping B;
+    // the restarted run only advances the watermark — B's frame must be
+    // [4, 2] (num 4·1 + 2·2 = 8, den 3), which requires BOTH the
+    // restored pending buffer (B itself) and the restored tail (A's 4).
+    import graft.core.Tmp
+    import sqlImplicits._
+    val inDir = Tmp.jvmScopedDir("spec_ewma_rec_in", "x")
+    val ckDir = Tmp.jvmScopedDir("spec_ewma_rec_ck", "x")
+    val outDir = Tmp.jvmScopedDir("spec_ewma_rec_out", "x")
+    Seq(inDir, ckDir, outDir).foreach(Tmp.deleteRecursively)
+    new java.io.File(inDir).mkdirs()
+    def stage(name: String, rows: Seq[(Long, Long, Long, Long)]): Unit =
+      stagePartFile(rows.map { case (u, m, id, c) =>
+        (u, new java.sql.Timestamp(m * 60L * 1000L), m * 60L * 1000000L, id, c) }
+        .toDF("user_id", "t", "ts_us", "event_id", "cents"), inDir, name)
+    def runOnce(): Unit = runAvailableNow(outDir, ckDir) {
+      val in = spark.readStream
+        .schema("user_id BIGINT, t TIMESTAMP, ts_us BIGINT, " +
+          "event_id BIGINT, cents BIGINT")
+        .parquet(inDir)
+        .as[graft.streaming.StreamOps.EwmaPing]
+      graft.streaming.StreamOps.ewmaStream(in, "10 minutes").toDF()
+    }
+    stage("f0.parquet", Seq((1L, 6000L, 1L, 4L), (1L, 6020L, 2L, 2L)))
+    runOnce()
+    stage("f1.parquet", Seq((-1L, 7000L, -1L, 0L)))
+    runOnce()
+    val got = spark.read.parquet(outDir).filter(col("user_id") >= 0)
+      .select(col("ts_us"), col("num"), col("den"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got == Seq(
+      (6000L * 60L * 1000000L, 4L, 1L),
+      (6020L * 60L * 1000000L, 8L, 3L)),
+      s"expected the restored tail to feed B's frame exactly once, got $got")
+    Seq(inDir, ckDir, outDir).foreach(Tmp.deleteRecursively)
+  }
 }
