@@ -724,6 +724,75 @@ object Warehouse {
     * an UNBOUNDED-to-−1 frame per (user, session). Purchases opening a
     * session attribute to `none`. One exchange serves sessionization
     * and the touch window. */
+  /** SHAPLEY channel attribution — the game-theoretic credit split
+    * marketing analytics actually wants (last-touch, which
+    * [[eventsAttribution]] implements, over-credits closers): each
+    * non-purchase event type is a channel, a user's coalition is the
+    * SET of channels they were exposed to, v(S) = conversion rate of
+    * users exposed to exactly S (0 for unobserved coalitions,
+    * documented), and φ_c = Σ_{S∌c} |S|!(n−1−|S|)!/n! · (v(S∪c) − v(S))
+    * over the 2⁴ exposure subsets.
+    *
+    * Exactness: the subset table is integer counts; v is one
+    * correctly-rounded division; the factorial weights are computed as
+    * `fact(k)·fact(n−1−k)/n!` in BOTH engines (integer products, one
+    * division); and the φ sum folds in PINNED subset-mask order
+    * (sorted-array aggregate — the [[Ext.textLmBigram]] determinism
+    * pattern), so the doubles are hash-exact with zero tolerance.
+    *
+    * Scale: ONE user-keyed rollup to (mask, conv) — everything after is
+    * arithmetic over ≤16 rows crossed with 4 channels. */
+  def eventsAttributionShapley(s: SparkSession, dir: String): DataFrame = {
+    val chans = Seq("click", "error", "signup", "view") // bit 0..3
+    // exposure = events BEFORE the user's first purchase (post-conversion
+    // touches get no credit — and the window is what differentiates
+    // coalitions in a dense feed where every user eventually sees
+    // every channel)
+    val firstConv = events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("conv_ts"),
+        count(lit(1)).as("n_purch"))
+    val users = events(s, dir)
+      .join(firstConv, Seq("user_id"), "left")
+      .filter(col("conv_ts").isNull || col("ts_us") < col("conv_ts"))
+      .groupBy(col("user_id"))
+      .agg(
+        expr(s"bit_or(CASE event_type WHEN 'click' THEN 1 " +
+          "WHEN 'error' THEN 2 WHEN 'signup' THEN 4 " +
+          "WHEN 'view' THEN 8 ELSE 0 END)").as("mask"),
+        max(when(col("n_purch") >= 14, 1).otherwise(0)).as("conv"))
+    val subsets = users.groupBy(col("mask"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    import s.implicits._
+    val allMasks = s.range(16).select(col("id").cast("int").as("mask"))
+    val v = allMasks.join(subsets, Seq("mask"), "left")
+      .select(col("mask"),
+        coalesce(col("n_conv").cast("double") / col("n_users"), lit(0.0))
+          .as("v"))
+    val chanDf = chans.zipWithIndex.map { case (c, i) => (c, i) }
+      .toDF("channel", "cbit")
+    // terms: for each channel c and each S with bit c unset —
+    // w(|S|) · (v(S ∪ c) − v(S)); folded in mask order
+    val terms = chanDf.crossJoin(v.select(col("mask").as("smask"),
+        col("v").as("v_s")))
+      .filter(expr("(smask & shiftleft(1, cbit)) = 0"))
+      .join(v.select(col("mask").as("umask"), col("v").as("v_su")),
+        expr("umask = (smask | shiftleft(1, cbit))"))
+      .withColumn("k", expr("bit_count(smask)"))
+      .withColumn("w", expr(
+        """CAST(CASE k WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2
+             WHEN 3 THEN 6 END *
+           CASE k WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 1
+             WHEN 3 THEN 1 END AS DOUBLE) / 24.0"""))
+      .select(col("channel"),
+        struct(col("smask"), (col("w") * (col("v_su") - col("v_s")))
+          .as("term")).as("e"))
+    terms.groupBy(col("channel"))
+      .agg(aggregate(array_sort(collect_list(col("e"))), lit(0.0),
+        (a, x) => a + x.getField("term")).as("phi"))
+      .orderBy(col("channel"))
+  }
+
   def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
     val sess = graft.core.Sessionize.withSessionId(
       events(s, dir), Seq("user_id"), col("ts_us"),
@@ -1907,6 +1976,7 @@ object Warehouse {
     "ts_ewma" -> tsEwma _,
     "profile_correlation" -> profileCorrelation _,
     "scd2_backfill" -> scd2Backfill _,
+    "events_attribution_shapley" -> eventsAttributionShapley _,
     "ts_interpolate" -> tsInterpolate _,
     "events_rfm" -> eventsRfm _,
     "events_pattern_regex" -> eventsPatternRegex _,

@@ -116,6 +116,46 @@ object WarehouseOracle {
                 ELSE 'C' END AS abc
          FROM c ORDER BY l_partkey""",
 
+    // Shapley over the 2^4 exposure-subset conversion table; the phi
+    // fold runs in pinned subset-mask order so the doubles are exact
+    "events_attribution_shapley" ->
+      """WITH fc AS (SELECT user_id, min(epoch_us(ts)) AS conv_ts,
+             count(*) AS n_purch
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         u AS (SELECT e.user_id,
+             bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+               WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END) AS mask,
+             max(CASE WHEN fc.n_purch >= 14 THEN 1 ELSE 0 END) AS conv
+           FROM events e LEFT JOIN fc ON e.user_id = fc.user_id
+           WHERE fc.conv_ts IS NULL OR epoch_us(e.ts) < fc.conv_ts
+           GROUP BY e.user_id),
+         sub AS (SELECT mask, count(*) AS n_users,
+             CAST(sum(conv) AS BIGINT) AS n_conv
+           FROM u GROUP BY mask),
+         v AS (SELECT m.mask,
+             coalesce(CAST(s.n_conv AS DOUBLE) / s.n_users,
+               CAST(0.0 AS DOUBLE)) AS v
+           FROM (SELECT CAST(unnest(range(0, 16)) AS INT) AS mask) m
+           LEFT JOIN sub s USING (mask)),
+         ch AS (SELECT * FROM (VALUES ('click', 0), ('error', 1),
+             ('signup', 2), ('view', 3)) AS t(channel, cbit)),
+         terms AS (SELECT ch.channel, vs.mask AS smask,
+             CAST(CASE bit_count(vs.mask) WHEN 0 THEN 1 WHEN 1 THEN 1
+                 WHEN 2 THEN 2 WHEN 3 THEN 6 END *
+               CASE bit_count(vs.mask) WHEN 0 THEN 6 WHEN 1 THEN 2
+                 WHEN 2 THEN 1 WHEN 3 THEN 1 END AS DOUBLE) / 24.0
+               * (vu.v - vs.v) AS term
+           FROM ch
+           JOIN v vs ON (vs.mask & (1 << ch.cbit)) = 0
+           JOIN v vu ON vu.mask = (vs.mask | (1 << ch.cbit))),
+         folded AS (SELECT channel,
+             list_sort(list({'smask': smask, 'term': term})) AS es
+           FROM terms GROUP BY channel)
+         SELECT channel,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(es, e -> e.term)), (a, b) -> a + b) AS phi
+         FROM folded ORDER BY channel""",
+
     // rebuild-then-diff: both histories from the one run-detection
     // pattern, the delta via null-safe full-outer compare
     "scd2_backfill" ->

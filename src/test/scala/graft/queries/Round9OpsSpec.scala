@@ -190,6 +190,47 @@ class Round9OpsSpec extends SparkSpec {
       (3L, 5L, 1L, true), (4L, 4L, 0L, false)), s"got $got")
   }
 
+  test("events_attribution_shapley matches a brute-force Shapley and obeys efficiency") {
+    val ev = graft.core.Tables.eventsTsUs(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+      .as[(Long, String, Long)].collect()
+    val chans = Seq("click", "error", "signup", "view")
+    val byUser = ev.groupBy(_._1)
+    val users = byUser.toSeq.flatMap { case (_, rows) =>
+      val purch = rows.filter(_._2 == "purchase")
+      val convTs = if (purch.isEmpty) Long.MaxValue else purch.map(_._3).min
+      val conv = if (purch.length >= 14) 1 else 0
+      val pre = rows.filter(_._3 < convTs)
+      if (pre.isEmpty) None
+      else {
+        val mask = pre.map(r => chans.indexOf(r._2))
+          .filter(_ >= 0).map(1 << _).fold(0)(_ | _)
+        Some((mask, conv))
+      }
+    }
+    val v = (0 until 16).map { m =>
+      val g = users.filter(_._1 == m)
+      m -> (if (g.isEmpty) 0.0 else g.map(_._2).sum.toDouble / g.size)
+    }.toMap
+    def fact(n: Int): Int = (1 to n).product
+    val expected = chans.zipWithIndex.map { case (c, i) =>
+      val phi = (0 until 16).filter(m => (m & (1 << i)) == 0)
+        .sortBy(identity)
+        .map { m =>
+          val k = Integer.bitCount(m)
+          fact(k).toDouble * fact(3 - k) / 24.0 * (v(m | (1 << i)) - v(m))
+        }
+        .foldLeft(0.0)(_ + _)
+      (c, phi)
+    }
+    val got = Warehouse.eventsAttributionShapley(spark, sf0001)
+      .as[(String, Double)].collect().toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+    // efficiency: Σ φ = v(full coalition) − v(∅), within float fold slack
+    assert(math.abs(got.map(_._2).sum - (v(15) - v(0))) < 1e-12,
+      s"efficiency identity broken: ${got.map(_._2).sum} vs ${v(15) - v(0)}")
+  }
+
   test("sim_mmr_rerank matches a brute-force greedy over exact integer scores") {
     def quant(v: Seq[Float]): Array[Long] = {
       val m = v.map(x => math.abs(x.toDouble)).max
