@@ -1486,6 +1486,36 @@ object Warehouse {
               col("sum_y").cast("double") * col("sum_y"))))
       .orderBy(col("event_type"))
 
+  /** BENFORD first-digit audit on the monetary column — the classic
+    * fabricated-data / unit-mixup tripwire: leading-digit frequencies of
+    * positive floor-cents amounts vs Benford's log₁₀(1+1/d) expectation
+    * (shipped as literal ppm constants — both engines compare INTEGERS;
+    * no transcendental is evaluated anywhere). `delta_ppm` is the
+    * signed gap an alert would threshold on.
+    *
+    * Scale: one scan-local digit projection + a 9-row rollup; the total
+    * rides a window over those 9 rows. */
+  def profileBenford(s: SparkSession, dir: String): DataFrame = {
+    val expected = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    import s.implicits._
+    val expDf = expected.zipWithIndex
+      .map { case (ppm, i) => (i + 1L, ppm) }.toDF("digit", "exp_ppm")
+    events(s, dir)
+      .select(floor(col("value") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("obs_ppm",
+        expr("n * 1000000 div sum(n) OVER ()"))
+      .join(broadcast(expDf), Seq("digit"))
+      .withColumn("delta_ppm", col("obs_ppm") - col("exp_ppm"))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+        col("delta_ppm"))
+      .orderBy(col("digit"))
+  }
+
   def profileSkew(s: SparkSession, dir: String): DataFrame = {
     val counts = events(s, dir).groupBy(col("user_id")).agg(count(lit(1)).as("c"))
     val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("nk"))
@@ -1977,6 +2007,7 @@ object Warehouse {
     "profile_correlation" -> profileCorrelation _,
     "scd2_backfill" -> scd2Backfill _,
     "events_attribution_shapley" -> eventsAttributionShapley _,
+    "profile_benford" -> profileBenford _,
     "ts_interpolate" -> tsInterpolate _,
     "events_rfm" -> eventsRfm _,
     "events_pattern_regex" -> eventsPatternRegex _,

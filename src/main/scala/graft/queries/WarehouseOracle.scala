@@ -116,6 +116,25 @@ object WarehouseOracle {
                 ELSE 'C' END AS abc
          FROM c ORDER BY l_partkey""",
 
+    // integer ppm vs literal Benford constants — no transcendental runs
+    "profile_benford" ->
+      """WITH c AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents
+           FROM events),
+         d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+             AS digit
+           FROM c WHERE cents > 0),
+         g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+         o AS (SELECT digit, n,
+             CAST((n * 1000000) // CAST(sum(n) OVER () AS BIGINT)
+               AS BIGINT) AS obs_ppm FROM g),
+         e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+             (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+             (9, 45757)) AS t(digit, exp_ppm))
+         SELECT o.digit, o.n, o.obs_ppm, CAST(e.exp_ppm AS BIGINT)
+             AS exp_ppm,
+           CAST(o.obs_ppm - e.exp_ppm AS BIGINT) AS delta_ppm
+         FROM o JOIN e ON o.digit = e.digit ORDER BY o.digit""",
+
     // Shapley over the 2^4 exposure-subset conversion table; the phi
     // fold runs in pinned subset-mask order so the doubles are exact
     "events_attribution_shapley" ->
