@@ -2277,10 +2277,13 @@ object Ext {
     * first-fit precedent), so this is fully value-gated.
     *
     * Scale: candidates are k-bounded per probe (the expensive part is
-    * [[simHybridRrf]]-style top-k, already partial-pruned); the greedy
-    * runs over |probes|·k² pair sims — driver-paced rounds over
-    * k-bounded relations with `localCheckpoint` per round (the BPE /
-    * BFS iteration discipline), never corpus-sized. */
+    * [[simHybridRrf]]-style top-k, already partial-pruned). Each
+    * probe's greedy is INDEPENDENT, so the selection runs as one
+    * qid-keyed cogroup of the candidate and pair-sim relations — ≤ k
+    * candidates + k² sims per group, the greedy in plain Scala inside
+    * `cogroup` (the DBSCAN discipline) — ONE shuffle, no driver-paced
+    * rounds (the r9 first cut iterated 10 argmax jobs; same output,
+    * 10× the scheduling). */
   def simMmrRerank(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
@@ -2296,36 +2299,38 @@ object Ext {
       .select(col("qid"), col("vec_id"), col("rel"), col("qv"))
       .localCheckpoint()
     val pairs = rel.select(col("qid"), col("vec_id").as("c"),
-        col("rel").as("crel"), col("qv").as("cq"))
+        col("qv").as("cq"))
       .join(rel.select(col("qid"), col("vec_id").as("s"), col("qv").as("sq")),
         Seq("qid"))
       .filter(col("c") =!= col("s"))
       .select(col("qid"), col("c"), col("s"),
         Similarity.intDot(col("cq.q"), col("sq.q")).as("sim"))
-      .localCheckpoint()
-    val w1 = Window.partitionBy(col("qid"))
-      .orderBy(col("rel").desc, col("vec_id"))
-    var selected = rel
-      .withColumn("rk1", row_number().over(w1)).filter(col("rk1") === 1)
-      .select(col("qid"), col("vec_id"), lit(1L).as("step"))
-      .localCheckpoint()
-    for (step <- 2 to 10) {
-      val msim = pairs
-        .join(selected.select(col("qid"), col("vec_id").as("s")),
-          Seq("qid", "s"))
-        .groupBy(col("qid"), col("c")).agg(max(col("sim")).as("msim"))
-      val wB = Window.partitionBy(col("qid"))
-        .orderBy(col("score").desc, col("vec_id"))
-      val best = rel.select(col("qid"), col("vec_id"), col("rel"))
-        .join(selected.select(col("qid"), col("vec_id")),
-          Seq("qid", "vec_id"), "left_anti")
-        .join(msim.withColumnRenamed("c", "vec_id"), Seq("qid", "vec_id"))
-        .withColumn("score", col("rel") * 2 - col("msim"))
-        .withColumn("rkB", row_number().over(wB)).filter(col("rkB") === 1)
-        .select(col("qid"), col("vec_id"), lit(step.toLong).as("step"))
-      selected = selected.union(best).localCheckpoint()
-    }
-    selected.orderBy(col("qid"), col("step"))
+    import s.implicits._
+    val relRows = rel.select(col("qid"), col("vec_id"), col("rel"))
+      .as[(Long, Long, Long)]
+    val pairRows = pairs.as[(Long, Long, Long, Long)]
+    relRows.groupByKey(_._1)
+      .cogroup(pairRows.groupByKey(_._1)) { (qid, rs, ps) =>
+        val cand = rs.map(r => (r._2, r._3)).toArray
+        val relMap = cand.toMap
+        val sim = ps.map(p => ((p._2, p._3), p._4)).toMap
+        val seed = cand.minBy { case (id, r) => (-r, id) }._1
+        var picks = Vector(seed)
+        while (picks.size < 10 && picks.size < cand.length) {
+          val best = cand.iterator.map(_._1)
+            .filterNot(picks.contains)
+            .map { c =>
+              val msim = picks.map(p => sim((c, p))).max
+              (c, 2 * relMap(c) - msim)
+            }
+            .minBy { case (c, sc) => (-sc, c) }._1
+          picks = picks :+ best
+        }
+        picks.iterator.zipWithIndex
+          .map { case (v, i) => (qid, v, i.toLong + 1) }
+      }
+      .toDF("qid", "vec_id", "step")
+      .orderBy(col("qid"), col("step"))
   }
 
   /** Int8-quantized top-10: exact integer dot-product ranking over
