@@ -3298,6 +3298,36 @@ object Ext {
     * parse, aggregate. The oracle computes the same aggregate straight
     * from parquet — equal hashes prove the sink→source round-trip
     * lossless, including the two-digit-year normalization. */
+  /** GZIP-compressed CSV round trip — the compressed-ingest coverage
+    * the plain [[csvRoundtrip]] doesn't exercise: write the slice as
+    * gzip CSV, read it back through the codec, and hash an aggregate
+    * the oracle recomputes from the ORIGINAL parquet — equal only if
+    * every row and every value survived the text+gzip round trip
+    * (doubles survive because Spark writes shortest-repr decimal,
+    * which parses back to the identical double).
+    *
+    * 100 TB note baked into the shape: gzip is NOT splittable — one
+    * file per input partition keeps read parallelism at file
+    * granularity (the standard practice); a splittable codec or
+    * parquet is the real scale path, and this query is the
+    * compatibility surface for feeds that arrive .gz. */
+  def srcGzipRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val staged = events(s, dir).filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+    val out = graft.core.Tmp.jvmScopedDir("gzip_roundtrip", dir)
+    staged.write.mode("overwrite").option("compression", "gzip")
+      .option("header", "true").csv(out)
+    s.read.option("header", "true")
+      .schema("event_id BIGINT, user_id BIGINT, ts_us BIGINT, value DOUBLE")
+      .csv(out)
+      .groupBy((col("user_id") % 16).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_event"),
+        sum(col("ts_us")).as("sum_ts"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy(col("bucket"))
+  }
+
   def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import graft.core.TimeOps
@@ -4714,6 +4744,7 @@ object Ext {
     "join_range_bucketed" -> joinRangeBucketed _,
     "join_interval_native" -> joinIntervalNative _,
     "csv_roundtrip" -> csvRoundtrip _,
+    "src_gzip_roundtrip" -> srcGzipRoundtrip _,
     "csv_dirty_read" -> csvDirtyRead _,
     "jsonl_roundtrip" -> jsonlRoundtrip _,
     "orc_roundtrip" -> orcRoundtrip _,

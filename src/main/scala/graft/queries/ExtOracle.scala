@@ -1462,6 +1462,17 @@ object ExtOracle {
     // ;-delimited CSV sink and a mixed-format timestamp re-parse; the
     // oracle aggregates the same slice straight from parquet — matching
     // hashes prove the round-trip lossless
+    // recomputed from the ORIGINAL parquet: equality proves the
+    // text+gzip round trip was lossless
+    "src_gzip_roundtrip" ->
+      """SELECT user_id % 16 AS bucket, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_event,
+           CAST(sum(epoch_us(ts)) AS BIGINT) AS sum_ts,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+         FROM events WHERE event_type = 'view'
+         GROUP BY bucket ORDER BY bucket""",
+
     "csv_roundtrip" ->
       """WITH e AS (SELECT event_id, user_id,
              'L' || CAST(user_id % 8 AS VARCHAR) AS linenumber,

@@ -190,6 +190,20 @@ class Round9OpsSpec extends SparkSpec {
       (3L, 5L, 1L, true), (4L, 4L, 0L, false)), s"got $got")
   }
 
+  test("src_gzip_roundtrip actually writes gzip members (codec engaged, not silently plain)") {
+    Ext.all("src_gzip_roundtrip")(spark, sf0001).collect(): Unit
+    val out = new java.io.File(
+      graft.core.Tmp.jvmScopedDir("gzip_roundtrip", sf0001))
+    val parts = out.listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty, "no part files written")
+    assert(parts.forall(_.getName.endsWith(".csv.gz")),
+      s"uncompressed parts: ${parts.map(_.getName).toSeq}")
+    // gzip magic bytes in the first member
+    val in = new java.io.FileInputStream(parts.head)
+    val magic = Array.fill(2)(in.read()); in.close()
+    assert(magic.toSeq == Seq(0x1f, 0x8b), s"not gzip: $magic")
+  }
+
   test("events_attribution_shapley matches a brute-force Shapley and obeys efficiency") {
     val ev = graft.core.Tables.eventsTsUs(spark, sf0001)
       .select(col("user_id"), col("event_type"), col("ts_us"))
