@@ -155,10 +155,23 @@ object Multimodal {
           ImageIO.getImageReadersByFormatName(fmt).next())
         iter.map { case (id, bytes) =>
           val fmt = sniffFormat(bytes)
+          // a corrupt/unrecognized payload must surface as a per-row
+          // "unknown" record, not kill the whole task from an empty
+          // ImageIO reader iterator (ADVICE r9) — a 100 TB decode sweep
+          // always contains a few bad byte arrays
+          if (fmt == "unknown")
+            ImageMeta(id, "unknown", 0L, 0L, 0L, 0L)
+          else {
           val r = reader(fmt)
           val in = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
           r.setInput(in, true, true)
-          val img = r.read(0)
+          val img =
+            try r.read(0)
+            catch { case e: java.io.IOException =>
+              in.close()
+              throw new java.io.IOException(
+                s"decode failed for doc_id=$id (sniffed $fmt)", e)
+            }
           in.close()
           val (w, h) = (img.getWidth, img.getHeight)
           var sum = 0L
@@ -174,6 +187,7 @@ object Multimodal {
           }
           ImageMeta(id, fmt, w.toLong, h.toLong,
             img.getRaster.getNumBands.toLong, sum)
+          }
         }
       }
   }

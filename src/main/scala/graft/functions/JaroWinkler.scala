@@ -12,7 +12,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The algorithm is the textbook one (match window ⌊max(|a|,|b|)/2⌋−1,
   * transpositions halved, prefix boost ≤ 4 chars at p = 0.1, boost
-  * applied unconditionally) — verified bit-equal to DuckDB's
+  * applied only when jaro > 0.7 — rapidfuzz's boost-threshold rule,
+  * which DuckDB inherits) — verified bit-equal to DuckDB's
   * `jaro_winkler_similarity` on the real name corpus, and every
   * arithmetic step is a division/add of small integers, so the score is
   * hash-exact cross-engine. Operates per Java char; the contract is
@@ -86,6 +87,11 @@ object JaroWinkler {
     var l = 0
     val maxP = math.min(4, math.min(l1, l2))
     while (l < maxP && s1.charAt(l) == s2.charAt(l)) l += 1
-    jaro + l * 0.1 * (1 - jaro)
+    // Winkler prefix bonus ONLY above the 0.7 boost threshold — this is
+    // rapidfuzz's (and therefore DuckDB's) exact behavior; applying it
+    // unconditionally diverged from the oracle for jaro <= 0.7 scores
+    // (masked by join_fuzzy_jw's 0.93 gate, but any unguarded consumer
+    // of the SQL function would have silently hash-mismatched)
+    if (jaro > 0.7) jaro + l * 0.1 * (1 - jaro) else jaro
   }
 }

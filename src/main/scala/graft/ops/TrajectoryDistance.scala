@@ -137,6 +137,12 @@ object TrajectoryDistance {
       math.max(math.abs(h1lat), math.abs(l1lat)),
       math.max(math.abs(latLo), math.abs(latHi))))
     val cfloor = 1.0 - maxAbsLat * maxAbsLat / 2.0
+    // sin(x/2) monotonicity needs the ACTUAL |Δλ| ≤ π, and proj can sit
+    // anywhere inside chord2's bbox, so |Δλ| ≤ gLng + bbox width — gate
+    // the via-longitude branch on that SUM, not on gLng alone (ADVICE
+    // r9: an antimeridian-wrapping bbox could otherwise push the
+    // "provable" bound past the true distance and over-prune)
+    val widthLng = math.toRadians(lngHi - lngLo)
     def one(plng: Double, plat: Double): Double = {
       val gLat = math.toRadians(
         math.max(0.0, math.max(latLo - plat, plat - latHi)))
@@ -144,7 +150,7 @@ object TrajectoryDistance {
         math.max(0.0, math.max(lngLo - plng, plng - lngHi)))
       val viaLat = EarthRadiusKm * gLat
       val viaLng =
-        if (gLng <= math.Pi && cfloor > 0.0)
+        if (gLng + widthLng <= math.Pi && cfloor > 0.0)
           (2.0 / math.Pi) * EarthRadiusKm * cfloor * gLng
         else 0.0
       math.max(viaLat, viaLng)

@@ -2112,10 +2112,14 @@ object Ext {
     * them — a banding bug or hamming off-by-one that halved recall now
     * fails the hash gate, while `dedup_simhash` itself stays rows-only
     * (its hashes are sketch-internal). Both sketches are deterministic,
-    * so the boolean is rerun-stable. The truth∩candidate flags are
-    * collected — a documented driver-sized aggregate, |exact pairs| rows
-    * (25 at sf0.01; the same bound the recall table in `sim_ann_recall`
-    * rides) — never the candidate relation itself. Floor sits ~0.14 under
+    * so the boolean is rerun-stable. The recall is an ENGINE-SIDE
+    * aggregate over the staged truth⟕candidates flag relation (the one
+    * 1-row result broadcast-crossed back onto the flags) — NOTHING
+    * corpus-shaped ever reaches the driver (r9 verdict #1: the earlier
+    * form collected the full flag relation, small at gate scale but
+    * hundreds of millions of rows in a real dedup audit). The flag
+    * relation lands as scratch parquet so the recall scan and the
+    * output scan share one pair-mining pass. Floor sits ~0.14 under
     * the weakest measured SF (recall sf0.001/0.01/0.1 = 0.893/0.840/
     * 0.938) so the gate catches a structural collapse, not noise. */
   def dedupSimhashRecall(s: SparkSession, dir: String): DataFrame = {
@@ -2125,19 +2129,25 @@ object Ext {
         Dedup.withSimhash(t(s, dir, "documents"), col("doc_id"), col("text")),
         maxHamming = 10)
       .select(col("id1"), col("id2"), lit(true).as("hit"))
-    val flags = truth.join(cands, Seq("id1", "id2"), "left")
-      .select(col("id1"), col("id2"), coalesce(col("hit"), lit(false)).as("hit"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-    import s.implicits._
-    if (flags.isEmpty) {
-      log("no exact pairs at this scale")
-      return Seq.empty[(Long, Long, Boolean)].toDF("id1", "id2", "recall_ok")
-    }
-    val recall = flags.count(_._3).toDouble / flags.length
-    log(f"pairs=${flags.length} recall=$recall%.3f")
-    flags.toSeq.sortBy(f => (f._1, f._2))
-      .map { case (a, b, _) => (a, b, recall >= SimhashRecallFloor) }
-      .toDF("id1", "id2", "recall_ok")
+    val flags = stage("simhash_flags", s, dir)(
+      truth.join(cands, Seq("id1", "id2"), "left")
+        .select(col("id1"), col("id2"),
+          coalesce(col("hit"), lit(false)).as("hit")))
+    // hits/total as the SAME integer-long IEEE division the old driver
+    // form computed; one row, broadcast back onto the flag relation
+    val recall = flags.agg(
+      (sum(when(col("hit"), 1L).otherwise(0L)) / count(lit(1)))
+        .as("recall"))
+    // 1-row collect for the bench-tail log line only (reads the staged
+    // files); the gated output keeps the scalar in-plan below
+    val r = recall.collect()
+    if (r.nonEmpty && !r(0).isNullAt(0))
+      log(f"recall=${r(0).getDouble(0)}%.3f")
+    else log("no exact pairs at this scale")
+    flags.crossJoin(broadcast(recall))
+      .select(col("id1"), col("id2"),
+        (col("recall") >= SimhashRecallFloor).as("recall_ok"))
+      .orderBy(col("id1"), col("id2"))
   }
 
   /** Embedding-cosine near-dup pairs, label-blocked. */

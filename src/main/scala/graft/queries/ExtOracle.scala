@@ -1326,6 +1326,13 @@ object ExtOracle {
            picks[CAST(i AS INT)] AS vec_id
          FROM (SELECT qid, picks FROM sel WHERE step = 10) f,
            (SELECT unnest(range(1, 11)) AS i)
+         -- a probe with < 10 selectable candidates exhausts the argmax
+         -- subquery (NULL appends, which then stay NULL: list_contains
+         -- over a NULL-bearing picks list is NULL, filtering every
+         -- candidate); the engine's greedy stops at cand.length, so emit
+         -- only the non-NULL picks (ADVICE r9 — latent divergence on
+         -- sparse corpora; NULLs are trailing, so step numbering agrees)
+         WHERE picks[CAST(i AS INT)] IS NOT NULL
          ORDER BY qid, step""",
 
     // RRF fusion of the integer-exact vector ranking and the distinct-

@@ -704,7 +704,12 @@ object Warehouse {
         Seq(col(v).asc, col("event_id").asc))
         .groupBy(col("event_type"))
         .agg(max(when(col("rn") * 2 <= col("n") + 1, col(v))).as(out))
-    val med = discMedian("ro_med", ev, "value", "median")
+    // stage key "pdisc", NOT a private one: this first selection pass
+    // ranks the IDENTICAL relation, keys, and order as aggPercentileDisc
+    // / aggWinsorize's shared stage — reusing their key makes the median
+    // pass a file read whenever either ran first in this JVM (one fewer
+    // corpus range-shuffle; r9 verdict #3)
+    val med = discMedian("pdisc", ev, "value", "median")
     val dev = ev.join(broadcast(med), Seq("event_type"))
       .withColumn("dev", abs(col("value") - col("median")))
     val mad = discMedian("ro_dev", dev, "dev", "mad")

@@ -60,6 +60,18 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeImages: corrupt/unrecognized payload yields an 'unknown' row, not a task kill") {
+    val good = Multimodal.synthImages(Seq(0L).toDF("doc_id"))
+    val bad = Seq((99L, Array[Byte](1, 2, 3, 4, 5))).toDF("doc_id", "payload")
+    val metas = Multimodal.decodeImages(good.union(bad))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(metas(99L).fmt == "unknown")
+    assert(metas(99L).width == 0L && metas(99L).height == 0L &&
+      metas(99L).channels == 0L && metas(99L).pix_sum == 0L)
+    // the good row in the same partition still decodes
+    assert(metas(0L).fmt == "png" && metas(0L).width == Multimodal.synthW(0))
+  }
+
   test("resizeImages: nearest-neighbor checksum matches the integer-index recompute") {
     val ids = Seq(2L, 7L)
     val rows = Multimodal.resizeImages(

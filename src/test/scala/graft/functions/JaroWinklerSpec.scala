@@ -30,6 +30,13 @@ class JaroWinklerSpec extends AnyFunSuite {
     assert(jw("ab", "ba") == 0.0, "len-2 transposition is OUT of window 0")
   }
 
+  test("no Winkler boost at or below the 0.7 jaro threshold") {
+    // a/b match (prefix 2), nothing else: jaro = (2/8 + 2/8 + 1)/3 = 0.5
+    // — rapidfuzz/DuckDB leave jaro <= 0.7 UNboosted; the boosted value
+    // would be 0.6
+    assert(jw("abcdefgh", "abzyxwvu") == 0.5)
+  }
+
   test("symmetry and bounds on random-ish strings") {
     val words = Seq("aquamarine", "chartreuse", "turquoise", "aqumarine",
       "chartruese", "aa", "aab", "abab", "x")
