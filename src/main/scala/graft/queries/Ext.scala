@@ -51,10 +51,13 @@ object Ext {
     * pretraining-data run prints after its cleaning pipeline: raw docs →
     * exact-dedup keepers ([[dedupExact]]) → benchmark + contamination
     * removal ([[textDecontaminate]]) → quality rules
-    * ([[textQualityFilter]]) → surviving doc and token mass per source.
-    * Each stage is individually hash-green elsewhere; this query pins
-    * the COMPOSITION (stage order fixed: dedup, then decontaminate,
-    * then quality — survival counts do not commute).
+    * ([[textQualityFilter]]) → model-based quality score
+    * ([[textQualityModel]], r10: the classifier stage a production
+    * funnel runs after the cheap rules) → surviving doc and token mass
+    * per source. Each stage is individually hash-green elsewhere; this
+    * query pins the COMPOSITION (stage order fixed: dedup, then
+    * decontaminate, then rules, then model — survival counts do not
+    * commute).
     *
     * Scale: the stages compose as semi/anti joins on doc_id — the
     * corpus streams through each (benchmark set broadcast, keeper set
@@ -82,24 +85,28 @@ object Ext {
         Text.hitCount(col("toks"), Text.stopwords("en")).cast("long")
           .as("n_stop"),
         aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
-          .as("sum_len"))
+          .as("sum_len"),
+        qualityModelScore(col("toks")).as("score"))
       .filter(col("n_tokens") >= 5 && col("n_tokens") <= 512 &&
         col("n_stop") * 20 >= col("n_tokens") &&
         col("n_unique") * 2 > col("n_tokens") &&
         col("sum_len") <= col("n_tokens") * 12)
+    val d4 = d3.filter(col("score") > graft.ext.QualityModel.Threshold)
     def bySource(df: DataFrame, as: String): DataFrame =
       df.groupBy(col("source")).agg(count(lit(1)).as(as))
     bySource(docs, "n_raw")
       .join(bySource(d1, "n_dedup"), Seq("source"), "left")
       .join(bySource(d2, "n_decon"), Seq("source"), "left")
-      .join(d3.groupBy(col("source")).agg(
-        count(lit(1)).as("n_quality"),
+      .join(bySource(d3, "n_quality"), Seq("source"), "left")
+      .join(d4.groupBy(col("source")).agg(
+        count(lit(1)).as("n_model"),
         sum(col("n_tokens")).as("tokens_out")), Seq("source"), "left")
       .select(col("source"),
         col("n_raw"),
         coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
         coalesce(col("n_decon"), lit(0L)).as("n_decon"),
         coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_model"), lit(0L)).as("n_model"),
         coalesce(col("tokens_out"), lit(0L)).as("tokens_out"))
       .orderBy(col("source"))
   }
@@ -153,6 +160,38 @@ object Ext {
         (col("sum_len") <= col("n_tokens") * 12).as("r_wordlen"))
       .withColumn("keep",
         col("r_len") && col("r_stop") && col("r_unique") && col("r_wordlen"))
+      .orderBy(col("doc_id"))
+
+  /** Column form of [[graft.ext.QualityModel]]'s hashed bag-of-words
+    * score: bias + Σ weights[md5_60(tok) mod B] as one scan-local
+    * integer fold — the model table rides the plan as a literal array
+    * (a 2M-bucket production table would broadcast; same plan shape). */
+  private def qualityModelScore(toks: org.apache.spark.sql.Column) = {
+    import graft.ext.QualityModel.{B, Bias, weights}
+    val w = typedLit(weights.toArray)
+    lit(Bias) + coalesce(aggregate(toks, lit(0L), (acc, t) =>
+      acc + element_at(w,
+        (conv(substring(md5(t), 1, 15), 16, 10).cast("long") % B)
+          .cast("int") + 1).cast("long")), lit(0L))
+  }
+
+  /** MODEL-BASED quality scoring (r9 verdict missing #2) — the
+    * classifier-style scorer between rule filters and mixing: a frozen
+    * hashed bag-of-words linear model (public fastText supervised
+    * shape) applied per document; `model_keep` is the score>0 decision
+    * the curation funnel consumes as its fourth stage. Integer weights
+    * + the cross-engine md5-prefix bucket hash make every score
+    * hash-exact (the DuckDB oracle replays hash + dot against the same
+    * literal weight table — the `sim_lsh_topk` hyperplane precedent).
+    *
+    * Scale: scan-local, ZERO shuffle (like [[textQualityFilter]]); the
+    * only exchange is the driver-facing ORDER BY. */
+  def textQualityModel(s: SparkSession, dir: String): DataFrame =
+    docsTok(s, dir).select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        qualityModelScore(col("toks")).as("score"))
+      .withColumn("model_keep", col("score") > graft.ext.QualityModel.Threshold)
       .orderBy(col("doc_id"))
 
   /** BPE-ish subword tokenization — per-doc counts plus an md5 of the
@@ -4689,6 +4728,7 @@ object Ext {
     "text_rarity" -> textRarity _,
     "text_lm_bigram" -> textLmBigram _,
     "text_quality_filter" -> textQualityFilter _,
+    "text_quality_model" -> textQualityModel _,
     "pipeline_curation_report" -> pipelineCurationReport _,
     "text_diversity_by_source" -> textDiversityBySource _,
     "text_contamination" -> textContamination _,

@@ -19,6 +19,20 @@ object ExtOracle {
   private def stopList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** The frozen quality-model weight table as a SQL literal list, and
+    * the per-doc score fold — shared by `text_quality_model` and the
+    * curation funnel's model stage (ExtOracle referencing the engine's
+    * deterministic driver-sized model state is the `sim_lsh_topk`
+    * hyperplane precedent). Assumes a 1-row `w(wt)` relation and a
+    * `toks` column in scope. */
+  private val qmWeights =
+    graft.ext.QualityModel.weights.mkString("[", ", ", "]")
+  private val qmScore =
+    s"""${graft.ext.QualityModel.Bias} + CAST(coalesce(list_sum(
+       list_transform(toks, t -> wt[CAST(CAST('0x' || substr(md5(t), 1, 15)
+         AS BIGINT) % ${graft.ext.QualityModel.B} AS INT) + 1])), 0)
+       AS BIGINT)"""
+
   private val en = stopList(Seq("the", "a", "and", "of", "to", "is", "in", "it"))
   private val de = stopList(Seq("der", "die", "das", "und", "ist", "ein", "nicht"))
   private val fr = stopList(Seq("le", "la", "les", "et", "est", "une", "pas"))
@@ -224,10 +238,25 @@ object ExtOracle {
              AS keep
          FROM st ORDER BY doc_id""",
 
+    // hashed bag-of-words linear model apply: the frozen integer weight
+    // table is embedded as a literal list (the sim_lsh_topk hyperplane
+    // precedent), token → bucket is the shared 60-bit md5-prefix hash,
+    // and the score is an exact integer fold — zero tolerance
+    "text_quality_model" ->
+      s"""WITH w AS (SELECT $qmWeights AS wt),
+         tok AS (SELECT doc_id, $toks AS toks FROM documents),
+         sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             $qmScore AS score
+           FROM tok, w)
+         SELECT doc_id, n_tokens, score, score > 0 AS model_keep
+         FROM sc ORDER BY doc_id""",
+
     // the curation funnel composes the dedup_exact / text_decontaminate /
-    // text_quality_filter oracles in the engine's fixed stage order
+    // text_quality_filter / text_quality_model oracles in the engine's
+    // fixed stage order
     "pipeline_curation_report" ->
-      s"""WITH tok AS (SELECT doc_id, source, $toks AS toks
+      s"""WITH w AS (SELECT $qmWeights AS wt),
+         tok AS (SELECT doc_id, source, $toks AS toks
              FROM documents),
          keepers AS (SELECT min(doc_id) AS doc_id
            FROM documents GROUP BY md5(text)),
@@ -248,25 +277,29 @@ object ExtOracle {
              CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
              CAST(${hits(en)} AS BIGINT) AS n_stop,
              CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0)
-               AS BIGINT) AS sum_len
-           FROM d2),
+               AS BIGINT) AS sum_len,
+             $qmScore AS score
+           FROM d2, w),
          d3 AS (SELECT * FROM st
            WHERE n_tokens >= 5 AND n_tokens <= 512
              AND n_stop * 20 >= n_tokens AND n_unique * 2 > n_tokens
              AND sum_len <= n_tokens * 12),
+         d4 AS (SELECT * FROM d3 WHERE score > 0),
          raw AS (SELECT source, count(*) AS n_raw FROM tok GROUP BY source),
          c1 AS (SELECT source, count(*) AS n_dedup FROM d1 GROUP BY source),
          c2 AS (SELECT source, count(*) AS n_decon FROM d2 GROUP BY source),
-         c3 AS (SELECT source, count(*) AS n_quality,
+         c3 AS (SELECT source, count(*) AS n_quality FROM d3 GROUP BY source),
+         c4 AS (SELECT source, count(*) AS n_model,
              CAST(sum(n_tokens) AS BIGINT) AS tokens_out
-           FROM d3 GROUP BY source)
+           FROM d4 GROUP BY source)
          SELECT source, n_raw,
            coalesce(n_dedup, 0) AS n_dedup,
            coalesce(n_decon, 0) AS n_decon,
            coalesce(n_quality, 0) AS n_quality,
+           coalesce(n_model, 0) AS n_model,
            coalesce(tokens_out, 0) AS tokens_out
          FROM raw LEFT JOIN c1 USING (source) LEFT JOIN c2 USING (source)
-           LEFT JOIN c3 USING (source)
+           LEFT JOIN c3 USING (source) LEFT JOIN c4 USING (source)
          ORDER BY source""",
 
     // exact integer counts and ppm ratios per source
