@@ -246,7 +246,16 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] spark.stop() failed: ${e.getMessage}")
     }
-    // NOTHING may print after this line
+    // NOTHING may print after this line — and a JVM shutdown hook
+    // re-emits it so that even if some library's own shutdown logging
+    // (or a future sbt epilogue) trails the normal print, the LAST
+    // complete occurrence on stdout is still the JSON line (r9 verdict
+    // missing #1; Spark is already stopped, so its shutdown hook has
+    // nothing left to log on stdout)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      System.out.println(s"GRAFT_BENCH_JSON: $json")
+      System.out.flush()
+    }))
     println(s"GRAFT_BENCH_JSON: $json")
   }
 }
