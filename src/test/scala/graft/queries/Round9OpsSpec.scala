@@ -16,11 +16,16 @@ import graft.SparkSpec
 class Round9OpsSpec extends SparkSpec {
   import sqlImplicits._
 
-  /** Reference BPE trainer: greedy leftmost non-overlapping merge over
-    * word-type frequencies, argmax by (count desc, UTF-8 byte-order
-    * lexicographic) — the byte ordering matches Spark's UTF8String sort
-    * (Java String compare would diverge on non-ASCII ties). */
-  private def refBpe(words: Seq[(String, Long)], rounds: Int): Seq[(Int, String, String, Long)] = {
+  /** Reference BPE trainer — the BATCHED contract textBpeTrain
+    * documents: per round, order pairs by (count desc, UTF-8 byte-order
+    * lexicographic — the byte ordering matches Spark's UTF8String sort;
+    * Java String compare would diverge on non-ASCII ties), scan the
+    * top-candPool pairs, elect up to batchK whose symbol sets are
+    * disjoint from every earlier election this round, apply them in
+    * election order (greedy leftmost non-overlapping merge each), then
+    * recount. */
+  private def refBpe(words: Seq[(String, Long)], target: Int,
+      batchK: Int, candPool: Int): Seq[(Int, String, String, Long)] = {
     def cmpUtf8(a: String, b: String): Int = {
       val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
       val n = math.min(x.length, y.length)
@@ -33,27 +38,40 @@ class Round9OpsSpec extends SparkSpec {
     var vocab: Seq[(Vector[String], Long)] =
       words.map { case (w, c) => w.map(_.toString).toVector -> c }
     val out = Seq.newBuilder[(Int, String, String, Long)]
-    var r = 1
+    def applyMerge(p1: String, p2: String): Unit =
+      vocab = vocab.map { case (sym, c) =>
+        val merged = Vector.newBuilder[String]
+        var i = 0
+        while (i < sym.length) {
+          if (i + 1 < sym.length && sym(i) == p1 && sym(i + 1) == p2) {
+            merged += p1 + p2; i += 2
+          } else { merged += sym(i); i += 1 }
+        }
+        merged.result() -> c
+      }
+    var made = 0
     var done = false
-    while (r <= rounds && !done) {
+    while (made < target && !done) {
       val counts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
       for ((sym, c) <- vocab; i <- 0 until sym.length - 1)
         counts((sym(i), sym(i + 1))) += c
       if (counts.isEmpty) done = true
       else {
-        val ((p1, p2), n) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
-        out += ((r, p1, p2, n))
-        vocab = vocab.map { case (sym, c) =>
-          val merged = Vector.newBuilder[String]
-          var i = 0
-          while (i < sym.length) {
-            if (i + 1 < sym.length && sym(i) == p1 && sym(i + 1) == p2) {
-              merged += p1 + p2; i += 2
-            } else { merged += sym(i); i += 1 }
+        val pool = counts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.take(candPool)
+        val used = mutable.Set.empty[String]
+        val picked = pool.iterator
+          .filter { case ((a, b), _) =>
+            if (used(a) || used(b)) false
+            else { used += a; used += b; true }
           }
-          merged.result() -> c
+          .take(math.min(batchK, target - made))
+          .toVector
+        for (((p1, p2), n) <- picked) {
+          made += 1
+          out += ((made, p1, p2, n))
+          applyMerge(p1, p2)
         }
-        r += 1
       }
     }
     out.result()
@@ -96,20 +114,24 @@ class Round9OpsSpec extends SparkSpec {
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .as[(String, Long)].collect().toSeq
-    val expected = refBpe(words, 10)
+    val expected = refBpe(words,
+      Ext.BpeTargetMerges, Ext.BpeBatchK, Ext.BpeCandPool)
     val got = Ext.textBpeTrain(spark, sf0001)
       .as[(Int, String, String, Long)].collect().toSeq
     assert(got == expected, s"merge tables diverge:\nengine=$got\nref=$expected")
   }
 
   test("text_bpe_train: greedy merge semantics on a crafted corpus (overlap + adjacency)") {
-    // tokens: "abab" x3, "aaa" x2, "ab" x1 — hand-computed merge ladder:
-    //   r1 (a,b)  n=7   abab has TWO non-overlapping (a,b); both merge
-    //   r2 (a,a)  n=4   [a,a,a] counts two overlapping pairs but merges
-    //                   greedily leftmost to [aa, a]
-    //   r3 (ab,ab) n=3
-    //   r4 (aa,a)  n=2
-    //   r5 — no pairs left, loop stops early
+    // tokens: "abab" x3, "aaa" x2, "ab" x1 — hand-computed merge ladder
+    // (batched election coincides with sequential here and pins both
+    // the disjointness gate and greedy leftmost application):
+    //   round 1: pool (a,b)7 (a,a)4 (b,a)3 — only (a,b) elected, the
+    //            others share symbol a / b with it
+    //   round 2: (a,a)4 and (ab,ab)3 are disjoint — BOTH elected;
+    //            [a,a,a] counts two overlapping pairs but merges
+    //            greedily leftmost to [aa, a]
+    //   round 3: (aa,a) n=2
+    //   round 4: no pairs left, loop stops early
     val dir = java.nio.file.Files.createTempDirectory("bpe9").toString
     Seq((1L, "abab abab aaa"), (2L, "abab aaa ab"))
       .toDF("doc_id", "text")
