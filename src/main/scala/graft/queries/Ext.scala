@@ -1754,6 +1754,10 @@ object Ext {
   private[queries] val Pairs08Params = "minJ=0.8 from=pruned100 v1"
   private[queries] val Cands16Params = "mh=32 bands=16 from=pruned100 v1"
   private[queries] val AnnExact10Params = "k=10 probes=mod50cap200 v1"
+  private[queries] val MmrExact10Params =
+    "k=10 cand=20 lambda=0.5x2 probes=mod50cap200 v1"
+  private[queries] val HybridExact10Params =
+    "k=10 legs=50 rrf=60 probes=mod50cap200 v1"
   private[queries] val Ivf64Params = "nlist=64 iters=2 v1"
   private[queries] val Pq64Params = "m=4 sub=16 nlist=64 iters=2 v1"
   private[queries] val PqCodes64Params = "from=pq64 v1"
@@ -2290,6 +2294,57 @@ object Ext {
         t(s, dir, "embeddings").select(col("vec_id"), col("embedding")), k = 10)
       .orderBy(col("qid"), col("rank"))
 
+  /** Quantized corpus and the fixed ≤200-probe set — shared by the
+    * hybrid/MMR retrieval family (exact forms AND their ANN-shortlist
+    * variants, which must score with the SAME integers to be
+    * comparable). */
+  private def quantEmb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+
+  private def quantProbes(s: SparkSession, dir: String): DataFrame =
+    quantEmb(s, dir).filter(col("vec_id") % 50 === 0)
+      .orderBy(col("vec_id")).limit(200)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+
+  /** Token-overlap "more like this" ranking leg of the hybrid search —
+    * an inverted-index probe: corpus token stream joined to the
+    * BROADCAST probe-token set. */
+  private def hybridTextRank(s: SparkSession, dir: String, K: Int)
+      : DataFrame = {
+    val toks = docsTok(s, dir)
+      .select(col("doc_id"), array_distinct(col("toks")).as("dt"))
+    val qt = toks.join(broadcast(quantProbes(s, dir).select(col("qid"))),
+        col("doc_id") === col("qid"))
+      .select(col("qid"), explode(col("dt")).as("tok"))
+    val wT = Window.partitionBy(col("qid"))
+      .orderBy(col("overlap").desc, col("doc_id"))
+    toks.select(col("doc_id"), explode(col("dt")).as("tok"))
+      .join(broadcast(qt), "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("rank_t", row_number().over(wT))
+      .filter(col("rank_t") <= K)
+      .select(col("qid"), col("doc_id").as("vec_id"), col("rank_t"))
+  }
+
+  /** RRF fusion of a vector ranking and the text ranking → top-10 —
+    * shared tail of the exact and ANN-shortlist hybrid searches. */
+  private def rrfFuse(vRank: DataFrame, tRank: DataFrame): DataFrame = {
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("vec_id"))
+    vRank.join(tRank, Seq("qid", "vec_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("rank_v")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_t")), lit(0.0)))
+      .withColumn("rank", row_number().over(wF).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        col("rank_v").cast("long").as("rank_v"),
+        col("rank_t").cast("long").as("rank_t"), col("rrf"))
+  }
+
   /** HYBRID SEARCH — the RAG-stack staple: lexical and semantic
     * retrieval fused by Reciprocal Rank Fusion (RRF, Cormack et al.):
     * for each probe, rank the corpus (a) by exact int8-quantized dot
@@ -2307,82 +2362,77 @@ object Ext {
     * BROADCAST probe-token set (an inverted-index probe — at 100 TB
     * the df-bounded token join replaces this dense demo corpus's
     * all-pairs overlap). Fusion joins two ≤ |probes|·50 relations. */
-  def simHybridRrf(s: SparkSession, dir: String): DataFrame = {
+  private def hybridExactCore(s: SparkSession, dir: String): DataFrame = {
     val K = 50
-    val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
-    val q = emb.filter(col("vec_id") % 50 === 0)
-      .orderBy(col("vec_id")).limit(200)
-      .select(col("vec_id").as("qid"), col("qv").as("qq"))
     val wV = Window.partitionBy(col("qid"))
       .orderBy(col("idot").desc, col("vec_id"))
-    val vRank = emb.join(broadcast(q), col("qid") =!= col("vec_id"))
+    val vRank = quantEmb(s, dir)
+      .join(broadcast(quantProbes(s, dir)), col("qid") =!= col("vec_id"))
       .withColumn("idot", Similarity.intDot(col("qq.q"), col("qv.q")))
       .withColumn("rank_v", row_number().over(wV))
       .filter(col("rank_v") <= K)
       .select(col("qid"), col("vec_id"), col("rank_v"))
-    val toks = docsTok(s, dir)
-      .select(col("doc_id"), array_distinct(col("toks")).as("dt"))
-    val qt = toks.join(broadcast(q.select(col("qid"))),
-        col("doc_id") === col("qid"))
-      .select(col("qid"), explode(col("dt")).as("tok"))
-    val wT = Window.partitionBy(col("qid"))
-      .orderBy(col("overlap").desc, col("doc_id"))
-    val tRank = toks.select(col("doc_id"), explode(col("dt")).as("tok"))
-      .join(broadcast(qt), "tok")
-      .filter(col("doc_id") =!= col("qid"))
-      .groupBy(col("qid"), col("doc_id"))
-      .agg(count(lit(1)).as("overlap"))
-      .withColumn("rank_t", row_number().over(wT))
-      .filter(col("rank_t") <= K)
-      .select(col("qid"), col("doc_id").as("vec_id"), col("rank_t"))
-    val wF = Window.partitionBy(col("qid"))
-      .orderBy(col("rrf").desc, col("vec_id"))
-    vRank.join(tRank, Seq("qid", "vec_id"), "full_outer")
-      .withColumn("rrf",
-        coalesce(lit(1.0) / (lit(60) + col("rank_v")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + col("rank_t")), lit(0.0)))
-      .withColumn("rank", row_number().over(wF).cast("long"))
-      .filter(col("rank") <= 10)
-      .select(col("qid"), col("rank"), col("vec_id"),
-        col("rank_v").cast("long").as("rank_v"),
-        col("rank_t").cast("long").as("rank_t"), col("rrf"))
-      .orderBy(col("qid"), col("rank"))
+    rrfFuse(vRank, hybridTextRank(s, dir, K))
   }
 
-  /** MMR DIVERSIFIED RERANKING (Carbonell & Goldstein) — the retrieval
-    * post-processor that trades relevance against redundancy: from each
-    * probe's top-20 candidates, greedily select 10 maximizing
-    * `2·rel(c) − max_{s∈selected} sim(c, s)` (λ = ½ scaled ×2 so every
-    * score stays an EXACT integer — rel and sim are both the quantized
-    * int8 dot). Seed = argmax rel; ties break on vec_id. An
-    * argmax-dependent greedy is usually spec-gate territory, but with
-    * ≤20 candidates and integer scores the DuckDB oracle replays the
-    * exact selection as a recursive CTE (the [[balanceBins]]
-    * first-fit precedent), so this is fully value-gated.
-    *
-    * Scale: candidates are k-bounded per probe (the expensive part is
-    * [[simHybridRrf]]-style top-k, already partial-pruned). Each
-    * probe's greedy is INDEPENDENT, so the selection runs as one
-    * qid-keyed cogroup of the candidate and pair-sim relations — ≤ k
-    * candidates + k² sims per group, the greedy in plain Scala inside
-    * `cogroup` (the DBSCAN discipline) — ONE shuffle, no driver-paced
-    * rounds (the r9 first cut iterated 10 argmax jobs; same output,
-    * 10× the scheduling). */
-  def simMmrRerank(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
-    val q = emb.filter(col("vec_id") % 50 === 0)
-      .orderBy(col("vec_id")).limit(200)
-      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+  /** The exact hybrid ranking is deterministic (integer scores, total
+    * tie order), so it PUBLISHES as a cross-process index (the
+    * [[annExact10]] lifecycle): the registered exact query reads it —
+    * repeat invocations and later JVMs skip the corpus×probes exact
+    * scoring — and [[simHybridAnn]]'s recall gate joins against the
+    * same table. The exact scoring floor (linear in the corpus per
+    * probe) is paid ONCE per corpus generation; the ANN-shortlist
+    * variant is the per-query scale path. */
+  private def hybridExactIdx(s: SparkSession, dir: String): DataFrame =
+    persistentIndex(s, "hybrid_exact10", dir, HybridExact10Params,
+        sourcePath = dir)(hybridExactCore(s, dir))
+
+  def simHybridRrf(s: SparkSession, dir: String): DataFrame =
+    hybridExactIdx(s, dir).orderBy(col("qid"), col("rank"))
+
+  /** ANN-SHORTLIST hybrid search (r9 verdict #4 — candidates from the
+    * staged ANN index): the vector leg probes the published nlist=64
+    * IVF model (nprobe=8) for a ≤50-candidate shortlist and exact-
+    * reranks ONLY those candidates with the same integer dot the exact
+    * leg uses — |Q|·nprobe/nlist of the corpus scanned instead of all
+    * of it — then fuses with the (already index-shaped) text leg
+    * exactly as [[simHybridRrf]]. Emits the `sim_ann_recall`-pattern
+    * boolean pins: per-probe fused-top-10 overlap vs the published
+    * exact fusion, plus a mean-overlap floor — a probe-assignment or
+    * shortlist bug collapses the overlap and fails the hash gate.
+    * Floors sit well under the weakest measured SF (hybrid mean
+    * overlap .53/.54/.65 at sf0.001/0.01/0.1, floor 0.35; MMR
+    * .42/.60/.38, floor 0.25) so the gate catches structure, not
+    * noise. */
+  def simHybridAnn(s: SparkSession, dir: String): DataFrame = {
+    val log = graft.core.PhaseLog.start("hybrid_ann")
+    val K = 50
+    val short = Similarity.ivfTopKWithCentroids(
+        annQueries(s, dir), annCorpus(s, dir), K, ivf64Model(s, dir),
+        nprobe = 8)
+      .select(col("qid"), col("vec_id"))
     val wV = Window.partitionBy(col("qid"))
-      .orderBy(col("rel").desc, col("vec_id"))
-    val rel = emb.join(broadcast(q), col("qid") =!= col("vec_id"))
-      .withColumn("rel", Similarity.intDot(col("qq.q"), col("qv.q")))
-      .withColumn("rk", row_number().over(wV))
-      .filter(col("rk") <= 20)
-      .select(col("qid"), col("vec_id"), col("rel"), col("qv"))
-      .localCheckpoint()
+      .orderBy(col("idot").desc, col("vec_id"))
+    val vRank = short.join(quantEmb(s, dir), Seq("vec_id"))
+      .join(broadcast(quantProbes(s, dir)), Seq("qid"))
+      .withColumn("idot", Similarity.intDot(col("qq.q"), col("qv.q")))
+      .withColumn("rank_v", row_number().over(wV))
+      .filter(col("rank_v") <= K)
+      .select(col("qid"), col("vec_id"), col("rank_v"))
+    val eligible = annQueries(s, dir).select(col("qid"))
+    val fused = rrfFuse(vRank,
+      hybridTextRank(s, dir, K).join(broadcast(eligible), Seq("qid")))
+    annOverlapGate(s, log, fused,
+      hybridExactIdx(s, dir).join(broadcast(eligible), Seq("qid")),
+      "hybrid", avgFloor = 0.35)
+  }
+
+  /** Per-probe greedy MMR selection over a candidate relation
+    * `(qid, vec_id, rel, qv)` — one qid-keyed cogroup of candidates and
+    * their pair sims (≤ k candidates + k² sims per group), the greedy in
+    * plain Scala inside the group. Shared by the exact and ANN-shortlist
+    * forms, which differ ONLY in where the candidates come from. */
+  private def mmrGreedy(s: SparkSession, rel: DataFrame): DataFrame = {
     val pairs = rel.select(col("qid"), col("vec_id").as("c"),
         col("qv").as("cq"))
       .join(rel.select(col("qid"), col("vec_id").as("s"), col("qv").as("sq")),
@@ -2415,7 +2465,104 @@ object Ext {
           .map { case (v, i) => (qid, v, i.toLong + 1) }
       }
       .toDF("qid", "vec_id", "step")
-      .orderBy(col("qid"), col("step"))
+  }
+
+  /** MMR DIVERSIFIED RERANKING (Carbonell & Goldstein) — the retrieval
+    * post-processor that trades relevance against redundancy: from each
+    * probe's top-20 candidates, greedily select 10 maximizing
+    * `2·rel(c) − max_{s∈selected} sim(c, s)` (λ = ½ scaled ×2 so every
+    * score stays an EXACT integer — rel and sim are both the quantized
+    * int8 dot). Seed = argmax rel; ties break on vec_id. An
+    * argmax-dependent greedy is usually spec-gate territory, but with
+    * ≤20 candidates and integer scores the DuckDB oracle replays the
+    * exact selection as a recursive CTE (the [[balanceBins]]
+    * first-fit precedent), so this is fully value-gated.
+    *
+    * Scale: candidates are k-bounded per probe (the expensive part is
+    * [[simHybridRrf]]-style top-k, already partial-pruned). Each
+    * probe's greedy is INDEPENDENT, so the selection runs as one
+    * qid-keyed cogroup of the candidate and pair-sim relations — ≤ k
+    * candidates + k² sims per group, the greedy in plain Scala inside
+    * `cogroup` (the DBSCAN discipline) — ONE shuffle, no driver-paced
+    * rounds (the r9 first cut iterated 10 argmax jobs; same output,
+    * 10× the scheduling). */
+  private def mmrExactCore(s: SparkSession, dir: String): DataFrame = {
+    val wV = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    val rel = quantEmb(s, dir)
+      .join(broadcast(quantProbes(s, dir)), col("qid") =!= col("vec_id"))
+      .withColumn("rel", Similarity.intDot(col("qq.q"), col("qv.q")))
+      .withColumn("rk", row_number().over(wV))
+      .filter(col("rk") <= 20)
+      .select(col("qid"), col("vec_id"), col("rel"), col("qv"))
+      .localCheckpoint()
+    mmrGreedy(s, rel)
+  }
+
+  /** Published exact-MMR picks ([[hybridExactIdx]]'s story): the exact
+    * rerank pays its corpus×probes scoring ONCE per corpus generation;
+    * the registered query and [[simMmrAnn]]'s recall gate both read the
+    * table. */
+  private def mmrExactIdx(s: SparkSession, dir: String): DataFrame =
+    persistentIndex(s, "mmr_exact10", dir, MmrExact10Params,
+        sourcePath = s"$dir/embeddings.parquet")(mmrExactCore(s, dir))
+
+  def simMmrRerank(s: SparkSession, dir: String): DataFrame =
+    mmrExactIdx(s, dir).orderBy(col("qid"), col("step"))
+
+  /** ANN-SHORTLIST MMR (r9 verdict #4): candidates come from the
+    * published IVF index — top-20 per probe by exact cosine within the
+    * nprobe=8 probed cells — then the IDENTICAL integer-scored cogroup
+    * greedy runs on the shortlist. Per-probe cost is nprobe/nlist of
+    * the corpus instead of all of it; the trade is shortlist recall,
+    * which the emitted `sim_ann_recall`-pattern boolean pins gate
+    * against the published exact-MMR picks. */
+  def simMmrAnn(s: SparkSession, dir: String): DataFrame = {
+    val log = graft.core.PhaseLog.start("mmr_ann")
+    val short = Similarity.ivfTopKWithCentroids(
+        annQueries(s, dir), annCorpus(s, dir), 20, ivf64Model(s, dir),
+        nprobe = 8)
+      .select(col("qid"), col("vec_id"))
+    val rel = short.join(quantEmb(s, dir), Seq("vec_id"))
+      .join(broadcast(quantProbes(s, dir)), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        Similarity.intDot(col("qq.q"), col("qv.q")).as("rel"), col("qv"))
+      .localCheckpoint()
+    val eligible = annQueries(s, dir).select(col("qid"))
+    annOverlapGate(s, log, mmrGreedy(s, rel),
+      mmrExactIdx(s, dir).join(broadcast(eligible), Seq("qid")),
+      "mmr", avgFloor = 0.25)
+  }
+
+  /** Shared gate tail of the ANN-shortlist rerankers: per-probe overlap
+    * of the ANN result set against the published exact result set,
+    * pinned as booleans the oracle asserts TRUE (`<fam>_hit_ok`: every
+    * probe keeps ≥ 1 exact pick; `<fam>_avg_ok`: mean overlap share ≥
+    * the family's floor). The overlap table is |Q| rows — the documented
+    * driver-sized aggregate [[simAnnRecall]] also rides — so min/avg
+    * land in the bench tail via PhaseLog. */
+  private def annOverlapGate(s: SparkSession, log: String => Unit,
+      ann: DataFrame, exact: DataFrame, fam: String, avgFloor: Double)
+      : DataFrame = {
+    import s.implicits._
+    val stats = exact.select(col("qid"), col("vec_id"))
+      .join(ann.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
+        Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    if (stats.isEmpty) {
+      log("no eligible probes at this scale")
+      return Seq.empty[(Long, Boolean, Boolean)]
+        .toDF("qid", s"${fam}_hit_ok", s"${fam}_avg_ok")
+    }
+    val shares = stats.map { case (_, n, h) => h.toDouble / n }
+    val (minS, avgS) = (shares.min, shares.sum / shares.length)
+    log(f"probes=${stats.length} overlap min=$minS%.2f avg=$avgS%.2f")
+    stats.sortBy(_._1).toSeq
+      .map { case (qid, _, h) => (qid, h > 0, avgS >= avgFloor) }
+      .toDF("qid", s"${fam}_hit_ok", s"${fam}_avg_ok")
   }
 
   /** Int8-quantized top-10: exact integer dot-product ranking over
@@ -4812,7 +4959,9 @@ object Ext {
     "sim_ivf_warm" -> simIvfWarm _,
     "sim_ann_recall" -> simAnnRecall _,
     "sim_quantized_topk" -> simQuantizedTopk _,
+    "sim_hybrid_ann" -> simHybridAnn _,
     "sim_hybrid_rrf" -> simHybridRrf _,
+    "sim_mmr_ann" -> simMmrAnn _,
     "sim_mmr_rerank" -> simMmrRerank _,
     "sim_pq_topk" -> simPqTopk _,
     "sim_pq_recall" -> simPqRecall _,

@@ -1805,6 +1805,27 @@ object ExtOracle {
            AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
          ORDER BY qid""",
 
+    // ANN-shortlist reranker gates (same boolean-pin pattern, same qid
+    // set): per-probe overlap vs the published exact rerank computed
+    // Spark-side, pinned TRUE here
+    "sim_mmr_ann" ->
+      """WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0
+           ORDER BY vec_id LIMIT 200)
+         SELECT e.vec_id AS qid, TRUE AS mmr_hit_ok, TRUE AS mmr_avg_ok
+         FROM embeddings e JOIN q ON e.vec_id = q.vec_id
+         WHERE e.embedding IS NOT NULL
+           AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
+         ORDER BY qid""",
+
+    "sim_hybrid_ann" ->
+      """WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0
+           ORDER BY vec_id LIMIT 200)
+         SELECT e.vec_id AS qid, TRUE AS hybrid_hit_ok, TRUE AS hybrid_avg_ok
+         FROM embeddings e JOIN q ON e.vec_id = q.vec_id
+         WHERE e.embedding IS NOT NULL
+           AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
+         ORDER BY qid""",
+
     // PQ quality gate (same boolean-pin pattern, same qid set): recall
     // booleans computed Spark-side against the staged exact baseline
     "sim_pq_recall" ->
