@@ -3044,6 +3044,64 @@ object Ext {
       .orderBy(col("user_id"))
   }
 
+  /** GEOFENCE MEMBERSHIP FROM A POLYGON TABLE (r9 verdict stretch #9 —
+    * generalizes the family beyond the fixed literal star-octagons): the
+    * fences live in a PARQUET dim relation of (fence, vertex-index,
+    * vx, vy) rows — arbitrary vertex counts (3/5/7/9 here), written to
+    * scratch once per JVM and READ like any other table — which the
+    * query assembles into per-fence edge arrays (a |fences|-sized
+    * aggregate), BROADCASTS, and ray-casts with the same even-odd parity
+    * fold as [[geoGeofenceCount]]. Irregular and even self-intersecting
+    * polygons are fine: even-odd crossing parity doesn't care, and a
+    * horizontal edge contributes zero crossings in both engines by the
+    * same strict-inequality test.
+    *
+    * Scale: the fence table is a broadcast dim (a production fence
+    * catalog is thousands of rows — still a broadcast); the crossings
+    * fold stays scan-local per ping, so the only corpus exchange is the
+    * |fences|-sized rollup. The fixed-fence fast path keeps the codegen
+    * [[graft.functions.GeofenceMask]] ([[geoGeofenceDwell]]); this
+    * query is the general-input path. The oracle regenerates the vertex
+    * relation from the same integer formula — the scratch parquet is a
+    * faithful carrier because doubles round-trip parquet exactly. */
+  def geoGeofenceTable(s: SparkSession, dir: String): DataFrame = {
+    val verts = stage("fence_verts", s, dir)(
+      s.range(6).toDF("f")
+        .select(col("f"), explode(expr("sequence(0, 2 + (f % 4) * 2)"))
+          .as("j"))
+        .select(col("f"), col("j"),
+          (lit(114.0) + (col("f") * 37 % 100) * 0.001 + lit(0.003)
+            + ((col("f") * 31 + col("j") * 17) % 7 - 3) * 0.012).as("vx"),
+          (lit(22.0) + col("f") * 0.015 + lit(0.005)
+            + ((col("f") * 13 + col("j") * 29) % 7 - 3) * 0.012).as("vy")))
+    val fences = verts
+      .groupBy(col("f"))
+      .agg(array_sort(collect_list(struct(col("j"), col("vx"), col("vy"))))
+        .as("vs"))
+      .select(col("f"), expr(
+        """transform(sequence(0, size(vs) - 1), i -> struct(
+             element_at(vs, i + 1).vx AS x1,
+             element_at(vs, i + 1).vy AS y1,
+             element_at(vs, (i + 1) % size(vs) + 1).vx AS x2,
+             element_at(vs, (i + 1) % size(vs) + 1).vy AS y2))""")
+        .as("edges"))
+    events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        (lit(114.0) + (col("user_id") * 7919 % 9973) * 0.00001).as("px"),
+        (lit(22.0) + (col("event_id") % 9973) * 0.00001).as("py"))
+      .crossJoin(broadcast(fences))
+      .withColumn("crossings", expr(
+        """aggregate(edges, 0, (acc, e) -> acc + IF(
+             (e.y1 > py) != (e.y2 > py) AND
+             px < e.x1 + (py - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1),
+             1, 0))"""))
+      .filter(col("crossings") % 2 === 1)
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("n_inside"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("f"))
+  }
+
   /** Per-fence DWELL TIME — microseconds each vehicle spends inside
     * each geofence, counted over consecutive-ping intervals whose BOTH
     * endpoints are inside (the conservative estimator: an interval that
@@ -4992,6 +5050,7 @@ object Ext {
     "geo_zorder_layout" -> geoZorderLayout _,
     "geo_radius_join" -> geoRadiusJoin _,
     "geo_geofence_count" -> geoGeofenceCount _,
+    "geo_geofence_table" -> geoGeofenceTable _,
     "geo_geofence_dwell" -> geoGeofenceDwell _,
     "geo_speeding" -> geoSpeeding _,
     "join_fuzzy_jw" -> joinFuzzyJw _,

@@ -2026,6 +2026,43 @@ object ExtOracle {
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM inpoly GROUP BY f ORDER BY f""",
 
+    // table-driven fences: the oracle regenerates the vertex relation
+    // from the same integer formula the engine wrote to parquet (doubles
+    // round-trip parquet exactly, so the scratch table is a faithful
+    // carrier); edges pair consecutive vertices with wraparound, then
+    // the same even-odd parity as geo_geofence_count
+    "geo_geofence_table" ->
+      """WITH v AS (SELECT f, j,
+             CAST(114.0 AS DOUBLE) + ((f * 37) % 100) * CAST(0.001 AS DOUBLE)
+               + CAST(0.003 AS DOUBLE)
+               + ((f * 31 + j * 17) % 7 - 3) * CAST(0.012 AS DOUBLE) AS vx,
+             CAST(22.0 AS DOUBLE) + f * CAST(0.015 AS DOUBLE)
+               + CAST(0.005 AS DOUBLE)
+               + ((f * 13 + j * 29) % 7 - 3) * CAST(0.012 AS DOUBLE) AS vy
+           FROM (SELECT f, unnest(range(0, 3 + (f % 4) * 2)) AS j
+             FROM (SELECT unnest(range(0, 6)) AS f))),
+         nv AS (SELECT f, count(*) AS n FROM v GROUP BY f),
+         ed AS (SELECT a.f, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+           FROM v a JOIN nv USING (f)
+           JOIN v b ON b.f = a.f AND b.j = (a.j + 1) % nv.n),
+         p AS (SELECT event_id, user_id,
+             CAST(114.0 AS DOUBLE) + ((user_id * 7919) % 9973)
+               * CAST(0.00001 AS DOUBLE) AS px,
+             CAST(22.0 AS DOUBLE) + (event_id % 9973)
+               * CAST(0.00001 AS DOUBLE) AS py
+           FROM events),
+         x AS (SELECT p.event_id, p.user_id, ed.f,
+             CASE WHEN (ed.y1 > p.py) != (ed.y2 > p.py)
+                   AND p.px < ed.x1 + (p.py - ed.y1) * (ed.x2 - ed.x1)
+                     / (ed.y2 - ed.y1)
+                  THEN 1 ELSE 0 END AS c
+           FROM p, ed),
+         inpoly AS (SELECT event_id, user_id, f FROM x
+           GROUP BY 1, 2, 3 HAVING sum(c) % 2 = 1)
+         SELECT f, CAST(count(*) AS BIGINT) AS n_inside,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM inpoly GROUP BY f ORDER BY f""",
+
     // the oracle windows per (user, fence); the engine windows once per
     // user on a 6-bit mask and explodes after — the lag order
     // (ts, event_id) is fence-independent, so they agree row for row
