@@ -16,10 +16,13 @@ object RunOne {
     val reps = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.Sessions.local(cpus)
+    StageProbe.install(spark.sparkContext)
     (1 to reps).foreach { i =>
+      StageProbe.reset()
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       println(f"[graft] run $i: $name rows=$n in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      StageProbe.printTop(s"run $i")
       System.gc()
     }
     spark.stop()

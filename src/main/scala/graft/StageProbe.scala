@@ -1,0 +1,54 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Stage-level CPU/wall attribution — the per-STAGE complement of
+  * [[ThreadProbe]] (threads) and PhaseLog (process totals): a listener
+  * records every completed stage's executor run/CPU time so a "this rep
+  * burned 7× the CPU of the identical previous rep" mystery can be
+  * pinned to the stage that actually burned it, from the log alone.
+  * Used by [[RunOne]] between reps; harmless (one queue append per
+  * stage) if installed anywhere else.
+  */
+object StageProbe {
+
+  private final case class Entry(
+    stageId: Int, name: String, tasks: Int, runMs: Long, cpuNs: Long)
+
+  private val entries =
+    new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
+  @volatile private var installed = false
+
+  def install(sc: SparkContext): Unit = synchronized {
+    if (!installed) {
+      sc.addSparkListener(new SparkListener {
+        override def onStageCompleted(
+            ev: SparkListenerStageCompleted): Unit = {
+          val si = ev.stageInfo
+          val m = si.taskMetrics
+          entries.add(Entry(si.stageId, si.name.takeWhile(_ != '\n'),
+            si.numTasks, m.executorRunTime, m.executorCpuTime)): Unit
+        }
+      })
+      installed = true
+    }
+  }
+
+  def reset(): Unit = entries.clear()
+
+  /** Print the top-`n` stages since the last [[reset]] by executor CPU. */
+  def printTop(tag: String, n: Int = 8): Unit = {
+    val all = entries.asScala.toVector
+    val totCpu = all.map(_.cpuNs).sum / 1e9
+    val totRun = all.map(_.runMs).sum / 1e3
+    println(f"[stageprobe] $tag: stages=${all.size} " +
+      f"executor_cpu=$totCpu%.1f s executor_run=$totRun%.1f s")
+    all.sortBy(-_.cpuNs).take(n).foreach { e =>
+      println(f"[stageprobe]   stage ${e.stageId}%4d cpu=${e.cpuNs / 1e9}%7.1f s " +
+        f"run=${e.runMs / 1e3}%7.1f s tasks=${e.tasks}%3d  ${e.name.take(110)}")
+    }
+  }
+}

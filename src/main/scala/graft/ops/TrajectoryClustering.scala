@@ -31,6 +31,33 @@ object TrajectoryClustering {
   /** Per-line DBSCAN parameters (reference `lines95_parameter.csv`). */
   final case class Params(eps: Double, minSamples: Int)
 
+  /** Instrumentation of the distributed pair scan (r9 verdict #1: "does
+    * the trig-free bound actually fire at sf1g?" must be answerable from
+    * a log line, not a guess). Accumulators double-count recomputed or
+    * retried tasks BY DESIGN — `pairs` drifting above the Σ T²/2 floor is
+    * itself the diagnostic for lineage recompute of the pair grid. */
+  final class PairScanStats(sc: org.apache.spark.SparkContext)
+      extends Serializable {
+    val summaries = sc.longAccumulator("bz_summaries")
+    val pairs = sc.longAccumulator("bz_pairs")
+    val pruned = sc.longAccumulator("bz_pruned")
+    val evaluated = sc.longAccumulator("bz_evaluated")
+    val edges = sc.longAccumulator("bz_edges")
+    val nans = sc.longAccumulator("bz_nan_pairs")
+    def line: String = {
+      val p = pairs.value
+      val hit = if (p == 0) 0.0 else pruned.value.toDouble / p
+      f"summaries=${summaries.value} pairs=$p pruned=${pruned.value} " +
+        f"(hit=$hit%.3f) evaluated=${evaluated.value} " +
+        f"edges=${edges.value} nan=${nans.value}"
+    }
+  }
+
+  /** Stats of the most recent [[cluster]] call in this JVM (None when the
+    * small-input local path ran) — read AFTER an action has consumed the
+    * clustering, e.g. by the pipeline's PhaseLog. */
+  @volatile var lastStats: Option[PairScanStats] = None
+
   /** The parameter-table ingestion the reference does inline — params CSV
     * collected into a driver dict (TC-S:36–39, TC-P:43–46) — as a
     * reusable helper: any `(linenumber|new_linenumber, eps, min_samples)`
@@ -146,8 +173,12 @@ object TrajectoryClustering {
       .sortBy(_._1)
     val totalPairs = lineCounts.map { case (_, t) => t * t }.sum
 
-    if (totalPairs <= maxLocalPairs)
+    if (totalPairs <= maxLocalPairs) {
+      lastStats = None
       return clusterLocal(assembled, bc)
+    }
+    val stats = new PairScanStats(spark.sparkContext)
+    lastStats = Some(stats)
 
     // dense per-line trajectory index in deterministic (id, patternID)
     // order — the reference relies on pandas groupby order; this pins it
@@ -178,6 +209,7 @@ object TrajectoryClustering {
         else {
           val pts = lngs.lazyZip(lats).map { (g, a) =>
             TrajectoryDistance.P(g, a) }.toIndexedSeq
+          stats.summaries.add(1L)
           Some((line, tid, pts.head.lng, pts.head.lat,
             pts.last.lng, pts.last.lat, TrajectoryDistance.lengthKm(pts)))
         }
@@ -212,8 +244,19 @@ object TrajectoryClustering {
     // reconstructs the line's global maxFinite for that clamp. Dropping
     // the d > eps majority here is what turns the cogroup's O(T²) matrix
     // feed into an O(edges) graph feed.
+    // SHUFFLED-HASH, not sort-merge (r10, found by StageProbe): every
+    // (line, salt) cell is ONE duplicate-heavy join key, and SMJ buffers
+    // the whole build group per key in an ExternalAppendOnlyUnsafeRowArray
+    // that it re-scans once per probe row — if the buffer tips into a
+    // disk spill (execution memory still held by a previous query's
+    // blocks — nondeterministic in a warm JVM), every one of the T·T/salt
+    // rescans deserializes from disk and the stage's CPU explodes ~20×
+    // on IDENTICAL work (measured 48 vs 965 CPU-s rep to rep at 10×
+    // data, same accumulator counts). The hash build holds the cell's
+    // tiny summary rows in one per-task map, probes stream — no per-key
+    // buffer, no rescan, no spill cliff.
     val triples = probe.as("a")
-      .join(build.as("b"),
+      .join(build.as("b").hint("shuffle_hash"),
         col("a.line") === col("b.line") && col("a.salt") === col("b.salt") &&
           col("a.tid") < col("b.tid"))
       .select(col("a.line").as("line"), col("a.tid").as("i"),
@@ -222,6 +265,7 @@ object TrajectoryClustering {
       .mapPartitions { it =>
         val maxFin = scala.collection.mutable.HashMap.empty[String, Double]
         val kept = it.flatMap { case (line, i, j, sa, sb) =>
+          stats.pairs.add(1L)
           val eps = bc.value(line).eps
           // trig-free sound lower bound first (r9): a pair that provably
           // exceeds eps skips the full trig evaluation entirely. Its lb
@@ -234,9 +278,11 @@ object TrajectoryClustering {
           val lb = TrajectoryDistance.lowerBoundKm(
             sa(0), sa(1), sa(2), sa(3), sb(0), sb(1), sb(2), sb(3))
           if (lb > eps) {
+            stats.pruned.add(1L)
             if (lb > maxFin.getOrElse(line, 0.0)) maxFin(line) = lb
             None
           } else {
+            stats.evaluated.add(1L)
             // 2-point summary trajectories reproduce the full-trajectory
             // distance bit-for-bit: every term reads head/last/length only
             val tr1 = IndexedSeq(
@@ -246,8 +292,9 @@ object TrajectoryClustering {
             val d = TrajectoryDistance.totalWithLengths(tr1, tr2, sa(4), sb(4))
             if (java.lang.Double.isFinite(d)) {
               if (d > maxFin.getOrElse(line, 0.0)) maxFin(line) = d
-              if (d <= eps) Some((line, i, j, d)) else None
-            } else Some((line, i, j, Double.NaN))
+              if (d <= eps) { stats.edges.add(1L); Some((line, i, j, d)) }
+              else None
+            } else { stats.nans.add(1L); Some((line, i, j, Double.NaN)) }
           }
         }
         // `++`'s by-name argument evaluates only after `kept` is

@@ -102,6 +102,11 @@ object Pipeline {
     val (out, outStore) = Stage.materialize(perRow)
     outStore.count(): Unit
     logPhase("signals graded")
+    // prune-hit-rate audit of the distributed pair scan (r9 verdict #1):
+    // read after the action so the accumulators are final; `pairs` above
+    // the ~Σ T²/2 grid floor flags lineage recompute of the pair join
+    TrajectoryClustering.lastStats.foreach(st =>
+      logPhase(s"pair scan ${st.line}"))
     patsStore.unpersist(false)
     clusteredStore.unpersist(false)
     out.orderBy(col("linenumber"), col("id"), col("patternID"), col("ts_us"))
