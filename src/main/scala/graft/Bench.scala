@@ -64,6 +64,43 @@ object Bench {
     (st, mt)
   }
 
+  /** Memory-BANDWIDTH calibration (round 10): the ALU-only probe above
+    * is blind to co-tenant memory-bus contention — the r10 sf1g record
+    * showed untouched shuffle/hash-heavy queries at 3-7× their r9 CPU
+    * while calib_mt moved 1.2× — so a second probe streams a shared
+    * 512 MiB array (4 sequential sweeps ≈ 2 GiB read per thread), once
+    * single-threaded and once as `threads` concurrent readers. A
+    * memory-degraded window shows calib_mem_mt inflated while
+    * calib_mt stays flat; per-query CPU comparisons across rounds
+    * should be read against BOTH ratios. */
+  private def calibrateMem(threads: Int): (Double, Double) = {
+    val n = 64 * 1024 * 1024 // longs = 512 MiB, shared read-only
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { arr(i) = i.toLong; i += 1 }
+    def sweep(): Long = {
+      var s = 0L; var k = 0
+      while (k < n) { s += arr(k); k += 1 }
+      s
+    }
+    calibSink.addAndGet(sweep()): Unit // warm
+    var t0 = System.nanoTime()
+    var r = 0
+    while (r < 4) { calibSink.addAndGet(sweep()): Unit; r += 1 }
+    val st = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val ts = (0 until threads).map { _ =>
+      val th = new Thread(() => {
+        var q = 0
+        while (q < 4) { calibSink.addAndGet(sweep()): Unit; q += 1 }
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    val mt = (System.nanoTime() - t0) / 1e9
+    (st, mt)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -71,7 +108,9 @@ object Bench {
     // calibrate BEFORE the Spark session exists: nothing else is running
     // in the JVM, so the numbers are machine speed, not contention
     val (calibSt, calibMt) = calibrate(math.max(1, cpus.toInt))
-    println(f"GRAFT_BENCH_CALIB: st=$calibSt%.3f s mt=$calibMt%.3f s threads=$cpus")
+    val (calibMemSt, calibMemMt) = calibrateMem(math.max(1, cpus.toInt))
+    println(f"GRAFT_BENCH_CALIB: st=$calibSt%.3f s mt=$calibMt%.3f s " +
+      f"mem_st=$calibMemSt%.3f s mem_mt=$calibMemMt%.3f s threads=$cpus")
     val spark = graft.core.Sessions.local(cpus)
 
     // opt-out list for corpus shapes that invalidate a query's cost model
@@ -181,6 +220,7 @@ object Bench {
     // measured on a steady machine; start≪end ⇒ read the totals with the
     // artifact's own salt.
     val (calibSt2, calibMt2) = calibrate(math.max(1, cpus.toInt))
+    val (calibMemSt2, calibMemMt2) = calibrateMem(math.max(1, cpus.toInt))
 
     def dict(rs: Seq[Timing], f: Timing => Double): String =
       rs.map(t => s"\"" + t.name + "\":" + f(t)).mkString("{", ",", "}")
@@ -215,7 +255,9 @@ object Bench {
       f"entries=${results.size} cpu=${cpuSum(results)}%.2f s load_end=$loadAvg%.2f " +
       f"threads=${Thread.activeCount()} threads_p1=$threadsP1 threads_p2=$threadsP2 " +
       f"calib_st=$calibSt%.3f calib_mt=$calibMt%.3f " +
-      f"calib_end_st=$calibSt2%.3f calib_end_mt=$calibMt2%.3f")
+      f"calib_end_st=$calibSt2%.3f calib_end_mt=$calibMt2%.3f " +
+      f"calib_mem_st=$calibMemSt%.3f calib_mem_mt=$calibMemMt%.3f " +
+      f"calib_mem_end_st=$calibMemSt2%.3f calib_mem_end_mt=$calibMemMt2%.3f")
     println(s"GRAFT_BENCH_TOP_WALL: ${top(results, _.wallSec, 10)}")
     println(s"GRAFT_BENCH_TOP_CPU: ${top(results, _.cpuSec, 10)}")
     println(s"GRAFT_BENCH_TOP_WALL_2ND: ${top(results2, _.wallSec, 10)}")
@@ -230,7 +272,7 @@ object Bench {
       rs.sortBy(t => -t.wallSec).take(n)
         .map(t => s"\"" + t.name + "\":" + t.wallSec).mkString("{", ",", "}")
     val shared =
-      s""""cpu_total":${cpuSum(results)},"total_2nd":$total2,"cpu_total_2nd":${cpuSum(results2)},"n_entries":${results.size},"load_avg_end":$loadAvg,"calib_st_sec":$calibSt,"calib_mt_sec":$calibMt,"calib_end_st_sec":$calibSt2,"calib_end_mt_sec":$calibMt2,"errors":$errs,"errors_2nd":$errs2,"excluded":${excluded.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir""""
+      s""""cpu_total":${cpuSum(results)},"total_2nd":$total2,"cpu_total_2nd":${cpuSum(results2)},"n_entries":${results.size},"load_avg_end":$loadAvg,"calib_st_sec":$calibSt,"calib_mt_sec":$calibMt,"calib_end_st_sec":$calibSt2,"calib_end_mt_sec":$calibMt2,"calib_mem_st_sec":$calibMemSt,"calib_mem_mt_sec":$calibMemMt,"calib_mem_end_st_sec":$calibMemSt2,"calib_mem_end_mt_sec":$calibMemMt2,"errors":$errs,"errors_2nd":$errs2,"excluded":${excluded.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir""""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${topDict(results, 5)},"queries_2nd":${topDict(results2, 5)},$shared,"full":"$outPath"}"""
     val fullJson =
