@@ -236,7 +236,7 @@ object Similarity {
 
   /** The `nprobe` nearest centroid ids for a query vector, as an array
     * (best first, ties → lowest cid). */
-  private def probeCentroids(
+  def probeCentroids(
       vec: Column,
       model: org.apache.spark.broadcast.Broadcast[graft.functions.CentroidModel],
       nprobe: Int): Column = {

@@ -1566,6 +1566,18 @@ object Ext {
     * scaladoc for all three SFs). */
   val SimhashRecallFloor = 0.70
 
+  /** Recall floor for [[dedupSemanticCells]]'s pinned boolean — ~0.17
+    * under the weakest measured SF (multi-probe recall sf0.001/0.01/0.1
+    * = 0.650/0.743/0.624), so the gate catches a structural collapse
+    * (cell mis-assignment, probe off-by-one), not noise. */
+  val SemDedupRecallFloor = 0.45
+
+  /** Cells each vector is assigned to in [[dedupSemanticCells]]'s
+    * candidate blocking (multi-probe: a pair is a candidate when ANY
+    * cell is shared — the standard boundary-pair mitigation; cost is
+    * probes²-bounded per cell). */
+  val SemDedupProbes = 4
+
   /** PER-JVM staging layer (the [[persistentIndex]] family below is the
     * cross-process one — round-6 verdict #2 promoted the dedup/ANN
     * relations there, leaving this for relations whose reuse is
@@ -2236,6 +2248,68 @@ object Ext {
           col("label").cast("long").as("block")),
         minCosine = 0.30)
       .orderBy(col("id1"), col("id2"))
+
+  /** SemDeDup with LEARNED-cluster blocking (r10 — the paper's actual
+    * scale move, for corpora with no given label): pair mining is
+    * blocked by each vector's nearest cell of the published nlist=64
+    * IVF model ([[ivf64Model]]), so pair work is Σ|cell|² instead of
+    * N² — [[dedupEmbedding]]/[[dedupSemanticApply]] use a GIVEN label
+    * for the same job. The trade is pairs that straddle a cell
+    * boundary, which this query GATES like [[dedupSimhashRecall]]: the
+    * emitted rows are the exact-cosine ≥ 0.25 pairs over a
+    * deterministic 1-in-10 sample (SQL-expressible — the oracle
+    * replays the same seq-dot fold), and `recall_ok` pins that cell
+    * blocking recovered at least [[SemDedupRecallFloor]] of them.
+    * Single-cell assignment only found 0.09-0.20 of the pairs (this
+    * corpus's cosines top out ~0.43, so near-threshold pairs routinely
+    * straddle cells) — candidates therefore use MULTI-PROBE assignment
+    * ([[SemDedupProbes]] = 4 nearest cells each, pair = any shared
+    * cell), lifting recall to 0.650/0.743/0.624 at sf0.001/0.01/0.1.
+    * Recall is an ENGINE-SIDE aggregate over the staged
+    * flag relation (1-row broadcast cross join back) — nothing
+    * corpus-shaped reaches the driver.
+    *
+    * Scale: the truth side is a SAMPLED audit (broadcast nested-loop
+    * over the 1-in-10 sample — |sample|²/2 seq-dots spread across
+    * tasks); the candidate side is the production shape (cell-blocked
+    * pairs, one block shuffle). At 100 TB only the candidate side runs
+    * on the full corpus; the audit stays sampled. */
+  def dedupSemanticCells(s: SparkSession, dir: String): DataFrame = {
+    val log = graft.core.PhaseLog.start("semdedup_cells")
+    val sample = annCorpus(s, dir)
+      .filter(col("vec_id") % 10 === 0 &&
+        forall(col("embedding"), x => x.isNotNull))
+    val v = sample.withColumn("nrm", Similarity.l2Norm(col("embedding")))
+    val truth = v.as("a").join(broadcast(v.as("b")),
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        Similarity.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= 0.25)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+    val model = Similarity.broadcastModel(s, ivf64Model(s, dir))
+    val cells = sample.withColumn("block",
+      explode(Similarity.probeCentroids(col("embedding"), model,
+        SemDedupProbes)))
+    val cands = Similarity.cosinePairs(cells, minCosine = 0.25)
+      .select(col("id1"), col("id2")).distinct()
+      .withColumn("hit", lit(true))
+    val flags = stage("semdedup_flags", s, dir)(
+      truth.join(cands, Seq("id1", "id2"), "left")
+        .select(col("id1"), col("id2"),
+          coalesce(col("hit"), lit(false)).as("hit")))
+    val recall = flags.agg(
+      (sum(when(col("hit"), 1L).otherwise(0L)) / count(lit(1)))
+        .as("recall"))
+    val r = recall.collect()
+    if (r.nonEmpty && !r(0).isNullAt(0))
+      log(f"recall=${r(0).getDouble(0)}%.3f")
+    else log("no truth pairs at this scale")
+    flags.crossJoin(broadcast(recall))
+      .select(col("id1"), col("id2"),
+        (col("recall") >= SemDedupRecallFloor).as("recall_ok"))
+      .orderBy(col("id1"), col("id2"))
+  }
 
   /** Semantic dedup APPLIED (SemDeDup, Abbas et al. 2023): within each
     * cluster, documents whose embedding cosine clears the floor are
@@ -4997,6 +5071,7 @@ object Ext {
     "text_dedup_spans_apply" -> textDedupSpansApply _,
     "text_keywords_tfidf" -> textKeywordsTfidf _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "dedup_semantic_cells" -> dedupSemanticCells _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_simhash_recall" -> dedupSimhashRecall _,
     "dedup_components" -> dedupComponents _,

@@ -1100,6 +1100,20 @@ object ExtOracle {
          WHERE round(c / CAST(sn.n + so.n - c AS DOUBLE), 6) >= 0.5
          ORDER BY new_id, old_id""",
 
+    // SemDeDup cell-blocking quality gate (the dedup_simhash_recall
+    // pattern): the row set is the exact-cosine >= 0.25 pairs over the
+    // deterministic 1-in-10 sample — SQL-expressible via the bit-exact
+    // sequential fold — and recall_ok is computed Spark-side against the
+    // IVF-cell-blocked candidates and pinned TRUE here
+    "dedup_semantic_cells" ->
+      s"""WITH s AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % 10 = 0 AND embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+         SELECT a.vec_id AS id1, b.vec_id AS id2, TRUE AS recall_ok
+         FROM s a JOIN s b ON a.vec_id < b.vec_id
+         WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.25
+         ORDER BY id1, id2""",
+
     "dedup_embedding" ->
       s"""WITH emb AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS block
            FROM embeddings)

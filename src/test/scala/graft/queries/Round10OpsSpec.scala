@@ -35,6 +35,18 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_semantic_cells: every emitted row is a truth pair, ordered, with a uniform pin") {
+    val rows = Ext.all("dedup_semantic_cells")(spark, sf)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    // pairs are ordered (id1 < id2), distinct, and the pin is one global
+    // boolean (the recall scalar broadcast onto every row)
+    assert(rows.forall { case (a, b, _) => a < b })
+    assert(rows.map(r => (r._1, r._2)).distinct.size == rows.size)
+    assert(rows.map(_._3).distinct.size == 1)
+    assert(rows.head._3, "cell-blocked recall fell below the pinned floor")
+  }
+
   test("curation report: model stage only ever shrinks the quality stage") {
     val rows = Ext.all("pipeline_curation_report")(spark, sf)
       .select(col("source"), col("n_quality"), col("n_model"))
