@@ -283,6 +283,48 @@ object Ext {
       .select(col("doc_id"), col("n_tokens"), col("cum_before"))
   }
 
+  /** WHOLE-DOCUMENT sequence packing (greedy next-fit, NO doc
+    * splitting) — the complement of [[textPackSequences]]'s
+    * concat-then-chunk: documents that must stay intact (instruction
+    * tuning, contrastive pairs) are packed per SOURCE in doc_id order;
+    * a doc that would overflow the 256-token capacity closes the
+    * current sequence and opens the next, and an oversized doc gets a
+    * dedicated sequence. Emits the loader manifest per doc:
+    * (doc_id, source, n_tokens, seq_id, seq_off) — all integers from a
+    * deterministic fold, so the DuckDB oracle replays the EXACT greedy
+    * as a recursive CTE stepping every source's rank-i doc in parallel
+    * (the balance_bins precedent, here with |sources| states advancing
+    * per iteration instead of one).
+    *
+    * Scale: next-fit is inherently sequential IN ITS KEY, so the
+    * production shape is per-source folds — a groupByKey over sources
+    * (parallel across sources, one pass within each); the only corpus
+    * exchange is that one source shuffle. A corpus whose single source
+    * dwarfs the rest would sub-shard on a (source, day)-style composite
+    * key and pack within shards — same operator, finer key. */
+  def textPackGreedy(s: SparkSession, dir: String): DataFrame = {
+    val cap = 256L
+    import s.implicits._
+    docsTok(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("ntok"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (src, it) =>
+        val docs = it.toArray.sortBy(_._1)
+        var seq = 0L
+        var fill = 0L
+        docs.iterator.map { case (id, _, n) =>
+          if (fill > 0 && fill + n > cap) { seq += 1; fill = 0 }
+          val off = fill
+          fill += n
+          (id, src, n, seq, off)
+        }
+      }
+      .toDF("doc_id", "source", "n_tokens", "seq_id", "seq_off")
+      .orderBy(col("doc_id"))
+  }
+
   def textPackSequences(s: SparkSession, dir: String): DataFrame = {
     val budget = 2048L
     docTokenCum(s, dir)
@@ -5038,6 +5080,7 @@ object Ext {
     "mix_temperature" -> mixTemperature _,
     "mix_quality_budget" -> mixQualityBudget _,
     "text_repetition" -> textRepetition _,
+    "text_pack_greedy" -> textPackGreedy _,
     "text_pack_sequences" -> textPackSequences _,
     "text_chunk_overlap" -> textChunkOverlap _,
     "text_rarity" -> textRarity _,

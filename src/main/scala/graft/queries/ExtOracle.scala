@@ -449,6 +449,32 @@ object ExtOracle {
 
     // the engine's distributed two-phase prefix sum must equal the
     // single-stream cumulative sum a sequential packer would compute
+    // whole-doc next-fit packing replayed EXACTLY: a recursive CTE steps
+    // every source's rank-i doc in one iteration (per-source state rides
+    // the recursion; |sources| rows advance per step, so iterations =
+    // max docs per source, not total docs)
+    "text_pack_greedy" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, source,
+             CAST(len($toks) AS BIGINT) AS ntok,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents),
+         st(doc_id, source, ntok, rn, seq, off) AS (
+           SELECT doc_id, source, ntok, rn, CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT)
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.doc_id, d.source, d.ntok, d.rn,
+             CASE WHEN st.off + st.ntok > 0
+                   AND st.off + st.ntok + d.ntok > 256
+                  THEN st.seq + 1 ELSE st.seq END,
+             CASE WHEN st.off + st.ntok > 0
+                   AND st.off + st.ntok + d.ntok > 256
+                  THEN CAST(0 AS BIGINT) ELSE st.off + st.ntok END
+           FROM st JOIN d ON d.source = st.source AND d.rn = st.rn + 1)
+         SELECT doc_id, source, ntok AS n_tokens, seq AS seq_id,
+           off AS seq_off
+         FROM st ORDER BY doc_id""",
+
     "text_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
            FROM documents),
