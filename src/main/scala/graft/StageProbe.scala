@@ -21,6 +21,20 @@ object StageProbe {
   private val entries =
     new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
   @volatile private var installed = false
+  @volatile private var lastEventNs = 0L
+
+  /** Stage-completed events arrive on Spark's ASYNC listener bus, so the
+    * final (often heaviest) stage of a just-finished job may still be in
+    * flight when the action returns — wait for the bus to go quiet
+    * before reading or clearing, or per-rep attribution silently drops
+    * or misassigns it (r10 review). Bounded: quiet for 300 ms or 2 s
+    * total, whichever first. */
+  private def settle(): Unit = {
+    val deadline = System.nanoTime() + 2_000_000_000L
+    while (System.nanoTime() < deadline &&
+        System.nanoTime() - lastEventNs < 300_000_000L)
+      Thread.sleep(50)
+  }
 
   def install(sc: SparkContext): Unit = synchronized {
     if (!installed) {
@@ -31,16 +45,18 @@ object StageProbe {
           val m = si.taskMetrics
           entries.add(Entry(si.stageId, si.name.takeWhile(_ != '\n'),
             si.numTasks, m.executorRunTime, m.executorCpuTime)): Unit
+          lastEventNs = System.nanoTime()
         }
       })
       installed = true
     }
   }
 
-  def reset(): Unit = entries.clear()
+  def reset(): Unit = { settle(); entries.clear() }
 
   /** Print the top-`n` stages since the last [[reset]] by executor CPU. */
   def printTop(tag: String, n: Int = 8): Unit = {
+    settle()
     val all = entries.asScala.toVector
     val totCpu = all.map(_.cpuNs).sum / 1e9
     val totRun = all.map(_.runMs).sum / 1e3

@@ -165,14 +165,25 @@ object Multimodal {
           val r = reader(fmt)
           val in = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
           r.setInput(in, true, true)
+          // real-world corruption (truncation, bit rot) usually
+          // PRESERVES the magic header, so a recognized format must
+          // also degrade per-row — and ImageIO plugins throw
+          // RuntimeExceptions on some malformed bodies, not just
+          // IOException, so catch broadly (r10 review)
           val img =
             try r.read(0)
-            catch { case e: java.io.IOException =>
-              in.close()
-              throw new java.io.IOException(
-                s"decode failed for doc_id=$id (sniffed $fmt)", e)
+            catch { case scala.util.control.NonFatal(_) =>
+              // a failed read can leave the shared reader wedged;
+              // replace it for the rest of the partition (the single
+              // in.close() below still runs)
+              r.dispose()
+              readers.remove(fmt): Unit
+              null
             }
           in.close()
+          if (img == null)
+            ImageMeta(id, "corrupt", 0L, 0L, 0L, 0L)
+          else {
           val (w, h) = (img.getWidth, img.getHeight)
           var sum = 0L
           var y = 0
@@ -187,6 +198,7 @@ object Multimodal {
           }
           ImageMeta(id, fmt, w.toLong, h.toLong,
             img.getRaster.getNumBands.toLong, sum)
+          }
           }
         }
       }

@@ -63,11 +63,17 @@ class MultimodalSpec extends SparkSpec {
   test("decodeImages: corrupt/unrecognized payload yields an 'unknown' row, not a task kill") {
     val good = Multimodal.synthImages(Seq(0L).toDF("doc_id"))
     val bad = Seq((99L, Array[Byte](1, 2, 3, 4, 5))).toDF("doc_id", "payload")
-    val metas = Multimodal.decodeImages(good.union(bad))
+    // recognized magic, corrupt body: real-world corruption usually
+    // PRESERVES the header, so this must degrade per-row too
+    val truncated = Seq((98L, Array[Byte]('B', 'M', 1, 2, 3)))
+      .toDF("doc_id", "payload")
+    val metas = Multimodal.decodeImages(good.union(bad).union(truncated))
       .collect().map(m => m.doc_id -> m).toMap
     assert(metas(99L).fmt == "unknown")
     assert(metas(99L).width == 0L && metas(99L).height == 0L &&
       metas(99L).channels == 0L && metas(99L).pix_sum == 0L)
+    assert(metas(98L).fmt == "corrupt")
+    assert(metas(98L).width == 0L && metas(98L).pix_sum == 0L)
     // the good row in the same partition still decodes
     assert(metas(0L).fmt == "png" && metas(0L).width == Multimodal.synthW(0))
   }
