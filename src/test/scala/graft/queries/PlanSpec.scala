@@ -509,4 +509,42 @@ class PlanSpec extends SparkSpec {
     assert(corpusShuffles <= 1,
       s"dwell shuffles the corpus $corpusShuffles times (mask window must be the only one):\n$pd")
   }
+
+  // ---- round-10 additions ----
+
+  test("text_quality_model: scan-local scoring — no shuffle except the driver-facing sort") {
+    val p = planOf("text_quality_model")
+    val exchanges = p.linesIterator.filter(_.trim.startsWith("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"the model apply must add no shuffle beyond the ORDER BY:\n$p")
+    assert(!p.contains("Join"), s"a literal weight table must not join:\n$p")
+  }
+
+  test("geo_geofence_table: the fence catalog broadcasts; the parity fold stays scan-local") {
+    val p = planOf("geo_geofence_table")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"fence table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle to meet the fence dim:\n$p")
+  }
+
+  test("blindzone pair join: shuffled-hash, never sort-merge (the warm-spill cliff)") {
+    // the (line, salt) cells are single duplicate-heavy keys; SMJ buffers
+    // the build group per key and re-scans it per probe row — a disk
+    // spill of that buffer cost 20x CPU on identical work (r10). The
+    // shuffle_hash hint must hold.
+    val pats = graft.ops.PatternExtraction.run(
+      Pipeline.syntheticFleet(spark, sf001), busLine = None,
+      cfg = graft.ops.PatternExtraction.Config(qualify = false))
+    val params = (0 until 8)
+      .map(i => s"L$i" -> graft.ops.TrajectoryClustering.Params(5.0, 2)).toMap
+    // force the distributed path (the sf0.001 corpus takes the local one)
+    val p = graft.ops.TrajectoryClustering
+      .cluster(pats, params, maxLocalPairs = 0L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      s"pair join lost the shuffle_hash hint:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"pair join regressed to sort-merge:\n$p")
+  }
 }
