@@ -4541,6 +4541,42 @@ object Ext {
     s.read.parquet(outDir).orderBy(col("event_id"))
   }
 
+  /** STREAMING MODEL SCORING under the driver's DuckDB gate — the
+    * SIXTEENTH sink: the frozen hashed bag-of-words classifier
+    * ([[textQualityModel]]) applied AT INGEST, which is where a
+    * production pipeline actually scores quality (once, when the doc
+    * arrives — not in a nightly batch over the whole lake). Stateless:
+    * no watermark, no state store, the literal weight table rides each
+    * micro-batch's scan exactly as in the batch plan, rows emit
+    * in-batch — the sentinel-free one-batch harness. Pinned to the
+    * SAME DuckDB oracle as `text_quality_model`: the stream lifecycle
+    * must reproduce the batch scores byte-for-byte. */
+  def streamQualityModelSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Tmp
+    val log = graft.core.PhaseLog.start("stream_qm")
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val inDir = Tmp.jvmScopedDir("stream_qm_in", dir)
+    val outDir = Tmp.jvmScopedDir("stream_qm_out", dir)
+    val ckDir = Tmp.jvmScopedDir("stream_qm_ck", dir)
+    if (!new java.io.File(inDir, "_SUCCESS").exists()) {
+      docs.coalesce(1).write.mode("overwrite").parquet(inDir)
+      log("staged input")
+    } else log("reusing staged input")
+    runStreamToParquet(s, outDir, ckDir,
+      Map("spark.sql.shuffle.partitions" -> "8"), log) {
+      s.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .parquet(inDir)
+        .withColumn("toks", Text.tokens(col("text")))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          qualityModelScore(col("toks")).as("score"))
+        .withColumn("model_keep",
+          col("score") > graft.ext.QualityModel.Threshold)
+    }
+    s.read.parquet(outDir).orderBy(col("doc_id"))
+  }
+
   /** STREAMING EXACT DEDUP under the driver's DuckDB gate: the events
     * feed staged with every row duplicated (a re-send simulation — the
     * at-least-once delivery a real ingest pipeline sees), streamed
@@ -5192,6 +5228,7 @@ object Ext {
     "stream_dedup_sink" -> streamDedupSink _,
     "stream_asof_sink" -> streamAsofSink _,
     "stream_enrich_sink" -> streamEnrichSink _,
+    "stream_quality_sink" -> streamQualityModelSink _,
     "stream_funnel_sink" -> streamFunnelSink _,
     "stream_funnel_tws_sink" -> streamFunnelTwsSink _,
     "stream_sessionize_tws_sink" -> streamSessionizeTwsSink _,

@@ -251,6 +251,17 @@ object ExtOracle {
          SELECT doc_id, n_tokens, score, score > 0 AS model_keep
          FROM sc ORDER BY doc_id""",
 
+    // the 16th streaming sink is pinned to the SAME oracle: the stream
+    // lifecycle must reproduce the batch model scores byte-for-byte
+    "stream_quality_sink" ->
+      s"""WITH w AS (SELECT $qmWeights AS wt),
+         tok AS (SELECT doc_id, $toks AS toks FROM documents),
+         sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             $qmScore AS score
+           FROM tok, w)
+         SELECT doc_id, n_tokens, score, score > 0 AS model_keep
+         FROM sc ORDER BY doc_id""",
+
     // the curation funnel composes the dedup_exact / text_decontaminate /
     // text_quality_filter / text_quality_model oracles in the engine's
     // fixed stage order
