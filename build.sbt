@@ -50,4 +50,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // mid-bench, inflating whichever query they landed on by 2-3x.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // a ~470-query bench JVM compiles thousands of whole-stage-codegen
+  // classes; the default 240 MB reserved code cache then flushes and
+  // recompiles hot methods mid-run — observed as identical work costing
+  // 4x the CPU in a warm JVM while a fresh JVM converges (r10 NOTES,
+  // blindzone pass-2 bimodality). Size it so JIT output is never evicted.
+  "-XX:ReservedCodeCacheSize=1g",
 )
