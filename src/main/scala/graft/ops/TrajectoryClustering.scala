@@ -263,43 +263,70 @@ object TrajectoryClustering {
         col("b.tid").as("j"), packed("a").as("sa"), packed("b").as("sb"))
       .as[(String, Int, Int, Seq[Double], Seq[Double])]
       .mapPartitions { it =>
-        val maxFin = scala.collection.mutable.HashMap.empty[String, Double]
-        val kept = it.flatMap { case (line, i, j, sa, sb) =>
-          stats.pairs.add(1L)
-          val eps = bc.value(line).eps
-          // trig-free sound lower bound first (r9): a pair that provably
-          // exceeds eps skips the full trig evaluation entirely. Its lb
-          // still feeds the max-finite tracker — lb ≤ d, and the only
-          // consumer is the `2·maxFinite ≤ eps` clamp test, where ANY
-          // witness > eps pins the same (false) outcome as the true
-          // maximum (which is ≥ this pair's d > eps); with zero pruned
-          // pairs the tracker is exactly the old one. NaN coords make
-          // lb NaN → never pruned → the clamp path sees them unchanged.
-          val lb = TrajectoryDistance.lowerBoundKm(
-            sa(0), sa(1), sa(2), sa(3), sb(0), sb(1), sb(2), sb(3))
-          if (lb > eps) {
-            stats.pruned.add(1L)
-            if (lb > maxFin.getOrElse(line, 0.0)) maxFin(line) = lb
-            None
-          } else {
-            stats.evaluated.add(1L)
-            // 2-point summary trajectories reproduce the full-trajectory
-            // distance bit-for-bit: every term reads head/last/length only
-            val tr1 = IndexedSeq(
-              TrajectoryDistance.P(sa(0), sa(1)), TrajectoryDistance.P(sa(2), sa(3)))
-            val tr2 = IndexedSeq(
-              TrajectoryDistance.P(sb(0), sb(1)), TrajectoryDistance.P(sb(2), sb(3)))
-            val d = TrajectoryDistance.totalWithLengths(tr1, tr2, sa(4), sb(4))
-            if (java.lang.Double.isFinite(d)) {
-              if (d > maxFin.getOrElse(line, 0.0)) maxFin(line) = d
-              if (d <= eps) { stats.edges.add(1L); Some((line, i, j, d)) }
-              else None
-            } else { stats.nans.add(1L); Some((line, i, j, Double.NaN)) }
+        // HAND-ROLLED iterator, not flatMap/Option/++ (r10): this is the
+        // hottest loop in the pipeline (one call per grid pair), and the
+        // Scala Iterator combinators route every element through
+        // dispatch sites a many-query JVM has made megamorphic — plus an
+        // Option allocation per pair. One while-loop advance keeps the
+        // body monomorphic and allocation-free on the (majority) pruned
+        // and dropped paths. Semantics identical: kept pairs in input
+        // order, then one max-finite sentinel per line (emitted only
+        // after the input is exhausted, as the old by-name `++` did).
+        new scala.collection.AbstractIterator[(String, Int, Int, Double)] {
+          private val maxFin =
+            scala.collection.mutable.HashMap.empty[String, Double]
+          private var sentinels: Iterator[(String, Int, Int, Double)] = null
+          private var nxt: (String, Int, Int, Double) = null
+          private def advance(): Unit = {
+            nxt = null
+            while (nxt == null && it.hasNext) {
+              val (line, i, j, sa, sb) = it.next()
+              stats.pairs.add(1L)
+              val eps = bc.value(line).eps
+              // trig-free sound lower bound first (r9): a pair that
+              // provably exceeds eps skips the full trig evaluation. Its
+              // lb still feeds the max-finite tracker — lb ≤ d, and the
+              // only consumer is the `2·maxFinite ≤ eps` clamp test,
+              // where ANY witness > eps pins the same (false) outcome as
+              // the true maximum; with zero pruned pairs the tracker is
+              // exactly the old one. NaN coords make lb NaN → never
+              // pruned → the clamp path sees them unchanged.
+              val lb = TrajectoryDistance.lowerBoundKm(
+                sa(0), sa(1), sa(2), sa(3), sb(0), sb(1), sb(2), sb(3))
+              if (lb > eps) {
+                stats.pruned.add(1L)
+                if (lb > maxFin.getOrElse(line, 0.0)) maxFin(line) = lb
+              } else {
+                stats.evaluated.add(1L)
+                // 2-point summary trajectories reproduce the full
+                // distance bit-for-bit: every term reads head/last/length
+                val tr1 = IndexedSeq(
+                  TrajectoryDistance.P(sa(0), sa(1)),
+                  TrajectoryDistance.P(sa(2), sa(3)))
+                val tr2 = IndexedSeq(
+                  TrajectoryDistance.P(sb(0), sb(1)),
+                  TrajectoryDistance.P(sb(2), sb(3)))
+                val d = TrajectoryDistance.totalWithLengths(
+                  tr1, tr2, sa(4), sb(4))
+                if (java.lang.Double.isFinite(d)) {
+                  if (d > maxFin.getOrElse(line, 0.0)) maxFin(line) = d
+                  if (d <= eps) { stats.edges.add(1L); nxt = (line, i, j, d) }
+                } else { stats.nans.add(1L); nxt = (line, i, j, Double.NaN) }
+              }
+            }
+            if (nxt == null) {
+              if (sentinels == null)
+                sentinels = maxFin.iterator
+                  .map { case (l, m) => (l, -1, -1, m) }
+              if (sentinels.hasNext) nxt = sentinels.next()
+            }
+          }
+          advance()
+          def hasNext: Boolean = nxt != null
+          def next(): (String, Int, Int, Double) = {
+            val r = nxt; advance(); r
           }
         }
-        // `++`'s by-name argument evaluates only after `kept` is
-        // exhausted, so the sentinels see the partition's complete maxima
-        kept ++ maxFin.iterator.map { case (l, m) => (l, -1, -1, m) }
       }
 
     // cost-balanced DBSCAN placement: per-line pair cost T² bin-packed
