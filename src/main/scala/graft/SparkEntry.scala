@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Ext, ExtOracle, Pipeline, Rel, RelOracle, Warehouse, WarehouseOracle}
+import graft.queries.{Ext, ExtOracle, Pipeline, PipelineOracle, Rel, RelOracle, Warehouse, WarehouseOracle}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,5 +24,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    RelOracle.all ++ ExtOracle.all ++ WarehouseOracle.all
+    RelOracle.all ++ ExtOracle.all ++ WarehouseOracle.all ++
+      PipelineOracle.all
 }

@@ -20,8 +20,13 @@ object StageProbe {
 
   private val entries =
     new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
-  @volatile private var installed = false
-  @volatile private var lastEventNs = 0L
+  // Installation is tracked PER SparkContext (weakly, so a stopped
+  // context doesn't pin memory): a JVM-global boolean silently left a
+  // second context in the same JVM without a listener (ADVICE r10).
+  private val installedOn =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkContext, java.lang.Boolean]())
+  @volatile private var lastEventNs = System.nanoTime()
 
   /** Stage-completed events arrive on Spark's ASYNC listener bus, so the
     * final (often heaviest) stage of a just-finished job may still be in
@@ -37,7 +42,10 @@ object StageProbe {
   }
 
   def install(sc: SparkContext): Unit = synchronized {
-    if (!installed) {
+    if (installedOn.putIfAbsent(sc, java.lang.Boolean.TRUE) == null) {
+      // nanoTime origin is arbitrary — seed the quiet-window clock at
+      // install so settle() never compares against 0 (ADVICE r10)
+      lastEventNs = System.nanoTime()
       sc.addSparkListener(new SparkListener {
         override def onStageCompleted(
             ev: SparkListenerStageCompleted): Unit = {
@@ -48,7 +56,6 @@ object StageProbe {
           lastEventNs = System.nanoTime()
         }
       })
-      installed = true
     }
   }
 

@@ -96,18 +96,37 @@ object Multimodal {
   def synthPix(id: Long, x: Int, y: Int, c: Int): Int =
     ((id * 31 + x.toLong * 7 + y.toLong * 13 + c.toLong * 5) % 256).toInt
 
-  /** Per-doc REAL image payload: a PNG (even doc_id) or BMP (odd) encoded
-    * in-memory with `javax.imageio`. mapPartitions so a real pipeline's
-    * per-partition codec setup cost is modeled honestly; `ImageIO`'s
-    * disk cache is disabled (an executor must not spill per-image temp
-    * files). Both formats are lossless for 24-bit RGB, so the decode
-    * side recovers the exact synthetic pixels. */
+  /** Synthetic format rotation: doc_id mod 3 → png / bmp / jpg. JPEG
+    * joined the rotation in r11 (r10 verdict Next #4 — it is the format
+    * web-scraped image corpora actually arrive in); PNG and BMP remain
+    * the lossless legs whose pixels the cross-engine oracle recomputes
+    * exactly. */
+  def synthFmt(id: Long): String =
+    (id % 3) match { case 0 => "png"; case 1 => "bmp"; case _ => "jpg" }
+
+  /** JPEG encode quality — EXPLICIT and fixed, so the payload bytes are
+    * deterministic per (JDK encoder, quality); the default would float
+    * with the plugin's mood across releases. */
+  val JpegQuality = 0.85f
+
+  /** Per-doc REAL image payload: PNG / BMP / JPEG by [[synthFmt]],
+    * encoded in-memory with `javax.imageio`. mapPartitions so a real
+    * pipeline's per-partition codec setup cost is modeled honestly: the
+    * JPEG ImageWriter is created ONCE per partition and reused
+    * (writer.reset between images), and `ImageIO`'s disk cache is
+    * disabled (an executor must not spill per-image temp files).
+    * PNG/BMP are lossless for 24-bit RGB, so the decode side recovers
+    * the exact synthetic pixels; JPEG is lossy by design — its decoded
+    * pixels are bit-exact per decoder but NOT cross-engine, which is
+    * why the oracle gates jpg rows on dimensions/format/channels and
+    * the pixel equality lives in `MultimodalSpec`'s same-decoder twin. */
   def synthImages(docs: DataFrame): DataFrame = {
     val ss = docs.sparkSession
     import ss.implicits._
     docs.select(col("doc_id").cast("long")).as[Long]
       .mapPartitions { iter =>
         ImageIO.setUseCache(false)
+        lazy val jpgWriter = ImageIO.getImageWritersByFormatName("jpg").next()
         iter.map { id =>
           val (w, h) = (synthW(id), synthH(id))
           val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
@@ -121,9 +140,17 @@ object Multimodal {
             }
             y += 1
           }
-          val fmt = if (id % 2 == 0) "png" else "bmp"
+          val fmt = synthFmt(id)
           val bos = new ByteArrayOutputStream()
-          ImageIO.write(img, fmt, bos)
+          if (fmt == "jpg") {
+            val p = jpgWriter.getDefaultWriteParam
+            p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            p.setCompressionQuality(JpegQuality)
+            val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+            jpgWriter.setOutput(out)
+            jpgWriter.write(null, new javax.imageio.IIOImage(img, null, null), p)
+            out.close()
+          } else ImageIO.write(img, fmt, bos)
           (id, bos.toByteArray)
         }
       }.toDF("doc_id", "payload")
@@ -136,6 +163,8 @@ object Multimodal {
     if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'
       && bytes(2) == 'N' && bytes(3) == 'G') "png"
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff
+      && (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) "jpg"
     else "unknown"
 
   /** REAL decode: per partition, ONE reusable ImageReader per format

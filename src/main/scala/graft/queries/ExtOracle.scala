@@ -1145,7 +1145,8 @@ object ExtOracle {
     "dedup_semantic_cells" ->
       s"""WITH s AS (SELECT vec_id, embedding FROM embeddings
            WHERE vec_id % 10 = 0 AND embedding IS NOT NULL
-             AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0
+           ORDER BY vec_id LIMIT 500)
          SELECT a.vec_id AS id1, b.vec_id AS id2, TRUE AS recall_ok
          FROM s a JOIN s b ON a.vec_id < b.vec_id
          WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.25
@@ -1488,11 +1489,14 @@ object ExtOracle {
          SELECT qid, "rank", vec_id, idot FROM ranked WHERE "rank" <= 10
          ORDER BY qid, "rank"""",
 
-    // REAL codec gate: the engine encodes genuine PNG/BMP bytes and
+    // REAL codec gate: the engine encodes genuine PNG/BMP/JPEG bytes and
     // decodes them with javax.imageio; the oracle recomputes the decoded
-    // metadata and the full pixel checksum from the closed-form synthetic
-    // pixel expression — equal hashes prove every pixel survived the
-    // compressed round trip (a decoder that didn't run could not match)
+    // metadata from the closed-form synthetic pixel expression — and the
+    // full pixel checksum for the LOSSLESS formats (equal hashes prove
+    // every pixel survived the compressed round trip). JPEG rows gate on
+    // the decoded dimensions/format/channels (pix_sum canonicalized to
+    // -1 in both engines — JPEG decode is bit-exact per decoder, not
+    // cross-engine; the pixel twin lives in MultimodalSpec)
     "mm_decode_meta" ->
       """WITH d AS (SELECT doc_id, doc_id % 57 + 8 AS w, doc_id % 41 + 6 AS h
                FROM documents),
@@ -1500,10 +1504,13 @@ object ExtOracle {
                FROM d, unnest(range(0, w)) rx(x), unnest(range(0, h)) ry(y),
                  unnest([0, 1, 2]) rc(c))
          SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+           CASE WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'bmp' ELSE 'jpg' END AS fmt,
            CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
            CAST(3 AS BIGINT) AS channels,
-           CAST(sum((doc_id*31 + x*7 + y*13 + c*5) % 256) AS BIGINT) AS pix_sum
+           CASE WHEN doc_id % 3 = 2 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(sum((doc_id*31 + x*7 + y*13 + c*5) % 256) AS BIGINT)
+           END AS pix_sum
          FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
 
     "mm_frame_sample" ->
@@ -1521,10 +1528,12 @@ object ExtOracle {
          WHERE ch <> '' GROUP BY 1, 2 ORDER BY doc_id, bucket""",
 
     // nearest-neighbor resample to 16x12: src index = dst*src_extent //
-    // dst_extent — the engine computes the same over DECODED pixels
+    // dst_extent — the engine computes the same over DECODED pixels.
+    // Lossless formats only (doc_id % 3 <> 2): jpg pixels have no
+    // cross-engine truth, see mm_decode_meta
     "mm_resize" ->
       """WITH d AS (SELECT doc_id, doc_id % 57 + 8 AS w, doc_id % 41 + 6 AS h
-               FROM documents),
+               FROM documents WHERE doc_id % 3 <> 2),
          px AS (SELECT doc_id, w, h,
              (x2 * w) // 16 AS sx, (y2 * h) // 12 AS sy, c
            FROM d, unnest(range(0, 16)) rx(x2), unnest(range(0, 12)) ry(y2),

@@ -141,7 +141,66 @@ object Pipeline {
       .orderBy(col("mode"))
   }
 
+  /** The REGISTERED form of the pipeline since r11 — its canonical
+    * INVARIANT DIGEST, promoted from `PipelineQuerySpec`'s two-SF
+    * literal pin into a hash-green query (r10 verdict Next #6, the
+    * `balance_bins` precedent): the full (line, cluster, signal)
+    * histogram — every cluster's size and every graded signal group —
+    * plus the stage-1 patterns checksum, with ungraded rows' null
+    * signal canonicalized to −1.0 so every column hashes exactly. Any
+    * change to pattern extraction, the pair distance or prune bound,
+    * DBSCAN semantics, cluster-id assignment, the coverage gate, or
+    * signal grading moves at least one row; partitioning and row order
+    * cannot (unordered rollup). The DuckDB oracle is the hand-captured
+    * sf0.01 literal table — DBSCAN itself stays non-SQL-expressible,
+    * but its OUTPUT on the deterministic synthetic fleet is a fixed
+    * relation, so the driver's hash gate now pins the whole
+    * three-stage pipeline instead of the old rows-only check. The
+    * corpus-scale per-ping relation ([[blindZone]]) remains the
+    * pipeline's product and the spec's subject; the rollup here adds
+    * one 23-row aggregation on top of the identical three-stage run.
+    *
+    * Deliberately NOT staged to scratch: the bench's pass-2 must
+    * re-run the full pipeline so the warm-JVM CPU mode stays
+    * observable (r10 verdict Next #1). */
+  def blindZoneHist(s: SparkSession, dir: String): DataFrame =
+    blindZone(s, dir)
+      .groupBy(col("linenumber"), col("cluster").cast("long").as("cluster"),
+        coalesce(col("signal"), lit(-1.0)).as("signal"),
+        col("patterns_checksum"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("linenumber"), col("cluster"), col("signal"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_blindzone" -> blindZone _,
+    "pipeline_blindzone" -> blindZoneHist _,
     "pipeline_pattern_modes" -> patternModes _)
+}
+
+/** Oracle for the pipeline digest: the sf0.01 histogram + stage-1
+  * checksum captured by `PipelineQuerySpec`'s invariant-digest test
+  * (commit 82ef59f), expressed as a DuckDB literal table. The driver's
+  * gate runs at sf0.01 only, so the literal is pinned for exactly that
+  * corpus; at other SFs the query still runs (the bench exercises it at
+  * sf0.1 and the 10× grow-parts corpus) but carries no value oracle —
+  * the spec's sf0.001 twin covers a second scale. */
+object PipelineOracle {
+  val all: Map[String, String] = Map(
+    "pipeline_blindzone" ->
+      """SELECT linenumber, CAST(cluster AS BIGINT) AS cluster,
+           CAST(signal AS DOUBLE) AS signal,
+           CAST(-101629825091 AS BIGINT) AS patterns_checksum,
+           CAST(cnt AS BIGINT) AS cnt
+         FROM (VALUES
+           ('L0', 0, -1.0, 130), ('L0', 1, -1.0, 108),
+           ('L1', -1, -1.0, 26), ('L1', 0, -1.0, 146), ('L1', 1, -1.0, 120),
+           ('L2', -1, -1.0, 14), ('L2', 0, -1.0, 120), ('L2', 1, -1.0, 28),
+           ('L2', 2, -1.0, 86),
+           ('L3', 0, -1.0, 153), ('L3', 1, -1.0, 87),
+           ('L4', 0, -1.0, 87), ('L4', 1, -1.0, 157),
+           ('L5', -1, -1.0, 13), ('L5', 0, -1.0, 161), ('L5', 1, -1.0, 81),
+           ('L6', -1, -1.0, 35), ('L6', 0, -1.0, 143), ('L6', 0, 0.5, 26),
+           ('L6', 1, -1.0, 45),
+           ('L7', -1, -1.0, 12), ('L7', 0, -1.0, 108), ('L7', 1, -1.0, 120))
+           AS t(linenumber, cluster, signal, cnt)
+         ORDER BY linenumber, cluster, signal""")
 }

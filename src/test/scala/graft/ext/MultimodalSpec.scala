@@ -36,28 +36,86 @@ class MultimodalSpec extends SparkSpec {
     s
   }
 
-  test("synthImages emits genuine PNG/BMP bytes (magic-byte sniff)") {
-    val payloads = Multimodal.synthImages(Seq(0L, 1L).toDF("doc_id"))
+  test("synthImages emits genuine PNG/BMP/JPEG bytes (magic-byte sniff)") {
+    val payloads = Multimodal.synthImages(Seq(0L, 1L, 2L).toDF("doc_id"))
       .as[(Long, Array[Byte])].collect().toMap
     assert(Multimodal.sniffFormat(payloads(0L)) == "png")
     assert(Multimodal.sniffFormat(payloads(1L)) == "bmp")
+    assert(Multimodal.sniffFormat(payloads(2L)) == "jpg")
     // a real container, not raw pixels: PNG is compressed/chunked
     assert(payloads(0L).length != Multimodal.synthW(0) * Multimodal.synthH(0) * 3)
+    // a real JFIF container (APP0 marker + identifier), not raw pixels —
+    // a size check is meaningless here: at these tiny dims the fixed
+    // JPEG header dwarfs the raster
+    val jfif = payloads(2L).slice(6, 10).map(_.toChar).mkString
+    assert(jfif == "JFIF", s"expected JFIF APP0, got $jfif")
   }
 
   test("decodeImages: real codec round trip recovers every pixel (PNG and BMP)") {
-    val ids = Seq(0L, 1L, 13L, 56L, 499L)
+    val ids = Seq(0L, 1L, 13L, 57L, 499L) // %3: png, bmp, bmp, png, bmp
     val metas = Multimodal.decodeImages(
       Multimodal.synthImages(ids.toDF("doc_id")))
       .collect().map(m => m.doc_id -> m).toMap
     for (id <- ids) {
       val (w, h) = (Multimodal.synthW(id), Multimodal.synthH(id))
       val m = metas(id)
-      assert(m.fmt == (if (id % 2 == 0) "png" else "bmp"))
+      assert(m.fmt == Multimodal.synthFmt(id) && m.fmt != "jpg")
       assert(m.width == w && m.height == h && m.channels == 3L)
       assert(m.pix_sum == expectedSum(id, w, h),
         s"doc $id: decoded checksum diverged — codec not lossless?")
     }
+  }
+
+  /** The JPEG pixel twin the cross-engine oracle can't carry (lossy
+    * decode is bit-exact per decoder, not per spec): the engine's
+    * mapPartitions decode must equal a plain same-JVM ImageIO replay
+    * EXACTLY, and sit within lossy tolerance of the synthetic source —
+    * proving both that the distributed path is a faithful decode and
+    * that the decoded content is genuinely the encoded image. */
+  test("decodeImages: JPEG rows decode (same-decoder exact, lossy-tolerant vs source)") {
+    val ids = Seq(2L, 5L, 56L, 101L) // all %3 == 2 → jpg
+    val payloads = Multimodal.synthImages(ids.toDF("doc_id"))
+      .as[(Long, Array[Byte])].collect().toMap
+    val metas = Multimodal.decodeImages(
+      Multimodal.synthImages(ids.toDF("doc_id")))
+      .collect().map(m => m.doc_id -> m).toMap
+    for (id <- ids) {
+      val (w, h) = (Multimodal.synthW(id), Multimodal.synthH(id))
+      val m = metas(id)
+      assert(m.fmt == "jpg" && m.width == w && m.height == h &&
+        m.channels == 3L)
+      // same-decoder replay, plain JVM
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payloads(id)))
+      var replay = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        replay += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      }
+      assert(m.pix_sum == replay,
+        s"doc $id: engine decode diverged from the same-decoder replay")
+      val src = expectedSum(id, w, h).toDouble
+      assert(math.abs(m.pix_sum - src) / src < 0.05,
+        s"doc $id: jpg checksum ${m.pix_sum} not within 5% of source $src")
+    }
+  }
+
+  test("resizeImages on a JPEG payload matches the same-decoder resample replay") {
+    val id = 8L // 8 % 3 == 2 → jpg
+    val payloads = Multimodal.synthImages(Seq(id).toDF("doc_id"))
+      .as[(Long, Array[Byte])].collect().toMap
+    val (w, h) = (Multimodal.synthW(id), Multimodal.synthH(id))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payloads(id)))
+    var exp = 0L
+    for (y2 <- 0 until 12; x2 <- 0 until 16) {
+      val rgb = img.getRGB(x2 * w / 16, y2 * h / 12)
+      exp += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+    }
+    val row = Multimodal.resizeImages(
+      Multimodal.synthImages(Seq(id).toDF("doc_id")), dw = 16, dh = 12)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(row == ((id, w.toLong, h.toLong, 16L, 12L, exp)))
   }
 
   test("decodeImages: corrupt/unrecognized payload yields an 'unknown' row, not a task kill") {
@@ -79,7 +137,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("resizeImages: nearest-neighbor checksum matches the integer-index recompute") {
-    val ids = Seq(2L, 7L)
+    val ids = Seq(3L, 7L) // %3: png, bmp — the lossless legs
     val rows = Multimodal.resizeImages(
       Multimodal.synthImages(ids.toDF("doc_id")), dw = 16, dh = 12)
       .as[(Long, Long, Long, Long, Long, Long)].collect()

@@ -24,6 +24,15 @@ class Round9OpsSpec extends SparkSpec {
     * disjoint from every earlier election this round, apply them in
     * election order (greedy leftmost non-overlapping merge each), then
     * recount. */
+  private def cmpUtf8Outer(a: String, b: String): Int = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    val n = math.min(x.length, y.length)
+    var i = 0
+    var c = 0
+    while (i < n && c == 0) { c = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+    if (c != 0) c else x.length - y.length
+  }
+
   private def refBpe(words: Seq[(String, Long)], target: Int,
       batchK: Int, candPool: Int): Seq[(Int, String, String, Long)] = {
     def cmpUtf8(a: String, b: String): Int = {
@@ -109,37 +118,54 @@ class Round9OpsSpec extends SparkSpec {
   }
 
   test("text_bpe_train matches the brute-force reference trainer on real data") {
-    val words = spark.read.parquet(s"$sf0001/documents.parquet")
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .as[(String, Long)].collect().toSeq
-    val expected = refBpe(words,
+    // independently rebuild the engine's training units: per-doc
+    // whitespace tokens, grouped into BpeChunkTokens-token chunks
+    // joined by the ▁ boundary marker, type-counted, capped by
+    // (cnt desc, unit) in UTF-8 binary order (Spark's string order)
+    val units = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("text")).as[String].collect().toSeq
+      .flatMap(t => t.split(" ").filter(_.nonEmpty)
+        .grouped(Ext.BpeChunkTokens).map(_.mkString("▁")))
+      .groupBy(identity).map { case (u, g) => (u, g.size.toLong) }.toSeq
+      .sortBy { case (u, n) => (-n, u) }(
+        Ordering.Tuple2(Ordering.Long,
+          (a: String, b: String) => cmpUtf8Outer(a, b)))
+      .take(Ext.BpeSampleCap)
+    assert(units.nonEmpty)
+    val expected = refBpe(units,
       Ext.BpeTargetMerges, Ext.BpeBatchK, Ext.BpeCandPool)
+    assert(expected.length == Ext.BpeTargetMerges,
+      s"corpus saturated at ${expected.length} merges — unit shape regressed")
     val got = Ext.textBpeTrain(spark, sf0001)
       .as[(Int, String, String, Long)].collect().toSeq
-    assert(got == expected, s"merge tables diverge:\nengine=$got\nref=$expected")
+    assert(got == expected, s"merge tables diverge:\nengine=${got.take(30)}…" +
+      s"\nref=${expected.take(30)}… (first diff at " +
+      s"${got.zip(expected).indexWhere(p => p._1 != p._2)})")
   }
 
   test("text_bpe_train: greedy merge semantics on a crafted corpus (overlap + adjacency)") {
-    // tokens: "abab" x3, "aaa" x2, "ab" x1 — hand-computed merge ladder
-    // (batched election coincides with sequential here and pins both
-    // the disjointness gate and greedy leftmost application):
-    //   round 1: pool (a,b)7 (a,a)4 (b,a)3 — only (a,b) elected, the
-    //            others share symbol a / b with it
-    //   round 2: (a,a)4 and (ab,ab)3 are disjoint — BOTH elected;
-    //            [a,a,a] counts two overlapping pairs but merges
-    //            greedily leftmost to [aa, a]
-    //   round 3: (aa,a) n=2
-    //   round 4: no pairs left, loop stops early
+    // two ≤4-token docs → one ▁-joined unit each: "ab▁ab" and "ab▁aa".
+    // Hand-computed ladder pinning the disjointness gate, greedy
+    // leftmost application, the UTF-8 tie order ('▁' sorts after ASCII),
+    // and boundary-crossing merges (the SentencePiece move):
+    //   round 1: pairs (a,b)3 (b,▁)2 (▁,a)2 (a,a)1 — only (a,b)
+    //            elected, every other pair shares a or b
+    //   round 2: (ab,▁)2 elected; (a,a)1 is symbol-disjoint → ALSO
+    //            elected this round ((▁,a)/(▁,ab) share ▁/ab);
+    //            "ab▁aa"'s tail [a,a] merges greedily leftmost
+    //   round 3: ties at n=1: (ab▁,aa) < (ab▁,ab) by p2 — (ab▁,aa)
+    //            elected, (ab▁,ab) shares ab▁ and waits
+    //   round 4: (ab▁,ab)1 — both units now single symbols
+    //   round 5: no pairs left, loop stops early
     val dir = java.nio.file.Files.createTempDirectory("bpe9").toString
-    Seq((1L, "abab abab aaa"), (2L, "abab aaa ab"))
+    Seq((1L, "ab ab"), (2L, "ab aa"))
       .toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = Ext.textBpeTrain(spark, dir)
       .as[(Int, String, String, Long)].collect().toSeq
-    assert(got == Seq((1, "a", "b", 7L), (2, "a", "a", 4L),
-      (3, "ab", "ab", 3L), (4, "aa", "a", 2L)), s"got $got")
+    assert(got == Seq((1, "a", "b", 3L), (2, "ab", "▁", 2L),
+      (3, "a", "a", 1L), (4, "ab▁", "aa", 1L),
+      (5, "ab▁", "ab", 1L)), s"got $got")
   }
 
   test("text_bpe_apply matches an independent greedy merge walker") {
