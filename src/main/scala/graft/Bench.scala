@@ -130,8 +130,20 @@ object Bench {
         unknownExcl.toSeq.sorted.mkString(", "))
     if (excluded.nonEmpty)
       System.err.println(s"[bench] excluding: ${excluded.mkString(", ")}")
+    // opt-IN list for targeted probes (r10 verdict stretch #8: the 100×
+    // dedup-ladder run benches just that family) — prefix match on ","
+    // separated patterns ("dedup_,sim_" keeps both families). Inclusion
+    // is recorded in the JSON artifact via the entry list itself.
+    val included = sys.env.get("SPARK_GRAFT_BENCH_INCLUDE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty[String])
+    if (included.nonEmpty)
+      System.err.println(s"[bench] including only: ${included.mkString(", ")}")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => excluded.contains(n) }
+      .filter { case (n, _) =>
+        included.isEmpty || included.exists(n.startsWith)
+      }
     // untimed warmup: the flagship aggregate touches parquet scan, shuffle,
     // codegen, and AQE once before anything is timed. Fallback to the first
     // query if the flagship was ever renamed (a swallowed NoSuchElement

@@ -776,59 +776,97 @@ object Ext {
     * and back-to-back occurrences [a,b,a,b] both merge, because each
     * wrapped symbol carries its own delimiters.
     *
-    * Scale: per round ONE vocabulary-sized pair-count shuffle (map-side
-    * combined), a TakeOrdered(BpeCandPool) election (a bounded driver
-    * collect — the same contract as the k-means seed), and ONE
-    * scan-local string rewrite for the whole batch. Depth is
-    * REAL-VOCAB scale since r11 (r10 verdict Next #3 — 50 merges
-    * proved the contract, a production tokenizer is hundreds to tens
-    * of thousands): 500 merges amortize to ~17–30 driver-paced rounds
-    * because the election routinely fills the 32-merge batch from the
-    * 256 pool — the rounds-vs-merges curve is ARTIFACTED by a PhaseLog
+    * Scale: ONE corpus-scale job total — the type-table collapse +
+    * TakeOrdered(BpeSampleCap) — then every merge round runs IN MEMORY
+    * on the capped table (driver-sized by construction; the A9
+    * bounded-collect contract, same as the k-means seed). That is the
+    * published production shape: SentencePiece/HF trainers collapse
+    * the corpus distributed-side and train the merge rounds in RAM.
+    * Depth is REAL-VOCAB scale since r11 (r10 verdict Next #3 — 50
+    * merges proved the contract, a production tokenizer is hundreds to
+    * tens of thousands): 500 merges amortize to ~17–30 rounds because
+    * the election routinely fills the 32-merge batch from the 256
+    * pool — the rounds-vs-merges curve is ARTIFACTED by a PhaseLog
     * line per round (`round=R picked=P made=M`) landing in the bench
     * tail, so round-count scaling is read from the artifact, not
     * asserted. Round cost is vocabulary-sized and independent of both
-    * corpus size (types, not tokens) and merge depth (the rewrite is
-    * one fold over the batch), so merges-per-wall stays flat as the
-    * target grows — the bound on the operator is rounds ≈
-    * merges/BpeBatchK + a tail where the pool thins. No DuckDB oracle
-    * (an iterative argmax-dependent fixpoint is not SQL-expressible) —
-    * value-gated by the brute-force reference trainer twin in
-    * Round9OpsSpec instead, which replays the IDENTICAL
-    * (target, batch, pool) contract at full 500-merge depth. */
+    * corpus size (types, not tokens) and merge depth, so
+    * merges-per-wall stays flat as the target grows — the bound on the
+    * operator is rounds ≈ merges/BpeBatchK + a tail where the pool
+    * thins. No DuckDB oracle (an iterative argmax-dependent fixpoint
+    * is not SQL-expressible) — value-gated by the brute-force
+    * reference trainer twin in Round9OpsSpec instead, which replays
+    * the IDENTICAL (target, batch, pool) contract at full 500-merge
+    * depth with deliberately different mechanics (symbol-vector walk
+    * vs delimiter-wrapped string replace). */
   def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
     val log = graft.core.PhaseLog.start("bpe_train")
     val D = "\u001f"
-    def wrap(sym: org.apache.spark.sql.Column) =
-      concat(lit(D), array_join(sym, D + D), lit(D))
-    var vocab = bpeUnits(s, dir)
-      .select(wrap(filter(split(col("u"), ""), x => x =!= "")).as("seg"),
-        col("cnt"))
-      .localCheckpoint()
+    // ONE corpus-scale job: build + collect the capped type table. The
+    // table is DRIVER-SIZED BY CONSTRUCTION ([[BpeSampleCap]] — the A9
+    // bounded-collect contract, same as the k-means seed), which is
+    // exactly why production trainers (SentencePiece, HF tokenizers)
+    // run the merge rounds IN MEMORY after the corpus collapse: the
+    // first distributed cut of this trainer paced 23–28 per-round Spark
+    // jobs over a 16 k-row relation and its wall tracked driver/JVM age
+    // (14.8 s pass-1 / 21.2 s pass-2 in the r11 sf0.1 record — an
+    // inversion that vanished in an isolated JVM), not data. Rounds on
+    // the collected table are microseconds-per-unit and age-immune.
+    val units = bpeUnits(s, dir).collect()
+    log(s"type table collected units=${units.length}")
+    def wrapStr(u: String): String =
+      u.iterator.map(c => D + c + D).mkString
+    // vocab state keeps the DELIMITER-WRAPPED string form and literal
+    // leftmost-non-overlapping replace of the distributed cut — the
+    // mechanics stay deliberately DIFFERENT from the spec twin's
+    // symbol-vector walk, so the two implementations remain independent
+    // evidence about the same contract
+    var vocab: Array[(String, Long)] =
+      units.map(r => (wrapStr(r.getString(0)), r.getLong(1)))
+    // UTF-8 byte order for tie-breaks — inherited from the distributed
+    // cut's UTF8String sort; BMP-only corpora make it equal to
+    // code-point order, but the contract names the byte order
+    def cmpUtf8(a: String, b: String): Int = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      var c = 0
+      while (i < n && c == 0) { c = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+      if (c != 0) c else x.length - y.length
+    }
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var made = 0
     var round = 0
     var done = false
     while (made < BpeTargetMerges && !done) {
       round += 1
-      val pool = vocab
-        .select(col("cnt"),
-          filter(split(col("seg"), D), x => x =!= "").as("sym"))
-        .filter(size(col("sym")) >= 2)
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(1, size(sym) - 1), " +
-            "i -> struct(sym[i-1] AS p1, sym[i] AS p2))")).as("p"))
-        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
-        .agg(sum(col("cnt")).as("n"))
-        .orderBy(col("n").desc, col("p1"), col("p2"))
-        .limit(BpeCandPool).collect()
-      if (pool.isEmpty) done = true
+      val counts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((seg, cnt) <- vocab) {
+        val sym = seg.split(D).filter(_.nonEmpty)
+        var i = 0
+        while (i < sym.length - 1) {
+          val k = (sym(i), sym(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
       else {
+        val pool = counts.toSeq
+          .sortWith { case ((pa, na), (pb, nb)) =>
+            if (na != nb) na > nb
+            else {
+              val c1 = cmpUtf8(pa._1, pb._1)
+              if (c1 != 0) c1 < 0 else cmpUtf8(pa._2, pb._2) < 0
+            }
+          }
+          .take(BpeCandPool)
         // greedy symbol-disjoint election in pool order; the iterator is
         // lazy, so the disjointness walk stops at the batch bound
         val used = scala.collection.mutable.Set.empty[String]
         val picked = pool.iterator
-          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .map { case ((a, b), n) => (a, b, n) }
           .filter { case (a, b, _) =>
             if (used(a) || used(b)) false
             else { used += a; used += b; true }
@@ -839,16 +877,17 @@ object Ext {
           made += 1
           merges += ((made, a, b, n))
         }
-        if (picked.isEmpty) done = true
-        else {
-          vocab = picked.foldLeft(vocab) { case (v, (a, b, _)) =>
-            v.withColumn("seg", replace(col("seg"),
-              lit(D + a + D + D + b + D), lit(D + a + b + D)))
-          }.localCheckpoint()
-          // the rounds-vs-merges curve, one line per round (r10 verdict
-          // Next #3): lands in the bench tail via PhaseLog
-          log(s"round=$round picked=${picked.size} made=$made")
+        // String.replace(CharSequence) is the same leftmost
+        // non-overlapping scan as Spark's StringReplace — greedy BPE
+        // merge order, applied in election order across the batch
+        vocab = vocab.map { case (seg, cnt) =>
+          (picked.foldLeft(seg) { case (sg, (a, b, _)) =>
+            sg.replace(D + a + D + D + b + D, D + a + b + D)
+          }, cnt)
         }
+        // the rounds-vs-merges curve, one line per round (r10 verdict
+        // Next #3): lands in the bench tail via PhaseLog
+        log(s"round=$round picked=${picked.size} made=$made")
       }
     }
     log(s"trained merges=$made rounds=$round")
