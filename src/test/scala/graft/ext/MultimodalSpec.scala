@@ -169,4 +169,76 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_idx").as[Long].collect().sorted
     assert(idx.toSeq == Seq(0L, 4L, 8L)) // 11 frames (0..10), strided
   }
+
+  // ===== audio (r11) =====
+
+  test("synthAudio emits genuine RIFF/WAVE containers") {
+    val p = Multimodal.synthAudio(Seq(0L, 1L, 5L).toDF("doc_id"))
+      .as[(Long, Array[Byte])].collect().toMap
+    for ((id, bytes) <- p) {
+      assert(Multimodal.sniffAudio(bytes) == "wav", s"doc $id not RIFF/WAVE")
+      // a real container: 44-byte canonical header + 2 bytes per sample
+      val expectData =
+        Multimodal.synthFrames(id) * Multimodal.synthChannels(id) * 2
+      assert(bytes.length == 44 + expectData,
+        s"doc $id payload ${bytes.length} != 44 + $expectData")
+    }
+  }
+
+  test("decodeAudio: real WAV round trip recovers format and every sample") {
+    // ids cover all rate legs, mono AND stereo, and the frame rotation
+    val ids = Seq(0L, 1L, 2L, 3L, 800L, 959L)
+    val metas = Multimodal.decodeAudio(
+        Multimodal.synthAudio(ids.toDF("doc_id")))
+      .collect().map(m => m.doc_id -> m).toMap
+    for (id <- ids) {
+      val m = metas(id)
+      val (ch, nf) = (Multimodal.synthChannels(id), Multimodal.synthFrames(id))
+      assert(m.fmt == "wav")
+      assert(m.sample_rate == Multimodal.synthRate(id).toLong)
+      assert(m.channels == ch.toLong)
+      assert(m.n_frames == nf.toLong)
+      var (sum, sumsq, mx) = (0L, 0L, 0L)
+      for (i <- 0 until nf; c <- 0 until ch) {
+        val s = Multimodal.synthSample(id, i, c).toLong
+        sum += s; sumsq += s * s; mx = math.max(mx, math.abs(s))
+      }
+      assert(m.amp_sum == sum, s"doc $id amp_sum ${m.amp_sum} != $sum")
+      assert(m.amp_sumsq == sumsq)
+      assert(m.amp_max == mx)
+    }
+  }
+
+  test("decodeAudio: corrupt payloads degrade per-row, never kill the task") {
+    val junk = Seq(
+      (100L, "not audio at all".getBytes("UTF-8")),
+      // valid magic, mangled body: the reader throws past the sniff
+      (101L, "RIFF    WAVEgarbage".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val good = Multimodal.synthAudio(Seq(7L).toDF("doc_id"))
+    val m = Multimodal.decodeAudio(junk.unionByName(good))
+      .collect().map(x => x.doc_id -> x.fmt).toMap
+    assert(m == Map(100L -> "unknown", 101L -> "corrupt", 7L -> "wav"))
+  }
+
+  test("audioEnergyWindows matches a per-window recompute incl. the short tail") {
+    val ids = Seq(2L, 161L) // stereo long clip + mono with a ragged tail
+    val rows = Multimodal.audioEnergyWindows(
+        Multimodal.synthAudio(ids.toDF("doc_id")), win = 160)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, w, n, sq) => (id, w) -> ((n, sq)) }.toMap
+    for (id <- ids) {
+      val (ch, nf) = (Multimodal.synthChannels(id), Multimodal.synthFrames(id))
+      val nWin = (nf + 159) / 160
+      assert(rows.count(_._1._1 == id) == nWin)
+      for (w <- 0 until nWin) {
+        val (lo, hi) = (w * 160, math.min(nf, w * 160 + 160))
+        var sq = 0L
+        for (i <- lo until hi; c <- 0 until ch)
+          sq += { val s = Multimodal.synthSample(id, i, c).toLong; s * s }
+        assert(rows((id, w.toLong)) == ((hi - lo).toLong, sq),
+          s"doc $id window $w diverges")
+      }
+    }
+  }
 }

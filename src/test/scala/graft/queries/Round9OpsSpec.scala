@@ -16,75 +16,13 @@ import graft.SparkSpec
 class Round9OpsSpec extends SparkSpec {
   import sqlImplicits._
 
-  /** Reference BPE trainer — the BATCHED contract textBpeTrain
-    * documents: per round, order pairs by (count desc, UTF-8 byte-order
-    * lexicographic — the byte ordering matches Spark's UTF8String sort;
-    * Java String compare would diverge on non-ASCII ties), scan the
-    * top-candPool pairs, elect up to batchK whose symbol sets are
-    * disjoint from every earlier election this round, apply them in
-    * election order (greedy leftmost non-overlapping merge each), then
-    * recount. */
-  private def cmpUtf8Outer(a: String, b: String): Int = {
-    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
-    val n = math.min(x.length, y.length)
-    var i = 0
-    var c = 0
-    while (i < n && c == 0) { c = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
-    if (c != 0) c else x.length - y.length
-  }
-
+  // Reference BPE trainer + unit rebuild live in the shared test-scope
+  // [[BpeRef]] object since r11 (the oracle-capture tool reuses them —
+  // one twin implementation, no drift).
+  private def cmpUtf8Outer(a: String, b: String): Int = BpeRef.cmpUtf8(a, b)
   private def refBpe(words: Seq[(String, Long)], target: Int,
-      batchK: Int, candPool: Int): Seq[(Int, String, String, Long)] = {
-    def cmpUtf8(a: String, b: String): Int = {
-      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
-      val n = math.min(x.length, y.length)
-      var i = 0
-      var c = 0
-      while (i < n && c == 0) { c = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
-      if (c != 0) c else x.length - y.length
-    }
-    implicit val utf8Order: Ordering[String] = (a, b) => cmpUtf8(a, b)
-    var vocab: Seq[(Vector[String], Long)] =
-      words.map { case (w, c) => w.map(_.toString).toVector -> c }
-    val out = Seq.newBuilder[(Int, String, String, Long)]
-    def applyMerge(p1: String, p2: String): Unit =
-      vocab = vocab.map { case (sym, c) =>
-        val merged = Vector.newBuilder[String]
-        var i = 0
-        while (i < sym.length) {
-          if (i + 1 < sym.length && sym(i) == p1 && sym(i + 1) == p2) {
-            merged += p1 + p2; i += 2
-          } else { merged += sym(i); i += 1 }
-        }
-        merged.result() -> c
-      }
-    var made = 0
-    var done = false
-    while (made < target && !done) {
-      val counts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
-      for ((sym, c) <- vocab; i <- 0 until sym.length - 1)
-        counts((sym(i), sym(i + 1))) += c
-      if (counts.isEmpty) done = true
-      else {
-        val pool = counts.toSeq
-          .sortBy { case ((a, b), n) => (-n, a, b) }.take(candPool)
-        val used = mutable.Set.empty[String]
-        val picked = pool.iterator
-          .filter { case ((a, b), _) =>
-            if (used(a) || used(b)) false
-            else { used += a; used += b; true }
-          }
-          .take(math.min(batchK, target - made))
-          .toVector
-        for (((p1, p2), n) <- picked) {
-          made += 1
-          out += ((made, p1, p2, n))
-          applyMerge(p1, p2)
-        }
-      }
-    }
-    out.result()
-  }
+      batchK: Int, candPool: Int): Seq[(Int, String, String, Long)] =
+    BpeRef.refBpe(words, target, batchK, candPool)
 
   test("trajectory pair-prune lower bound never exceeds the true distance") {
     import graft.ops.TrajectoryDistance
