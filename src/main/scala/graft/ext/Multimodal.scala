@@ -456,6 +456,146 @@ object Multimodal {
       }.toDF("doc_id", "win", "n_frames", "sumsq")
   }
 
+  // ===== REAL video-frame path (r11) =====
+  //
+  // The closest thing to video the pure JDK can round-trip: an ANIMATED
+  // GIF container (multi-frame, the `javax.imageio` gif plugin ships in
+  // every JDK). Frames are synthesized 8-bit GRAYSCALE — GIF's 256-color
+  // palette holds the full gray ramp, so the codec is LOSSLESS here and
+  // every frame's pixels get the cross-engine checksum gate (the png/bmp
+  // argument; a color synth would hit the quantizer and lose pixel
+  // truth). The decode side is a REAL container parse: frame count from
+  // the stream, per-frame raster reads, strided keyframe selection — the
+  // decode → sample-every-Sth-frame → per-frame-features shape a video
+  // curation pipeline runs before any heavy model.
+
+  /** Deterministic synthetic clip shape: 2–7 frames of 16×12 gray. */
+  def synthNFrames(id: Long): Int = (id % 6 + 2).toInt
+  val VideoW = 16
+  val VideoH = 12
+
+  /** Deterministic gray value for (doc, frame, x, y) — the SAME integer
+    * expression the DuckDB oracle evaluates. */
+  def synthGray(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f.toLong * 17 + x.toLong * 7 + y.toLong * 13) % 256).toInt
+
+  /** Per-doc REAL animated-GIF payload: [[synthNFrames]] grayscale
+    * frames written as one image sequence (prepare/append/end — the
+    * multi-frame API, not N separate files). One writer per partition,
+    * reused across docs ([[synthImages]]' amortization contract). */
+  def synthVideos(docs: DataFrame): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { iter =>
+        ImageIO.setUseCache(false)
+        lazy val writer = ImageIO.getImageWritersByFormatName("gif").next()
+        iter.map { id =>
+          val bos = new ByteArrayOutputStream()
+          val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          writer.setOutput(out)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          val nf = synthNFrames(id)
+          while (f < nf) {
+            val img = new BufferedImage(VideoW, VideoH,
+              BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < VideoH) {
+              var x = 0
+              while (x < VideoW) {
+                raster.setSample(x, y, 0, synthGray(id, f, x, y))
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          out.close()
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** GIF magic sniff ('GIF87a'/'GIF89a'). */
+  def sniffVideo(bytes: Array[Byte]): String =
+    if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I'
+      && bytes(2) == 'F' && bytes(3) == '8'
+      && (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a') "gif"
+    else "unknown"
+
+  /** REAL multi-frame decode + strided keyframe sampling: parse the GIF
+    * container, count its frames from the stream, decode every
+    * `stride`-th frame, and emit per-kept-frame dimensions and the full
+    * pixel checksum. One reusable reader per partition; corrupt payloads
+    * degrade per-row ([[decodeImages]] discipline). Emits
+    * `(doc_id, n_frames, frame_idx, width, height, pix_sum)` — one row
+    * per KEPT frame. */
+  def sampleVideoFrames(payloads: DataFrame, stride: Int): DataFrame = {
+    val ss = payloads.sparkSession
+    import ss.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        ImageIO.setUseCache(false)
+        var reader: javax.imageio.ImageReader = null
+        def freshReader() = {
+          if (reader != null) reader.dispose()
+          reader = ImageIO.getImageReadersByFormatName("gif").next()
+          reader
+        }
+        reader = ImageIO.getImageReadersByFormatName("gif").next()
+        iter.flatMap { case (id, bytes) =>
+          if (sniffVideo(bytes) == "unknown")
+            Iterator.single((id, 0L, -1L, 0L, 0L, 0L))
+          else {
+            val in = new MemoryCacheImageInputStream(
+              new ByteArrayInputStream(bytes))
+            reader.setInput(in, false, true)
+            val rows =
+              try {
+                // a truncated body behind a valid magic can parse to
+                // ZERO frames without throwing — surface it as the
+                // corrupt marker row rather than silently dropping the
+                // doc (a 100 TB sweep must account for every payload)
+                val nf = reader.getNumImages(true)
+                if (nf <= 0) Seq((id, 0L, -2L, 0L, 0L, 0L))
+                else (0 until nf by stride).map { f =>
+                  val img = reader.read(f)
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  // decoded GIF frames come back palette-INDEXED —
+                  // getRGB resolves through the color model (gray
+                  // palette ⇒ r == g == b == the gray value); a raw
+                  // raster read would checksum palette indexes
+                  var sum = 0L
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      sum += (img.getRGB(x, y) & 0xff)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  (id, nf.toLong, f.toLong, w.toLong, h.toLong, sum)
+                }
+              } catch { case scala.util.control.NonFatal(_) =>
+                // truncated body behind a valid magic: degrade per-row
+                // and replace the possibly-wedged shared reader
+                freshReader(): Unit
+                Seq((id, 0L, -2L, 0L, 0L, 0L))
+              }
+            in.close()
+            rows
+          }
+        }
+      }.toDF("doc_id", "n_frames", "frame_idx", "width", "height", "pix_sum")
+  }
+
   /** Feature extraction: 16-bin byte-value histogram per payload — the
     * shape of a real embedding/feature step (fixed-width vector per item,
     * computed scan-side, only (id, features) flows downstream). Output is

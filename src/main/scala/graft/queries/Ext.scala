@@ -3691,6 +3691,23 @@ object Ext {
       Multimodal.synthAudio(t(s, dir, "documents")), win = 160)
       .orderBy(col("doc_id"), col("win"))
 
+  /** REAL video-frame sampling (r11 — the last multimodal leg): per doc
+    * a genuine ANIMATED GIF (2–7 grayscale frames, multi-frame
+    * `javax.imageio` sequence write), parsed back by a real container
+    * read — frame count from the stream, every 2nd frame decoded —
+    * with the full per-frame pixel checksum. GIF's 256-entry palette
+    * holds the whole 8-bit gray ramp, so the codec is LOSSLESS here
+    * (probe-verified) and the DuckDB oracle recomputes every kept
+    * frame's checksum from the closed-form gray expression — the
+    * decode → sample-every-Sth-frame → per-frame-features shape a
+    * video curation pipeline runs. Payloads never shuffle (encode +
+    * decode fuse scan-side); only the per-kept-frame feature relation
+    * flows. */
+  def mmVideoFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleVideoFrames(
+      Multimodal.synthVideos(t(s, dir, "documents")), stride = 2)
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   // ===== temporal joins =====
 
   /** As-of join: each purchase matched to the latest signup at-or-before
@@ -5394,6 +5411,7 @@ object Ext {
     "mm_resize" -> mmResize _,
     "mm_audio_meta" -> mmAudioMeta _,
     "mm_audio_energy" -> mmAudioEnergy _,
+    "mm_video_frames" -> mmVideoFrames _,
     "join_asof" -> joinAsof _,
     "join_asof_nearest" -> joinAsofNearest _,
     "win_session_bounce" -> winSessionBounce _,

@@ -1726,6 +1726,23 @@ ORDER BY merge_round""",
            CAST(sum(s*s) AS BIGINT) AS sumsq
          FROM s GROUP BY doc_id, win, nf ORDER BY doc_id, win""",
 
+    // REAL animated-GIF round trip: frame count from the doc_id
+    // rotation, every 2nd frame kept, per-frame pixel checksum
+    // recomputed from the closed-form gray expression (gray palette ⇒
+    // the gif codec is lossless — probe-verified; see Multimodal).
+    "mm_video_frames" ->
+      """WITH d AS (SELECT doc_id, doc_id % 6 + 2 AS nf FROM documents),
+         fr AS (SELECT doc_id, nf, f
+           FROM d, unnest(range(0, nf)) rf(f) WHERE f % 2 = 0),
+         px AS (SELECT doc_id, nf, f,
+             (doc_id*31 + f*17 + x*7 + y*13) % 256 AS g
+           FROM fr, unnest(range(0, 16)) rx(x), unnest(range(0, 12)) ry(y))
+         SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+           CAST(sum(g) AS BIGINT) AS pix_sum
+         FROM px GROUP BY doc_id, nf, f ORDER BY doc_id, frame_idx""",
+
     "join_asof" ->
       """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us,
              max(event_id) AS s_event

@@ -170,6 +170,50 @@ class MultimodalSpec extends SparkSpec {
     assert(idx.toSeq == Seq(0L, 4L, 8L)) // 11 frames (0..10), strided
   }
 
+  // ===== video (r11) =====
+
+  test("synthVideos emits genuine multi-frame GIF containers") {
+    val p = Multimodal.synthVideos(Seq(0L, 5L).toDF("doc_id"))
+      .as[(Long, Array[Byte])].collect().toMap
+    for ((id, bytes) <- p)
+      assert(Multimodal.sniffVideo(bytes) == "gif", s"doc $id not GIF")
+  }
+
+  test("sampleVideoFrames: real container parse, strided frames, exact pixels") {
+    val ids = Seq(0L, 1L, 5L, 11L) // 2, 3, 7, 7 frames
+    val rows = Multimodal.sampleVideoFrames(
+        Multimodal.synthVideos(ids.toDF("doc_id")), stride = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map { case (id, nf, f, w, h, s) => (id, f) -> ((nf, w, h, s)) }.toMap
+    for (id <- ids) {
+      val nf = Multimodal.synthNFrames(id)
+      val kept = (0 until nf by 2)
+      assert(rows.count(_._1._1 == id) == kept.size)
+      for (f <- kept) {
+        var sum = 0L
+        for (y <- 0 until Multimodal.VideoH; x <- 0 until Multimodal.VideoW)
+          sum += Multimodal.synthGray(id, f, x, y)
+        assert(rows((id, f.toLong)) ==
+          ((nf.toLong, Multimodal.VideoW.toLong, Multimodal.VideoH.toLong, sum)),
+          s"doc $id frame $f diverges")
+      }
+    }
+  }
+
+  test("sampleVideoFrames: corrupt payloads degrade per-row") {
+    val junk = Seq(
+      (50L, "no container".getBytes("UTF-8")),
+      (51L, "GIF89agarbage-body".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val good = Multimodal.synthVideos(Seq(3L).toDF("doc_id"))
+    val m = Multimodal.sampleVideoFrames(junk.unionByName(good), 2)
+      .select("doc_id", "frame_idx").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(m(50L) == Set(-1L)) // unknown magic
+    assert(m(51L) == Set(-2L)) // parse failure behind a valid magic
+    assert(m(3L) == Set(0L, 2L, 4L)) // 5 frames, stride 2
+  }
+
   // ===== audio (r11) =====
 
   test("synthAudio emits genuine RIFF/WAVE containers") {
