@@ -803,6 +803,16 @@ object Ext {
     * batch, pool) contract at full depth in Round9OpsSpec at a second
     * SF. */
   def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainMergesList(s, dir).toDF("merge_round", "lhs", "rhs", "n")
+      .orderBy(col("merge_round"))
+  }
+
+  /** The trainer body behind [[textBpeTrain]], returning the plain merge
+    * list so [[textBpeApplyTrained]] can broadcast it without a
+    * DataFrame round trip. */
+  private[queries] def trainMergesList(
+      s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
     val log = graft.core.PhaseLog.start("bpe_train")
     val D = "\u001f"
     // ONE corpus-scale job: build + collect the capped type table. The
@@ -894,9 +904,7 @@ object Ext {
       }
     }
     log(s"trained merges=$made rounds=$round")
-    import s.implicits._
-    merges.result().toDF("merge_round", "lhs", "rhs", "n")
-      .orderBy(col("merge_round"))
+    merges.result()
   }
 
   /** Fixed 10-rule merge ladder for [[textBpeApply]] — deliberately
@@ -945,6 +953,54 @@ object Ext {
           (acc, sw) => acc + size(split(sw, " ")).cast("long")), lit(0L))
           .as("n_subwords"),
         md5(array_join(col("subw"), " / ")).as("tok_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BPE tokenizer apply with the CORPUS-TRAINED table (r11 — the
+    * lifecycle's missing half now that the trained table has a pinned
+    * literal oracle): TRAIN the 500-merge table (one corpus-scale type
+    * collapse + in-memory rounds, [[trainMergesList]]), broadcast the
+    * ladder, and encode every document's \u2581-joined chunk units
+    * scan-locally in ladder order — exactly what a production pipeline
+    * does between "train tokenizer" and "count tokens". The gate hashes
+    * the FULL per-document subword stream: the DuckDB oracle replays
+    * all [[BpeTargetMerges]] merges from the SAME captured literal
+    * table via a recursive CTE (one iteration per merge rank over every
+    * unit), so engine and oracle apply two independent implementations
+    * of the identical ladder.
+    *
+    * Mechanics match the trainer verbatim (delimiter-wrapped symbols,
+    * leftmost non-overlapping `replace` per merge): a 500-deep Column
+    * `replace` chain would blow codegen, so the fold runs in a typed
+    * map with the broadcast ladder — scan-local, zero shuffle beyond
+    * the driver-facing ORDER BY, embarrassingly parallel at 100 TB. */
+  def textBpeApplyTrained(s: SparkSession, dir: String): DataFrame = {
+    val D = "\u001f"
+    val ladder: Array[(String, String)] =
+      trainMergesList(s, dir).map(m => (D + m._2 + D + D + m._3 + D,
+        D + m._2 + m._3 + D)).toArray
+    val bc = s.sparkContext.broadcast(ladder)
+    import s.implicits._
+    docsTok(s, dir).select(col("doc_id").cast("long"), col("toks"))
+      .as[(Long, Seq[String])]
+      .map { case (id, toks) =>
+        val ps = bc.value
+        val subw = toks.grouped(BpeChunkTokens).map(_.mkString("\u2581"))
+          .map { u =>
+            var seg = u.iterator.map(c => D + c + D).mkString
+            var i = 0
+            while (i < ps.length) {
+              seg = seg.replace(ps(i)._1, ps(i)._2); i += 1
+            }
+            seg.replace(D + D, " ").replace(D, "")
+          }.toArray
+        val nSub = subw.iterator.map(w => w.count(_ == ' ') + 1L).sum
+        val joined = subw.mkString(" / ")
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(joined.getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+        (id, subw.length.toLong, nSub, md5)
+      }.toDF("doc_id", "n_units", "n_subwords", "tok_md5")
       .orderBy(col("doc_id"))
   }
 
@@ -5360,6 +5416,7 @@ object Ext {
     "text_bpe_merge" -> textBpeMerge _,
     "text_bpe_train" -> textBpeTrain _,
     "text_bpe_apply" -> textBpeApply _,
+    "text_bpe_apply_trained" -> textBpeApplyTrained _,
     "text_novelty" -> textNovelty _,
     "text_top_tokens_cms" -> textTopTokensCms _,
     "split_train_test" -> splitTrainTest _,

@@ -14,6 +14,138 @@ package graft.queries
   */
 object ExtOracle {
 
+  /** The 500-merge table captured from the independent reference
+    * trainer via `CaptureBpe` (sf0.01, the driver-gate corpus) —
+    * shared by the trainer gate and the trained-apply recursive
+    * replay so the two oracles cannot drift. Rows only; wrap in
+    * `(VALUES $bpeTrainedRows) AS t(merge_round, lhs, rhs, n)`. */
+  private val bpeTrainedRows: String =
+    """(1, 'e', 'r', 4568), (2, '▁', 's', 4041), (3, 'i', 'n', 2760), (4, 'o', 'w', 2747),
+(5, 'a', 't', 1845), (6, 'l', 'u', 1831), (7, 'c', 'h', 937), (8, 'g', 'g', 901),
+(9, 'o', 'r', 2696), (10, 'e', '▁', 2623), (11, 's', 't', 2003), (12, 'm', 'er', 1852),
+(13, 'p', 'a', 1758), (14, 'at', 'ch', 937), (15, 'c', 'u', 934), (16, 'f', 'i', 933),
+(17, 'l', 'l', 928), (18, 'd', 'ow', 886), (19, 'w', 'in', 886), (20, 'n', '▁s', 252),
+(21, 'pa', 'r', 1758), (22, '▁', 'a', 1132), (23, 'j', 'o', 964), (24, 's', 'h', 947),
+(25, 'b', 'atch', 937), (26, 'cu', 'st', 934), (27, 'lu', 'm', 934), (28, 'fi', 'l', 933),
+(29, 't', 'er', 933), (30, 'mer', 'g', 918), (31, 'e', 'c', 912), (32, 'or', 'd', 912),
+(33, 'u', 'p', 904), (34, 'win', 'dow', 886), (35, 'in', 'e▁', 543), (36, 'ow', '▁s', 283),
+(37, '▁', 'v', 1108), (38, 'jo', 'in', 964), (39, 'a', 'sh', 947), (40, 'c', 'o', 934),
+(41, 'fil', 'ter', 933), (42, 'ec', 't', 912), (43, 'ord', 'er', 912), (44, 'b', 'l', 908),
+(45, 'd', 'at', 908), (46, 'e', 'y', 896), (47, 'par', 'k', 880), (48, 'g', 'r', 878),
+(49, 'q', 'u', 871), (50, 'lum', 'n', 815), (51, '▁s', 'm', 587), (52, '▁a', 'gg', 583),
+(53, 'merg', 'e▁', 557), (54, 's', 'or', 211), (55, 'ine▁', 'cust', 32), (56, '▁', 't', 1104),
+(57, 'h', 'ash', 947), (58, 'c', 'a', 936), (59, 'o', 'mer', 934), (60, 'ect', 'or', 912),
+(61, 'k', 'ey', 896), (62, 'r', 'e', 888), (63, 'b', 'i', 876), (64, 'er', 'y', 871),
+(65, 'co', 'lumn', 815), (66, 'l', 'ow', 776), (67, '▁s', 'park', 591), (68, 'bl', 'e▁', 524),
+(69, 's', 'm', 245), (70, 'lum', 'n▁s', 119), (71, 'join', '▁v', 57), (72, 'ine▁', 'v', 39),
+(73, 'merge▁', 'gr', 36), (74, 'batch', '▁agg', 31), (75, 'order', '▁sm', 30), (76, 'st', '▁a', 30),
+(77, 'd', 'up', 26), (78, 'a', 'll', 928), (79, 'cust', 'omer', 902), (80, 'o', 'up', 878),
+(81, 'par', 't', 878), (82, 'bi', 'g', 876), (83, 'qu', 'ery', 871), (84, 'ca', 'n', 803),
+(85, 'r', 'ow', 802), (86, '▁', 'hash', 601), (87, '▁s', 'or', 565), (88, '▁v', 'ector', 542),
+(89, '▁t', 'h', 529), (90, 'lu', 'e▁', 517), (91, 'l', 'ine▁', 472), (92, 'bl', 'e', 384),
+(93, 'st', 're', 215), (94, 's', 'park', 205), (95, 'co', 'lumn▁s', 119), (96, 'ow▁s', 'm', 59),
+(97, 'ble▁', 'v', 44), (98, 'batch', '▁sm', 30), (99, 'filter', '▁agg', 27), (100, 'window', '▁a', 27),
+(101, 'merge▁', 'order', 26), (102, 'dat', 'a', 908), (103, 'gr', 'oup', 842), (104, 't', 're', 673),
+(105, '▁', 'join', 593), (106, '▁sm', 'all', 527), (107, '▁s', 'can', 522), (108, 'lu', 'e', 380),
+(109, 'l', 'in', 367), (110, 'v', 'ector', 304), (111, '▁th', 'e▁', 260), (112, 's', 'low', 191),
+(113, 'ca', 'n▁s', 133), (114, 'r', 'ow▁s', 113), (115, 'row', '▁a', 38), (116, 'ble▁', 'hash', 37),
+(117, 'st', '▁hash', 33), (118, 'window', '▁t', 33), (119, 'ine▁cust', 'omer', 32), (120, 'm', '▁v', 31),
+(121, 'merge▁', 'customer', 31), (122, 'line▁', 'key', 30), (123, 'lue▁', 'batch', 30), (124, 'filter', '▁spark', 27),
+(125, 'column', '▁agg', 26), (126, 'order', '▁sor', 26), (127, 'column▁s', 'or', 24), (128, 'a', 'm', 857),
+(129, '▁', 'data', 591), (130, '▁s', 'tre', 588), (131, '▁sor', 't', 539), (132, 'lin', 'e', 367),
+(133, 'sm', 'all', 245), (134, 'h', 'e▁', 222), (135, 's', 'can', 213), (136, 'l', 'ow▁s', 111),
+(137, 'merge▁gr', 'oup', 36), (138, 'join▁v', 'ector', 35), (139, 'filter', '▁hash', 32), (140, 'merge▁', 'hash', 32),
+(141, 'order', '▁v', 31), (142, 'lue▁', 'query', 30), (143, 'part', '▁t', 30), (144, 'st', '▁agg', 30),
+(145, 'big', '▁join', 29), (146, 'batch', '▁scan', 28), (147, 'r', 'ow▁sm', 28), (148, 'column▁s', 'low', 26),
+(149, 'key', '▁vector', 26), (150, 'line▁', 'group', 26), (151, 'lue', '▁small', 26), (152, 'ble▁', 'column', 25),
+(153, 'row▁s', 'park', 24), (154, 'ble', '▁spark', 22), (155, 'f', 'a', 854), (156, '▁stre', 'am', 570),
+(157, '▁', 'query', 558), (158, '▁s', 'low', 501), (159, 'merg', 'e', 361), (160, 't', 'he▁', 222),
+(161, 's', 'low▁s', 49), (162, 'l', 'ine▁v', 39), (163, 'm', 'all', 37), (164, 'window', '▁hash', 32),
+(165, 'filter', '▁data', 31), (166, 'part', '▁join', 29), (167, 'row', '▁v', 29), (168, 'column', '▁t', 28),
+(169, 'st', '▁spark', 28), (170, 'lue▁', 'customer', 27), (171, 'can▁s', 'tre', 26), (172, 'line▁', 'join', 26),
+(173, 'big', '▁sort', 25), (174, 'ble', '▁small', 25), (175, 'ble▁', 'batch', 25), (176, 'group', '▁vector', 24),
+(177, 'column▁s', 'park', 23), (178, 'key', '▁a', 23), (179, 'lue', '▁scan', 22), (180, 'fa', 'st', 733),
+(181, '▁', 'customer', 554), (182, '▁t', 'a', 484), (183, '▁th', 'e', 269), (184, 'sor', 't', 211),
+(185, 'stre', 'am', 203), (186, '▁s', 'can▁s', 63), (187, 'l', 'ine▁customer', 32), (188, 'ow▁sm', 'all', 31),
+(189, 'group', '▁data', 30), (190, 'key', '▁hash', 29), (191, 'merge', '▁small', 29), (192, 'ble', '▁stream', 28),
+(193, 'filter', '▁query', 28), (194, 'window', '▁sort', 28), (195, 'ble▁', 'join', 25), (196, 'line', '▁slow', 25),
+(197, 'line▁', 'data', 25), (198, 'merge▁', 'row', 25), (199, 'big', '▁spark', 24), (200, 'part', '▁agg', 24),
+(201, 'column', '▁join', 23), (202, 'lue▁', 'order', 23), (203, 'row▁s', 'tre', 22), (204, 'low▁s', 'or', 20),
+(205, '▁', 'batch', 518), (206, '▁v', 'a', 418), (207, '▁ta', 'ble', 216), (208, 'h', 'e', 89),
+(209, 'or', 't', 52), (210, '▁s', 'low▁s', 38), (211, 'tre', 'am', 37), (212, 'row', '▁customer', 35),
+(213, 'fa', 'st▁hash', 33), (214, 'l', 'ow▁small', 31), (215, 's', 'can▁s', 31), (216, 'batch▁sm', 'all', 30),
+(217, 'group', '▁query', 29), (218, 'order', '▁data', 29), (219, 'filter', '▁join', 26), (220, 'line▁', 'window', 26),
+(221, 'merge', '▁spark', 26), (222, '▁hash', '▁stream', 25), (223, 'merge▁', 'query', 24), (224, 'fast', '▁sort', 23),
+(225, 'line', '▁small', 23), (226, 'ble▁', 'key', 22), (227, 'column', '▁vector', 22), (228, 'lue', '▁slow', 22),
+(229, 'big', '▁agg', 21), (230, 'lue▁', 'data', 21), (231, 'row▁s', 'can', 21), (232, 'part', '▁scan', 20),
+(233, '▁', 'big', 504), (234, 't', 'a', 333), (235, '▁va', 'lue', 177), (236, '▁ta', 'ble▁', 164),
+(237, 'window', '▁customer', 32), (238, 'fa', 'st▁a', 30), (239, 'order▁sm', 'all', 30), (240, 'fast', '▁query', 26),
+(241, 'group', '▁stream', 26), (242, 'can▁stre', 'am', 25), (243, 'filter', '▁scan', 25), (244, 'row', '▁vector', 25),
+(245, 'column', '▁data', 23), (246, 'key', '▁spark', 23), (247, 'line', '▁sort', 23), (248, 'line▁', 'batch', 22),
+(249, 'part', '▁slow', 22), (250, 'merge▁', 'join', 21), (251, 'order', '▁batch', 21), (252, 'row▁s', 'ort', 21),
+(253, 'column▁s', 'tream', 19), (254, '▁small', '▁join', 19), (255, 'lue▁', 'vector', 18), (256, 'ble▁v', 'ector', 17),
+(257, '▁', 'key', 482), (258, 'a', 'gg', 318), (259, '▁va', 'lue▁', 152), (260, 'ta', 'ble▁', 151),
+(261, 't', 'he', 89), (262, 'fa', 'st▁agg', 30), (263, 'fast', '▁customer', 29), (264, 'column', '▁big', 28),
+(265, 'row▁sm', 'all', 28), (266, 'window', '▁query', 26), (267, 'filter', '▁a', 24), (268, 'line▁', 'row', 24),
+(269, 'part', '▁stream', 24), (270, 'order', '▁spark', 23), (271, 'group', '▁agg', 22), (272, 'merge', '▁sort', 22),
+(273, 'merge▁', 'batch', 22), (274, 'row▁stre', 'am', 22), (275, '▁ta', 'ble▁hash', 22), (276, 'row▁s', 'low', 20),
+(277, '▁vector', '▁small', 18), (278, 'line', '▁scan', 17), (279, 'the▁', 'hash', 17), (280, '▁s', 'can▁stream', 17),
+(281, '▁batch', '▁hash', 16), (282, '▁join', '▁data', 16), (283, '▁scan▁s', 'can', 16), (284, '▁', 'order', 470),
+(285, 'v', 'a', 314), (286, 'ta', 'ble', 62), (287, 'column', '▁key', 28), (288, 'fa', 'st▁spark', 28),
+(289, 'order▁sor', 't', 26), (290, 'row', '▁agg', 24), (291, 'window', '▁scan', 24), (292, 'filter', '▁small', 23),
+(293, 'merge', '▁stream', 23), (294, 'fast', '▁data', 22), (295, 'line', '▁spark', 22), (296, 'line▁', 'hash', 22),
+(297, 'merge▁', 'key', 22), (298, 'part', '▁sort', 22), (299, 'group', '▁big', 20), (300, 'the▁', 'batch', 17),
+(301, '▁s', 'low▁sor', 17), (302, '▁query', '▁join', 16), (303, 'query', '▁customer', 15), (304, 'big', '▁a', 14),
+(305, '▁', 'part', 453), (306, 'va', 'lue▁', 157), (307, 'a', 'lue', 74), (308, 'column▁sor', 't', 24),
+(309, 'row', '▁data', 24), (310, 'filter', '▁vector', 23), (311, 'column', '▁batch', 22), (312, 'fast', '▁join', 22),
+(313, 'window', '▁key', 22), (314, 'group', '▁spark', 21), (315, 'line', '▁stream', 21), (316, 'merge▁', 'big', 20),
+(317, 'merge', '▁slow', 18), (318, 'line▁', 'agg', 16), (319, '▁order', '▁customer', 16), (320, '▁query', '▁small', 16),
+(321, '▁s', 'low▁small', 16), (322, 'key', '▁agg', 15), (323, 'ta', 'ble▁batch', 15), (324, '▁the', '▁sort', 15),
+(325, 'data', '▁the▁', 14), (326, 'line▁v', 'ector', 14), (327, 'slow▁s', 'low', 14), (328, '▁', 'filter', 433),
+(329, 'a', 'lue▁', 59), (330, 'va', 'lue', 59), (331, 'row', '▁batch', 22), (332, 'window', '▁slow', 22),
+(333, 'column', '▁order', 21), (334, 'fast', '▁part', 21), (335, 'group', '▁customer', 20), (336, '▁stream', '▁join', 20),
+(337, 'merge▁', 'agg', 19), (338, 'order▁v', 'alue', 19), (339, 'line▁', 'big', 18), (340, 'merge', '▁scan', 17),
+(341, '▁slow▁sor', 't', 17), (342, '▁the', '▁spark', 17), (343, '▁big', '▁data', 16), (344, 'ta', 'ble▁join', 15),
+(345, '▁hash', '▁agg', 15), (346, '▁query', '▁key', 15), (347, 'customer', '▁small', 14), (348, 's', 'low▁small', 14),
+(349, 'vector', '▁vector', 14), (350, '▁the▁', 'key', 14), (351, '▁va', 'lue▁scan', 14), (352, 'slow▁s', 'ort', 13),
+(353, '▁', 'group', 419), (354, 'window▁t', 'a', 33), (355, 'window', '▁filter', 25), (356, 'row', '▁query', 22),
+(357, 'fast', '▁batch', 21), (358, 'column', '▁part', 19), (359, 'line▁', 'filter', 18), (360, '▁spark', '▁join', 18),
+(361, '▁key', '▁order', 17), (362, 'merge▁', 'data', 16), (363, 'va', 'lue▁slow', 16), (364, '▁sort', '▁data', 16),
+(365, 'row▁v', 'alue▁', 15), (366, 'hash', '▁agg', 14), (367, 'line▁v', 'alue', 14), (368, 'ta', 'ble▁stream', 14),
+(369, '▁customer', '▁scan', 14), (370, 'small', '▁stream', 13), (371, '▁', 'row', 388), (372, 'a', 'm▁v', 31),
+(373, 'fast', '▁group', 20), (374, 'window', '▁data', 19), (375, 'column', '▁filter', 18), (376, 'merge▁', 'vector', 16),
+(377, 'va', 'lue▁batch', 15), (378, '▁sort', '▁slow', 15), (379, '▁value', '▁spark', 15), (380, 'line▁', 'part', 14),
+(381, '▁big', '▁order', 14), (382, '▁key', '▁batch', 14), (383, '▁vector', '▁join', 14), (384, 'order', '▁scan', 13),
+(385, 'ta', 'ble▁hash', 13), (386, 'window▁ta', 'ble', 13), (387, '▁a', '▁stream', 13), (388, '▁scan▁s', 'low', 13),
+(389, '▁slow▁s', 'tream', 13), (390, '▁ta', 'ble▁small', 13), (391, '▁table▁', 'line', 13), (392, '▁the▁', 'big', 13),
+(393, 'small', '▁customer', 12), (394, '▁', 'window', 372), (395, 'part▁t', 'a', 30), (396, 'column', '▁row', 19),
+(397, 'fast', '▁stream', 19), (398, '▁stre', 'am▁v', 18), (399, 'merge▁', 'part', 15), (400, 'vector', '▁spark', 15),
+(401, 'line▁', 'query', 14), (402, 'va', 'lue▁customer', 14), (403, '▁hash', '▁group', 14), (404, '▁part', '▁filter', 14),
+(405, 'hash', '▁batch', 13), (406, 'ta', 'ble▁v', 13), (407, '▁data', '▁customer', 13), (408, '▁order', '▁big', 13),
+(409, '▁small', '▁slow', 13), (410, '▁sort', '▁a', 13), (411, '▁table', '▁scan', 13), (412, '▁va', 'lue▁batch', 13),
+(413, '▁vector', '▁agg', 13), (414, '▁', 'fast', 352), (415, 'column▁t', 'a', 28), (416, 'merge▁', 'column', 18),
+(417, '▁row', '▁group', 16), (418, 'line▁', 'order', 13), (419, 'va', 'lue▁data', 13), (420, '▁key', '▁customer', 13),
+(421, '▁part', '▁vector', 13), (422, '▁query', '▁spark', 13), (423, '▁sort', '▁join', 13), (424, 'big', '▁order', 12),
+(425, 'join', '▁batch', 12), (426, 'key', '▁scan', 12), (427, 'part▁ta', 'ble▁', 12), (428, 'stre', 'am▁v', 12),
+(429, '▁big', '▁hash', 12), (430, '▁data', '▁data', 12), (431, '▁stream▁v', 'alue', 12), (432, '▁ta', 'ble▁spark', 12),
+(433, '▁the▁', 'data', 12), (434, 'join▁v', 'alue▁', 11), (435, '▁', 'column', 342), (436, 'line▁', 'a', 20),
+(437, 'merge▁', 'window', 16), (438, '▁row', '▁fast', 15), (439, 'column▁ta', 'ble▁', 12), (440, 'customer', '▁vector', 12),
+(441, 'small', '▁part', 12), (442, '▁batch', '▁customer', 12), (443, '▁big', '▁scan', 12), (444, '▁key', '▁filter', 12),
+(445, '▁order', '▁the', 12), (446, '▁slow', '▁data', 12), (447, '▁sort', '▁stream', 12), (448, '▁window', '▁spark', 12),
+(449, 'order', '▁join', 11), (450, 'scan▁s', 'mall', 11), (451, 'slow', '▁query', 11), (452, 'sort', '▁a', 11),
+(453, 'ta', 'ble▁key', 11), (454, 'the▁', 'big', 11), (455, 'value▁', 'agg', 11), (456, '▁', 'merge', 185),
+(457, 'line▁', 'fast', 17), (458, 'merge▁', 'a', 17), (459, '▁big', '▁column', 16), (460, '▁fast', '▁row', 13),
+(461, 'column', '▁hash', 12), (462, '▁a', '▁vector', 12), (463, '▁part', '▁order', 12), (464, '▁query', '▁filter', 12),
+(465, '▁slow', '▁join', 12), (466, 'customer', '▁batch', 11), (467, 'data', '▁data', 11), (468, 'filter', '▁key', 11),
+(469, 'slow', '▁customer', 11), (470, 'ta', 'ble▁vector', 11), (471, 'value', '▁stream', 11), (472, '▁group', '▁scan', 11),
+(473, '▁scan▁s', 'mall', 11), (474, '▁spark', '▁agg', 11), (475, '▁ta', 'ble▁column', 11), (476, '▁va', 'lue▁customer', 11),
+(477, 'agg', '▁table▁', 10), (478, 'column▁s', 'can', 10), (479, 'column▁ta', 'ble', 10), (480, '▁', 'line', 184),
+(481, 'line▁', 'column', 15), (482, 'a', '▁small', 14), (483, '▁row', '▁column', 13), (484, 'merge▁', 'table▁', 12),
+(485, '▁data', '▁big', 12), (486, '▁hash', '▁customer', 12), (487, '▁slow', '▁query', 12), (488, '▁vector', '▁a', 12),
+(489, 'slow', '▁key', 11), (490, 'spark', '▁join', 11), (491, '▁batch', '▁order', 11), (492, '▁sort', '▁group', 11),
+(493, '▁ta', 'ble▁v', 11), (494, '▁the', '▁stream', 11), (495, '▁va', 'lue▁query', 11), (496, 'agg', '▁spark', 10),
+(497, 'column▁s', 'mall', 10), (498, 'order▁v', 'alue▁', 10), (499, 'slow▁s', 'park', 10), (500, 'sort', '▁agg', 10)"""
+
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   private def stopList(words: Seq[String]): String =
@@ -436,6 +568,50 @@ object ExtOracle {
              sw -> len(string_split(sw, ' ')))), 0) AS BIGINT) AS n_subwords,
            md5(array_to_string(subw, ' / ')) AS tok_md5
          FROM enc ORDER BY doc_id"""
+    },
+
+    // trained-table BPE apply: the SAME captured 500-merge literal the
+    // trainer gate pins, replayed by a recursive CTE — one iteration
+    // per merge rank over every delimiter-wrapped chunk unit, then the
+    // per-doc subword stream is hashed exactly like text_bpe_apply.
+    // Engine applies the ladder in a typed map (a 500-deep replace
+    // Column chain would blow codegen); the oracle applies it in SQL —
+    // two independent implementations of one ladder.
+    "text_bpe_apply_trained" -> {
+      val d = "chr(31)"
+      val steps = Ext.BpeTargetMerges
+      s"""WITH RECURSIVE
+         m AS (SELECT merge_round, lhs, rhs
+           FROM (VALUES $bpeTrainedRows) AS t(merge_round, lhs, rhs, n)),
+         tok AS (SELECT doc_id, $toks AS toksf FROM documents),
+         u AS (SELECT doc_id, g AS unit_idx,
+             array_to_string(toksf[CAST(g*4+1 AS BIGINT) :
+               CAST(g*4+4 AS BIGINT)], '\u2581') AS unit
+           FROM tok, unnest(range(0,
+             (CAST(len(toksf) AS BIGINT) + 3) // 4)) rg(g)),
+         enc AS (
+           SELECT doc_id, unit_idx,
+             concat($d, array_to_string(list_filter(string_split(unit, ''),
+               x -> x <> ''), $d || $d), $d) AS seg,
+             0 AS step
+           FROM u
+           UNION ALL
+           SELECT e.doc_id, e.unit_idx,
+             replace(e.seg, $d || m.lhs || $d || $d || m.rhs || $d,
+               $d || m.lhs || m.rhs || $d),
+             e.step + 1
+           FROM enc e JOIN m ON m.merge_round = e.step + 1),
+         fin AS (SELECT doc_id, unit_idx,
+             replace(replace(seg, $d || $d, ' '), $d, '') AS sw
+           FROM enc WHERE step = $steps),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(len(string_split(sw, ' '))) AS BIGINT) AS n_subwords,
+             md5(string_agg(sw, ' / ' ORDER BY unit_idx)) AS tok_md5
+           FROM fin GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(a.n_units, 0) AS n_units,
+           coalesce(a.n_subwords, 0) AS n_subwords,
+           coalesce(a.tok_md5, md5('')) AS tok_md5
+         FROM tok t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
     },
 
     "dedup_lines" -> dedupLinesSql,
@@ -893,136 +1069,10 @@ object ExtOracle {
     // sf0.01 (the only SF the driver gates); other SFs stay covered by
     // the spec twin at sf0.001 and the bench at sf0.1/sf1g.
     "text_bpe_train" ->
-      """SELECT CAST(merge_round AS INTEGER) AS merge_round, lhs, rhs,
-       CAST(n AS BIGINT) AS n
-FROM (VALUES
-(1, 'e', 'r', 4568), (2, '▁', 's', 4041), (3, 'i', 'n', 2760), (4, 'o', 'w', 2747),
-(5, 'a', 't', 1845), (6, 'l', 'u', 1831), (7, 'c', 'h', 937), (8, 'g', 'g', 901),
-(9, 'o', 'r', 2696), (10, 'e', '▁', 2623), (11, 's', 't', 2003), (12, 'm', 'er', 1852),
-(13, 'p', 'a', 1758), (14, 'at', 'ch', 937), (15, 'c', 'u', 934), (16, 'f', 'i', 933),
-(17, 'l', 'l', 928), (18, 'd', 'ow', 886), (19, 'w', 'in', 886), (20, 'n', '▁s', 252),
-(21, 'pa', 'r', 1758), (22, '▁', 'a', 1132), (23, 'j', 'o', 964), (24, 's', 'h', 947),
-(25, 'b', 'atch', 937), (26, 'cu', 'st', 934), (27, 'lu', 'm', 934), (28, 'fi', 'l', 933),
-(29, 't', 'er', 933), (30, 'mer', 'g', 918), (31, 'e', 'c', 912), (32, 'or', 'd', 912),
-(33, 'u', 'p', 904), (34, 'win', 'dow', 886), (35, 'in', 'e▁', 543), (36, 'ow', '▁s', 283),
-(37, '▁', 'v', 1108), (38, 'jo', 'in', 964), (39, 'a', 'sh', 947), (40, 'c', 'o', 934),
-(41, 'fil', 'ter', 933), (42, 'ec', 't', 912), (43, 'ord', 'er', 912), (44, 'b', 'l', 908),
-(45, 'd', 'at', 908), (46, 'e', 'y', 896), (47, 'par', 'k', 880), (48, 'g', 'r', 878),
-(49, 'q', 'u', 871), (50, 'lum', 'n', 815), (51, '▁s', 'm', 587), (52, '▁a', 'gg', 583),
-(53, 'merg', 'e▁', 557), (54, 's', 'or', 211), (55, 'ine▁', 'cust', 32), (56, '▁', 't', 1104),
-(57, 'h', 'ash', 947), (58, 'c', 'a', 936), (59, 'o', 'mer', 934), (60, 'ect', 'or', 912),
-(61, 'k', 'ey', 896), (62, 'r', 'e', 888), (63, 'b', 'i', 876), (64, 'er', 'y', 871),
-(65, 'co', 'lumn', 815), (66, 'l', 'ow', 776), (67, '▁s', 'park', 591), (68, 'bl', 'e▁', 524),
-(69, 's', 'm', 245), (70, 'lum', 'n▁s', 119), (71, 'join', '▁v', 57), (72, 'ine▁', 'v', 39),
-(73, 'merge▁', 'gr', 36), (74, 'batch', '▁agg', 31), (75, 'order', '▁sm', 30), (76, 'st', '▁a', 30),
-(77, 'd', 'up', 26), (78, 'a', 'll', 928), (79, 'cust', 'omer', 902), (80, 'o', 'up', 878),
-(81, 'par', 't', 878), (82, 'bi', 'g', 876), (83, 'qu', 'ery', 871), (84, 'ca', 'n', 803),
-(85, 'r', 'ow', 802), (86, '▁', 'hash', 601), (87, '▁s', 'or', 565), (88, '▁v', 'ector', 542),
-(89, '▁t', 'h', 529), (90, 'lu', 'e▁', 517), (91, 'l', 'ine▁', 472), (92, 'bl', 'e', 384),
-(93, 'st', 're', 215), (94, 's', 'park', 205), (95, 'co', 'lumn▁s', 119), (96, 'ow▁s', 'm', 59),
-(97, 'ble▁', 'v', 44), (98, 'batch', '▁sm', 30), (99, 'filter', '▁agg', 27), (100, 'window', '▁a', 27),
-(101, 'merge▁', 'order', 26), (102, 'dat', 'a', 908), (103, 'gr', 'oup', 842), (104, 't', 're', 673),
-(105, '▁', 'join', 593), (106, '▁sm', 'all', 527), (107, '▁s', 'can', 522), (108, 'lu', 'e', 380),
-(109, 'l', 'in', 367), (110, 'v', 'ector', 304), (111, '▁th', 'e▁', 260), (112, 's', 'low', 191),
-(113, 'ca', 'n▁s', 133), (114, 'r', 'ow▁s', 113), (115, 'row', '▁a', 38), (116, 'ble▁', 'hash', 37),
-(117, 'st', '▁hash', 33), (118, 'window', '▁t', 33), (119, 'ine▁cust', 'omer', 32), (120, 'm', '▁v', 31),
-(121, 'merge▁', 'customer', 31), (122, 'line▁', 'key', 30), (123, 'lue▁', 'batch', 30), (124, 'filter', '▁spark', 27),
-(125, 'column', '▁agg', 26), (126, 'order', '▁sor', 26), (127, 'column▁s', 'or', 24), (128, 'a', 'm', 857),
-(129, '▁', 'data', 591), (130, '▁s', 'tre', 588), (131, '▁sor', 't', 539), (132, 'lin', 'e', 367),
-(133, 'sm', 'all', 245), (134, 'h', 'e▁', 222), (135, 's', 'can', 213), (136, 'l', 'ow▁s', 111),
-(137, 'merge▁gr', 'oup', 36), (138, 'join▁v', 'ector', 35), (139, 'filter', '▁hash', 32), (140, 'merge▁', 'hash', 32),
-(141, 'order', '▁v', 31), (142, 'lue▁', 'query', 30), (143, 'part', '▁t', 30), (144, 'st', '▁agg', 30),
-(145, 'big', '▁join', 29), (146, 'batch', '▁scan', 28), (147, 'r', 'ow▁sm', 28), (148, 'column▁s', 'low', 26),
-(149, 'key', '▁vector', 26), (150, 'line▁', 'group', 26), (151, 'lue', '▁small', 26), (152, 'ble▁', 'column', 25),
-(153, 'row▁s', 'park', 24), (154, 'ble', '▁spark', 22), (155, 'f', 'a', 854), (156, '▁stre', 'am', 570),
-(157, '▁', 'query', 558), (158, '▁s', 'low', 501), (159, 'merg', 'e', 361), (160, 't', 'he▁', 222),
-(161, 's', 'low▁s', 49), (162, 'l', 'ine▁v', 39), (163, 'm', 'all', 37), (164, 'window', '▁hash', 32),
-(165, 'filter', '▁data', 31), (166, 'part', '▁join', 29), (167, 'row', '▁v', 29), (168, 'column', '▁t', 28),
-(169, 'st', '▁spark', 28), (170, 'lue▁', 'customer', 27), (171, 'can▁s', 'tre', 26), (172, 'line▁', 'join', 26),
-(173, 'big', '▁sort', 25), (174, 'ble', '▁small', 25), (175, 'ble▁', 'batch', 25), (176, 'group', '▁vector', 24),
-(177, 'column▁s', 'park', 23), (178, 'key', '▁a', 23), (179, 'lue', '▁scan', 22), (180, 'fa', 'st', 733),
-(181, '▁', 'customer', 554), (182, '▁t', 'a', 484), (183, '▁th', 'e', 269), (184, 'sor', 't', 211),
-(185, 'stre', 'am', 203), (186, '▁s', 'can▁s', 63), (187, 'l', 'ine▁customer', 32), (188, 'ow▁sm', 'all', 31),
-(189, 'group', '▁data', 30), (190, 'key', '▁hash', 29), (191, 'merge', '▁small', 29), (192, 'ble', '▁stream', 28),
-(193, 'filter', '▁query', 28), (194, 'window', '▁sort', 28), (195, 'ble▁', 'join', 25), (196, 'line', '▁slow', 25),
-(197, 'line▁', 'data', 25), (198, 'merge▁', 'row', 25), (199, 'big', '▁spark', 24), (200, 'part', '▁agg', 24),
-(201, 'column', '▁join', 23), (202, 'lue▁', 'order', 23), (203, 'row▁s', 'tre', 22), (204, 'low▁s', 'or', 20),
-(205, '▁', 'batch', 518), (206, '▁v', 'a', 418), (207, '▁ta', 'ble', 216), (208, 'h', 'e', 89),
-(209, 'or', 't', 52), (210, '▁s', 'low▁s', 38), (211, 'tre', 'am', 37), (212, 'row', '▁customer', 35),
-(213, 'fa', 'st▁hash', 33), (214, 'l', 'ow▁small', 31), (215, 's', 'can▁s', 31), (216, 'batch▁sm', 'all', 30),
-(217, 'group', '▁query', 29), (218, 'order', '▁data', 29), (219, 'filter', '▁join', 26), (220, 'line▁', 'window', 26),
-(221, 'merge', '▁spark', 26), (222, '▁hash', '▁stream', 25), (223, 'merge▁', 'query', 24), (224, 'fast', '▁sort', 23),
-(225, 'line', '▁small', 23), (226, 'ble▁', 'key', 22), (227, 'column', '▁vector', 22), (228, 'lue', '▁slow', 22),
-(229, 'big', '▁agg', 21), (230, 'lue▁', 'data', 21), (231, 'row▁s', 'can', 21), (232, 'part', '▁scan', 20),
-(233, '▁', 'big', 504), (234, 't', 'a', 333), (235, '▁va', 'lue', 177), (236, '▁ta', 'ble▁', 164),
-(237, 'window', '▁customer', 32), (238, 'fa', 'st▁a', 30), (239, 'order▁sm', 'all', 30), (240, 'fast', '▁query', 26),
-(241, 'group', '▁stream', 26), (242, 'can▁stre', 'am', 25), (243, 'filter', '▁scan', 25), (244, 'row', '▁vector', 25),
-(245, 'column', '▁data', 23), (246, 'key', '▁spark', 23), (247, 'line', '▁sort', 23), (248, 'line▁', 'batch', 22),
-(249, 'part', '▁slow', 22), (250, 'merge▁', 'join', 21), (251, 'order', '▁batch', 21), (252, 'row▁s', 'ort', 21),
-(253, 'column▁s', 'tream', 19), (254, '▁small', '▁join', 19), (255, 'lue▁', 'vector', 18), (256, 'ble▁v', 'ector', 17),
-(257, '▁', 'key', 482), (258, 'a', 'gg', 318), (259, '▁va', 'lue▁', 152), (260, 'ta', 'ble▁', 151),
-(261, 't', 'he', 89), (262, 'fa', 'st▁agg', 30), (263, 'fast', '▁customer', 29), (264, 'column', '▁big', 28),
-(265, 'row▁sm', 'all', 28), (266, 'window', '▁query', 26), (267, 'filter', '▁a', 24), (268, 'line▁', 'row', 24),
-(269, 'part', '▁stream', 24), (270, 'order', '▁spark', 23), (271, 'group', '▁agg', 22), (272, 'merge', '▁sort', 22),
-(273, 'merge▁', 'batch', 22), (274, 'row▁stre', 'am', 22), (275, '▁ta', 'ble▁hash', 22), (276, 'row▁s', 'low', 20),
-(277, '▁vector', '▁small', 18), (278, 'line', '▁scan', 17), (279, 'the▁', 'hash', 17), (280, '▁s', 'can▁stream', 17),
-(281, '▁batch', '▁hash', 16), (282, '▁join', '▁data', 16), (283, '▁scan▁s', 'can', 16), (284, '▁', 'order', 470),
-(285, 'v', 'a', 314), (286, 'ta', 'ble', 62), (287, 'column', '▁key', 28), (288, 'fa', 'st▁spark', 28),
-(289, 'order▁sor', 't', 26), (290, 'row', '▁agg', 24), (291, 'window', '▁scan', 24), (292, 'filter', '▁small', 23),
-(293, 'merge', '▁stream', 23), (294, 'fast', '▁data', 22), (295, 'line', '▁spark', 22), (296, 'line▁', 'hash', 22),
-(297, 'merge▁', 'key', 22), (298, 'part', '▁sort', 22), (299, 'group', '▁big', 20), (300, 'the▁', 'batch', 17),
-(301, '▁s', 'low▁sor', 17), (302, '▁query', '▁join', 16), (303, 'query', '▁customer', 15), (304, 'big', '▁a', 14),
-(305, '▁', 'part', 453), (306, 'va', 'lue▁', 157), (307, 'a', 'lue', 74), (308, 'column▁sor', 't', 24),
-(309, 'row', '▁data', 24), (310, 'filter', '▁vector', 23), (311, 'column', '▁batch', 22), (312, 'fast', '▁join', 22),
-(313, 'window', '▁key', 22), (314, 'group', '▁spark', 21), (315, 'line', '▁stream', 21), (316, 'merge▁', 'big', 20),
-(317, 'merge', '▁slow', 18), (318, 'line▁', 'agg', 16), (319, '▁order', '▁customer', 16), (320, '▁query', '▁small', 16),
-(321, '▁s', 'low▁small', 16), (322, 'key', '▁agg', 15), (323, 'ta', 'ble▁batch', 15), (324, '▁the', '▁sort', 15),
-(325, 'data', '▁the▁', 14), (326, 'line▁v', 'ector', 14), (327, 'slow▁s', 'low', 14), (328, '▁', 'filter', 433),
-(329, 'a', 'lue▁', 59), (330, 'va', 'lue', 59), (331, 'row', '▁batch', 22), (332, 'window', '▁slow', 22),
-(333, 'column', '▁order', 21), (334, 'fast', '▁part', 21), (335, 'group', '▁customer', 20), (336, '▁stream', '▁join', 20),
-(337, 'merge▁', 'agg', 19), (338, 'order▁v', 'alue', 19), (339, 'line▁', 'big', 18), (340, 'merge', '▁scan', 17),
-(341, '▁slow▁sor', 't', 17), (342, '▁the', '▁spark', 17), (343, '▁big', '▁data', 16), (344, 'ta', 'ble▁join', 15),
-(345, '▁hash', '▁agg', 15), (346, '▁query', '▁key', 15), (347, 'customer', '▁small', 14), (348, 's', 'low▁small', 14),
-(349, 'vector', '▁vector', 14), (350, '▁the▁', 'key', 14), (351, '▁va', 'lue▁scan', 14), (352, 'slow▁s', 'ort', 13),
-(353, '▁', 'group', 419), (354, 'window▁t', 'a', 33), (355, 'window', '▁filter', 25), (356, 'row', '▁query', 22),
-(357, 'fast', '▁batch', 21), (358, 'column', '▁part', 19), (359, 'line▁', 'filter', 18), (360, '▁spark', '▁join', 18),
-(361, '▁key', '▁order', 17), (362, 'merge▁', 'data', 16), (363, 'va', 'lue▁slow', 16), (364, '▁sort', '▁data', 16),
-(365, 'row▁v', 'alue▁', 15), (366, 'hash', '▁agg', 14), (367, 'line▁v', 'alue', 14), (368, 'ta', 'ble▁stream', 14),
-(369, '▁customer', '▁scan', 14), (370, 'small', '▁stream', 13), (371, '▁', 'row', 388), (372, 'a', 'm▁v', 31),
-(373, 'fast', '▁group', 20), (374, 'window', '▁data', 19), (375, 'column', '▁filter', 18), (376, 'merge▁', 'vector', 16),
-(377, 'va', 'lue▁batch', 15), (378, '▁sort', '▁slow', 15), (379, '▁value', '▁spark', 15), (380, 'line▁', 'part', 14),
-(381, '▁big', '▁order', 14), (382, '▁key', '▁batch', 14), (383, '▁vector', '▁join', 14), (384, 'order', '▁scan', 13),
-(385, 'ta', 'ble▁hash', 13), (386, 'window▁ta', 'ble', 13), (387, '▁a', '▁stream', 13), (388, '▁scan▁s', 'low', 13),
-(389, '▁slow▁s', 'tream', 13), (390, '▁ta', 'ble▁small', 13), (391, '▁table▁', 'line', 13), (392, '▁the▁', 'big', 13),
-(393, 'small', '▁customer', 12), (394, '▁', 'window', 372), (395, 'part▁t', 'a', 30), (396, 'column', '▁row', 19),
-(397, 'fast', '▁stream', 19), (398, '▁stre', 'am▁v', 18), (399, 'merge▁', 'part', 15), (400, 'vector', '▁spark', 15),
-(401, 'line▁', 'query', 14), (402, 'va', 'lue▁customer', 14), (403, '▁hash', '▁group', 14), (404, '▁part', '▁filter', 14),
-(405, 'hash', '▁batch', 13), (406, 'ta', 'ble▁v', 13), (407, '▁data', '▁customer', 13), (408, '▁order', '▁big', 13),
-(409, '▁small', '▁slow', 13), (410, '▁sort', '▁a', 13), (411, '▁table', '▁scan', 13), (412, '▁va', 'lue▁batch', 13),
-(413, '▁vector', '▁agg', 13), (414, '▁', 'fast', 352), (415, 'column▁t', 'a', 28), (416, 'merge▁', 'column', 18),
-(417, '▁row', '▁group', 16), (418, 'line▁', 'order', 13), (419, 'va', 'lue▁data', 13), (420, '▁key', '▁customer', 13),
-(421, '▁part', '▁vector', 13), (422, '▁query', '▁spark', 13), (423, '▁sort', '▁join', 13), (424, 'big', '▁order', 12),
-(425, 'join', '▁batch', 12), (426, 'key', '▁scan', 12), (427, 'part▁ta', 'ble▁', 12), (428, 'stre', 'am▁v', 12),
-(429, '▁big', '▁hash', 12), (430, '▁data', '▁data', 12), (431, '▁stream▁v', 'alue', 12), (432, '▁ta', 'ble▁spark', 12),
-(433, '▁the▁', 'data', 12), (434, 'join▁v', 'alue▁', 11), (435, '▁', 'column', 342), (436, 'line▁', 'a', 20),
-(437, 'merge▁', 'window', 16), (438, '▁row', '▁fast', 15), (439, 'column▁ta', 'ble▁', 12), (440, 'customer', '▁vector', 12),
-(441, 'small', '▁part', 12), (442, '▁batch', '▁customer', 12), (443, '▁big', '▁scan', 12), (444, '▁key', '▁filter', 12),
-(445, '▁order', '▁the', 12), (446, '▁slow', '▁data', 12), (447, '▁sort', '▁stream', 12), (448, '▁window', '▁spark', 12),
-(449, 'order', '▁join', 11), (450, 'scan▁s', 'mall', 11), (451, 'slow', '▁query', 11), (452, 'sort', '▁a', 11),
-(453, 'ta', 'ble▁key', 11), (454, 'the▁', 'big', 11), (455, 'value▁', 'agg', 11), (456, '▁', 'merge', 185),
-(457, 'line▁', 'fast', 17), (458, 'merge▁', 'a', 17), (459, '▁big', '▁column', 16), (460, '▁fast', '▁row', 13),
-(461, 'column', '▁hash', 12), (462, '▁a', '▁vector', 12), (463, '▁part', '▁order', 12), (464, '▁query', '▁filter', 12),
-(465, '▁slow', '▁join', 12), (466, 'customer', '▁batch', 11), (467, 'data', '▁data', 11), (468, 'filter', '▁key', 11),
-(469, 'slow', '▁customer', 11), (470, 'ta', 'ble▁vector', 11), (471, 'value', '▁stream', 11), (472, '▁group', '▁scan', 11),
-(473, '▁scan▁s', 'mall', 11), (474, '▁spark', '▁agg', 11), (475, '▁ta', 'ble▁column', 11), (476, '▁va', 'lue▁customer', 11),
-(477, 'agg', '▁table▁', 10), (478, 'column▁s', 'can', 10), (479, 'column▁ta', 'ble', 10), (480, '▁', 'line', 184),
-(481, 'line▁', 'column', 15), (482, 'a', '▁small', 14), (483, '▁row', '▁column', 13), (484, 'merge▁', 'table▁', 12),
-(485, '▁data', '▁big', 12), (486, '▁hash', '▁customer', 12), (487, '▁slow', '▁query', 12), (488, '▁vector', '▁a', 12),
-(489, 'slow', '▁key', 11), (490, 'spark', '▁join', 11), (491, '▁batch', '▁order', 11), (492, '▁sort', '▁group', 11),
-(493, '▁ta', 'ble▁v', 11), (494, '▁the', '▁stream', 11), (495, '▁va', 'lue▁query', 11), (496, 'agg', '▁spark', 10),
-(497, 'column▁s', 'mall', 10), (498, 'order▁v', 'alue▁', 10), (499, 'slow▁s', 'park', 10), (500, 'sort', '▁agg', 10))
-  AS t(merge_round, lhs, rhs, n)
-ORDER BY merge_round""",
+      s"""SELECT CAST(merge_round AS INTEGER) AS merge_round, lhs, rhs,
+             CAST(n AS BIGINT) AS n
+         FROM (VALUES $bpeTrainedRows) AS t(merge_round, lhs, rhs, n)
+         ORDER BY merge_round""",
 
     // BPE merge induction: adjacent character pairs inside tokens,
     // top-20 by frequency (ties lexicographic)

@@ -42,6 +42,26 @@ object BpeRef {
           (a: String, b: String) => cmpUtf8(a, b)))
       .take(cap)
 
+  /** Independent ladder ENCODER for the trained-apply twin: start from
+    * the unit's character vector and apply every merge in ladder order
+    * as one leftmost non-overlapping pass (the refBpe applyMerge walk —
+    * vector mechanics vs the engine's delimiter-wrapped replace). */
+  def encode(unit: String,
+      ladder: Seq[(String, String)]): Vector[String] = {
+    var sym = unit.map(_.toString).toVector
+    for ((p1, p2) <- ladder) {
+      val merged = Vector.newBuilder[String]
+      var i = 0
+      while (i < sym.length) {
+        if (i + 1 < sym.length && sym(i) == p1 && sym(i + 1) == p2) {
+          merged += p1 + p2; i += 2
+        } else { merged += sym(i); i += 1 }
+      }
+      sym = merged.result()
+    }
+    sym
+  }
+
   /** Reference BPE trainer — the BATCHED contract textBpeTrain
     * documents: per round, order pairs by (count desc, UTF-8 byte-order
     * lexicographic), scan the top-candPool pairs, elect up to batchK
