@@ -547,4 +547,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"pair join regressed to sort-merge:\n$p")
   }
+
+  // ---- round-11 additions ----
+
+  test("multimodal codec paths: encode+decode fuse scan-side, payloads never shuffle") {
+    // all three real-codec legs synthesize and decode in one scan-side
+    // partition pass; the only exchange anywhere is the driver-facing
+    // ORDER BY (rangepartitioning). A hash exchange would mean payload
+    // bytes crossed the network — wrong at any scale, fatal at 100 TB.
+    for (q <- Seq("mm_audio_meta", "mm_audio_energy", "mm_video_frames",
+        "mm_decode_meta", "mm_resize")) {
+      val p = planOf(q)
+      val exchanges = p.linesIterator.filter(_.trim.startsWith("Exchange")).toSeq
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"$q shuffles payloads (non-sort exchange):\n$p")
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+    }
+  }
+
+  test("text_bpe_apply_trained: the encode is scan-local after the ladder broadcast") {
+    // training collapses the corpus once (one hash exchange feeding the
+    // capped type table is expected); the ENCODE side must add nothing
+    // beyond the driver-facing sort — one more hash exchange would mean
+    // the corpus re-shuffled to meet the ladder (it rides a broadcast)
+    val p = planOf("text_bpe_apply_trained")
+    val hashEx = p.linesIterator
+      .count(l => l.trim.startsWith("Exchange hashpartitioning"))
+    assert(hashEx == 0,
+      s"encode path re-shuffles the corpus ($hashEx hash exchanges):\n$p")
+    assert(!p.contains("Join"), s"broadcast ladder must not plan a join:\n$p")
+  }
 }
