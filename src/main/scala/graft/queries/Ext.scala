@@ -3194,6 +3194,62 @@ object Ext {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** NEAREST-POI enrichment join (r11 — the fourth spatial primitive:
+    * radius pairs, polygon membership, z-order layout, and now
+    * argmin-NEAREST): every ping matched to its nearest station within
+    * 1 km, the "enrich each event with its closest POI" join every
+    * fleet/geo warehouse runs. Stations are a closed-form field over
+    * the `supplier` dim (a REAL dim-table enrichment — the station set
+    * is corpus-constant, |suppliers| rows).
+    *
+    * Shape: stations explode to their 3×3 neighbor cells (cell 0.01° ≈
+    * 1032 m ≥ R, so the blocks provably cover the radius), BROADCAST
+    * (|stations|×9 rows); pings compute one cell key scan-side and
+    * equi-join the broadcast — never a theta join — then a single
+    * |pings|-keyed hash aggregate takes `min(struct(d2, station_id))`:
+    * the argmin is total (d2 ties break on station_id), the shuffle
+    * carries at most one partial row per ping (map-side combine), and
+    * the metric is the radius join's equirectangular form — integer
+    * fields × double literals through IEEE +,−,×,sqrt only, so the
+    * UNROUNDED dist_m is bit-identical cross-engine (zero tolerance).
+    * Pings with no station inside R are absent (the radius-join
+    * contract). 100 TB: corpus scans once, one bounded shuffle; the
+    * POI side is dim-sized by construction. */
+  def joinNearestPoi(s: SparkSession, dir: String): DataFrame = {
+    val cellDeg = 0.01 // ≈ 1032 m ≥ R, 3×3 neighbor cells cover R
+    val (kLat, kLng) = (111320.0, 103218.0) // m/° at ~22° lat (radius join)
+    val r2 = 1000000.0 // R = 1000 m
+    val pts = events(s, dir).select(
+        col("event_id").as("pid"),
+        (lit(22.0) + (col("event_id") % 9973) * 0.00001).as("lat"),
+        (lit(114.0) + ((col("user_id") * 7919) % 9973) * 0.00001).as("lng"))
+      .withColumn("ix", floor(col("lng") / cellDeg).cast("long"))
+      .withColumn("iy", floor(col("lat") / cellDeg).cast("long"))
+    val stations = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("long").as("sid"),
+        (lit(22.0) + ((col("s_suppkey") * 151) % 997) * 0.0001).as("slat"),
+        (lit(114.0) + ((col("s_suppkey") * 211) % 997) * 0.0001).as("slng"))
+      .withColumn("cx", floor(col("slng") / cellDeg).cast("long"))
+      .withColumn("cy", floor(col("slat") / cellDeg).cast("long"))
+      .select(col("sid"), col("slat"), col("slng"),
+        explode(expr(
+          """flatten(transform(sequence(-1, 1), dx ->
+               transform(sequence(-1, 1), dy ->
+                 struct(cx + dx AS ix, cy + dy AS iy))))""")).as("nb"))
+      .select(col("sid"), col("slat"), col("slng"),
+        col("nb.ix").as("ix"), col("nb.iy").as("iy"))
+    pts.join(broadcast(stations), Seq("ix", "iy"))
+      .withColumn("dx", (col("slng") - col("lng")) * kLng)
+      .withColumn("dy", (col("slat") - col("lat")) * kLat)
+      .withColumn("d2", col("dx") * col("dx") + col("dy") * col("dy"))
+      .filter(col("d2") <= r2)
+      .groupBy(col("pid"))
+      .agg(min(struct(col("d2"), col("sid"))).as("best"))
+      .select(col("pid"), col("best.sid").as("station_id"),
+        sqrt(col("best.d2")).as("dist_m"))
+      .orderBy(col("pid"))
+  }
+
   /** GEOFENCE membership rollup — point-in-POLYGON by ray casting, the
     * missing third spatial primitive next to [[geoRadiusJoin]] (radius)
     * and [[geoZorderLayout]] (layout): how many pings / distinct
@@ -5489,6 +5545,7 @@ object Ext {
     "fn_time_format_stats" -> fnTimeFormatStats _,
     "geo_zorder_layout" -> geoZorderLayout _,
     "geo_radius_join" -> geoRadiusJoin _,
+    "join_nearest_poi" -> joinNearestPoi _,
     "geo_geofence_count" -> geoGeofenceCount _,
     "geo_geofence_table" -> geoGeofenceTable _,
     "geo_geofence_dwell" -> geoGeofenceDwell _,

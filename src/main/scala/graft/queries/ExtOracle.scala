@@ -2295,6 +2295,29 @@ object ExtOracle {
          FROM d WHERE dx * dx + dy * dy <= CAST(625.0 AS DOUBLE)
          ORDER BY id1, id2""",
 
+    // nearest-POI: brute-force argmin at gate scale (the engine's grid
+    // blocking is result-invisible — the spec proves block ≡ brute);
+    // every literal CAST to DOUBLE (the r7 decimal-literal lesson),
+    // argmin total via (d2, sid) ordering in both engines
+    "join_nearest_poi" ->
+      """WITH p AS (SELECT event_id AS pid,
+             CAST(22.0 AS DOUBLE) + (event_id % 9973) * CAST(0.00001 AS DOUBLE) AS lat,
+             CAST(114.0 AS DOUBLE) + ((user_id * 7919) % 9973) * CAST(0.00001 AS DOUBLE) AS lng
+           FROM events),
+         st AS (SELECT CAST(s_suppkey AS BIGINT) AS sid,
+             CAST(22.0 AS DOUBLE) + ((s_suppkey * 151) % 997) * CAST(0.0001 AS DOUBLE) AS slat,
+             CAST(114.0 AS DOUBLE) + ((s_suppkey * 211) % 997) * CAST(0.0001 AS DOUBLE) AS slng
+           FROM supplier),
+         d AS (SELECT pid, sid,
+             (slng - lng) * CAST(103218.0 AS DOUBLE) AS dx,
+             (slat - lat) * CAST(111320.0 AS DOUBLE) AS dy
+           FROM p, st)
+         SELECT pid, sid AS station_id, sqrt(dx*dx + dy*dy) AS dist_m
+         FROM d WHERE dx*dx + dy*dy <= CAST(1000000.0 AS DOUBLE)
+         QUALIFY row_number() OVER (PARTITION BY pid
+           ORDER BY dx*dx + dy*dy, sid) = 1
+         ORDER BY pid""",
+
     // ray-cast parity mirrors the engine exactly: IEEE +,−,×,÷ only
     // (correctly rounded in both engines), star octagons have no
     // horizontal edges, integer crossing counts sum exactly in any order

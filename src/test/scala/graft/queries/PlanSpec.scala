@@ -565,6 +565,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("join_nearest_poi: station cells broadcast; argmin shuffle is ping-keyed only") {
+    // the POI side is dim-sized by construction and must broadcast to
+    // the corpus scan; a sort-merge join here would shuffle every ping
+    // against a |stations|x9-row relation
+    val p = planOf("join_nearest_poi")
+    assert(p.contains("BroadcastHashJoin"), s"station cells not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled to meet the dim:\n$p")
+  }
+
   test("text_bpe_apply_trained: the encode is scan-local after the ladder broadcast") {
     // training collapses the corpus once (one hash exchange feeding the
     // capped type table is expected); the ENCODE side must add nothing
