@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions._
   * The AUDIO path (r11) is a REAL RIFF/WAVE round trip ([[synthAudio]] /
   * [[decodeAudio]] / [[audioEnergyWindows]]) through the JDK's
   * `javax.sound.sampled` file SPI — PCM is lossless, so every payload
-  * gets the full cross-engine amplitude-checksum gate. VIDEO codecs are
-  * not available in this environment, so [[decodeStub]] keeps the honest
-  * stub for that shape — the Spark-side contract (schema, encoders,
-  * partition batching, feature shape) is real and oracle-tested;
-  * swapping the stub body for a JNI/codec call changes nothing
-  * structurally.
+  * gets the full cross-engine amplitude-checksum gate. The VIDEO path
+  * (r11) is a REAL multi-frame container round trip ([[synthVideos]] /
+  * [[sampleVideoFrames]]): animated GIF, the one multi-frame format the
+  * pure JDK both writes and reads — grayscale frames make the codec
+  * lossless, so strided keyframe sampling gates on full per-frame pixel
+  * checksums. TRUE bitstream video (H.264/VP9 inter-frame coding) has
+  * no pure-JVM codec, so [[decodeStub]] keeps the honest stub for that
+  * final step — the Spark-side contract (schema, encoders, partition
+  * batching, feature shape) is real and oracle-tested; swapping the
+  * stub body for a JNI/ffmpeg call changes nothing structurally.
   *
   * Scale design: payloads never shuffle — decode is a mapPartitions over
   * the scan, feature rows are small, and downstream joins carry only
