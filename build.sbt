@@ -58,4 +58,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 4x the CPU in a warm JVM while a fresh JVM converges (r10 NOTES,
   // blindzone pass-2 bimodality). Size it so JIT output is never evicted.
   "-XX:ReservedCodeCacheSize=1g",
+  // fault the whole Xms=Xmx heap at JVM start instead of on first touch:
+  // without this, G1 keeps handing out never-touched regions for many
+  // queries and the page-fault + huge-page-zeroing cost lands IN the
+  // task threads of whichever query first walks new heap — measured as
+  // the "second execution of the identical query burns 4-10x CPU, third
+  // is fine" mode (text_bpe_apply_trained RunOne at sf1g: 47/265/30
+  // executor-CPU-s on identical work; stacks show the normal code path,
+  // box shows ~25% system CPU, GC/C2/spill all idle). Pre-touching costs
+  // ~5-10 s once at startup and removes the mode at the source.
+  "-XX:+AlwaysPreTouch",
 )

@@ -16,7 +16,8 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 object StageProbe {
 
   private final case class Entry(
-    stageId: Int, name: String, tasks: Int, runMs: Long, cpuNs: Long)
+    stageId: Int, name: String, tasks: Int, runMs: Long, cpuNs: Long,
+    spillMem: Long, spillDisk: Long)
 
   private val entries =
     new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
@@ -52,7 +53,8 @@ object StageProbe {
           val si = ev.stageInfo
           val m = si.taskMetrics
           entries.add(Entry(si.stageId, si.name.takeWhile(_ != '\n'),
-            si.numTasks, m.executorRunTime, m.executorCpuTime)): Unit
+            si.numTasks, m.executorRunTime, m.executorCpuTime,
+            m.memoryBytesSpilled, m.diskBytesSpilled)): Unit
           lastEventNs = System.nanoTime()
         }
       })
@@ -70,8 +72,11 @@ object StageProbe {
     println(f"[stageprobe] $tag: stages=${all.size} " +
       f"executor_cpu=$totCpu%.1f s executor_run=$totRun%.1f s")
     all.sortBy(-_.cpuNs).take(n).foreach { e =>
+      val spill = if (e.spillMem > 0 || e.spillDisk > 0)
+        f" SPILL mem=${e.spillMem / 1e6}%.0fMB disk=${e.spillDisk / 1e6}%.0fMB"
+        else ""
       println(f"[stageprobe]   stage ${e.stageId}%4d cpu=${e.cpuNs / 1e9}%7.1f s " +
-        f"run=${e.runMs / 1e3}%7.1f s tasks=${e.tasks}%3d  ${e.name.take(110)}")
+        f"run=${e.runMs / 1e3}%7.1f s tasks=${e.tasks}%3d  ${e.name.take(110)}$spill")
     }
   }
 }

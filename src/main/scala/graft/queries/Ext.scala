@@ -981,25 +981,78 @@ object Ext {
         D + m._2 + m._3 + D)).toArray
     val bc = s.sparkContext.broadcast(ladder)
     import s.implicits._
-    docsTok(s, dir).select(col("doc_id").cast("long"), col("toks"))
-      .as[(Long, Seq[String])]
-      .map { case (id, toks) =>
+    t(s, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // HAND-ROLLED hot loop (the blindzone r10 lesson applied up
+        // front): the encode makes |docs|·|units|·|ladder| replace
+        // calls — hundreds of millions at 10× bench scale — and an
+        // early RunOne sweep showed the same warm-JVM CPU bimodality
+        // the pair scan had (rep walls 14.6/40.8/12.6/7.8 s at
+        // 45/265/48/36 executor-CPU on identical work) with the
+        // JDK `String.replace` + Scala combinator chain as the hot
+        // site. A local leftmost-non-overlapping replace (indexOf +
+        // one StringBuilder, identical semantics, no allocation on
+        // miss) and while-loops keep the path monomorphic and in our
+        // own compiled methods.
         val ps = bc.value
-        val subw = toks.grouped(BpeChunkTokens).map(_.mkString("\u2581"))
-          .map { u =>
-            var seg = u.iterator.map(c => D + c + D).mkString
+        def replaceAll(str: String, find: String, repl: String): String = {
+          var idx = str.indexOf(find)
+          if (idx < 0) str
+          else {
+            val sb = new java.lang.StringBuilder(str.length)
+            var from = 0
+            while (idx >= 0) {
+              sb.append(str, from, idx).append(repl)
+              from = idx + find.length
+              idx = str.indexOf(find, from)
+            }
+            sb.append(str, from, str.length).toString
+          }
+        }
+        it.map { case (id, text) =>
+          // tokenize in-JVM (split-on-space, drop empties) — byte-equal
+          // to docsTok's SQL tokens (the gate and the BpeRef twin both
+          // pin it), and it spares the Seq[String] deserializer: the
+          // row pipeline hands over one long + one string
+          val toks = text.split(' ').iterator.filter(_.nonEmpty).toArray
+          val nUnits0 = (toks.length + BpeChunkTokens - 1) / BpeChunkTokens
+          val subw = new Array[String](nUnits0)
+          val ti = toks.iterator
+          var u = 0
+          while (u < nUnits0) {
+            val sb = new java.lang.StringBuilder()
+            var k = 0
+            while (k < BpeChunkTokens && ti.hasNext) {
+              if (k > 0) sb.append('\u2581')
+              sb.append(ti.next()); k += 1
+            }
+            val unit = sb.toString
+            val wb = new java.lang.StringBuilder(unit.length * 3)
+            var ci = 0
+            while (ci < unit.length) {
+              wb.append(D).append(unit.charAt(ci)).append(D); ci += 1
+            }
+            var seg = wb.toString
             var i = 0
             while (i < ps.length) {
-              seg = seg.replace(ps(i)._1, ps(i)._2); i += 1
+              seg = replaceAll(seg, ps(i)._1, ps(i)._2); i += 1
             }
-            seg.replace(D + D, " ").replace(D, "")
-          }.toArray
-        val nSub = subw.iterator.map(w => w.count(_ == ' ') + 1L).sum
-        val joined = subw.mkString(" / ")
-        val md5 = java.security.MessageDigest.getInstance("MD5")
-          .digest(joined.getBytes("UTF-8"))
-          .map(b => f"${b & 0xff}%02x").mkString
-        (id, subw.length.toLong, nSub, md5)
+            subw(u) = replaceAll(replaceAll(seg, D + D, " "), D, "")
+            u += 1
+          }
+          var nSub = 0L
+          var w = 0
+          while (w < subw.length) {
+            nSub += subw(w).count(_ == ' ') + 1L; w += 1
+          }
+          val joined = subw.mkString(" / ")
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(joined.getBytes("UTF-8"))
+            .map(b => f"${b & 0xff}%02x").mkString
+          (id, subw.length.toLong, nSub, md5)
+        }
       }.toDF("doc_id", "n_units", "n_subwords", "tok_md5")
       .orderBy(col("doc_id"))
   }
