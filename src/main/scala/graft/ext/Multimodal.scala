@@ -274,6 +274,70 @@ object Multimodal {
       }.toDF("doc_id", "src_w", "src_h", "dst_w", "dst_h", "pix_sum")
   }
 
+  /** 8×8 average-hash (aHash) over the DECODED pixels — the perceptual
+    * fingerprint production image dedup computes before any pairing
+    * (pHash/aHash family; identical hashes ⇒ perceptually identical
+    * images regardless of byte-level encoding, which is exactly why
+    * byte-hash dedup misses re-encoded duplicates).
+    *
+    * Integer throughout so the DuckDB oracle replays it from the
+    * closed-form pixel expression: gray is the fixed-point ITU-R 601
+    * luma (299·r + 587·g + 114·b — NO division, the milli-scale is
+    * monotone so thresholding is unaffected), each pixel maps to cell
+    * (y·8/h, x·8/w), and a cell's bit is set iff its mean luma exceeds
+    * the image mean — compared cross-multiplied (cellSum·N > total·cellN)
+    * so no engine ever divides. Images narrower than 8 rows (h ∈ {6,7}
+    * in the synthetic rotation) leave some cells pixel-less; an empty
+    * cell's bit is 0 in both engines (0 > 0 is false).
+    *
+    * The 64 bits are emitted as two 32-bit halves (`ahash_hi` bits
+    * 63..32 at positions pos−32, `ahash_lo` bits 31..0) — both halves
+    * stay in [0, 2³²) so neither engine touches the BIGINT sign bit and
+    * the DuckDB mirror needs no unsigned type. */
+  def averageHash(payloads: DataFrame): DataFrame = {
+    val ss = payloads.sparkSession
+    import ss.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        ImageIO.setUseCache(false)
+        iter.map { case (id, bytes) =>
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val cellSum = new Array[Long](64)
+          val cellCnt = new Array[Long](64)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            val ci = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val gm = 299L * ((rgb >> 16) & 0xff) +
+                587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+              val cell = ci * 8 + x * 8 / w
+              cellSum(cell) += gm
+              cellCnt(cell) += 1L
+              total += gm
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          var hi = 0L
+          var lo = 0L
+          var pos = 0
+          while (pos < 64) {
+            if (cellSum(pos) * n > total * cellCnt(pos)) {
+              if (pos >= 32) hi |= 1L << (pos - 32) else lo |= 1L << pos
+            }
+            pos += 1
+          }
+          (id, hi, lo)
+        }
+      }.toDF("doc_id", "ahash_hi", "ahash_lo")
+  }
+
   // ===== REAL audio codec path (r11; r10 verdict missing #3 named the
   // audio gap) =====
   //

@@ -91,6 +91,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.size == 1, "sim_hash64(text)")
         graft.functions.SimHash64(args(0))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("normalize_unicode"),
+      new ExpressionInfo(
+        classOf[graft.functions.NormalizeUnicode].getName, "normalize_unicode"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2,
+          "normalize_unicode(text, form) — form a literal string")
+        val form = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+            v.toString
+          case other => throw new IllegalArgumentException(
+            s"normalize_unicode form must be a literal string, got $other")
+        }
+        graft.functions.NormalizeUnicode(args(0), form)
+      }))
     ext.injectOptimizerRule(_ => NativeHaversineRule)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
     ext.injectPlannerStrategy(_ => IntervalStrategy)

@@ -1163,6 +1163,40 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Unicode NFC normalization — the curation stage that MUST run before
+    * any hashing/shingling/exact-dedup pass ("café" composed vs
+    * decomposed must hash identically or every downstream dedup treats
+    * them as distinct docs). The corpus text is ASCII, so the query first
+    * plants decomposed sequences deterministically (combining acute/
+    * grave/circumflex by doc_id mod 4 — the oracle replays the same
+    * replace), then composes them back with the native codegen
+    * [[graft.functions.NormalizeUnicode]] expression (Spark has no
+    * normalization builtin; a Scala UDF here would box every row of the
+    * corpus scan). Gate: per-doc codepoint lengths before/after, a
+    * changed flag, and the md5 of the composed text — DuckDB's
+    * `nfc_normalize` implements the same Unicode canonical composition,
+    * so the hashes only match if both engines compose byte-identically.
+    * Scan-local, zero shuffle. */
+  def textNormalizeNfc(s: SparkSession, dir: String): DataFrame = {
+    val Bridge = org.apache.spark.sql.graft.Bridge
+    val decomposed =
+      when(col("doc_id") % 4 === 1, regexp_replace(col("text"), "a", "a\u0301"))
+        .when(col("doc_id") % 4 === 2, regexp_replace(col("text"), "e", "e\u0300"))
+        .when(col("doc_id") % 4 === 3, regexp_replace(col("text"), "o", "o\u0302"))
+        .otherwise(col("text"))
+    t(s, dir, "documents")
+      .withColumn("t", decomposed)
+      .withColumn("nfc", Bridge.column(
+        graft.functions.NormalizeUnicode(Bridge.expression(col("t")), "NFC")))
+      .select(
+        col("doc_id"),
+        length(col("t")).cast("long").as("raw_len"),
+        length(col("nfc")).cast("long").as("nfc_len"),
+        (col("nfc") =!= col("t")).cast("int").as("changed"),
+        md5(col("nfc")).as("nfc_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Link-domain rollup: extract each doc's URL domain (synthetic URLs on
     * doc_id mod 5, oracle-mirrored), count docs per domain — the
     * provenance/dedup-by-source signal of a web corpus pipeline. */
@@ -3873,6 +3907,31 @@ object Ext {
       Multimodal.synthVideos(t(s, dir, "documents")), stride = 2)
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Perceptual-hash image dedup: decode the REAL PNG/BMP payloads, take
+    * each image's 8×8 average-hash ([[Multimodal.averageHash]] — the
+    * aHash/pHash family fingerprint production image dedup keys on,
+    * because byte-level hashing misses re-encoded duplicates), then
+    * cluster by exact hash with a min-doc canonical — the dedup
+    * assignment a multimodal curation pass writes back. Lossless formats
+    * only (the jpg leg has no cross-engine pixel truth — see
+    * mm_decode_meta; `MultimodalSpec` covers jpg with a same-decoder
+    * twin). Scale shape: encode + decode + hash fuse into ONE scan-side
+    * partition pass (payload bytes never shuffle); only the 3-long
+    * (doc, hi, lo) fingerprint relation shuffles for the cluster
+    * window. */
+  def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val hashes = Multimodal.averageHash(
+      Multimodal.synthImages(
+        t(s, dir, "documents").filter(col("doc_id") % 3 =!= 2)))
+    val w = Window.partitionBy(col("ahash_hi"), col("ahash_lo"))
+    hashes
+      .withColumn("cluster_id", min(col("doc_id")).over(w))
+      .withColumn("cluster_sz", count(lit(1)).over(w))
+      .withColumn("is_canonical",
+        (col("doc_id") === col("cluster_id")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   // ===== temporal joins =====
 
   /** As-of join: each purchase matched to the latest signup at-or-before
@@ -5520,6 +5579,7 @@ object Ext {
     "text_decontaminate" -> textDecontaminate _,
     "text_decontaminate_bloom" -> textDecontaminateBloom _,
     "text_redact_pii" -> textRedactPii _,
+    "text_normalize_nfc" -> textNormalizeNfc _,
     "text_url_domains" -> textUrlDomains _,
     "text_top_tokens" -> textTopTokens _,
     "text_bpe_merge" -> textBpeMerge _,
@@ -5578,6 +5638,7 @@ object Ext {
     "mm_audio_meta" -> mmAudioMeta _,
     "mm_audio_energy" -> mmAudioEnergy _,
     "mm_video_frames" -> mmVideoFrames _,
+    "mm_phash_dedup" -> mmPhashDedup _,
     "join_asof" -> joinAsof _,
     "join_asof_nearest" -> joinAsofNearest _,
     "win_session_bounce" -> winSessionBounce _,

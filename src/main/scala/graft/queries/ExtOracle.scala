@@ -870,6 +870,24 @@ object ExtOracle {
              '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
          FROM p ORDER BY doc_id""",
 
+    // NFC normalization: plant the SAME decomposed sequences (base letter
+    // + combining mark, chr 769/768/770 = U+0301/U+0300/U+0302), then
+    // compose with DuckDB's nfc_normalize — byte-identical md5 only if
+    // both engines implement Unicode canonical composition identically.
+    "text_normalize_nfc" ->
+      """WITH dec AS (SELECT doc_id,
+           CASE WHEN doc_id % 4 = 1 THEN replace(text, 'a', 'a' || chr(769))
+                WHEN doc_id % 4 = 2 THEN replace(text, 'e', 'e' || chr(768))
+                WHEN doc_id % 4 = 3 THEN replace(text, 'o', 'o' || chr(770))
+                ELSE text END AS t
+         FROM documents)
+         SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS raw_len,
+           CAST(length(nfc_normalize(t)) AS BIGINT) AS nfc_len,
+           CAST(nfc_normalize(t) <> t AS INT) AS changed,
+           md5(nfc_normalize(t)) AS nfc_md5
+         FROM dec ORDER BY doc_id""",
+
     "text_url_domains" ->
       """WITH p AS (SELECT doc_id,
            CASE WHEN doc_id % 5 = 0
@@ -1792,6 +1810,44 @@ object ExtOracle {
            CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
            CAST(sum(g) AS BIGINT) AS pix_sum
          FROM px GROUP BY doc_id, nf, f ORDER BY doc_id, frame_idx""",
+
+    // perceptual-hash dedup: the oracle replays the full aHash from the
+    // closed-form pixel expression — fixed-point ITU-R 601 luma
+    // (299r+587g+114b, no division), pixel→cell map (y*8//h, x*8//w),
+    // bit set iff cellSum·N > totalSum·cellCnt (cross-multiplied; an
+    // empty cell — h∈{6,7} rows — is 0 in both engines), 64 bits split
+    // into two sign-safe 32-bit halves. Lossless formats only (jpg has
+    // no cross-engine pixel truth — see mm_decode_meta).
+    "mm_phash_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 57 + 8 AS w, doc_id % 41 + 6 AS h
+               FROM documents WHERE doc_id % 3 <> 2),
+         px AS (SELECT doc_id, w, h, (y*8) // h AS ci, (x*8) // w AS cj,
+               299*((doc_id*31 + x*7 + y*13) % 256)
+             + 587*((doc_id*31 + x*7 + y*13 + 5) % 256)
+             + 114*((doc_id*31 + x*7 + y*13 + 10) % 256) AS gm
+           FROM d, unnest(range(0, w)) rx(x), unnest(range(0, h)) ry(y)),
+         tot AS (SELECT doc_id, sum(gm) AS s, count(*) AS n
+           FROM px GROUP BY doc_id),
+         cells AS (SELECT doc_id, ci, cj, sum(gm) AS cs, count(*) AS cc
+           FROM px GROUP BY doc_id, ci, cj),
+         bits AS (SELECT c.doc_id, ci*8 + cj AS pos,
+             CASE WHEN c.cs * t.n > t.s * c.cc THEN 1 ELSE 0 END AS b
+           FROM cells c JOIN tot t USING (doc_id)),
+         hashes AS (SELECT doc_id,
+             CAST(coalesce(sum(CASE WHEN pos >= 32
+               THEN b * (CAST(1 AS BIGINT) << (pos - 32)) END), 0)
+               AS BIGINT) AS ahash_hi,
+             CAST(coalesce(sum(CASE WHEN pos < 32
+               THEN b * (CAST(1 AS BIGINT) << pos) END), 0)
+               AS BIGINT) AS ahash_lo
+           FROM bits GROUP BY doc_id)
+         SELECT doc_id, ahash_hi, ahash_lo,
+           min(doc_id) OVER hw AS cluster_id,
+           count(*) OVER hw AS cluster_sz,
+           CAST(doc_id = min(doc_id) OVER hw AS INT) AS is_canonical
+         FROM hashes
+         WINDOW hw AS (PARTITION BY ahash_hi, ahash_lo)
+         ORDER BY doc_id""",
 
     "join_asof" ->
       """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us,

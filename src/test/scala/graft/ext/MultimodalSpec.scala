@@ -285,4 +285,78 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  // ===== perceptual average-hash =====
+
+  /** Independent aHash twin from the CLOSED-FORM pixels (no codec):
+    * same pixel→cell map and cross-multiplied threshold the engine and
+    * the DuckDB oracle use. */
+  private def expectedAhash(id: Long): (Long, Long) = {
+    val (w, h) = (Multimodal.synthW(id), Multimodal.synthH(id))
+    val cs = new Array[Long](64); val cc = new Array[Long](64)
+    var tot = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val gm = 299L * Multimodal.synthPix(id, x, y, 0) +
+        587L * Multimodal.synthPix(id, x, y, 1) +
+        114L * Multimodal.synthPix(id, x, y, 2)
+      val cell = y * 8 / h * 8 + x * 8 / w
+      cs(cell) += gm; cc(cell) += 1; tot += gm
+    }
+    val n = w.toLong * h
+    var hi = 0L; var lo = 0L
+    for (pos <- 0 until 64; if cs(pos) * n > tot * cc(pos))
+      if (pos >= 32) hi |= 1L << (pos - 32) else lo |= 1L << pos
+    (hi, lo)
+  }
+
+  test("averageHash over the real codec round trip matches the closed form (png/bmp)") {
+    val ids = Seq(0L, 1L, 6L, 13L, 57L, 499L, 2048L) // lossless rotation incl. h<8 rows
+    val got = Multimodal.averageHash(Multimodal.synthImages(ids.toDF("doc_id")))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    for (id <- ids) {
+      assert(got(id) == expectedAhash(id), s"doc $id aHash diverges")
+      val (hi, lo) = got(id)
+      assert(hi >= 0 && hi < (1L << 32) && lo >= 0 && lo < (1L << 32),
+        "halves stay sign-safe 32-bit")
+    }
+  }
+
+  test("averageHash on a JPEG payload matches a same-decoder local twin") {
+    val ids = Seq(2L, 5L, 11L) // %3==2 → jpg
+    val got = Multimodal.averageHash(Multimodal.synthImages(ids.toDF("doc_id")))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val payloads = Multimodal.synthImages(ids.toDF("doc_id"))
+      .as[(Long, Array[Byte])].collect().toMap
+    for (id <- ids) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payloads(id)))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val cs = new Array[Long](64); val cc = new Array[Long](64)
+      var tot = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val gm = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        val cell = y * 8 / h * 8 + x * 8 / w
+        cs(cell) += gm; cc(cell) += 1; tot += gm
+      }
+      val n = w.toLong * h
+      var hi = 0L; var lo = 0L
+      for (pos <- 0 until 64; if cs(pos) * n > tot * cc(pos))
+        if (pos >= 32) hi |= 1L << (pos - 32) else lo |= 1L << pos
+      assert(got(id) == ((hi, lo)), s"jpg doc $id aHash != same-decoder twin")
+    }
+  }
+
+  test("identical synthetic images hash identically (perceptual dedup recall)") {
+    // pixels repeat with period lcm(57, 41, 256) = 598272 in doc_id:
+    // same dims (mod 57, mod 41) and same pixel values (31 invertible
+    // mod 256 => identical iff id mod 256 equal)
+    val id = 12L
+    val twin = id + 598272L
+    val got = Multimodal.averageHash(
+      Multimodal.synthImages(Seq(id, twin).toDF("doc_id")))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(id) == got(twin), "byte-identical images must collide")
+  }
 }
