@@ -3932,6 +3932,52 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Hamming near-dup detection over the perceptual hashes: 4×16-bit
+    * band blocking (two hashes within Hamming distance ≤ 4 of 64 bits
+    * must agree exactly on at least one 16-bit band — the simhash/LSH
+    * pigeonhole argument, same construction as `dedup_simhash`), then
+    * the exact Hamming distance (`bit_count(xor)`, codegen'd builtin)
+    * verifies candidates. Output stays |docs|-bounded: per image, the
+    * count of neighbors within the threshold, how many are
+    * pixel-identical (distance 0), and the nearest distance — the
+    * near-dup flags an image-curation pass writes back. The banded
+    * self-join shuffles only the 5-column fingerprint relation;
+    * payload bytes never leave the scan. */
+  def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val hashes = Multimodal.averageHash(
+      Multimodal.synthImages(
+        t(s, dir, "documents").filter(col("doc_id") % 3 =!= 2)))
+    val bands = hashes.select(
+      col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+      explode(array((0 to 3).map(lit): _*)).as("b"))
+      .withColumn("bv",
+        when(col("b") === 0, col("ahash_lo").bitwiseAND(lit(65535L)))
+          .when(col("b") === 1,
+            shiftright(col("ahash_lo"), 16).bitwiseAND(lit(65535L)))
+          .when(col("b") === 2, col("ahash_hi").bitwiseAND(lit(65535L)))
+          .otherwise(shiftright(col("ahash_hi"), 16).bitwiseAND(lit(65535L))))
+    val a = bands.select(col("doc_id").as("d1"), col("ahash_hi").as("hi1"),
+      col("ahash_lo").as("lo1"), col("b"), col("bv"))
+    val bb = bands.select(col("doc_id").as("d2"), col("ahash_hi").as("hi2"),
+      col("ahash_lo").as("lo2"), col("b"), col("bv"))
+    val cand = a.join(bb, Seq("b", "bv"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("hd",
+        bit_count(col("hi1").bitwiseXOR(col("hi2"))) +
+          bit_count(col("lo1").bitwiseXOR(col("lo2"))))
+      .filter(col("hd") <= 4)
+      .select(col("d1"), col("d2"), col("hd"))
+      .distinct()
+    val sym = cand.select(col("d1").as("doc_id"), col("hd"))
+      .unionByName(cand.select(col("d2").as("doc_id"), col("hd")))
+    sym.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_near"),
+        sum(when(col("hd") === 0, 1L).otherwise(0L)).as("n_exact"),
+        min(col("hd")).cast("long").as("min_hamming"))
+      .orderBy(col("doc_id"))
+  }
+
   // ===== temporal joins =====
 
   /** As-of join: each purchase matched to the latest signup at-or-before
@@ -5639,6 +5685,7 @@ object Ext {
     "mm_audio_energy" -> mmAudioEnergy _,
     "mm_video_frames" -> mmVideoFrames _,
     "mm_phash_dedup" -> mmPhashDedup _,
+    "mm_phash_neardup" -> mmPhashNeardup _,
     "join_asof" -> joinAsof _,
     "join_asof_nearest" -> joinAsofNearest _,
     "win_session_bounce" -> winSessionBounce _,

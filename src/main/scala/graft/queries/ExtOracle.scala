@@ -1849,6 +1849,48 @@ object ExtOracle {
          WINDOW hw AS (PARTITION BY ahash_hi, ahash_lo)
          ORDER BY doc_id""",
 
+    // Hamming near-dup over the perceptual hashes: same closed-form
+    // hash replay as mm_phash_dedup, then the identical 4x16-bit band
+    // blocking + bit_count(xor) verify the engine runs.
+    "mm_phash_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 57 + 8 AS w, doc_id % 41 + 6 AS h
+               FROM documents WHERE doc_id % 3 <> 2),
+         px AS (SELECT doc_id, w, h, (y*8) // h AS ci, (x*8) // w AS cj,
+               299*((doc_id*31 + x*7 + y*13) % 256)
+             + 587*((doc_id*31 + x*7 + y*13 + 5) % 256)
+             + 114*((doc_id*31 + x*7 + y*13 + 10) % 256) AS gm
+           FROM d, unnest(range(0, w)) rx(x), unnest(range(0, h)) ry(y)),
+         tot AS (SELECT doc_id, sum(gm) AS s, count(*) AS n
+           FROM px GROUP BY doc_id),
+         cells AS (SELECT doc_id, ci, cj, sum(gm) AS cs, count(*) AS cc
+           FROM px GROUP BY doc_id, ci, cj),
+         bits AS (SELECT c.doc_id, ci*8 + cj AS pos,
+             CASE WHEN c.cs * t.n > t.s * c.cc THEN 1 ELSE 0 END AS b
+           FROM cells c JOIN tot t USING (doc_id)),
+         hashes AS (SELECT doc_id,
+             CAST(coalesce(sum(CASE WHEN pos >= 32
+               THEN b * (CAST(1 AS BIGINT) << (pos - 32)) END), 0)
+               AS BIGINT) AS hi,
+             CAST(coalesce(sum(CASE WHEN pos < 32
+               THEN b * (CAST(1 AS BIGINT) << pos) END), 0)
+               AS BIGINT) AS lo
+           FROM bits GROUP BY doc_id),
+         bandv AS (SELECT doc_id, hi, lo, b,
+             CASE b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+                    WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bv
+           FROM hashes, unnest([0, 1, 2, 3]) rb(b)),
+         cand AS (SELECT DISTINCT a.doc_id AS d1, o.doc_id AS d2,
+             bit_count(xor(a.hi, o.hi)) + bit_count(xor(a.lo, o.lo)) AS hd
+           FROM bandv a JOIN bandv o ON a.b = o.b AND a.bv = o.bv
+             AND a.doc_id < o.doc_id
+           WHERE bit_count(xor(a.hi, o.hi)) + bit_count(xor(a.lo, o.lo)) <= 4),
+         sym AS (SELECT d1 AS doc_id, hd FROM cand
+                 UNION ALL SELECT d2, hd FROM cand)
+         SELECT doc_id, count(*) AS n_near,
+           CAST(sum(CASE WHEN hd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(min(hd) AS BIGINT) AS min_hamming
+         FROM sym GROUP BY doc_id ORDER BY doc_id""",
+
     "join_asof" ->
       """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us,
              max(event_id) AS s_event

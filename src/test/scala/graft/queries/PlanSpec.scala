@@ -614,4 +614,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEval"),
       s"normalization fell back to a UDF:\n$p")
   }
+
+  test("mm_phash_neardup: banded self-join reuses the fingerprint build; payloads stay scan-side") {
+    val p = planOf("mm_phash_neardup")
+    // both join inputs are the same banded fingerprint subplan — it must
+    // compute (and decode!) once and reuse, not re-run the codec path
+    assert(p.contains("ReusedExchange") || p.contains("BroadcastHashJoin"),
+      s"banded self-join recomputes the decode side twice:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"band blocking degenerated to an all-pairs join:\n$p")
+  }
 }
