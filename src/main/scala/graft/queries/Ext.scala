@@ -5059,6 +5059,42 @@ object Ext {
     s.read.parquet(outDir).orderBy(col("doc_id"))
   }
 
+  /** STREAMING MULTIMODAL DECODE under the driver's DuckDB gate — the
+    * SEVENTEENTH sink: the real `javax.imageio` decode
+    * ([[Multimodal.decodeImages]]) applied AT INGEST, which is where a
+    * production multimodal pipeline actually decodes (once, when the
+    * binary payload arrives — the metadata/fingerprint relation is what
+    * lands in the lake, not re-decoded nightly). Stateless: no
+    * watermark, no state store; the per-partition-amortized ImageReader
+    * setup runs per micro-batch exactly as it does per batch partition,
+    * and rows emit in-batch. Pinned to the SAME DuckDB oracle as
+    * `mm_decode_meta`: the stream lifecycle must reproduce every
+    * decoded dimension and lossless pixel checksum byte-for-byte
+    * (jpg pix_sum canonicalized to −1 in both engines, as in batch). */
+  def streamDecodeSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Tmp
+    val log = graft.core.PhaseLog.start("stream_mm")
+    val inDir = Tmp.jvmScopedDir("stream_mm_in", dir)
+    val outDir = Tmp.jvmScopedDir("stream_mm_out", dir)
+    val ckDir = Tmp.jvmScopedDir("stream_mm_ck", dir)
+    if (!new java.io.File(inDir, "_SUCCESS").exists()) {
+      Multimodal.synthImages(t(s, dir, "documents"))
+        .coalesce(1).write.mode("overwrite").parquet(inDir)
+      log("staged payloads")
+    } else log("reusing staged input")
+    runStreamToParquet(s, outDir, ckDir,
+      Map("spark.sql.shuffle.partitions" -> "1"), log) {
+      Multimodal.decodeImages(
+        s.readStream
+          .schema("doc_id BIGINT, payload BINARY")
+          .parquet(inDir))
+        .toDF()
+        .withColumn("pix_sum",
+          when(col("fmt") === "jpg", lit(-1L)).otherwise(col("pix_sum")))
+    }
+    s.read.parquet(outDir).orderBy(col("doc_id"))
+  }
+
   /** STREAMING EXACT DEDUP under the driver's DuckDB gate: the events
     * feed staged with every row duplicated (a re-send simulation — the
     * at-least-once delivery a real ingest pipeline sees), streamed
@@ -5725,6 +5761,7 @@ object Ext {
     "stream_asof_sink" -> streamAsofSink _,
     "stream_enrich_sink" -> streamEnrichSink _,
     "stream_quality_sink" -> streamQualityModelSink _,
+    "stream_decode_sink" -> streamDecodeSink _,
     "stream_funnel_sink" -> streamFunnelSink _,
     "stream_funnel_tws_sink" -> streamFunnelTwsSink _,
     "stream_sessionize_tws_sink" -> streamSessionizeTwsSink _,

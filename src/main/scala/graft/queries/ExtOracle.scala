@@ -394,6 +394,24 @@ object ExtOracle {
          SELECT doc_id, n_tokens, score, score > 0 AS model_keep
          FROM sc ORDER BY doc_id""",
 
+    // streaming decode-at-ingest is pinned to the SAME truth as the
+    // batch mm_decode_meta: closed-form dims + lossless pixel checksums
+    "stream_decode_sink" ->
+      """WITH d AS (SELECT doc_id, doc_id % 57 + 8 AS w, doc_id % 41 + 6 AS h
+               FROM documents),
+         px AS (SELECT doc_id, w, h, x, y, c
+               FROM d, unnest(range(0, w)) rx(x), unnest(range(0, h)) ry(y),
+                 unnest([0, 1, 2]) rc(c))
+         SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'bmp' ELSE 'jpg' END AS fmt,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CASE WHEN doc_id % 3 = 2 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(sum((doc_id*31 + x*7 + y*13 + c*5) % 256) AS BIGINT)
+           END AS pix_sum
+         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
+
     // the curation funnel composes the dedup_exact / text_decontaminate /
     // text_quality_filter / text_quality_model oracles in the engine's
     // fixed stage order
