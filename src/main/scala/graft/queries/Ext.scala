@@ -3932,6 +3932,36 @@ object Ext {
       .orderBy(col("doc_id"))
   }
 
+  /** Acoustic fingerprint over the REAL decoded PCM — the audio analog
+    * of the image aHash: the sign of the frame-energy derivative per
+    * 40-frame window (the Haitsma–Kalker construction, reduced to one
+    * energy band), packed into an integer fingerprint, then clustered
+    * exactly like `mm_phash_dedup`. Audio dedup/retrieval pipelines key
+    * on exactly this shape: a fingerprint robust to codec/gain changes,
+    * not a byte hash. Integer throughout (energies are Σs² of integer
+    * samples; bits compare with strict >), so the DuckDB oracle replays
+    * the whole chain from the closed-form sample expression. The decode
+    * + windowing stays scan-side (payloads never shuffle); only the
+    * per-(doc, window) energy relation moves for the lag window. */
+  def mmAudioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val en = Multimodal.audioEnergyWindows(
+      Multimodal.synthAudio(t(s, dir, "documents")), win = 40)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("win"))
+    val bits = en
+      .withColumn("nxt", lead(col("sumsq"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("win") < 32)
+      .withColumn("bit", when(col("nxt") > col("sumsq"), 1L).otherwise(0L))
+    val fps = bits.groupBy(col("doc_id"))
+      .agg(
+        (count(lit(1)) + 1L).as("n_windows"),
+        sum(expr("shiftleft(bit, CAST(win AS INT))")).as("fp"))
+    val cw = Window.partitionBy(col("fp"), col("n_windows"))
+    fps
+      .withColumn("cluster_id", min(col("doc_id")).over(cw))
+      .withColumn("cluster_sz", count(lit(1)).over(cw))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hamming near-dup detection over the perceptual hashes: 4×16-bit
     * band blocking (two hashes within Hamming distance ≤ 4 of 64 bits
     * must agree exactly on at least one 16-bit band — the simhash/LSH
@@ -5722,6 +5752,7 @@ object Ext {
     "mm_video_frames" -> mmVideoFrames _,
     "mm_phash_dedup" -> mmPhashDedup _,
     "mm_phash_neardup" -> mmPhashNeardup _,
+    "mm_audio_fingerprint" -> mmAudioFingerprint _,
     "join_asof" -> joinAsof _,
     "join_asof_nearest" -> joinAsofNearest _,
     "win_session_bounce" -> winSessionBounce _,

@@ -1867,6 +1867,33 @@ object ExtOracle {
          WINDOW hw AS (PARTITION BY ahash_hi, ahash_lo)
          ORDER BY doc_id""",
 
+    // acoustic fingerprint: windowed Σs² energies from the closed-form
+    // PCM samples, sign-of-derivative bits (strict >, integer-exact),
+    // packed with << and clustered on (fp, n_windows)
+    "mm_audio_fingerprint" ->
+      """WITH d AS (SELECT doc_id, doc_id % 800 + 160 AS nf,
+             doc_id % 2 + 1 AS ch
+           FROM documents),
+         s AS (SELECT doc_id, i // 40 AS win,
+             (doc_id*31 + i*7 + c*13) % 4096 - 2048 AS s
+           FROM d, unnest(range(0, nf)) ri(i), unnest([0, 1]) rc(c)
+           WHERE c < ch),
+         e AS (SELECT doc_id, win, sum(s*s) AS sumsq
+           FROM s GROUP BY doc_id, win),
+         b AS (SELECT doc_id, win,
+             lead(sumsq) OVER (PARTITION BY doc_id ORDER BY win) AS nxt,
+             sumsq
+           FROM e),
+         f AS (SELECT doc_id, CAST(count(*) + 1 AS BIGINT) AS n_windows,
+             CAST(coalesce(sum(CASE WHEN nxt > sumsq THEN 1 ELSE 0 END
+               << CAST(win AS INT)), 0) AS BIGINT) AS fp
+           FROM b WHERE nxt IS NOT NULL AND win < 32 GROUP BY doc_id)
+         SELECT doc_id, n_windows, fp,
+           min(doc_id) OVER cw AS cluster_id,
+           count(*) OVER cw AS cluster_sz
+         FROM f WINDOW cw AS (PARTITION BY fp, n_windows)
+         ORDER BY doc_id""",
+
     // Hamming near-dup over the perceptual hashes: same closed-form
     // hash replay as mm_phash_dedup, then the identical 4x16-bit band
     // blocking + bit_count(xor) verify the engine runs.
