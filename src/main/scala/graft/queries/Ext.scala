@@ -1654,6 +1654,52 @@ object Ext {
       .orderBy(col("source"))
   }
 
+  /** SOURCE-CONCENTRATION AUDIT (Gini + Herfindahl) per language — the
+    * mixture-health metric a curator reads BEFORE choosing [[mixDomains]]
+    * weights: is this language's token mass spread across sources or
+    * dominated by one crawl? Both indices are emitted EXACTLY — Gini as
+    * the integer pair `(gini_num, gini_den)` from the rank formula
+    * `2·Σi·xᵢ − (n+1)·Σx` over sources ranked by token mass (ties
+    * rank-stable by source name, and tie blocks contribute the same sum
+    * under any permutation, so the value is deterministic), HHI as
+    * `⌊Σ⌊10⁶·x/T⌋²/10⁶⌋` over floor'd ppm shares — no float leaves
+    * either engine, so the gate has zero tolerance.
+    *
+    * Scale: one map-side-combined rollup to |lang × source| rows
+    * (hundreds), then a lang-partitioned rank over that tiny relation.
+    * Shares are ≤ 10⁶ so their squares never overflow; the ranked sum
+    * is BIGINT-exact up to ~10¹⁷ tokens per language — beyond that a
+    * 100 TB corpus scales the unit (count kilotokens) rather than
+    * widening the type. */
+  def mixGiniConcentration(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        Text.tokenCount(col("text")).cast("long").as("ntok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("ntok")).as("x"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("x"), col("source"))
+    val wt = Window.partitionBy(col("lang"))
+    per
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("t", sum(col("x")).over(wt))
+      // HHI from floor'd ppm shares (sp ≤ 10⁶, so sp² never overflows;
+      // the raw 10⁶·Σx² form overflows BIGINT past ~3 M tokens/source)
+      .withColumn("sp", expr("(1000000 * x) div t"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("x")).as("total_tokens"),
+        max(col("x")).as("max_tokens"),
+        sum(col("i") * col("x")).as("six"),
+        sum(col("sp") * col("sp")).as("spp"))
+      .select(col("lang"), col("n_sources"), col("total_tokens"),
+        col("max_tokens"),
+        (col("six") * 2 - (col("n_sources") + 1) * col("total_tokens"))
+          .as("gini_num"),
+        (col("n_sources") * col("total_tokens")).as("gini_den"),
+        expr("spp div 1000000").as("hhi_ppm"))
+      .orderBy(col("lang"))
+  }
+
   /** EXACT LARGEST-REMAINDER QUOTA ALLOCATION (Hamilton's method): split
     * a global sample budget of 1000 slots across sources proportional to
     * their token mass, in pure integer arithmetic — `floor_q =
@@ -3503,6 +3549,78 @@ object Ext {
       .orderBy(col("user_id"))
   }
 
+  /** DOUGLAS-PEUCKER TRAJECTORY SIMPLIFICATION — the classic polyline
+    * compression every GPS warehouse runs before archiving pings
+    * (keep the endpoints; recursively keep the point farthest from the
+    * current chord while that distance exceeds ε; drop everything
+    * else). The synthetic track is a staircase — northing rises ~11 m
+    * per ping, easting jumps ~103 m every 16 pings, plus sub-meter
+    * jitter — so ε = 5 m keeps the corner points and sheds the jitter:
+    * both branches of the recursion are exercised and the output is a
+    * genuine ~6× compression of the track.
+    *
+    * Decision parity with the oracle is exact-by-construction: the
+    * split test is cross-multiplied (`cross² > ε²·len²` — no division,
+    * no sqrt), the argmax comparator is `cross²` itself with a
+    * smallest-seq tie-break, and both engines build the planar
+    * coordinates from the same integer-derived formula — only IEEE
+    * +,−,× on identical inputs, so every keep/drop decision matches
+    * bit-for-bit. The oracle replays the recursion as a recursive CTE
+    * (segments split at the quantified-argmax point; every segment
+    * endpoint ever created IS a kept point), an independent second
+    * implementation of the whole algorithm.
+    *
+    * 100 TB: ONE corpus shuffle (group by vehicle); each trajectory
+    * simplifies in memory with an explicit-stack linear-space scan —
+    * the [[graft.ops.TrajectoryClustering]] cogroup discipline. Output
+    * is the kept-ping relation, integers only. */
+  def geoSimplifyDp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val eps2 = 25.0 // ε = 5 m, squared
+    val kept = events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        val arr = it.toArray.sortBy(r => (r._2, r._3)) // (ts_us, event_id)
+        val n = arr.length
+        // planar meters from the integer ping identity (seq = 1-based
+        // rank): easting steps every 16 pings + jitter, northing linear
+        def x(i: Int): Double = {
+          val seq = (i + 1).toLong; val eid = arr(i)._3
+          ((seq / 16).toDouble * 0.001 +
+            (eid % 5).toDouble * 0.000001) * 103218.0
+        }
+        def y(i: Int): Double = ((i + 1).toDouble * 0.0001) * 111320.0
+        val keep = new java.util.BitSet(n)
+        keep.set(0); keep.set(n - 1)
+        var stack: List[(Int, Int)] = (0, n - 1) :: Nil
+        while (stack.nonEmpty) {
+          val (lo, hi) = stack.head; stack = stack.tail
+          if (hi > lo + 1) {
+            val ax = x(lo); val ay = y(lo)
+            val dx = x(hi) - ax; val dy = y(hi) - ay
+            var best = -1; var bestC2 = -1.0
+            var i = lo + 1
+            while (i < hi) {
+              val cr = dx * (y(i) - ay) - dy * (x(i) - ax)
+              val c2 = cr * cr
+              if (c2 > bestC2) { bestC2 = c2; best = i } // strict >: first max = min seq
+              i += 1
+            }
+            if (bestC2 > eps2 * (dx * dx + dy * dy)) {
+              keep.set(best)
+              stack = (lo, best) :: (best, hi) :: stack
+            }
+          }
+        }
+        Iterator.range(0, n).filter(keep.get)
+          .map(i => (uid, (i + 1).toLong, arr(i)._3))
+      }
+      .toDF("user_id", "seq", "event_id")
+    kept.orderBy(col("user_id"), col("seq"))
+  }
+
   /** GEOFENCE MEMBERSHIP FROM A POLYGON TABLE (r9 verdict stretch #9 —
     * generalizes the family beyond the fixed literal star-octagons): the
     * fences live in a PARQUET dim relation of (fence, vertex-index,
@@ -4412,6 +4530,52 @@ object Ext {
         max(col("l_orderkey")).as("max_ok"),
         sum(col("l_partkey")).as("sum_pk"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** XML ROUND TRIP through Spark 4's built-in XML source — the ingest
+    * format the CSV/JSONL/ORC trips don't cover (device/telematics
+    * exports and B2B feeds still arrive as XML). A purchase/signup slice
+    * of events nests its payload one element deep
+    * (`<meta><etype>…</etype><vcents>…</vcents></meta>`) and carries a
+    * string field with XML metacharacters (`a<b&c>…`) that MUST be
+    * entity-escaped on write and unescaped on read; the read-back goes
+    * through the schema'd XML parser (explicit rowTag, nested struct)
+    * and aggregates a per-type digest — including a distinct-count over
+    * the escaped strings — that the oracle recomputes straight from
+    * parquet. Equal hashes prove element nesting, entity escaping, and
+    * numeric text all survive the sink→source cycle byte-exact.
+    *
+    * 100 TB: like the gzip note on [[srcGzipRoundtrip]], XML is the
+    * compatibility surface, not the scale path — the sink adds no
+    * shuffle (one file per input partition) and read parallelism is at
+    * file granularity; first touch in a real pipeline is one parse that
+    * lands parquet, exactly what this query's read half models. */
+  def srcXmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val staged = events(s, dir)
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select(col("event_id"), col("user_id"),
+        concat(lit("a<b&c>"), col("user_id") % 8).as("tag"),
+        struct(col("event_type").as("etype"),
+          floor(col("value") * 100).cast("long").as("vcents"),
+          col("ts_us")).as("meta"))
+    val out = graft.core.Tmp.jvmScopedDir("xml_roundtrip", dir)
+    staged.write.mode("overwrite").format("xml")
+      .option("rowTag", "event").option("rootTag", "events").save(out)
+    s.read.format("xml").option("rowTag", "event")
+      .schema("event_id BIGINT, user_id BIGINT, tag STRING, " +
+        "meta STRUCT<etype: STRING, vcents: BIGINT, ts_us: BIGINT>")
+      .load(out)
+      .groupBy(col("meta.etype").as("etype"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_event"),
+        sum(col("meta.vcents")).as("sum_cents"),
+        // epoch-µs sums overflow BIGINT past ~5k rows/group: digest the
+        // sub-second residue instead (same lossless-round-trip evidence)
+        sum(col("meta.ts_us") % 1000000000L).as("sum_ts_res"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("tag")).as("n_tags"),
+        sum(length(col("tag"))).as("sum_tag_len"))
+      .orderBy(col("etype"))
   }
 
   /** BLOOM SEMI-JOIN REDUCTION — the runtime-filter technique as an
@@ -5672,6 +5836,7 @@ object Ext {
     "mix_oversample" -> mixOversample _,
     "sample_stratified" -> sampleStratified _,
     "mix_domains" -> mixDomains _,
+    "mix_gini_concentration" -> mixGiniConcentration _,
     "mix_importance" -> mixImportance _,
     "mix_allocation_lrm" -> mixAllocationLrm _,
     "text_cooccurrence" -> textCooccurrence _,
@@ -5765,6 +5930,7 @@ object Ext {
     "csv_dirty_read" -> csvDirtyRead _,
     "jsonl_roundtrip" -> jsonlRoundtrip _,
     "orc_roundtrip" -> orcRoundtrip _,
+    "src_xml_roundtrip" -> srcXmlRoundtrip _,
     "jsonl_dirty_read" -> jsonlDirtyRead _,
     "src_schema_evolution" -> srcSchemaEvolution _,
     "src_compact_small_files" -> srcCompactSmallFiles _,
@@ -5778,6 +5944,7 @@ object Ext {
     "geo_geofence_table" -> geoGeofenceTable _,
     "geo_geofence_dwell" -> geoGeofenceDwell _,
     "geo_speeding" -> geoSpeeding _,
+    "geo_simplify_dp" -> geoSimplifyDp _,
     "join_fuzzy_jw" -> joinFuzzyJw _,
     "stream_sessionize_sink" -> streamSessionizeSink _,
     "stream_interval_join_sink" -> streamIntervalJoinSink _,

@@ -972,6 +972,31 @@ object ExtOracle {
     // rate arithmetic written in the engine's exact operation order
     // (cast→multiply→divide→least→×1e6→floor) so the integer thresholds,
     // and therefore every sampling decision, match bit-for-bit
+    // Gini as an exact integer pair over rank-by-mass (tie blocks are
+    // permutation-invariant), HHI floored to ppm by integer division —
+    // no float leaves either engine
+    "mix_gini_concentration" ->
+      s"""WITH d AS (SELECT lang, source, CAST(len($toks) AS BIGINT) AS ntok
+           FROM documents),
+         per AS (SELECT lang, source, CAST(sum(ntok) AS BIGINT) AS x
+           FROM d GROUP BY lang, source),
+         rk AS (SELECT lang, x,
+           row_number() OVER (PARTITION BY lang ORDER BY x, source) AS i,
+           CAST(sum(x) OVER (PARTITION BY lang) AS BIGINT) AS t
+           FROM per),
+         sh AS (SELECT lang, x, i, t, (1000000 * x) // t AS sp FROM rk),
+         ag AS (SELECT lang, count(*) AS n_sources,
+           CAST(sum(x) AS BIGINT) AS total_tokens,
+           max(x) AS max_tokens,
+           CAST(sum(i * x) AS BIGINT) AS six,
+           CAST(sum(sp * sp) AS BIGINT) AS spp
+           FROM sh GROUP BY lang)
+         SELECT lang, n_sources, total_tokens, max_tokens,
+           six * 2 - (n_sources + 1) * total_tokens AS gini_num,
+           n_sources * total_tokens AS gini_den,
+           spp // 1000000 AS hhi_ppm
+         FROM ag ORDER BY lang""",
+
     "mix_domains" ->
       s"""WITH d AS (SELECT source, CAST(len($toks) AS BIGINT) AS ntok,
            CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 1000000
@@ -2005,6 +2030,24 @@ object ExtOracle {
          FROM lineitem WHERE l_quantity > 25
          GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // XML write→read is Spark-side state; the oracle recomputes the
+    // digest straight from parquet — equal hashes prove nesting, entity
+    // escaping (the tag field carries < & >), and numeric text survive
+    "src_xml_roundtrip" ->
+      """WITH e AS (SELECT event_id, user_id, event_type AS etype,
+             'a<b&c>' || CAST(user_id % 8 AS VARCHAR) AS tag,
+             CAST(floor(value * 100) AS BIGINT) AS vcents,
+             epoch_us(ts) AS ts_us
+           FROM events WHERE event_type IN ('purchase', 'signup'))
+         SELECT etype, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_event,
+           CAST(sum(vcents) AS BIGINT) AS sum_cents,
+           CAST(sum(ts_us % 1000000000) AS BIGINT) AS sum_ts_res,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT tag) AS n_tags,
+           CAST(sum(length(tag)) AS BIGINT) AS sum_tag_len
+         FROM e GROUP BY etype ORDER BY etype""",
+
     "jsonl_roundtrip" ->
       s"""WITH d AS (SELECT doc_id, text, source,
              $toks AS toks,
@@ -2641,6 +2684,67 @@ object ExtOracle {
            max(CASE WHEN speeding THEN dist_m END) AS max_speeding_dist_m
          FROM f GROUP BY user_id HAVING n_speeding > 0
          ORDER BY user_id""",
+
+    // Douglas-Peucker replayed as a recursive CTE: each active segment
+    // splits at its quantified-argmax interior point (NOT EXISTS — no
+    // aggregate in the recursive term) while cross² > ε²·len²; every
+    // segment endpoint ever created IS a kept point. Same IEEE +,−,×
+    // on the same integer-derived coordinates as the engine, so every
+    // keep/drop decision matches bit-for-bit. All fractional literals
+    // CAST to DOUBLE (DuckDB parses bare decimals as DECIMAL).
+    "geo_simplify_dp" ->
+      """WITH RECURSIVE
+         pts AS (SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS seq
+           FROM events),
+         xy AS (SELECT user_id, seq, event_id,
+             ((seq // 16) * CAST(0.001 AS DOUBLE)
+               + (event_id % 5) * CAST(0.000001 AS DOUBLE))
+               * CAST(103218.0 AS DOUBLE) AS x,
+             (seq * CAST(0.0001 AS DOUBLE)) * CAST(111320.0 AS DOUBLE) AS y
+           FROM pts),
+         ends AS (SELECT user_id, min(seq) AS s0, max(seq) AS s1
+           FROM xy GROUP BY user_id),
+         seg(user_id, lo, hi) AS (
+           SELECT user_id, s0, s1 FROM ends WHERE s1 > s0 + 1
+           UNION ALL
+           SELECT g.user_id,
+             CASE WHEN c.side = 0 THEN g.lo ELSE p.seq END,
+             CASE WHEN c.side = 0 THEN p.seq ELSE g.hi END
+           FROM seg g
+           JOIN xy a ON a.user_id = g.user_id AND a.seq = g.lo
+           JOIN xy b ON b.user_id = g.user_id AND b.seq = g.hi
+           JOIN xy p ON p.user_id = g.user_id
+             AND p.seq > g.lo AND p.seq < g.hi
+           CROSS JOIN (VALUES (0), (1)) AS c(side)
+           WHERE ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x))
+               * ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x))
+               > CAST(25.0 AS DOUBLE)
+                 * ((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y))
+             AND NOT EXISTS (
+               SELECT 1 FROM xy q
+               WHERE q.user_id = g.user_id
+                 AND q.seq > g.lo AND q.seq < g.hi
+                 AND (((b.x - a.x) * (q.y - a.y) - (b.y - a.y) * (q.x - a.x))
+                      * ((b.x - a.x) * (q.y - a.y) - (b.y - a.y) * (q.x - a.x))
+                      > ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x))
+                        * ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x))
+                   OR (((b.x - a.x) * (q.y - a.y) - (b.y - a.y) * (q.x - a.x))
+                       * ((b.x - a.x) * (q.y - a.y) - (b.y - a.y) * (q.x - a.x))
+                       = ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x))
+                         * ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x))
+                     AND q.seq < p.seq)))),
+         keptset AS (
+           SELECT DISTINCT user_id, seq FROM (
+             SELECT user_id, s0 AS seq FROM ends
+             UNION ALL SELECT user_id, s1 FROM ends
+             UNION ALL SELECT user_id, lo FROM seg
+             UNION ALL SELECT user_id, hi FROM seg))
+         SELECT k.user_id, k.seq, x.event_id
+         FROM keptset k
+         JOIN xy x ON x.user_id = k.user_id AND x.seq = k.seq
+         ORDER BY k.user_id, k.seq""",
 
     "geo_zorder_layout" ->
       """WITH p AS (SELECT concat('V', user_id) AS id,

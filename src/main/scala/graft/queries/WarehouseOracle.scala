@@ -973,6 +973,59 @@ object WarehouseOracle {
          SELECT node AS part_key, CAST(min(level) AS BIGINT) AS level
          FROM walk GROUP BY node ORDER BY part_key""",
 
+    // bounded k-core peel (k = 2, 8 rounds) replayed as unrolled EDGE
+    // rounds — each round drops edges whose endpoint window-degree < k,
+    // which equals the node peel (E_i = E ∩ R_i²) but references the
+    // previous round ONCE: DuckDB inlines CTEs per reference, so the
+    // node form's two references per round would expand 2⁸-fold.
+    // converged = round-8 edge count == round-7 (monotone peel)
+    "graph_kcore" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         p0 AS (SELECT a.p AS id1, b.p AS id2 FROM op a JOIN op b
+                ON a.o = b.o AND a.p < b.p
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+         e0 AS (SELECT id1 AS src, id2 AS dst FROM p0
+               UNION ALL SELECT id2, id1 FROM p0),
+         e1 AS (SELECT src, dst FROM (SELECT src, dst,
+                count(*) OVER (PARTITION BY src) AS ds,
+                count(*) OVER (PARTITION BY dst) AS dd FROM e0)
+                WHERE ds >= 2 AND dd >= 2),
+         e2 AS (SELECT src, dst FROM (SELECT src, dst,
+                count(*) OVER (PARTITION BY src) AS ds,
+                count(*) OVER (PARTITION BY dst) AS dd FROM e1)
+                WHERE ds >= 2 AND dd >= 2),
+         e3 AS (SELECT src, dst FROM (SELECT src, dst,
+                count(*) OVER (PARTITION BY src) AS ds,
+                count(*) OVER (PARTITION BY dst) AS dd FROM e2)
+                WHERE ds >= 2 AND dd >= 2),
+         e4 AS (SELECT src, dst FROM (SELECT src, dst,
+                count(*) OVER (PARTITION BY src) AS ds,
+                count(*) OVER (PARTITION BY dst) AS dd FROM e3)
+                WHERE ds >= 2 AND dd >= 2),
+         e5 AS (SELECT src, dst FROM (SELECT src, dst,
+                count(*) OVER (PARTITION BY src) AS ds,
+                count(*) OVER (PARTITION BY dst) AS dd FROM e4)
+                WHERE ds >= 2 AND dd >= 2),
+         e6 AS (SELECT src, dst FROM (SELECT src, dst,
+                count(*) OVER (PARTITION BY src) AS ds,
+                count(*) OVER (PARTITION BY dst) AS dd FROM e5)
+                WHERE ds >= 2 AND dd >= 2),
+         e7 AS (SELECT src, dst FROM (SELECT src, dst,
+                count(*) OVER (PARTITION BY src) AS ds,
+                count(*) OVER (PARTITION BY dst) AS dd FROM e6)
+                WHERE ds >= 2 AND dd >= 2),
+         e8 AS (SELECT src, dst FROM (SELECT src, dst,
+                count(*) OVER (PARTITION BY src) AS ds,
+                count(*) OVER (PARTITION BY dst) AS dd FROM e7)
+                WHERE ds >= 2 AND dd >= 2),
+         deg AS (SELECT src AS node, count(*) AS core_deg FROM e8
+                GROUP BY src),
+         conv AS (SELECT (SELECT count(*) FROM e8) = (SELECT count(*) FROM e7)
+                  AS converged)
+         SELECT d.node AS part_key, CAST(d.core_deg AS BIGINT) AS core_deg,
+           conv.converged
+         FROM deg d, conv ORDER BY part_key""",
+
     "graph_pagerank" ->
       """WITH e AS (
            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

@@ -624,4 +624,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"band blocking degenerated to an all-pairs join:\n$p")
   }
+
+  test("geo_simplify_dp: exactly one corpus shuffle (the per-vehicle group)") {
+    val p = planOf("geo_simplify_dp")
+    val hashEx = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected one group exchange, got $hashEx:\n$p")
+    assert(p.contains("MapGroups"), s"per-trajectory scan missing:\n$p")
+    assert(!p.contains("Join"), s"DP must not join:\n$p")
+  }
 }

@@ -57,4 +57,95 @@ class Round11OpsSpec extends SparkSpec {
     assert(r._1 >= r._2, "fewer subwords than units is impossible")
     assert(r._1 > 0)
   }
+
+  test("geo_simplify_dp: endpoints kept, real compression, and every final segment meets the eps bound") {
+    // the DP fixpoint property, brute-forced: between any two CONSECUTIVE
+    // kept points, every dropped original point must sit within eps of
+    // the chord (a segment only dies when its max deviation fails the
+    // cross-multiplied test) — checked with the same IEEE arithmetic
+    val kept = Ext.geoSimplifyDp(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    val pts = graft.core.Tables.eventsTsUs(spark, sf0001)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .as[(Long, Long, Long)].collect()
+    val byUser = pts.groupBy(_._1).map { case (u, a) =>
+      u -> a.sortBy(r => (r._2, r._3)).zipWithIndex
+        .map { case (r, i) => ((i + 1).toLong, r._3) }
+    }
+    def x(seq: Long, eid: Long): Double =
+      ((seq / 16).toDouble * 0.001 + (eid % 5).toDouble * 0.000001) * 103218.0
+    def y(seq: Long): Double = (seq.toDouble * 0.0001) * 111320.0
+    assert(kept.length < pts.length / 2, "no real compression")
+    val keptBy = kept.groupBy(_._1)
+    var checked = 0
+    for ((u, traj) <- byUser) {
+      val eidBySeq = traj.toMap
+      val ks = keptBy(u).map(_._2).sorted
+      assert(ks.head == 1L && ks.last == traj.length.toLong,
+        s"user $u endpoints not kept")
+      for (pair <- ks.sliding(2) if pair.length == 2 && pair(1) > pair(0) + 1) {
+        val (a, b) = (pair(0), pair(1))
+        val ax = x(a, eidBySeq(a)); val ay = y(a)
+        val dx = x(b, eidBySeq(b)) - ax; val dy = y(b) - ay
+        var q = a + 1
+        while (q < b) {
+          val cr = dx * (y(q) - ay) - dy * (x(q, eidBySeq(q)) - ax)
+          assert(cr * cr <= 25.0 * (dx * dx + dy * dy),
+            s"user $u dropped point $q deviates more than eps from ($a,$b)")
+          checked += 1; q += 1
+        }
+      }
+    }
+    assert(checked > 0, "property never exercised")
+  }
+
+  test("graph_kcore matches an independent set-based peel at sf0.001") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .as[(Long, Long)].collect().distinct
+    val wcount = scala.collection.mutable.Map[(Long, Long), Int]()
+    for ((_, rows) <- li.groupBy(_._1)) {
+      val parts = rows.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length) {
+        val k = (parts(i), parts(j))
+        wcount(k) = wcount.getOrElse(k, 0) + 1
+      }
+    }
+    val und = wcount.filter(_._2 >= 2).keys.toSeq
+    var edges: Set[(Long, Long)] = und.toSet ++ und.map(e => (e._2, e._1))
+    var last = edges
+    for (_ <- 1 to 8) {
+      last = edges
+      val deg = edges.toSeq.groupBy(_._1).map { case (v, es) => v -> es.size }
+      edges = edges.filter { case (a, b) => deg(a) >= 2 && deg(b) >= 2 }
+    }
+    val expDeg = edges.toSeq.groupBy(_._1)
+      .map { case (v, es) => v -> es.size.toLong }
+    val expConv = edges.size == last.size
+    val got = Warehouse.graphKcore(spark, sf0001)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got.map(r => r._1 -> r._2).toMap == expDeg)
+    assert(got.nonEmpty && got.forall(_._3 == expConv))
+  }
+
+  test("mix_gini_concentration matches hand-computed rank arithmetic at sf0.001") {
+    val per = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("lang"), col("source"),
+        graft.ext.Text.tokenCount(col("text")).cast("long").as("ntok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("ntok")).as("x"))
+      .as[(String, String, Long)].collect()
+    val expected = per.groupBy(_._1).map { case (lang, rows) =>
+      val xs = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val n = xs.length.toLong; val t = xs.sum
+      val six = xs.zipWithIndex.map { case (v, i) => (i + 1).toLong * v }.sum
+      val spp = xs.map { v => val sp = 1000000L * v / t; sp * sp }.sum
+      lang -> ((n, t, xs.max, 2 * six - (n + 1) * t, n * t, spp / 1000000L))
+    }
+    val got = Ext.mixGiniConcentration(spark, sf0001).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    }.toMap
+    assert(got == expected)
+  }
 }
