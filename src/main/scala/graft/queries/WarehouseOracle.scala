@@ -614,6 +614,47 @@ object WarehouseOracle {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY user_id, ts_us, event_id""",
 
+    "win_drawdown" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CAST(round(value * 100) AS BIGINT) - 5000 AS delta
+           FROM events),
+         c AS (SELECT *,
+             CAST(sum(delta) OVER w AS BIGINT) AS cum
+           FROM d
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         p AS (SELECT *, CAST(max(cum) OVER w AS BIGINT) AS peak
+           FROM c
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT user_id,
+           CAST(max(peak - cum) AS BIGINT) AS max_drawdown_cents,
+           CAST(max(peak) AS BIGINT) AS peak_cents,
+           CAST(sum(delta) AS BIGINT) AS final_cents
+         FROM p GROUP BY user_id ORDER BY user_id""",
+
+    // two-proportion two-sigma test cross-multiplied into BIGINTs —
+    // no sqrt or float division is ever evaluated in either engine
+    "events_ab_lift" ->
+      """WITH pu AS (SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+             user_id % 2 AS variant, user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+           FROM events GROUP BY 1, 2, 3),
+         co AS (SELECT dow, variant, count(*) AS n,
+             CAST(sum(converted) AS BIGINT) AS c FROM pu GROUP BY 1, 2),
+         a AS (SELECT dow, n AS n_a, c AS c_a FROM co WHERE variant = 0),
+         b AS (SELECT dow, n AS n_b, c AS c_b FROM co WHERE variant = 1)
+         SELECT dow, n_a, c_a, n_b, c_b,
+           CASE WHEN c_a * n_b = 0 THEN NULL
+                ELSE (1000000 * c_b * n_a) // (c_a * n_b) - 1000000
+           END AS lift_ppm,
+           (c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a)
+             * (n_a + n_b)
+           > 4 * n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b)
+             AS significant
+         FROM a JOIN b USING (dow) ORDER BY dow""",
+
     "events_transitions" ->
       """WITH seq AS (SELECT user_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id
