@@ -2261,7 +2261,11 @@ object Ext {
       .orderBy(col("id1"), col("id2"))
 
   /** MinHash(32) + LSH(8×4) candidate pairs at est-Jaccard ≥ 0.5.
-    * Signature hashing is xxhash64 — not SQL-portable, so no oracle. */
+    * Signature hashing is xxhash64 — no native SQL twin, so the oracle
+    * (r11) is a LITERAL table captured from the independent public-spec
+    * reimplementation (`SketchRef`/`CaptureSketches`, the BPE
+    * precedent) at the gate corpus; `Round11OpsSpec` re-pins the twin
+    * at sf0.001. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidatesFromRows(shingles3(s, dir),
         numHashes = 32, bands = 8)
@@ -2533,7 +2537,11 @@ object Ext {
       .orderBy(col("new_id"), col("old_id"))
   }
 
-  /** SimHash near-dup pairs (64-bit sketch, 16-bit band blocking). */
+  /** SimHash near-dup pairs (64-bit sketch, 16-bit band blocking).
+    * FNV-based — no native SQL twin; the oracle (r11) is a LITERAL
+    * table captured from the independent reimplementation
+    * (`SketchRef`/`CaptureSketches`) at the gate corpus, with the
+    * sf0.001 twin re-pinned in `Round11OpsSpec`. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(
         Dedup.withSimhash(t(s, dir, "documents"), col("doc_id"), col("text")),

@@ -9,8 +9,12 @@ package graft.queries
   *  - 60-bit md5 prefix: `CAST('0x'||substr(md5(t),1,15) AS BIGINT)`
   *    ≡ Spark `conv(substring(md5(t),1,15),16,10)::long`.
   *
-  * xxhash64-based sketches (minhash LSH) and engine-state queries
-  * (hyperplane LSH, SimHash) have no SQL twin → rows-only check.
+  * xxhash64/FNV-based sketches (minhash LSH, SimHash) have no native
+  * SQL twin; since r11 they gate against LITERAL tables captured from
+  * the independent [[graft.queries]] test-scope reimplementations
+  * (public-spec xxHash64 / FNV-1a — the BpeRef precedent, see
+  * `SketchCapturedRows`). Engine-state queries (hyperplane LSH, IVF/PQ
+  * float models) stay rows-only with hash-green recall twins.
   */
 object ExtOracle {
 
@@ -1102,6 +1106,32 @@ object ExtOracle {
          SELECT id1, id2, c, n1, n2,
            round(c / CAST(n1 + n2 - c AS DOUBLE), 6) AS jaccard
          FROM pairs0
+         ORDER BY id1, id2""",
+
+    // MinHash-LSH value gate (r11 — rows-only 7 -> 5): the candidate
+    // pair table as a literal CAPTURED FROM THE INDEPENDENT SketchRef
+    // pipeline (public-spec xxHash64, value-tuple banding — see
+    // CaptureSketches; the text_bpe_train precedent: the literal comes
+    // from the twin implementation, never from the engine, so the
+    // driver's hash gate is a genuine cross-implementation pin of
+    // tokenize → shingle → 32-hash signature → 8×4 banding →
+    // est-Jaccard). Pinned for sf0.01 (the driver-gate corpus); other
+    // SFs covered by the SketchParitySpec twin at sf0.001.
+    "dedup_minhash_lsh" ->
+      s"""SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+             CAST(est_jaccard AS DOUBLE) AS est_jaccard
+         FROM (VALUES ${SketchCapturedRows.minhashLsh})
+           AS t(id1, id2, est_jaccard)
+         ORDER BY id1, id2""",
+
+    // SimHash value gate (same construction: FNV-1a + band blocking +
+    // hamming reimplemented independently in SketchRef, captured at the
+    // gate corpus)
+    "dedup_simhash" ->
+      s"""SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+             CAST(hamming AS INTEGER) AS hamming
+         FROM (VALUES ${SketchCapturedRows.simhash})
+           AS t(id1, id2, hamming)
          ORDER BY id1, id2""",
 
     // log-free rational tf-idf: tf*N is an exact BIGINT product, the one

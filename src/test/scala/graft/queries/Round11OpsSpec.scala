@@ -128,6 +128,24 @@ class Round11OpsSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_._3 == expConv))
   }
 
+  test("sketch twins: engine minhash-LSH and simhash pairs match SketchRef at sf0.001") {
+    // the same independent implementations CaptureSketches pins the
+    // sf0.01 literal oracles with, asserted here at a second scale so
+    // the captured literals can't silently rot against the engine
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val mh = SketchRef.minhashLshPairs(docs)
+    val gotMh = Ext.dedupMinhashLsh(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(gotMh == mh, s"minhash diverges: engine=${gotMh.size} twin=${mh.size}")
+    assert(mh.nonEmpty)
+    val sh = SketchRef.simhashPairs(docs)
+    val gotSh = Ext.dedupSimhash(spark, sf0001)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(gotSh == sh, s"simhash diverges: engine=${gotSh.size} twin=${sh.size}")
+    assert(sh.nonEmpty)
+  }
+
   test("mix_gini_concentration matches hand-computed rank arithmetic at sf0.001") {
     val per = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("lang"), col("source"),
