@@ -627,6 +627,55 @@ object Warehouse {
       .orderBy(col("event_type"))
   }
 
+  /** SNAPSHOT DRIFT REPORT — the dataset-shift audit a training-data
+    * pipeline runs between two crawls/ingest windows (PSI's integer
+    * cousin): the value distribution of the EARLIER half of the days
+    * trains decile cuts (exact ⌈k·n/10⌉ order statistics — actual data
+    * values, selected by integer predicates), every event lands in a
+    * trained bucket scan-locally, and the report compares old/new ppm
+    * shares per bucket with a ±2 % drift flag. Everything is integer
+    * selection and integer division — no ln (PSI's log stays out for
+    * the same reason tf-idf's does: not bit-portable), zero tolerance.
+    *
+    * Scale: cut training is [[groupedRank]]'s two-phase distributed
+    * selection over the old snapshot (no single-task sort); the 9-value
+    * cut row broadcasts back; the rollup is 10 rows, whose share
+    * window is a 10-row single partition by construction. */
+  def profileDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_id"), col("value"),
+      expr("ts_us div 86400000000").as("day"))
+    val lim = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val tagged = ev.crossJoin(broadcast(lim))
+      .withColumn("is_old", col("day") < col("mid"))
+    val ranked = groupedRank("drift_old", s, dir,
+      tagged.filter(col("is_old"))
+        .select(lit(1).as("g"), col("value"), col("event_id")),
+      Seq("g"), Seq(col("value").asc, col("event_id").asc))
+    val cutAggs = (1 to 9).map(k =>
+      max(when(col("rn") * 10 <= col("n") * k + 9, col("value"))).as(s"c$k"))
+    val cuts = ranked.groupBy(col("g"))
+      .agg(cutAggs.head, cutAggs.tail: _*).drop("g")
+    val bucketed = tagged.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        (1 to 9).map(k => when(col("value") > col(s"c$k"), 1L).otherwise(0L))
+          .reduce(_ + _))
+    val w10 = Window.partitionBy(lit(1))
+    bucketed.groupBy(col("bucket"))
+      .agg(sum(when(col("is_old"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(!col("is_old"), 1L).otherwise(0L)).as("n_new"))
+      // the share window runs over the 10-row bucket relation only
+      .withColumn("t_old", sum(col("n_old")).over(w10))
+      .withColumn("t_new", sum(col("n_new")).over(w10))
+      .withColumn("share_old_ppm", expr("(1000000 * n_old) div t_old"))
+      .withColumn("share_new_ppm", expr("(1000000 * n_new) div t_new"))
+      .withColumn("delta_ppm", col("share_new_ppm") - col("share_old_ppm"))
+      .withColumn("drifted", abs(col("delta_ppm")) > 20000)
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        col("share_old_ppm"), col("share_new_ppm"), col("delta_ppm"),
+        col("drifted"))
+      .orderBy(col("bucket"))
+  }
+
   /** Per-group WINSORIZATION — every value clamped to its event type's
     * [p05, p95] DISCRETE percentile band (the outlier-taming transform
     * quality/score columns get before feeding a trainer; the robust
@@ -2127,6 +2176,7 @@ object Warehouse {
     "win_clamped_balance" -> winClampedBalance _,
     "win_drawdown" -> winDrawdown _,
     "events_ab_lift" -> eventsAbLift _,
+    "profile_drift" -> profileDrift _,
     "mix_quantile_normalize" -> mixQuantileNormalize _,
     "agg_seasonality" -> aggSeasonality _,
     "profile_columns" -> profileColumns _,

@@ -633,6 +633,56 @@ object WarehouseOracle {
            CAST(sum(delta) AS BIGINT) AS final_cents
          FROM p GROUP BY user_id ORDER BY user_id""",
 
+    // decile cuts are exact order statistics of the old snapshot (integer
+    // predicates), shares are integer ppm division — PSI's log stays out
+    // (not bit-portable); zero tolerance
+    "profile_drift" ->
+      """WITH e AS (SELECT event_id, value,
+             epoch_us(ts) // 86400000000 AS day FROM events),
+         lim AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+         t AS (SELECT e.event_id, e.value, e.day < lim.mid AS is_old
+           FROM e, lim),
+         o AS (SELECT value,
+             row_number() OVER (ORDER BY value, event_id) AS rn,
+             count(*) OVER () AS n
+           FROM t WHERE is_old),
+         cuts AS (SELECT
+             max(CASE WHEN rn*10 <= n*1+9 THEN value END) AS c1,
+             max(CASE WHEN rn*10 <= n*2+9 THEN value END) AS c2,
+             max(CASE WHEN rn*10 <= n*3+9 THEN value END) AS c3,
+             max(CASE WHEN rn*10 <= n*4+9 THEN value END) AS c4,
+             max(CASE WHEN rn*10 <= n*5+9 THEN value END) AS c5,
+             max(CASE WHEN rn*10 <= n*6+9 THEN value END) AS c6,
+             max(CASE WHEN rn*10 <= n*7+9 THEN value END) AS c7,
+             max(CASE WHEN rn*10 <= n*8+9 THEN value END) AS c8,
+             max(CASE WHEN rn*10 <= n*9+9 THEN value END) AS c9
+           FROM o),
+         b AS (SELECT is_old, CAST(
+             CASE WHEN value > c1 THEN 1 ELSE 0 END +
+             CASE WHEN value > c2 THEN 1 ELSE 0 END +
+             CASE WHEN value > c3 THEN 1 ELSE 0 END +
+             CASE WHEN value > c4 THEN 1 ELSE 0 END +
+             CASE WHEN value > c5 THEN 1 ELSE 0 END +
+             CASE WHEN value > c6 THEN 1 ELSE 0 END +
+             CASE WHEN value > c7 THEN 1 ELSE 0 END +
+             CASE WHEN value > c8 THEN 1 ELSE 0 END +
+             CASE WHEN value > c9 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+           FROM t, cuts),
+         a AS (SELECT bucket,
+             CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+             CAST(sum(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+           FROM b GROUP BY bucket),
+         s AS (SELECT *, CAST(sum(n_old) OVER () AS BIGINT) AS t_old,
+             CAST(sum(n_new) OVER () AS BIGINT) AS t_new FROM a)
+         SELECT bucket, n_old, n_new,
+           (1000000 * n_old) // t_old AS share_old_ppm,
+           (1000000 * n_new) // t_new AS share_new_ppm,
+           (1000000 * n_new) // t_new - (1000000 * n_old) // t_old
+             AS delta_ppm,
+           abs((1000000 * n_new) // t_new - (1000000 * n_old) // t_old)
+             > 20000 AS drifted
+         FROM s ORDER BY bucket""",
+
     // two-proportion two-sigma test cross-multiplied into BIGINTs —
     // no sqrt or float division is ever evaluated in either engine
     "events_ab_lift" ->
