@@ -633,4 +633,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("MapGroups"), s"per-trajectory scan missing:\n$p")
     assert(!p.contains("Join"), s"DP must not join:\n$p")
   }
+
+  test("geo_staypoints: exactly one corpus shuffle (the per-vehicle group)") {
+    val p = planOf("geo_staypoints")
+    val hashEx = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected one group exchange, got $hashEx:\n$p")
+    assert(p.contains("MapGroups"), s"per-trajectory scan missing:\n$p")
+    assert(!p.contains("Join"), s"stay-point walk must not join:\n$p")
+  }
 }

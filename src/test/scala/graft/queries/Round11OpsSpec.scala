@@ -128,6 +128,46 @@ class Round11OpsSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_._3 == expConv))
   }
 
+  test("geo_staypoints: every emitted dwell satisfies the d/tau contract at sf0.001") {
+    // defining properties, brute-forced: all dwell points within d of
+    // the anchor, the dwell ends at the FIRST out-of-range ping, the
+    // span meets tau, and the emitted integers are self-consistent
+    val sp = Ext.geoStaypoints(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(sp.nonEmpty)
+    val pts = graft.core.Tables.eventsTsUs(spark, sf0001)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .as[(Long, Long, Long)].collect()
+    val byUser = pts.groupBy(_._1)
+      .map { case (u, a) => u -> a.sortBy(r => (r._2, r._3)) }
+    def coords(arr: Array[(Long, Long, Long)], i: Int): (Double, Double) = {
+      val blk = i / 16; val inb = i % 16
+      if (blk % 3 == 2) (blk.toDouble * 200.0 + inb.toDouble * 40.0,
+        inb.toDouble * 25.0)
+      else (blk.toDouble * 200.0 + (arr(i)._3 % 5).toDouble * 0.5,
+        (arr(i)._3 % 7).toDouble * 0.5)
+    }
+    for ((u, s0, e0, np, dur, sev) <- sp) {
+      val arr = byUser(u)
+      val s = s0.toInt - 1; val e = e0.toInt - 1
+      assert(np == e0 - s0 + 1 && arr(s)._3 == sev)
+      assert(dur == arr(e)._2 - arr(s)._2 && dur >= 3600000000L)
+      val (xs, ys) = coords(arr, s)
+      var q = s
+      while (q <= e) {
+        val (xq, yq) = coords(arr, q)
+        assert((xq - xs) * (xq - xs) + (yq - ys) * (yq - ys) <= 100.0,
+          s"in-dwell point out of range u=$u q=$q")
+        q += 1
+      }
+      if (e + 1 < arr.length) {
+        val (xn, yn) = coords(arr, e + 1)
+        assert((xn - xs) * (xn - xs) + (yn - ys) * (yn - ys) > 100.0,
+          s"dwell did not end at the first out-of-range ping u=$u")
+      }
+    }
+  }
+
   test("sketch twins: engine minhash-LSH and simhash pairs match SketchRef at sf0.001") {
     // the same independent implementations CaptureSketches pins the
     // sf0.01 literal oracles with, asserted here at a second scale so
