@@ -198,6 +198,57 @@ object ExtOracle {
          JOIN (SELECT id AS id1, n AS n1 FROM sizes) USING (id1)
          JOIN (SELECT id AS id2, n AS n2 FROM sizes) USING (id2))"""
 
+  /** The stay-point walk CTE chain (through `sp`) — shared by
+    * `geo_staypoints` and `geo_od_matrix`. Must run under
+    * `WITH RECURSIVE`. */
+  private val staypointCtes: String =
+    """pts AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS seq
+           FROM events),
+         xy AS MATERIALIZED (SELECT user_id, seq, event_id, ts_us,
+             CASE WHEN ((seq - 1) // 16) % 3 = 2
+               THEN ((seq - 1) // 16) * CAST(200.0 AS DOUBLE)
+                 + ((seq - 1) % 16) * CAST(40.0 AS DOUBLE)
+               ELSE ((seq - 1) // 16) * CAST(200.0 AS DOUBLE)
+                 + (event_id % 5) * CAST(0.5 AS DOUBLE) END AS x,
+             CASE WHEN ((seq - 1) // 16) % 3 = 2
+               THEN ((seq - 1) % 16) * CAST(25.0 AS DOUBLE)
+               ELSE (event_id % 7) * CAST(0.5 AS DOUBLE) END AS y
+           FROM pts),
+         nn AS MATERIALIZED (SELECT user_id, max(seq) AS n
+           FROM xy GROUP BY user_id),
+         hop AS (SELECT a.user_id, a.seq AS a,
+             coalesce(min(p.seq), mx.n + 1) AS j
+           FROM xy a JOIN nn mx USING (user_id)
+           LEFT JOIN xy p ON p.user_id = a.user_id AND p.seq > a.seq
+             AND ((p.x - a.x) * (p.x - a.x) + (p.y - a.y) * (p.y - a.y))
+               > CAST(100.0 AS DOUBLE)
+           GROUP BY a.user_id, a.seq, mx.n),
+         hop2 AS MATERIALIZED (SELECT h.user_id, h.a, h.j,
+             pj.ts_us - pa.ts_us AS dur,
+             pj.ts_us - pa.ts_us >= 3600000000 AS ok,
+             pa.event_id AS start_event
+           FROM hop h
+           JOIN xy pa ON pa.user_id = h.user_id AND pa.seq = h.a
+           JOIN xy pj ON pj.user_id = h.user_id AND pj.seq = h.j - 1),
+         anchors AS (
+           SELECT user_id, CAST(1 AS BIGINT) AS a FROM nn WHERE n >= 1
+           UNION ALL
+           SELECT x.user_id, x.nxt FROM (
+             SELECT an.user_id,
+               CASE WHEN h.ok THEN h.j ELSE an.a + 1 END AS nxt, mx.n
+             FROM anchors an
+             JOIN hop2 h ON h.user_id = an.user_id AND h.a = an.a
+             JOIN nn mx ON mx.user_id = an.user_id) x
+           WHERE x.nxt <= x.n),
+         sp AS (SELECT an.user_id, an.a AS start_seq, h.j - 1 AS end_seq,
+             h.j - an.a AS n_points, CAST(h.dur AS BIGINT) AS dur_us,
+             h.start_event
+           FROM anchors an
+           JOIN hop2 h ON h.user_id = an.user_id AND h.a = an.a
+           WHERE h.ok)"""
+
   private val shingleCtes =
     s"""$pairsAllCtes,
        pairs0 AS (
@@ -2784,54 +2835,23 @@ object ExtOracle {
     // otherwise inlines it into the recursive term and re-evaluates the
     // whole quadratic hop build once PER ITERATION
     "geo_staypoints" ->
-      """WITH RECURSIVE
-         pts AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-             row_number() OVER (PARTITION BY user_id
-               ORDER BY epoch_us(ts), event_id) AS seq
-           FROM events),
-         xy AS MATERIALIZED (SELECT user_id, seq, event_id, ts_us,
-             CASE WHEN ((seq - 1) // 16) % 3 = 2
-               THEN ((seq - 1) // 16) * CAST(200.0 AS DOUBLE)
-                 + ((seq - 1) % 16) * CAST(40.0 AS DOUBLE)
-               ELSE ((seq - 1) // 16) * CAST(200.0 AS DOUBLE)
-                 + (event_id % 5) * CAST(0.5 AS DOUBLE) END AS x,
-             CASE WHEN ((seq - 1) // 16) % 3 = 2
-               THEN ((seq - 1) % 16) * CAST(25.0 AS DOUBLE)
-               ELSE (event_id % 7) * CAST(0.5 AS DOUBLE) END AS y
-           FROM pts),
-         nn AS MATERIALIZED (SELECT user_id, max(seq) AS n
-           FROM xy GROUP BY user_id),
-         hop AS (SELECT a.user_id, a.seq AS a,
-             coalesce(min(p.seq), mx.n + 1) AS j
-           FROM xy a JOIN nn mx USING (user_id)
-           LEFT JOIN xy p ON p.user_id = a.user_id AND p.seq > a.seq
-             AND ((p.x - a.x) * (p.x - a.x) + (p.y - a.y) * (p.y - a.y))
-               > CAST(100.0 AS DOUBLE)
-           GROUP BY a.user_id, a.seq, mx.n),
-         hop2 AS MATERIALIZED (SELECT h.user_id, h.a, h.j,
-             pj.ts_us - pa.ts_us AS dur,
-             pj.ts_us - pa.ts_us >= 3600000000 AS ok,
-             pa.event_id AS start_event
-           FROM hop h
-           JOIN xy pa ON pa.user_id = h.user_id AND pa.seq = h.a
-           JOIN xy pj ON pj.user_id = h.user_id AND pj.seq = h.j - 1),
-         anchors AS (
-           SELECT user_id, CAST(1 AS BIGINT) AS a FROM nn WHERE n >= 1
-           UNION ALL
-           SELECT x.user_id, x.nxt FROM (
-             SELECT an.user_id,
-               CASE WHEN h.ok THEN h.j ELSE an.a + 1 END AS nxt, mx.n
-             FROM anchors an
-             JOIN hop2 h ON h.user_id = an.user_id AND h.a = an.a
-             JOIN nn mx ON mx.user_id = an.user_id) x
-           WHERE x.nxt <= x.n)
-         SELECT an.user_id, an.a AS start_seq, h.j - 1 AS end_seq,
-           h.j - an.a AS n_points, CAST(h.dur AS BIGINT) AS dur_us,
-           h.start_event
-         FROM anchors an
-         JOIN hop2 h ON h.user_id = an.user_id AND h.a = an.a
-         WHERE h.ok
-         ORDER BY an.user_id, start_seq""",
+      s"""WITH RECURSIVE $staypointCtes
+         SELECT user_id, start_seq, end_seq, n_points, dur_us, start_event
+         FROM sp ORDER BY user_id, start_seq""",
+
+    // trips = consecutive stay points per vehicle; OD cell is the shared
+    // 200 m easting cell the dwell sits in — the same CTE chain as
+    // geo_staypoints (one definition, two oracles — they cannot drift)
+    "geo_od_matrix" ->
+      s"""WITH RECURSIVE $staypointCtes,
+         tr AS (SELECT user_id,
+             lag((start_seq - 1) // 16) OVER w AS o_cell,
+             (start_seq - 1) // 16 AS d_cell
+           FROM sp WINDOW w AS (PARTITION BY user_id ORDER BY start_seq))
+         SELECT o_cell, d_cell, count(*) AS n_trips,
+           count(DISTINCT user_id) AS n_users
+         FROM tr WHERE o_cell IS NOT NULL
+         GROUP BY o_cell, d_cell ORDER BY o_cell, d_cell""",
 
     "geo_zorder_layout" ->
       """WITH p AS (SELECT concat('V', user_id) AS id,
