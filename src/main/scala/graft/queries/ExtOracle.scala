@@ -2833,7 +2833,10 @@ object ExtOracle {
     // dwell span; the recursion is then a single-reference linear chain
     // per vehicle (anchor -> jump or +1). hop2 is MATERIALIZED — DuckDB
     // otherwise inlines it into the recursive term and re-evaluates the
-    // whole quadratic hop build once PER ITERATION
+    // whole quadratic hop build once PER ITERATION. The hop build is
+    // O(len²) per trajectory — fine at gate scale (sf0.1 probe ≈ 33 s);
+    // the engine's early-exit anchor scan is the linear form (sf1g
+    // engine run: 8.7 s)
     "geo_staypoints" ->
       s"""WITH RECURSIVE $staypointCtes
          SELECT user_id, start_seq, end_seq, n_points, dur_us, start_event
