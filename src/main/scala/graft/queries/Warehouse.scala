@@ -627,6 +627,67 @@ object Warehouse {
       .orderBy(col("event_type"))
   }
 
+  /** HOURLY OHLC CANDLES per event type — the tumbling first/last/
+    * min/max selection rollup every metering/market pipeline emits.
+    * Open/close are rank selections (rn = 1 / rn = n over the in-hour
+    * order, event_id-disambiguated), high/low are min/max — every
+    * output value is an ACTUAL data value, so the gate is
+    * tolerance-free; volume is exact floor-cents.
+    *
+    * Scale: one (type, hour) shuffle shared by the rank window and the
+    * rollup (same keys, same order — one exchange). */
+  def tsOhlc(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("event_type"),
+        expr("ts_us div 3600000000").as("hour"),
+        col("ts_us"), col("value"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"), col("hour"))
+          .orderBy(col("ts_us"), col("event_id"))))
+      .withColumn("nn", count(lit(1)).over(
+        Window.partitionBy(col("event_type"), col("hour"))))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(max(when(col("rn") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn") === col("nn"), col("value"))).as("close"),
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("volume_cents"))
+      .orderBy(col("event_type"), col("hour"))
+
+  /** LAG-1 AUTOCORRELATION per event type — the temporal-dependence
+    * probe a time-series pipeline reads before choosing features:
+    * consecutive value pairs (per type, event-time order) feed the
+    * exact-moments-then-combine pattern of [[profileCorrelation]] —
+    * the six sufficient statistics fold as EXACT integers over
+    * floor-cents, and the correlation is ONE fixed double expression
+    * over their casts. The moments ship alongside for exact reuse.
+    *
+    * Scale: one type-keyed window shuffle, then a |types| rollup. */
+  def tsAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(s, dir)
+      .select(col("event_type"), col("ts_us"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("y"))
+      .withColumn("x", lag(col("y"), 1).over(w))
+      .filter(col("x").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_x2"),
+        sum(col("y") * col("y")).as("sum_y2"))
+      .withColumn("autocorr_lag1",
+        (col("n").cast("double") * col("sum_xy") -
+          col("sum_x").cast("double") * col("sum_y")) /
+          sqrt((col("n").cast("double") * col("sum_x2") -
+            col("sum_x").cast("double") * col("sum_x")) *
+            (col("n").cast("double") * col("sum_y2") -
+              col("sum_y").cast("double") * col("sum_y"))))
+      .orderBy(col("event_type"))
+  }
+
   /** SNAPSHOT DRIFT REPORT — the dataset-shift audit a training-data
     * pipeline runs between two crawls/ingest windows (PSI's integer
     * cousin): the value distribution of the EARLIER half of the days
@@ -2177,6 +2238,8 @@ object Warehouse {
     "win_drawdown" -> winDrawdown _,
     "events_ab_lift" -> eventsAbLift _,
     "profile_drift" -> profileDrift _,
+    "ts_ohlc" -> tsOhlc _,
+    "ts_autocorr" -> tsAutocorr _,
     "mix_quantile_normalize" -> mixQuantileNormalize _,
     "agg_seasonality" -> aggSeasonality _,
     "profile_columns" -> profileColumns _,

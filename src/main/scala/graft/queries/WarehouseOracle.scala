@@ -1196,6 +1196,50 @@ object WarehouseOracle {
          ORDER BY user_id, ts_us, event_id""",
 
     // exact integer moments, one fixed-order float combination
+    // open/close are rank selections, high/low min/max — every value an
+    // actual data value, tolerance-free; volume exact floor-cents
+    "ts_ohlc" ->
+      """WITH e AS (SELECT event_type,
+             epoch_us(ts) // 3600000000 AS hour,
+             epoch_us(ts) AS ts_us, event_id, value,
+             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         r AS (SELECT *, row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY event_type, hour) AS nn
+           FROM e
+           WINDOW w AS (PARTITION BY event_type, hour
+             ORDER BY ts_us, event_id))
+         SELECT event_type, hour,
+           max(CASE WHEN rn = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn = nn THEN value END) AS close,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS volume_cents
+         FROM r GROUP BY event_type, hour
+         ORDER BY event_type, hour""",
+
+    // lag-1 pairs feed the same exact-moments-then-combine pattern as
+    // profile_correlation: integer sums, one fixed double expression
+    "ts_autocorr" ->
+      """WITH e AS (SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS y,
+             lag(CAST(floor(value * 100) AS BIGINT)) OVER
+               (PARTITION BY event_type
+                ORDER BY epoch_us(ts), event_id) AS x
+           FROM events),
+         m AS (SELECT event_type, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sum_x,
+             CAST(sum(y) AS BIGINT) AS sum_y,
+             CAST(sum(x * y) AS BIGINT) AS sum_xy,
+             CAST(sum(x * x) AS BIGINT) AS sum_x2,
+             CAST(sum(y * y) AS BIGINT) AS sum_y2
+           FROM e WHERE x IS NOT NULL GROUP BY event_type)
+         SELECT event_type, n, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+           (CAST(n AS DOUBLE) * sum_xy - CAST(sum_x AS DOUBLE) * sum_y)
+             / sqrt((CAST(n AS DOUBLE) * sum_x2
+                 - CAST(sum_x AS DOUBLE) * sum_x)
+               * (CAST(n AS DOUBLE) * sum_y2
+                 - CAST(sum_y AS DOUBLE) * sum_y)) AS autocorr_lag1
+         FROM m ORDER BY event_type""",
+
     "profile_correlation" ->
       """WITH e AS (SELECT event_type,
              CAST(floor(value * 100) AS BIGINT) AS x,
