@@ -688,6 +688,85 @@ object Warehouse {
       .orderBy(col("event_type"))
   }
 
+  /** LTTB DOWNSAMPLING (largest-triangle-three-buckets) — the standard
+    * series downsampler every dashboard layer runs before plotting a
+    * 100 TB metric: keep first and last, split the interior into m−2
+    * equal buckets, and from each bucket keep the point forming the
+    * largest triangle with the PREVIOUSLY kept point and the NEXT
+    * bucket's mean. Made hash-exact by integer geometry: x is relative
+    * µs, y floor-cents, and the bucket-mean triangle area is compared
+    * n-SCALED — `|(ax−cx)·(Σny−n·cy) − (ay−cy)·(Σnx−n·cx)|` — so the
+    * mean's division never happens and every selection is a BIGINT
+    * comparison (ties → smallest seq). Every output value is an actual
+    * data point.
+    *
+    * Scale: one corpus shuffle (group by series key), linear walk per
+    * series — the [[graft.queries.Ext.geoSimplifyDp]] cogroup
+    * discipline. The oracle replays the walk as a recursive CTE over
+    * MATERIALIZED bucket sums with a quantified argmax (the DP
+    * oracle's construction; depth = m−2 = 8). */
+  def tsLttb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = 10 // points kept per series: first + 8 interior + last
+    events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        val arr = it.toArray.sortBy(r => (r._2, r._3)) // (ts, event_id)
+        val n = arr.length
+        val x0 = arr(0)._2
+        def x(i: Int): Long = arr(i)._2 - x0
+        def y(i: Int): Long = arr(i)._4
+        if (n <= m) {
+          arr.indices.iterator.map(i => (uid, (i + 1).toLong, arr(i)._3,
+            x(i), y(i)))
+        } else {
+          val nb = m - 2
+          // interior 0-based indices 1..n-2; bucket of index i =
+          // ((i-1)*nb) div (n-2), 0-based — integer split, both engines
+          def bucketOf(i: Int): Int = ((i - 1).toLong * nb / (n - 2)).toInt
+          val lo = Array.fill(nb)(Int.MaxValue)
+          val hi = Array.fill(nb)(Int.MinValue)
+          var i = 1
+          while (i < n - 1) {
+            val b = bucketOf(i)
+            if (i < lo(b)) lo(b) = i
+            if (i > hi(b)) hi(b) = i
+            i += 1
+          }
+          val kept = scala.collection.mutable.ArrayBuffer(0)
+          var prev = 0
+          var b = 0
+          while (b < nb) {
+            // next anchor: bucket b+1's sums, or the last point alone
+            var (snx, sny, cnt) = (0L, 0L, 0L)
+            if (b + 1 < nb) {
+              var j = lo(b + 1)
+              while (j <= hi(b + 1)) { snx += x(j); sny += y(j); cnt += 1; j += 1 }
+            } else { snx = x(n - 1); sny = y(n - 1); cnt = 1 }
+            val (ax, ay) = (x(prev), y(prev))
+            var best = -1; var bestA = -1L
+            var c = lo(b)
+            while (c <= hi(b)) {
+              val a2 = math.abs((ax - x(c)) * (sny - cnt * y(c)) -
+                (ay - y(c)) * (snx - cnt * x(c)))
+              if (a2 > bestA) { bestA = a2; best = c } // strict >: min-seq tie
+              c += 1
+            }
+            kept += best
+            prev = best
+            b += 1
+          }
+          kept += n - 1
+          kept.iterator.map(i => (uid, (i + 1).toLong, arr(i)._3, x(i), y(i)))
+        }
+      }
+      .toDF("user_id", "seq", "event_id", "x_rel_us", "y_cents")
+      .orderBy(col("user_id"), col("seq"))
+  }
+
   /** SNAPSHOT DRIFT REPORT — the dataset-shift audit a training-data
     * pipeline runs between two crawls/ingest windows (PSI's integer
     * cousin): the value distribution of the EARLIER half of the days
@@ -2240,6 +2319,7 @@ object Warehouse {
     "profile_drift" -> profileDrift _,
     "ts_ohlc" -> tsOhlc _,
     "ts_autocorr" -> tsAutocorr _,
+    "ts_lttb" -> tsLttb _,
     "mix_quantile_normalize" -> mixQuantileNormalize _,
     "agg_seasonality" -> aggSeasonality _,
     "profile_columns" -> profileColumns _,

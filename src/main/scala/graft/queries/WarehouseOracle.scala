@@ -1216,6 +1216,67 @@ object WarehouseOracle {
          FROM r GROUP BY event_type, hour
          ORDER BY event_type, hour""",
 
+    // LTTB walk replayed as a recursive CTE over MATERIALIZED bucket
+    // sums with a quantified argmax (the geo_simplify_dp construction);
+    // areas are n-scaled BIGINTs so the bucket mean's division never
+    // happens — every selection is integer-exact
+    "ts_lttb" ->
+      """WITH RECURSIVE
+         pts AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS seq
+           FROM events),
+         xy AS MATERIALIZED (SELECT p.user_id, p.seq, p.event_id,
+             p.ts_us - f.ts0 AS x, p.cents AS y
+           FROM pts p JOIN (SELECT user_id, min(ts_us) AS ts0
+             FROM pts GROUP BY user_id) f USING (user_id)),
+         nn AS MATERIALIZED (SELECT user_id, max(seq) AS n
+           FROM xy GROUP BY user_id),
+         bk AS MATERIALIZED (SELECT x.user_id, x.seq, x.x, x.y,
+             ((x.seq - 2) * 8) // (mx.n - 2) AS b
+           FROM xy x JOIN nn mx USING (user_id)
+           WHERE mx.n > 10 AND x.seq >= 2 AND x.seq <= mx.n - 1),
+         bs AS (SELECT user_id, b, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy, count(*) AS c
+           FROM bk GROUP BY user_id, b),
+         nxt AS MATERIALIZED (
+           SELECT user_id, b - 1 AS b, sx, sy, c FROM bs WHERE b >= 1
+           UNION ALL
+           SELECT x.user_id, 7, x.x, x.y, 1
+           FROM xy x JOIN nn mx USING (user_id)
+           WHERE x.seq = mx.n AND mx.n > 10),
+         walk(user_id, b, sel) AS (
+           SELECT user_id, -1, CAST(1 AS BIGINT) FROM nn WHERE n > 10
+           UNION ALL
+           SELECT w.user_id, w.b + 1, c.seq
+           FROM walk w
+           JOIN xy a ON a.user_id = w.user_id AND a.seq = w.sel
+           JOIN nxt t ON t.user_id = w.user_id AND t.b = w.b + 1
+           JOIN bk c ON c.user_id = w.user_id AND c.b = w.b + 1
+           WHERE w.b < 7
+             AND NOT EXISTS (SELECT 1 FROM bk q
+               WHERE q.user_id = w.user_id AND q.b = w.b + 1
+                 AND (abs((a.x - q.x) * (t.sy - t.c * q.y)
+                        - (a.y - q.y) * (t.sx - t.c * q.x))
+                      > abs((a.x - c.x) * (t.sy - t.c * c.y)
+                        - (a.y - c.y) * (t.sx - t.c * c.x))
+                   OR (abs((a.x - q.x) * (t.sy - t.c * q.y)
+                         - (a.y - q.y) * (t.sx - t.c * q.x))
+                       = abs((a.x - c.x) * (t.sy - t.c * c.y)
+                         - (a.y - c.y) * (t.sx - t.c * c.x))
+                     AND q.seq < c.seq)))),
+         kept AS (
+           SELECT user_id, sel AS seq FROM walk
+           UNION ALL SELECT user_id, n FROM nn WHERE n > 10
+           UNION ALL SELECT x.user_id, x.seq
+             FROM xy x JOIN nn mx USING (user_id) WHERE mx.n <= 10)
+         SELECT k.user_id, k.seq, x.event_id,
+           x.x AS x_rel_us, x.y AS y_cents
+         FROM kept k JOIN xy x
+           ON x.user_id = k.user_id AND x.seq = k.seq
+         ORDER BY k.user_id, k.seq""",
+
     // lag-1 pairs feed the same exact-moments-then-combine pattern as
     // profile_correlation: integer sums, one fixed double expression
     "ts_autocorr" ->
