@@ -186,6 +186,29 @@ class Round11OpsSpec extends SparkSpec {
     assert(sh.nonEmpty)
   }
 
+  test("ts_lttb: selections are actual data points, first/last kept, m per series") {
+    val got = Warehouse.tsLttb(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val pts = graft.core.Tables.eventsTsUs(spark, sf0001)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        floor(col("value") * 100).cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    val byUser = pts.groupBy(_._1)
+      .map { case (u, a) => u -> a.sortBy(r => (r._2, r._3)) }
+    val gotBy = got.groupBy(_._1)
+    for ((u, arr) <- byUser) {
+      val n = arr.length
+      val ks = gotBy(u).sortBy(_._2)
+      assert(ks.length == math.min(n, 10), s"user $u kept ${ks.length}")
+      assert(ks.head._2 == 1L && ks.last._2 == n.toLong)
+      for ((_, seq, eid, x, y) <- ks) {
+        val p = arr(seq.toInt - 1)
+        assert(p._3 == eid && x == p._2 - arr(0)._2 && y == p._4,
+          s"user $u seq $seq is not the original point")
+      }
+    }
+  }
+
   test("mix_gini_concentration matches hand-computed rank arithmetic at sf0.001") {
     val per = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("lang"), col("source"),
