@@ -1454,6 +1454,37 @@ object Warehouse {
       pairs.join(pairs.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
     })
 
+  /** DEGREE ASSORTATIVITY of the co-purchase graph — the one-number
+    * graph-health probe (do hubs link to hubs?): Pearson correlation of
+    * endpoint degrees over the directed edge list, by the
+    * exact-moments-then-combine pattern ([[profileCorrelation]]): the
+    * six sufficient statistics fold as EXACT integers and the
+    * coefficient is one fixed double expression. Shares the staged
+    * [[stagedEdges]] relation (out-degree already attached).
+    *
+    * Scale: one |edges| join keyed on dst (AQE broadcasts the
+    * |nodes|-sized degree side) and a 1-row map-side-combined rollup. */
+  def graphAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val edges = stagedEdges(s, dir) // (src, dst, deg) — symmetric
+    val degT = edges.select(col("src").as("dst"), col("deg").as("deg_dst"))
+      .distinct()
+    edges.join(degT, Seq("dst"))
+      .select(col("deg").as("x"), col("deg_dst").as("y"))
+      .groupBy()
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_x2"),
+        sum(col("y") * col("y")).as("sum_y2"))
+      .withColumn("assortativity",
+        (col("n").cast("double") * col("sum_xy") -
+          col("sum_x").cast("double") * col("sum_y")) /
+          sqrt((col("n").cast("double") * col("sum_x2") -
+            col("sum_x").cast("double") * col("sum_x")) *
+            (col("n").cast("double") * col("sum_y2") -
+              col("sum_y").cast("double") * col("sum_y"))))
+  }
+
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
     val edges = stagedEdges(s, dir)
     val nodes = edges.select(col("src").as("node")).distinct()
@@ -2328,6 +2359,7 @@ object Warehouse {
     "agg_hll_incremental" -> aggHllIncremental _,
     "graph_pagerank" -> graphPagerank _,
     "graph_kcore" -> graphKcore _,
+    "graph_assortativity" -> graphAssortativity _,
     "join_fuzzy_names" -> joinFuzzyNames _,
     "graph_triangles" -> graphTriangles _,
     "ts_resample_grid" -> tsResampleGrid _,

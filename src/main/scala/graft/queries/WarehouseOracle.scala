@@ -1117,6 +1117,31 @@ object WarehouseOracle {
            conv.converged
          FROM deg d, conv ORDER BY part_key""",
 
+    // endpoint-degree Pearson over the directed edge list: exact integer
+    // moments, one fixed double expression (the profile_correlation form)
+    "graph_assortativity" ->
+      """WITH e AS (
+           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+         p AS (SELECT ds.d AS x, dd.d AS y FROM e
+           JOIN deg ds ON e.src = ds.src JOIN deg dd ON e.dst = dd.src),
+         m AS (SELECT count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sum_x,
+             CAST(sum(y) AS BIGINT) AS sum_y,
+             CAST(sum(x * y) AS BIGINT) AS sum_xy,
+             CAST(sum(x * x) AS BIGINT) AS sum_x2,
+             CAST(sum(y * y) AS BIGINT) AS sum_y2
+           FROM p)
+         SELECT n, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+           (CAST(n AS DOUBLE) * sum_xy - CAST(sum_x AS DOUBLE) * sum_y)
+             / sqrt((CAST(n AS DOUBLE) * sum_x2
+                 - CAST(sum_x AS DOUBLE) * sum_x)
+               * (CAST(n AS DOUBLE) * sum_y2
+                 - CAST(sum_y AS DOUBLE) * sum_y)) AS assortativity
+         FROM m""",
+
     "graph_pagerank" ->
       """WITH e AS (
            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
