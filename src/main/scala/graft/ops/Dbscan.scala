@@ -73,25 +73,41 @@ object Dbscan {
     * the pairs that can ever matter — the asymptotic difference between
     * shuffling every pair and shuffling the (typically sparse) neighbor
     * graph. */
-  def fitAdjacency(adj: Array[Array[Int]], minSamples: Int): Array[Int] = {
+  def fitAdjacency(adj: Array[Array[Int]], minSamples: Int): Array[Int] =
+    fitNeighborhoods(adj.map(graft.core.IntVec.wrap), minSamples)
+
+  /** [[fitAdjacency]] over primitive [[graft.core.IntVec]] neighbor lists —
+    * the form the distributed cogroup builds directly (no boxed copies;
+    * the BFS queue is a primitive head-indexed vector, so the whole pass
+    * stays at 4 B per edge-end). Semantics identical to [[fit]]. */
+  def fitNeighborhoods(
+      adj: Array[graft.core.IntVec], minSamples: Int): Array[Int] = {
     val n = adj.length
     val labels = Array.fill(n)(-2) // -2 = unvisited, -1 = noise
     var cluster = -1
+
+    def enqueueAll(queue: graft.core.IntVec, v: graft.core.IntVec): Unit = {
+      var k = 0
+      while (k < v.size) { queue.add(v(k)); k += 1 }
+    }
+
     var i = 0
     while (i < n) {
       if (labels(i) == -2) {
-        if (adj(i).length + 1 < minSamples) labels(i) = -1
+        if (adj(i).size + 1 < minSamples) labels(i) = -1
         else {
           cluster += 1
           labels(i) = cluster
-          val queue = mutable.Queue.empty[Int]
-          queue ++= adj(i)
-          while (queue.nonEmpty) {
-            val j = queue.dequeue()
+          val queue = new graft.core.IntVec(16)
+          var head = 0
+          enqueueAll(queue, adj(i))
+          while (head < queue.size) {
+            val j = queue(head)
+            head += 1
             if (labels(j) == -1) labels(j) = cluster // noise → border
             else if (labels(j) == -2) {
               labels(j) = cluster
-              if (adj(j).length + 1 >= minSamples) queue ++= adj(j)
+              if (adj(j).size + 1 >= minSamples) enqueueAll(queue, adj(j))
             }
           }
         }

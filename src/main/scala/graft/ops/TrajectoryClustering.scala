@@ -371,13 +371,16 @@ object TrajectoryClustering {
             // a bin holds whole lines (one, or several small ones packed
             // together). Roster rows are tiny; adjacency buffers are
             // preallocated per line so the edge stream fills them without
-            // buffering — O(edges) memory, never the T×T matrix.
+            // buffering — O(edges) memory, never the T×T matrix. The
+            // buffers are PRIMITIVE (r11): boxed ArrayBuffer[Int] cost
+            // ~20 B/edge-end and OOM'd the 32 g heap at the 100× probe's
+            // ~700 M edge-ends; IntVec keeps the bound at 4 B/end
+            // (nanPairs packs (i, j) as two adjacent entries).
             val byLine = rs.toArray.groupBy(_._1)
             final class LineBuf(val rows: Array[(String, Int, String, String)]) {
-              val adj: Array[scala.collection.mutable.ArrayBuffer[Int]] =
-                Array.fill(rows.length)(
-                  new scala.collection.mutable.ArrayBuffer[Int](4))
-              val nanPairs = new scala.collection.mutable.ArrayBuffer[(Int, Int)]
+              val adj: Array[graft.core.IntVec] =
+                Array.fill(rows.length)(new graft.core.IntVec(4))
+              val nanPairs = new graft.core.IntVec(8)
               var maxFinite = 0.0
             }
             val bufs = byLine.map { case (line, rows) =>
@@ -387,20 +390,24 @@ object TrajectoryClustering {
               val b = bufs(line)
               if (i < 0) { // per-partition max-finite sentinel
                 if (d > b.maxFinite) b.maxFinite = d
-              } else if (d.isNaN) b.nanPairs += ((i, j))
-              else { b.adj(i) += j; b.adj(j) += i } // finite d <= eps
+              } else if (d.isNaN) { b.nanPairs.add(i); b.nanPairs.add(j) }
+              else { b.adj(i).add(j); b.adj(j).add(i) } // finite d <= eps
             }
             bufs.toArray.sortBy(_._1).iterator.flatMap { case (line, b) =>
               val p = bc.value(line)
               val n = b.rows.length
               // non-finite pairs clamp to 2×max finite (TC-P:298–303):
               // an edge exactly when the clamped value clears eps
-              if (2 * b.maxFinite <= p.eps)
-                b.nanPairs.foreach { case (i, j) =>
-                  b.adj(i) += j; b.adj(j) += i
+              if (2 * b.maxFinite <= p.eps) {
+                var k = 0
+                while (k < b.nanPairs.size) {
+                  val i = b.nanPairs(k); val j = b.nanPairs(k + 1)
+                  b.adj(i).add(j); b.adj(j).add(i)
+                  k += 2
                 }
+              }
               val labels =
-                try Dbscan.fitAdjacency(b.adj.map(_.toArray), p.minSamples)
+                try Dbscan.fitNeighborhoods(b.adj, p.minSamples)
                 catch { case _: Exception => Array.fill(n)(0) } // TC-P:309–312
               b.rows.iterator.map { case (_, tid, id, pid) =>
                 (line, id, pid, labels(tid))
