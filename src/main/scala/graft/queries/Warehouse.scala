@@ -688,6 +688,116 @@ object Warehouse {
       .orderBy(col("event_type"))
   }
 
+  /** ROBUST ANOMALY FLAGS (rolling median / MAD) — the outlier rule a
+    * metrics pipeline prefers over [[eventsAnomalyDays]]'s mean band
+    * when the series itself contains spikes (the median ignores an
+    * outlier in its own history; a trailing mean chases it): per event
+    * type, each day's event count is tested against the median and MAD
+    * of its trailing 7-day window, flagged when |x − med| > 3·MAD.
+    * Hash-exact by 2-SCALING every statistic: the window is a fixed
+    * n = 7 (odd), so med2 = 2·(4th order statistic) and mad2 = 2·MAD
+    * are exact BIGINTs and the flag is the integer comparison
+    * dev2 > 3·mad2. Runs over OBSERVED days ([[eventsAnomalyDays]]
+    * owns the dead-collector/missing-day case with its densified
+    * spine).
+    *
+    * Scale: the daily rollup is the only corpus-sized shuffle (map-side
+    * combined); the rolling stats run on the |types|·|days| relation. */
+  def tsMadAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    daily
+      .withColumn("arr", sort_array(collect_list(col("cnt")).over(w)))
+      .filter(size(col("arr")) === 7)
+      .withColumn("med2", element_at(col("arr"), 4) * 2)
+      .withColumn("mad2", element_at(
+        sort_array(transform(col("arr"), v => abs(v * 2 - col("med2")))), 4))
+      .withColumn("dev2", abs(col("cnt") * 2 - col("med2")))
+      .withColumn("anomaly", col("dev2") > col("mad2") * 3)
+      .select(col("event_type"), col("day"), col("cnt"), col("med2"),
+        col("mad2"), col("dev2"), col("anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** ROLLING TREND SLOPE — 24-hour ordinary-least-squares slope of the
+    * hourly revenue series per event type, the trend feature a
+    * forecasting pipeline derives before alerting on direction change.
+    * Exact by the moments pattern: x is the hour index SHIFTED to the
+    * type's first hour (slope is shift-invariant; the shift keeps
+    * n·Σxy within BIGINT at any corpus age), y is floor-cents, all five
+    * window sums fold as exact integers, and the slope is ONE double
+    * division of the two integer cross-moments.
+    *
+    * Scale: one corpus-sized hourly rollup (map-side combined), then
+    * windows over the |types|·|hours| relation. */
+  def winRollingRegression(s: SparkSession, dir: String): DataFrame = {
+    val hourly = events(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 3600000000").as("h"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("y"))
+    val byType = Window.partitionBy(col("event_type"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-23, 0)
+    hourly
+      .withColumn("x", col("h") - min(col("h")).over(byType))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sx2", sum(col("x") * col("x")).over(w))
+      .filter(col("n") === 24)
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sx2") - col("sx") * col("sx"))
+      .withColumn("slope_cents_per_hour",
+        col("num").cast("double") / col("den").cast("double"))
+      .select(col("event_type"), col("h"), col("y"), col("num"), col("den"),
+        col("slope_cents_per_hour"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  /** CUSUM CHANGE DETECTION — the one-sided cumulative-sum control
+    * chart over each type's daily revenue: S_i = max(0, S_{i−1} + (x_i
+    * − med)), alarm when S crosses 6·MAD·2 (2-scaled: s2 > 6·mad4).
+    * The recursion is NOT a window function, but the classic prefix
+    * identity S_i = P_i − min(0, min_{j≤i} P_j) (P = prefix sums of
+    * the deviations) turns it into two stock windows — exact BIGINTs
+    * throughout because deviations are 2-scaled (d2 = 2x − med2, med2
+    * = lower+upper middle of ALL the type's days, n odd or even) and
+    * the threshold is 4-scaled (mad4 = 2-scaled median of the d2
+    * magnitudes).
+    *
+    * Scale: daily rollup (corpus-sized, map-side combined), one
+    * |types|-row stats broadcast back, windows on |types|·|days|. */
+  def winCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("cents"))).as("arr"),
+        count(lit(1)).as("n"))
+      .withColumn("lo", expr("CAST((n + 1) div 2 AS INT)"))
+      .withColumn("hi", expr("CAST(n div 2 + 1 AS INT)"))
+      .withColumn("med2",
+        element_at(col("arr"), col("lo")) + element_at(col("arr"), col("hi")))
+      .withColumn("devs",
+        sort_array(transform(col("arr"), v => abs(v * 2 - col("med2")))))
+      .withColumn("mad4",
+        element_at(col("devs"), col("lo")) + element_at(col("devs"), col("hi")))
+      .select(col("event_type"), col("med2"), col("mad4"))
+    val wp = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("d2", col("cents") * 2 - col("med2"))
+      .withColumn("p2", sum(col("d2")).over(wp))
+      .withColumn("s2", col("p2") - least(lit(0L), min(col("p2")).over(wp)))
+      .withColumn("alarm", col("s2") > col("mad4") * 6)
+      .select(col("event_type"), col("day"), col("cents"), col("d2"),
+        col("s2"), col("alarm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** LTTB DOWNSAMPLING (largest-triangle-three-buckets) — the standard
     * series downsampler every dashboard layer runs before plotting a
     * 100 TB metric: keep first and last, split the interior into m−2
@@ -1542,6 +1652,63 @@ object Warehouse {
       .orderBy(col("node"))
   }
 
+  /** EDGE-JACCARD SPARSIFICATION — per-edge tie strength over the
+    * co-purchase graph: for every edge {u, v}, the Jaccard similarity
+    * of the endpoint neighborhoods (|N(u)∩N(v)| = the edge's triangle
+    * support, reusing [[graphTriangles]]'s degree-oriented wedge
+    * enumeration so the support count is O(Σ out²) streamed, never
+    * landed), then each node keeps its top-2 strongest ties — the
+    * local-sparsification primitive that prunes a graph to its
+    * community backbone before any expensive downstream pass. Fully
+    * integer: support and degrees are counts and the score is ppm by
+    * integer division, so ranking and output are hash-exact (rank ties
+    * broken by neighbor id).
+    *
+    * Scale: identical shape to [[graphTriangles]] (broadcast oriented
+    * edges; bucketed sort-merge when m outgrows a broadcast); the
+    * rank/top-k runs on the |E| scored relation. */
+  def graphEdgeJaccard(s: SparkSession, dir: String): DataFrame = {
+    val edges = stagedEdges(s, dir) // (src, dst, deg) — symmetric
+    val degT = edges.select(col("src").as("node"), col("deg")).distinct()
+    val oriented = edges
+      .join(degT.select(col("node").as("dst"), col("deg").as("deg_dst")), Seq("dst"))
+      .filter(col("deg") < col("deg_dst") ||
+        (col("deg") === col("deg_dst") && col("src") < col("dst")))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val tri = oriented.as("x")
+      .join(broadcast(oriented.as("y")), col("x.b") === col("y.a"))
+      .select(col("x.a").as("wa"), col("x.b").as("wb"), col("y.b").as("wc"))
+      .join(broadcast(oriented.as("z")),
+        col("wa") === col("z.a") && col("wc") === col("z.b"))
+    // each triangle supports its three edges, keyed unordered (u < v)
+    val support = tri.select(explode(array(
+        struct(least(col("wa"), col("wb")).as("u"),
+          greatest(col("wa"), col("wb")).as("v")),
+        struct(least(col("wb"), col("wc")).as("u"),
+          greatest(col("wb"), col("wc")).as("v")),
+        struct(least(col("wa"), col("wc")).as("u"),
+          greatest(col("wa"), col("wc")).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+    val scored = edges // symmetric: every edge scored from both endpoints
+      .join(degT.select(col("node").as("dst"), col("deg").as("deg_dst")), Seq("dst"))
+      .join(broadcast(support),
+        least(col("src"), col("dst")) === col("u") &&
+          greatest(col("src"), col("dst")) === col("v"), "left")
+      .withColumn("common", coalesce(col("common"), lit(0L)))
+      .withColumn("jaccard_ppm",
+        expr("(common * 1000000) div (deg + deg_dst - common)"))
+    val byNode = Window.partitionBy(col("src"))
+      .orderBy(col("jaccard_ppm").desc, col("common").desc, col("dst"))
+    scored.withColumn("rk", row_number().over(byNode))
+      .filter(col("rk") <= 2)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"),
+        col("common"), col("jaccard_ppm"))
+      .distinct() // an edge may be a top tie of BOTH endpoints
+      .orderBy(col("u"), col("v"))
+  }
+
   /** INTERVAL-UNION METERING — each event projects a ±15 min activity
     * interval; per user, overlapping/touching intervals merge and the
     * query emits the island count and total covered µs: the
@@ -2351,6 +2518,10 @@ object Warehouse {
     "ts_ohlc" -> tsOhlc _,
     "ts_autocorr" -> tsAutocorr _,
     "ts_lttb" -> tsLttb _,
+    "ts_mad_anomaly" -> tsMadAnomaly _,
+    "win_rolling_regression" -> winRollingRegression _,
+    "win_cusum" -> winCusum _,
+    "graph_edge_jaccard" -> graphEdgeJaccard _,
     "mix_quantile_normalize" -> mixQuantileNormalize _,
     "agg_seasonality" -> aggSeasonality _,
     "profile_columns" -> profileColumns _,

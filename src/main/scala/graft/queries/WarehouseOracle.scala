@@ -1302,6 +1302,123 @@ object WarehouseOracle {
            ON x.user_id = k.user_id AND x.seq = k.seq
          ORDER BY k.user_id, k.seq""",
 
+    // rolling median/MAD over the trailing fixed-7 window, everything
+    // 2-scaled so both engines compare the same BIGINTs
+    "ts_mad_anomaly" ->
+      """WITH daily AS (SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         win AS (SELECT event_type, day, cnt,
+             list_sort(list(cnt) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+           FROM daily),
+         st AS (SELECT event_type, day, cnt, arr, 2 * arr[4] AS med2
+           FROM win WHERE len(arr) = 7),
+         st2 AS (SELECT event_type, day, cnt, med2,
+             list_sort(list_transform(arr, v -> abs(2 * v - med2)))[4] AS mad2,
+             abs(2 * cnt - med2) AS dev2
+           FROM st)
+         SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+           CAST(med2 AS BIGINT) AS med2, CAST(mad2 AS BIGINT) AS mad2,
+           CAST(dev2 AS BIGINT) AS dev2, dev2 > 3 * mad2 AS anomaly
+         FROM st2 ORDER BY event_type, day""",
+
+    // 24-hour OLS slope: hour index shifted per type, five integer
+    // window moments, one double division
+    "win_rolling_regression" ->
+      """WITH hourly AS (SELECT event_type,
+             epoch_us(ts) // 3600000000 AS h,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         sh AS (SELECT event_type, h, y,
+             h - min(h) OVER (PARTITION BY event_type) AS x
+           FROM hourly),
+         m AS (SELECT event_type, h, y,
+             count(*) OVER w AS n,
+             CAST(sum(x) OVER w AS BIGINT) AS sx,
+             CAST(sum(y) OVER w AS BIGINT) AS sy,
+             CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+             CAST(sum(x * x) OVER w AS BIGINT) AS sx2
+           FROM sh WINDOW w AS (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+         SELECT event_type, h, y,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sx2 - sx * sx AS BIGINT) AS den,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sx2 - sx * sx AS DOUBLE) AS slope_cents_per_hour
+         FROM m WHERE n = 24 ORDER BY event_type, h""",
+
+    // CUSUM via the prefix identity S_i = P_i - min(0, min_{j<=i} P_j);
+    // deviations 2-scaled against the per-type global median, alarm
+    // threshold 4-scaled MAD
+    "win_cusum" ->
+      """WITH daily AS (SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, list_sort(list(cents)) AS arr,
+             count(*) AS n
+           FROM daily GROUP BY event_type),
+         st2 AS (SELECT event_type,
+             arr[CAST((n + 1) // 2 AS INT)]
+               + arr[CAST(n // 2 + 1 AS INT)] AS med2, n, arr
+           FROM st),
+         st3 AS (SELECT event_type, med2,
+             list_sort(list_transform(arr, v -> abs(2 * v - med2))) AS devs,
+             n FROM st2),
+         st4 AS (SELECT event_type, med2,
+             devs[CAST((n + 1) // 2 AS INT)]
+               + devs[CAST(n // 2 + 1 AS INT)] AS mad4
+           FROM st3),
+         p AS (SELECT d.event_type, d.day, d.cents,
+             CAST(2 * d.cents - s.med2 AS BIGINT) AS d2, s.mad4
+           FROM daily d JOIN st4 s ON d.event_type = s.event_type),
+         q AS (SELECT event_type, day, cents, d2, mad4,
+             CAST(sum(d2) OVER w AS BIGINT) AS p2
+           FROM p WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         r AS (SELECT *, CAST(min(p2) OVER w AS BIGINT) AS minp2
+           FROM q WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_type, day, cents, d2,
+           CAST(p2 - least(0, minp2) AS BIGINT) AS s2,
+           p2 - least(0, minp2) > 6 * mad4 AS alarm
+         FROM r ORDER BY event_type, day""",
+
+    // per-edge triangle support via the same degree-oriented wedge
+    // enumeration as graph_triangles; ppm score by integer division
+    "graph_edge_jaccard" ->
+      """WITH e AS (
+           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+         o AS (SELECT e.src AS a, e.dst AS b FROM e
+           JOIN deg ds ON e.src = ds.node JOIN deg dd ON e.dst = dd.node
+           WHERE ds.d < dd.d OR (ds.d = dd.d AND e.src < e.dst)),
+         tri AS (SELECT x.a, x.b, y.b AS c FROM o x JOIN o y ON x.b = y.a
+                 JOIN o z ON z.a = x.a AND z.b = y.b),
+         sup AS (SELECT u, v, count(*) AS common FROM (
+             SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri
+             UNION ALL SELECT least(b, c), greatest(b, c) FROM tri
+             UNION ALL SELECT least(a, c), greatest(a, c) FROM tri)
+           GROUP BY u, v),
+         scored AS (SELECT e.src, e.dst,
+             COALESCE(s.common, 0) AS common,
+             (COALESCE(s.common, 0) * 1000000)
+               // (ds.d + dd.d - COALESCE(s.common, 0)) AS jaccard_ppm
+           FROM e JOIN deg ds ON e.src = ds.node
+             JOIN deg dd ON e.dst = dd.node
+             LEFT JOIN sup s ON least(e.src, e.dst) = s.u
+               AND greatest(e.src, e.dst) = s.v),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY src
+             ORDER BY jaccard_ppm DESC, common DESC, dst) AS rk
+           FROM scored)
+         SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v,
+           CAST(common AS BIGINT) AS common,
+           CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm
+         FROM ranked WHERE rk <= 2 ORDER BY u, v""",
+
     // lag-1 pairs feed the same exact-moments-then-combine pattern as
     // profile_correlation: integer sums, one fixed double expression
     "ts_autocorr" ->
