@@ -5750,6 +5750,67 @@ object Ext {
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
+  /** The EIGHTEENTH Structured Streaming sink under the batch oracle
+    * gate: per-user one-sided CUSUM drift detection
+    * ([[graft.streaming.StreamOps.cusumStream]]; batch cousin
+    * [[Warehouse.winCusum]] — the streaming form pins the classic
+    * control-chart constants k/h instead of the batch query's
+    * data-derived median, since a stream cannot know its corpus
+    * median). Every ping emits its running S = max(0, S + (cents − k))
+    * and the S > h alarm; state per user is O(1) past the funnel-style
+    * watermark buffer, ordering under scrambled delivery follows the
+    * shared watermark-gating argument. */
+  def streamCusumSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Tmp
+    import graft.streaming.StreamOps
+    import s.implicits._
+    val log = graft.core.PhaseLog.start("stream_cusum")
+    val ev = events(s, dir).select(col("user_id"),
+      timestamp_micros(col("ts_us")).as("t"), col("ts_us"), col("event_id"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val inDir = Tmp.jvmScopedDir("stream_cusum_in", dir)
+    val outDir = Tmp.jvmScopedDir("stream_cusum_out", dir)
+    val ckDir = Tmp.jvmScopedDir("stream_cusum_ck", dir)
+    val wmUs = 600000000L
+    val stagedMarker = new java.io.File(inDir, "_graft_staged")
+    if (!stagedMarker.exists()) {
+      val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0)
+      Tmp.deleteRecursively(inDir)
+      new java.io.File(inDir).mkdirs()
+      def sentinel(tsUs: Long): DataFrame =
+        s.range(1).select(lit(-1L).as("user_id"),
+          timestamp_micros(lit(tsUs)).as("t"), lit(tsUs).as("ts_us"),
+          lit(-1L).as("event_id"), lit(0L).as("cents"))
+      val now = System.currentTimeMillis()
+      stageMtimeFile(ev, inDir, "f0.parquet", now - 60000L)
+      stageMtimeFile(sentinel(maxTs + 100L * wmUs), inDir, "f1.parquet", now - 40000L)
+      stageMtimeFile(sentinel(maxTs + 200L * wmUs), inDir, "f2.parquet", now - 20000L)
+      java.nio.file.Files.createFile(stagedMarker.toPath): Unit
+      log("staged inputs")
+    } else log("reusing staged inputs")
+    runStreamToParquet(s, outDir, ckDir,
+      Map("spark.sql.shuffle.partitions" -> "1"), log) {
+      val pings = s.readStream
+        .schema("user_id BIGINT, t TIMESTAMP, ts_us BIGINT, " +
+          "event_id BIGINT, cents BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .as[StreamOps.EwmaPing]
+      StreamOps.cusumStream(pings, CusumK, CusumH, "10 minutes").toDF()
+    }
+    s.read.parquet(outDir)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("cents"),
+        col("cusum"), col("alarm"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  /** Pinned CUSUM control-chart constants (cents): reference just above
+    * the corpus mean so the chart resets between excursions, threshold
+    * several excursions deep so alarms are sustained drifts. */
+  val CusumK = 6000L
+  val CusumH = 30000L
+
   /** Feed-drift report over the mixed-format timestamp feed: per-format
     * row counts from `TimeOps.matchedFormat` (the same generated
     * `yy-`/`yyyy-` mix as [[csvRoundtrip]]) — the monitoring surface that
@@ -6060,6 +6121,7 @@ object Ext {
     "stream_geofence_sink" -> streamGeofenceSink _,
     "stream_geofence_tws_sink" -> streamGeofenceTwsSink _,
     "stream_ewma_sink" -> streamEwmaSink _,
+    "stream_cusum_sink" -> streamCusumSink _,
     "stream_dedup_sink" -> streamDedupSink _,
     "stream_asof_sink" -> streamAsofSink _,
     "stream_enrich_sink" -> streamEnrichSink _,

@@ -2314,6 +2314,27 @@ object ExtOracle {
     "stream_ewma_sink" -> WarehouseOracle.tsEwmaSql,
     "stream_geofence_tws_sink" -> geofenceSinkSql,
 
+    // batch replay of the streaming CUSUM: the prefix identity
+    // S_i = P_i - min(0, min P_j) per user with the pinned k = 6000,
+    // h = 30000 constants (graft.queries.Ext.CusumK/CusumH)
+    "stream_cusum_sink" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+           FROM events),
+         p AS (SELECT user_id, ts_us, event_id, cents,
+             CAST(sum(cents - 6000) OVER w AS BIGINT) AS pfx
+           FROM e WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         q AS (SELECT *, CAST(min(pfx) OVER w AS BIGINT) AS minpfx
+           FROM p WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT user_id, ts_us, event_id, cents,
+           CAST(pfx - least(0, minpfx) AS BIGINT) AS cusum,
+           pfx - least(0, minpfx) > 30000 AS alarm
+         FROM q ORDER BY user_id, ts_us, event_id""",
+
 
     // the doubled feed deduped on the unique event_id = the original feed
     "stream_dedup_sink" ->

@@ -1890,6 +1890,39 @@ object Warehouse {
       .select(col("id").as("part_key"), col("component"))
       .orderBy(col("part_key"))
 
+  /** LABEL-PROPAGATION COMMUNITIES (4 synchronous rounds) over the
+    * repeat co-purchase graph — the near-linear community detector a
+    * graph pipeline runs where modularity methods don't scale. Each
+    * round every node adopts the label the MOST neighbors held last
+    * round, ties to the SMALLEST label. Classic asynchronous LPA is
+    * famously visit-order-dependent; the BOUNDED SYNCHRONOUS form is
+    * the variant with a cross-engine-replayable contract, so that is
+    * the pinned semantics (4 rounds, initial label = node id).
+    *
+    * Scale: each round is one |E| join against the |V| label relation
+    * (AQE broadcasts the label side) plus one (node, label) rollup —
+    * the [[graphKcore]] bounded-round discipline; no driver-side
+    * state, no quadratic structure. */
+  def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val pairs = repeatEdges(s, dir)
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to 4) {
+      // argmax by (count, then smallest label): max(struct(c, -lbl))
+      labels = edges
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("src").as("node"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+    }
+    labels.select(col("node").as("part_key"), col("lbl").as("community"))
+      .orderBy(col("part_key"))
+  }
+
   /** The repeat-co-purchase pair relation `(id1 < id2, ≥ 2 shared
     * orders)` — staged once per (JVM, sf) and shared by
     * [[graphComponents]] and [[graphKcore]]. */
@@ -2522,6 +2555,7 @@ object Warehouse {
     "win_rolling_regression" -> winRollingRegression _,
     "win_cusum" -> winCusum _,
     "graph_edge_jaccard" -> graphEdgeJaccard _,
+    "graph_label_prop" -> graphLabelProp _,
     "mix_quantile_normalize" -> mixQuantileNormalize _,
     "agg_seasonality" -> aggSeasonality _,
     "profile_columns" -> profileColumns _,

@@ -1385,6 +1385,39 @@ object WarehouseOracle {
            p2 - least(0, minp2) > 6 * mad4 AS alarm
          FROM r ORDER BY event_type, day""",
 
+    // four synchronous LPA rounds unrolled; argmax = row_number over
+    // (count DESC, label ASC)
+    "graph_label_prop" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         p0 AS (SELECT a.p AS id1, b.p AS id2 FROM op a JOIN op b
+                ON a.o = b.o AND a.p < b.p
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT id1 AS src, id2 AS dst FROM p0
+               UNION ALL SELECT id2, id1 FROM p0),
+         l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+         v1 AS (SELECT e.src AS node, l.lbl, count(*) AS c
+                FROM e JOIN l0 l ON e.dst = l.node GROUP BY 1, 2),
+         l1 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()
+                OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk
+                FROM v1) WHERE rk = 1),
+         v2 AS (SELECT e.src AS node, l.lbl, count(*) AS c
+                FROM e JOIN l1 l ON e.dst = l.node GROUP BY 1, 2),
+         l2 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()
+                OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk
+                FROM v2) WHERE rk = 1),
+         v3 AS (SELECT e.src AS node, l.lbl, count(*) AS c
+                FROM e JOIN l2 l ON e.dst = l.node GROUP BY 1, 2),
+         l3 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()
+                OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk
+                FROM v3) WHERE rk = 1),
+         v4 AS (SELECT e.src AS node, l.lbl, count(*) AS c
+                FROM e JOIN l3 l ON e.dst = l.node GROUP BY 1, 2),
+         l4 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()
+                OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk
+                FROM v4) WHERE rk = 1)
+         SELECT node AS part_key, lbl AS community
+         FROM l4 ORDER BY part_key""",
+
     // per-edge triangle support via the same degree-oriented wedge
     // enumeration as graph_triangles; ppm score by integer division
     "graph_edge_jaccard" ->

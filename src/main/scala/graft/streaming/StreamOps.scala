@@ -762,6 +762,57 @@ object StreamOps {
       }
   }
 
+  case class CusumState(pending: Seq[(Long, Long, Long)], s: Long)
+
+  case class CusumOut(user_id: Long, ts_us: Long, event_id: Long,
+      cents: Long, cusum: Long, alarm: Boolean)
+
+  /** Pure step of the STREAMING one-sided CUSUM drift detector (batch
+    * cousin: `Warehouse.winCusum`; here the reference `kCents` and
+    * threshold `hCents` are PINNED constants — the classic control-chart
+    * form, since a stream cannot know its own global median): processes
+    * ready pings in (ts, event_id) order, carrying the single
+    * running-sum long S = max(0, S + (cents − k)) per key. */
+  private[graft] def cusumStep(
+      key: Long, evs: Seq[EwmaPing], st0: CusumState, wmUs: Long,
+      kCents: Long, hCents: Long)
+      : (Seq[CusumOut], CusumState, Option[Long]) = {
+    val all = st0.pending ++
+      evs.filter(_.ts_us >= wmUs).map(e => (e.ts_us, e.event_id, e.cents))
+    val (ready, pending) = all.partition(_._1 < wmUs)
+    var s = st0.s
+    val outs = ready.sortBy(p => (p._1, p._2)).map { case (ts, eid, c) =>
+      s = math.max(0L, s + (c - kCents))
+      CusumOut(key, ts, eid, c, s, s > hCents)
+    }
+    val timer = pending.map(_._1).minOption
+      .map(us => math.max(wmUs / 1000L + 1L, us / 1000L + 1L))
+    (outs, CusumState(pending, s), timer)
+  }
+
+  /** STREAMING CUSUM — the change/drift detector as an incremental
+    * stateful stream; O(1) state per key past the watermark buffer,
+    * emission exactly once per ping. */
+  def cusumStream(
+      pings: Dataset[EwmaPing],
+      kCents: Long, hCents: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[CusumOut] = {
+    import pings.sparkSession.implicits._
+    pings
+      .withWatermark("t", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[EwmaPing], state: GroupState[CusumState]) =>
+          val (out, next, timer) = cusumStep(key, it.toSeq,
+            state.getOption.getOrElse(CusumState(Nil, 0L)),
+            state.getCurrentWatermarkMs() * 1000L, kCents, hCents)
+          state.update(next)
+          timer.foreach(state.setTimeoutTimestamp)
+          out.iterator
+      }
+  }
+
   /** Stream-static enrichment join: each streaming event picks up its
     * key's static dimension row — the streaming twin of the batch
     * broadcast dim join (J2/J3). Stateless: the static side is (re)read

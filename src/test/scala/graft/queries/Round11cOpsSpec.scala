@@ -92,6 +92,33 @@ class Round11cOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("graph_label_prop equals 4 brute-force synchronous LPA rounds") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)].collect()
+    val byOrder = li.toSeq.distinct.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val weights = byOrder.values.toSeq.flatMap { parts =>
+      for (a <- parts; b <- parts if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    // NB iterator first: Map.collect to pair values would re-key and
+    // collapse every (a, *) to one entry
+    val pairs = weights.iterator
+      .collect { case ((a, b), w) if w >= 2 => (a, b) }.toSeq
+    val nbrs = (pairs ++ pairs.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    var lbl: Map[Long, Long] = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      lbl = nbrs.map { case (n, ns) =>
+        val votes = ns.groupBy(lbl).view.mapValues(_.size).toSeq
+        n -> votes.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val got = Warehouse.all("graph_label_prop")(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(got == lbl)
+  }
+
   test("graph_edge_jaccard equals brute-force neighbor-set Jaccard top-2") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"))

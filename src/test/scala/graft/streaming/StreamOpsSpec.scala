@@ -672,4 +672,36 @@ class StreamOpsSpec extends SparkSpec {
       (us(10), 4L, 4L, 1L), (us(20), 2L, 8L, 3L), (us(30), 6L, 32L, 7L)),
       s"got ${rows.toSeq}")
   }
+
+  test("cusumStream: scrambled delivery runs the recursion in event-time order") {
+    import StreamOps.{CusumOut, EwmaPing}
+    def us(minute: Long) = BaseUs + minute * 60L * 1000000L
+    def ping(user: Long, minute: Long, id: Long, cents: Long) =
+      EwmaPing(user, new Timestamp(us(minute) / 1000L), us(minute), id, cents)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EwmaPing]
+    // k = 10, h = 5: S over cents 18, 4, 30 = 8, 2, 22 → alarms T, F, T
+    val out = StreamOps.cusumStream(mem.toDS(), 10L, 5L, "30 minutes")
+    val qname = s"q${System.nanoTime()}"
+    val query = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      // delivered scrambled; the recursion must still fold 18 → 4 → 30
+      mem.addData(Seq(ping(1, 30, 3, 30), ping(1, 10, 1, 18)))
+      query.processAllAvailable()
+      mem.addData(Seq(ping(1, 20, 2, 4)))
+      query.processAllAvailable()
+      mem.addData(Seq(ping(2, 2000, 9, 1))) // watermark pusher
+      query.processAllAvailable()
+      mem.addData(Seq(ping(1, 15, 5, 100))) // genuinely late: dropped
+      query.processAllAvailable()
+      mem.addData(Seq.empty[EwmaPing])
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table(qname).as[CusumOut].collect()
+      .filter(_.user_id == 1L).sortBy(_.ts_us)
+    assert(rows.map(r => (r.ts_us, r.cents, r.cusum, r.alarm)).toSeq == Seq(
+      (us(10), 18L, 8L, true), (us(20), 4L, 2L, false),
+      (us(30), 30L, 22L, true)), s"got ${rows.toSeq}")
+  }
 }
