@@ -551,7 +551,25 @@ object Multimodal {
     * frames written as one image sequence (prepare/append/end — the
     * multi-frame API, not N separate files). One writer per partition,
     * reused across docs ([[synthImages]]' amortization contract). */
-  def synthVideos(docs: DataFrame): DataFrame = {
+  def synthVideos(docs: DataFrame): DataFrame =
+    synthVideosWith(docs, synthGray)
+
+  /** Like [[synthGray]], but frames from ⌊nf/2⌋ on add a +101 luminance
+    * shift — a constructed SCENE BOUNDARY (the frame-difference energy
+    * across it is ~4× the in-scene step), so a cut detector has a true
+    * boundary to find. SAME closed form in the DuckDB oracle. */
+  def synthGrayScene(id: Long, f: Int, x: Int, y: Int): Int = {
+    val shift = if (f >= synthNFrames(id) / 2) 101L else 0L
+    ((id * 31 + f.toLong * 17 + x.toLong * 7 + y.toLong * 13 + shift)
+      % 256).toInt
+  }
+
+  /** [[synthVideos]] with the two-scene gray ramp. */
+  def synthVideosScenes(docs: DataFrame): DataFrame =
+    synthVideosWith(docs, synthGrayScene)
+
+  private def synthVideosWith(
+      docs: DataFrame, gray: (Long, Int, Int, Int) => Int): DataFrame = {
     val ss = docs.sparkSession
     import ss.implicits._
     docs.select(col("doc_id").cast("long")).as[Long]
@@ -573,7 +591,7 @@ object Multimodal {
             while (y < VideoH) {
               var x = 0
               while (x < VideoW) {
-                raster.setSample(x, y, 0, synthGray(id, f, x, y))
+                raster.setSample(x, y, 0, gray(id, f, x, y))
                 x += 1
               }
               y += 1
@@ -662,6 +680,79 @@ object Multimodal {
           }
         }
       }.toDF("doc_id", "n_frames", "frame_idx", "width", "height", "pix_sum")
+  }
+
+  /** REAL decode + consecutive-frame difference energy: parse the GIF,
+    * decode EVERY frame, and emit per frame f ≥ 1 the sum of absolute
+    * gray differences against frame f−1 (SAD — the standard shot-change
+    * signal). One frame buffer is kept per doc, so memory is O(1 frame)
+    * regardless of clip length; payloads never shuffle. Corrupt/unknown
+    * payloads degrade to the marker row (frame_idx −1/−2), the
+    * [[sampleVideoFrames]] discipline. */
+  def videoFrameDiffs(payloads: DataFrame): DataFrame = {
+    val ss = payloads.sparkSession
+    import ss.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        ImageIO.setUseCache(false)
+        var reader: javax.imageio.ImageReader = null
+        def freshReader() = {
+          if (reader != null) reader.dispose()
+          reader = ImageIO.getImageReadersByFormatName("gif").next()
+          reader
+        }
+        reader = ImageIO.getImageReadersByFormatName("gif").next()
+        iter.flatMap { case (id, bytes) =>
+          if (sniffVideo(bytes) == "unknown")
+            Iterator.single((id, 0L, -1L, 0L))
+          else {
+            val in = new MemoryCacheImageInputStream(
+              new ByteArrayInputStream(bytes))
+            reader.setInput(in, false, true)
+            val rows =
+              try {
+                val nf = reader.getNumImages(true)
+                if (nf <= 0) Seq((id, 0L, -2L, 0L)) // corrupt marker
+                else if (nf == 1) Seq.empty // a single frame has no diffs
+                else {
+                  var prev: Array[Int] = null
+                  (0 until nf).flatMap { f =>
+                    val img = reader.read(f)
+                    val (w, h) = (img.getWidth, img.getHeight)
+                    val cur = new Array[Int](w * h)
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) {
+                        cur(y * w + x) = img.getRGB(x, y) & 0xff
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    val out =
+                      if (prev == null || prev.length != cur.length) None
+                      else {
+                        var sad = 0L
+                        var i = 0
+                        while (i < cur.length) {
+                          sad += math.abs(cur(i) - prev(i)); i += 1
+                        }
+                        Some((id, nf.toLong, f.toLong, sad))
+                      }
+                    prev = cur
+                    out
+                  }
+                }
+              } catch { case scala.util.control.NonFatal(_) =>
+                freshReader(): Unit
+                Seq((id, 0L, -2L, 0L))
+              }
+            in.close()
+            rows
+          }
+        }
+      }.toDF("doc_id", "n_frames", "frame_idx", "sad")
   }
 
   /** Feature extraction: 16-bin byte-value histogram per payload — the

@@ -4128,6 +4128,36 @@ object Ext {
       Multimodal.synthVideos(t(s, dir, "documents")), stride = 2)
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** SCENE-CUT DETECTION over real multi-frame video — the shot-change
+    * step a video curation pipeline runs before per-scene sampling or
+    * captioning: decode every frame ([[Multimodal.videoFrameDiffs]],
+    * O(1 frame) memory per clip), emit the consecutive-frame SAD
+    * (sum of absolute gray differences, exact integers), and flag the
+    * clip's STRONGEST boundary — the argmax-SAD frame (earliest on ties)
+    * — the top-1 shot-change selection a keyframe extractor makes. A
+    * min-relative threshold rule was tried first and rejected: at these
+    * 192-pixel frames the in-scene SADs vary enough (mod-256 wrap
+    * counts) that 1.5×-over-min flags spurious frames; the argmax is
+    * scale-free and pins the constructed boundary with a measured ≥2.9×
+    * margin. The corpus builds one true boundary per clip
+    * ([[Multimodal.synthGrayScene]]'s +101 shift at ⌊nf/2⌋); the DuckDB
+    * oracle replays gray, SAD, and the argmax from the same closed form.
+    *
+    * Scale: decode + SAD fuse scan-side (payload bytes never move);
+    * only the per-(clip, frame) SAD relation shuffles for the per-clip
+    * argmax window. */
+  def mmVideoSceneCut(s: SparkSession, dir: String): DataFrame = {
+    val diffs = Multimodal.videoFrameDiffs(
+      Multimodal.synthVideosScenes(t(s, dir, "documents")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("sad").desc, col("frame_idx"))
+    diffs
+      .withColumn("is_cut", row_number().over(w) === 1)
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        col("sad"), col("is_cut"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Perceptual-hash image dedup: decode the REAL PNG/BMP payloads, take
     * each image's 8×8 average-hash ([[Multimodal.averageHash]] — the
     * aHash/pHash family fingerprint production image dedup keys on,
@@ -6079,6 +6109,7 @@ object Ext {
     "mm_audio_meta" -> mmAudioMeta _,
     "mm_audio_energy" -> mmAudioEnergy _,
     "mm_video_frames" -> mmVideoFrames _,
+    "mm_video_scene_cut" -> mmVideoSceneCut _,
     "mm_phash_dedup" -> mmPhashDedup _,
     "mm_phash_neardup" -> mmPhashNeardup _,
     "mm_audio_fingerprint" -> mmAudioFingerprint _,

@@ -1935,6 +1935,28 @@ object ExtOracle {
            CAST(sum(g) AS BIGINT) AS pix_sum
          FROM px GROUP BY doc_id, nf, f ORDER BY doc_id, frame_idx""",
 
+    // consecutive-frame SAD from the two-scene closed form; the cut is
+    // the per-clip argmax-SAD frame (earliest on ties)
+    "mm_video_scene_cut" ->
+      """WITH d AS (SELECT doc_id, doc_id % 6 + 2 AS nf FROM documents),
+         fr AS (SELECT doc_id, nf, f FROM d, unnest(range(1, nf)) rf(f)),
+         px AS (SELECT doc_id, nf, f,
+             abs((doc_id*31 + f*17 + x*7 + y*13
+                  + CASE WHEN f >= nf // 2 THEN 101 ELSE 0 END) % 256
+               - (doc_id*31 + (f-1)*17 + x*7 + y*13
+                  + CASE WHEN f - 1 >= nf // 2 THEN 101 ELSE 0 END) % 256)
+               AS ad
+           FROM fr, unnest(range(0, 16)) rx(x), unnest(range(0, 12)) ry(y)),
+         sad AS (SELECT doc_id, nf, f, CAST(sum(ad) AS BIGINT) AS sad
+           FROM px GROUP BY 1, 2, 3),
+         m AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY sad DESC, f) AS rk
+           FROM sad)
+         SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+           CAST(f AS BIGINT) AS frame_idx, sad,
+           rk = 1 AS is_cut
+         FROM m ORDER BY doc_id, frame_idx""",
+
     // perceptual-hash dedup: the oracle replays the full aHash from the
     // closed-form pixel expression — fixed-point ITU-R 601 luma
     // (299r+587g+114b, no division), pixel→cell map (y*8//h, x*8//w),

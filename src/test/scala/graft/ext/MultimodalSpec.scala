@@ -214,6 +214,41 @@ class MultimodalSpec extends SparkSpec {
     assert(m(3L) == Set(0L, 2L, 4L)) // 5 frames, stride 2
   }
 
+  test("videoFrameDiffs: exact SADs through the codec; argmax finds the scene") {
+    val ids = Seq(1L, 5L, 11L, 16L) // 3, 7, 7, 6 frames (nf >= 3: true scene)
+    val rows = Multimodal.videoFrameDiffs(
+        Multimodal.synthVideosScenes(ids.toDF("doc_id")))
+      .as[(Long, Long, Long, Long)].collect()
+    for (id <- ids) {
+      val nf = Multimodal.synthNFrames(id)
+      val mine = rows.filter(_._1 == id).map(r => r._3 -> r._4).toMap
+      assert(mine.keySet == (1 until nf).map(_.toLong).toSet)
+      for (f <- 1 until nf) {
+        var sad = 0L
+        for (y <- 0 until Multimodal.VideoH; x <- 0 until Multimodal.VideoW)
+          sad += math.abs(Multimodal.synthGrayScene(id, f, x, y)
+            - Multimodal.synthGrayScene(id, f - 1, x, y))
+        assert(mine(f.toLong) == sad, s"doc $id diff $f diverges")
+      }
+      // the constructed +101 boundary at ⌊nf/2⌋ is the unique argmax
+      assert(mine.maxBy(_._2)._1 == nf / 2, s"doc $id argmax not the scene")
+    }
+  }
+
+  test("videoFrameDiffs: corrupt payloads degrade per-row") {
+    val junk = Seq(
+      (50L, "no container".getBytes("UTF-8")),
+      (51L, "GIF89agarbage-body".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val good = Multimodal.synthVideosScenes(Seq(3L).toDF("doc_id"))
+    val m = Multimodal.videoFrameDiffs(junk.unionByName(good))
+      .select("doc_id", "frame_idx").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(m(50L) == Set(-1L)) // unknown magic
+    assert(m(51L) == Set(-2L)) // parse failure behind a valid magic
+    assert(m(3L) == Set(1L, 2L, 3L, 4L)) // 5 frames, 4 diffs
+  }
+
   // ===== audio (r11) =====
 
   test("synthAudio emits genuine RIFF/WAVE containers") {
