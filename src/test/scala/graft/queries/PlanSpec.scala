@@ -642,4 +642,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("MapGroups"), s"per-trajectory scan missing:\n$p")
     assert(!p.contains("Join"), s"stay-point walk must not join:\n$p")
   }
+
+  // ---- round-11 third-session additions ----
+
+  test("ts_mad_anomaly / win_cusum: one corpus shuffle (the daily rollup), stats never shuffle the corpus again") {
+    for (q <- Seq("ts_mad_anomaly", "win_cusum")) {
+      val p = planOf(q)
+      // the groupBy(event_type, day) rollup is the only corpus-keyed
+      // exchange; rolling/global stats run on the |types|x|days| relation
+      val corpusEx = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("ts_us"))
+      assert(corpusEx == 0,
+        s"$q re-shuffles corpus-keyed rows (rollup must be the only corpus pass):\n$p")
+      assert(p.contains("partial"), s"$q rollup not map-side combined:\n$p")
+    }
+  }
+
+  test("mm_video_scene_cut: payloads never shuffle; only the SAD relation moves") {
+    val p = planOf("mm_video_scene_cut")
+    val badEx = p.linesIterator.filter(l =>
+      l.contains("Exchange") && l.contains("payload")).toSeq
+    assert(badEx.isEmpty, s"payload bytes crossed an exchange:\n$badEx")
+  }
+
+  test("graph_edge_jaccard: wedge and support sides broadcast, never sort-merge") {
+    val p = planOf("graph_edge_jaccard")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"wedge enumeration degenerated to a sort-merge:\n$p")
+  }
 }
