@@ -798,6 +798,38 @@ object Warehouse {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** SEASONAL-NAIVE FORECAST BACKTEST — the baseline every forecasting
+    * pipeline scores against before anything learned ships: predict
+    * each day's event count by the SAME WEEKDAY LAST WEEK (lag 7),
+    * score per type against the naive lag-1 baseline. Every error is
+    * an exact |BIGINT| difference, and the MASE verdict ("is seasonal
+    * better than naive?") is the cross-multiplied integer comparison
+    * Σ|e_seasonal|·n_naive < Σ|e_naive|·n_seasonal — no float until
+    * the reporting ratio.
+    *
+    * Scale: daily rollup is the only corpus pass; lags and sums run on
+    * the |types|·|days| relation. */
+  def tsSeasonalNaive(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("lag1", lag(col("cnt"), 1).over(w))
+      .withColumn("lag7", lag(col("cnt"), 7).over(w))
+      .filter(col("lag7").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("cnt") - col("lag7"))).as("ae_seasonal"),
+        sum(abs(col("cnt") - col("lag1"))).as("ae_naive"))
+      .withColumn("seasonal_wins",
+        col("ae_seasonal") < col("ae_naive")) // same n: plain compare
+      .withColumn("mase",
+        when(col("ae_naive") > 0,
+          col("ae_seasonal").cast("double") / col("ae_naive").cast("double")))
+      .orderBy(col("event_type"))
+  }
+
   /** LTTB DOWNSAMPLING (largest-triangle-three-buckets) — the standard
     * series downsampler every dashboard layer runs before plotting a
     * 100 TB metric: keep first and last, split the interior into m−2
@@ -1923,6 +1955,42 @@ object Warehouse {
       .orderBy(col("part_key"))
   }
 
+  /** RANDOM-WALK SAMPLING (node2vec/DeepWalk corpus generation) — one
+    * 4-step walk per node of the repeat co-purchase graph, the sequence
+    * corpus an embedding trainer feeds to skip-gram. "Random" is
+    * HASH-SEEDED AND DETERMINISTIC (the dataset-pipeline requirement:
+    * re-running the sampler must reproduce the corpus): at step t the
+    * walk at node v (started from s) moves to v's neighbor of rank
+    * (s·31 + t·17 + v) mod deg(v), neighbors ranked by id. Emits the
+    * full (start, step, node) path relation, steps 0–4.
+    *
+    * Scale: each step is one |walks| ⋈ |E| equi-join on the current
+    * node (walk side broadcasts under AQE); no state beyond the walk
+    * frontier, the [[graphLabelProp]] bounded-round discipline. */
+  def graphRwSample(s: SparkSession, dir: String): DataFrame = {
+    val pairs = repeatEdges(s, dir)
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    val ranked = edges
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
+    var walks = edges.select(col("src").as("start")).distinct()
+      .withColumn("node", col("start"))
+      .withColumn("step", lit(0))
+    var out = walks
+    for (t <- 1 to 4) {
+      walks = walks.select(col("start"), col("node").as("src"))
+        .join(ranked, Seq("src"))
+        .filter(col("rank") ===
+          pmod(col("start") * 31 + lit(t) * 17 + col("src"), col("deg")))
+        .select(col("start"), col("dst").as("node"), lit(t).as("step"))
+      out = out.unionByName(walks)
+    }
+    out.select(col("start"), col("step"), col("node"))
+      .orderBy(col("start"), col("step"))
+  }
+
   /** The repeat-co-purchase pair relation `(id1 < id2, ≥ 2 shared
     * orders)` — staged once per (JVM, sf) and shared by
     * [[graphComponents]] and [[graphKcore]]. */
@@ -2556,6 +2624,8 @@ object Warehouse {
     "win_cusum" -> winCusum _,
     "graph_edge_jaccard" -> graphEdgeJaccard _,
     "graph_label_prop" -> graphLabelProp _,
+    "graph_rw_sample" -> graphRwSample _,
+    "ts_seasonal_naive" -> tsSeasonalNaive _,
     "mix_quantile_normalize" -> mixQuantileNormalize _,
     "agg_seasonality" -> aggSeasonality _,
     "profile_columns" -> profileColumns _,

@@ -1385,6 +1385,62 @@ object WarehouseOracle {
            p2 - least(0, minp2) > 6 * mad4 AS alarm
          FROM r ORDER BY event_type, day""",
 
+    // seasonal (lag-7) vs naive (lag-1) absolute-error backtest over
+    // observed daily counts; exact integer error sums
+    "ts_seasonal_naive" ->
+      """WITH daily AS (SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         l AS (SELECT event_type, day, cnt,
+             lag(cnt, 1) OVER w AS lag1, lag(cnt, 7) OVER w AS lag7
+           FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         m AS (SELECT event_type, count(*) AS n,
+             CAST(sum(abs(cnt - lag7)) AS BIGINT) AS ae_seasonal,
+             CAST(sum(abs(cnt - lag1)) AS BIGINT) AS ae_naive
+           FROM l WHERE lag7 IS NOT NULL GROUP BY event_type)
+         SELECT event_type, n, ae_seasonal, ae_naive,
+           ae_seasonal < ae_naive AS seasonal_wins,
+           CASE WHEN ae_naive > 0 THEN
+             CAST(ae_seasonal AS DOUBLE) / CAST(ae_naive AS DOUBLE) END AS mase
+         FROM m ORDER BY event_type""",
+
+    // hash-seeded deterministic walks: at step t the walk at v (from s)
+    // takes v's neighbor of rank (s*31 + t*17 + v) mod deg(v)
+    "graph_rw_sample" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         p0 AS (SELECT a.p AS id1, b.p AS id2 FROM op a JOIN op b
+                ON a.o = b.o AND a.p < b.p
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT id1 AS src, id2 AS dst FROM p0
+               UNION ALL SELECT id2, id1 FROM p0),
+         -- MATERIALIZED: referenced once per step; DuckDB would otherwise
+         -- inline and recompute the rank window per reference (the
+         -- graph_kcore / staypoint hop2 lesson)
+         r AS MATERIALIZED (SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rank,
+             count(*) OVER (PARTITION BY src) AS deg
+           FROM e),
+         w0 AS (SELECT DISTINCT src AS start, src AS node FROM e),
+         w1 AS (SELECT w.start, r.dst AS node FROM w0 w JOIN r
+                ON r.src = w.node
+                AND r.rank = (w.start * 31 + 1 * 17 + w.node) % r.deg),
+         w2 AS (SELECT w.start, r.dst AS node FROM w1 w JOIN r
+                ON r.src = w.node
+                AND r.rank = (w.start * 31 + 2 * 17 + w.node) % r.deg),
+         w3 AS (SELECT w.start, r.dst AS node FROM w2 w JOIN r
+                ON r.src = w.node
+                AND r.rank = (w.start * 31 + 3 * 17 + w.node) % r.deg),
+         w4 AS (SELECT w.start, r.dst AS node FROM w3 w JOIN r
+                ON r.src = w.node
+                AND r.rank = (w.start * 31 + 4 * 17 + w.node) % r.deg)
+         SELECT start, step, node FROM (
+           SELECT start, 0 AS step, node FROM w0
+           UNION ALL SELECT start, 1, node FROM w1
+           UNION ALL SELECT start, 2, node FROM w2
+           UNION ALL SELECT start, 3, node FROM w3
+           UNION ALL SELECT start, 4, node FROM w4)
+         ORDER BY start, step""",
+
     // four synchronous LPA rounds unrolled; argmax = row_number over
     // (count DESC, label ASC)
     "graph_label_prop" ->

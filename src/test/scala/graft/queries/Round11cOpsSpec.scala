@@ -119,6 +119,53 @@ class Round11cOpsSpec extends SparkSpec {
     assert(got == lbl)
   }
 
+  test("ts_seasonal_naive equals a direct lag-7/lag-1 backtest") {
+    val daily = graft.core.Tables.eventsTsUs(spark, sf0001)
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .as[(String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.map { case ((t, d), c) => (t, d, c) }
+    val expected = daily.groupBy(_._1).map { case (t, rows) =>
+      val cnt = rows.sortBy(_._2).map(_._3)
+      val scored = cnt.indices.drop(7).map { i =>
+        (math.abs(cnt(i) - cnt(i - 7)), math.abs(cnt(i) - cnt(i - 1)))
+      }
+      val (aeS, aeN) = (scored.map(_._1).sum, scored.map(_._2).sum)
+      (t, scored.size.toLong, aeS, aeN, aeS < aeN,
+        if (aeN > 0) Some(aeS.toDouble / aeN) else None)
+    }.toSet
+    val got = Warehouse.all("ts_seasonal_naive")(spark, sf0001)
+      .as[(String, Long, Long, Long, Boolean, Option[Double])]
+      .collect().toSet
+    assert(got == expected)
+  }
+
+  test("graph_rw_sample equals brute-force deterministic walks") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)].collect()
+    val byOrder = li.toSeq.distinct.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val weights = byOrder.values.toSeq.flatMap { parts =>
+      for (a <- parts; b <- parts if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val pairs = weights.iterator
+      .collect { case ((a, b), w) if w >= 2 => (a, b) }.toSeq
+    val nbrs = (pairs ++ pairs.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted).toMap
+    val expected = nbrs.keys.toSeq.flatMap { s =>
+      var node = s
+      (s, 0L, s) +: (1 to 4).map { t =>
+        val ns = nbrs(node)
+        node = ns(((s * 31 + t * 17 + node) % ns.size).toInt)
+        (s, t.toLong, node)
+      }
+    }.toSet
+    val got = Warehouse.all("graph_rw_sample")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("graph_edge_jaccard equals brute-force neighbor-set Jaccard top-2") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"))
