@@ -1652,27 +1652,58 @@ object Warehouse {
     * its edges orient INTO it. Every count is a long and the
     * coefficient's one division is the same IEEE op both sides —
     * hash-exact, no tolerance. */
-  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
-    val edges = stagedEdges(s, dir) // (src, dst, deg) — symmetric, deg = out-deg
+  /** Degree-oriented edge relation shared by the triangle family. */
+  private def orientEdges(edges: DataFrame): DataFrame = {
     val degT = edges.select(col("src").as("node"), col("deg")).distinct()
-    val oriented = edges
+    edges
       .join(degT.select(col("node").as("dst"), col("deg").as("deg_dst")), Seq("dst"))
       .filter(col("deg") < col("deg_dst") ||
         (col("deg") === col("deg_dst") && col("src") < col("dst")))
       .select(col("src").as("a"), col("dst").as("b"))
-    // the wedge relation is O(Σ out²) rows and must NEVER land anywhere:
-    // with the continuation (y) and closing (z) edge sets both BROADCAST
-    // (|m| rows of 2 longs — tens of MB far beyond these SFs), the whole
-    // count pipelines scan → expand → probe → partial-agg with zero
-    // shuffles of wedge-sized data. When m outgrows a broadcast, the
-    // scale path is bucketing the oriented edges on their first column
-    // and sort-merging — the wedge stream still only ever flows, never
-    // lands
-    val wedges = oriented.as("x")
+  }
+
+  /** Triangle instances `(wa, wb, wc)` from a degree-oriented edge set.
+    *
+    * The wedge relation is O(Σ out²) rows and must NEVER land anywhere:
+    * with the continuation (y) and closing (z) edge sets both BROADCAST
+    * (|m| rows of 2 longs — tens of MB far beyond these SFs), the whole
+    * pipeline scans → expands → probes → downstream with zero shuffles
+    * of wedge-sized data. When m outgrows a broadcast, the scale path is
+    * bucketing the oriented edges on their first column and sort-merging
+    * — the wedge stream still only ever flows, never lands.
+    *
+    * BLOOM PREFILTER (r11): the closing probe is the family's true cost
+    * — at 10× data ~490 M wedges each probe the 12 M-entry two-long
+    * hash relation at ~4 µs apiece (~2,000 executor-CPU-s, measured;
+    * hidden for rounds because `count()` benching let Catalyst prune
+    * the whole pipeline — see NOTES). A 1 %-fpp Bloom over
+    * xxhash64(a, b) turns ~96 % of probes into a codegen'd bit test
+    * ([[graft.functions.BloomMightContainLong]]); the exact join still
+    * verifies every survivor, so false positives drop out and the
+    * output is bit-identical. Measured 66 → 11 s for the forced
+    * triangle count at 10×. */
+  private def triangleInstances(
+      s: SparkSession, oriented: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val nE = oriented.count() // one |E|-scan action: sizes the filter
+    val bf = oriented.select(xxhash64(col("a"), col("b")).as("k"))
+      .stat.bloomFilter("k", math.max(nE, 1L), 0.01)
+    val bfBc = s.sparkContext.broadcast(bf)
+    def might(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      Bridge.column(graft.functions.BloomMightContainLong(Bridge.expression(c), bfBc))
+    oriented.as("x")
       .join(broadcast(oriented.as("y")), col("x.b") === col("y.a"))
       .select(col("x.a").as("wa"), col("x.b").as("wb"), col("y.b").as("wc"))
-    val tri = wedges.join(broadcast(oriented.as("z")),
-      col("wa") === col("z.a") && col("wc") === col("z.b"))
+      .filter(might(xxhash64(col("wa"), col("wc"))))
+      .join(broadcast(oriented.as("z")),
+        col("wa") === col("z.a") && col("wc") === col("z.b"))
+      .select(col("wa"), col("wb"), col("wc"))
+  }
+
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = stagedEdges(s, dir) // (src, dst, deg) — symmetric, deg = out-deg
+    val degT = edges.select(col("src").as("node"), col("deg")).distinct()
+    val tri = triangleInstances(s, orientEdges(edges))
     val cnt = tri.select(explode(array(col("wa"), col("wb"), col("wc"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri"))
     degT.join(broadcast(cnt), Seq("node"), "left")
@@ -1702,16 +1733,7 @@ object Warehouse {
   def graphEdgeJaccard(s: SparkSession, dir: String): DataFrame = {
     val edges = stagedEdges(s, dir) // (src, dst, deg) — symmetric
     val degT = edges.select(col("src").as("node"), col("deg")).distinct()
-    val oriented = edges
-      .join(degT.select(col("node").as("dst"), col("deg").as("deg_dst")), Seq("dst"))
-      .filter(col("deg") < col("deg_dst") ||
-        (col("deg") === col("deg_dst") && col("src") < col("dst")))
-      .select(col("src").as("a"), col("dst").as("b"))
-    val tri = oriented.as("x")
-      .join(broadcast(oriented.as("y")), col("x.b") === col("y.a"))
-      .select(col("x.a").as("wa"), col("x.b").as("wb"), col("y.b").as("wc"))
-      .join(broadcast(oriented.as("z")),
-        col("wa") === col("z.a") && col("wc") === col("z.b"))
+    val tri = triangleInstances(s, orientEdges(edges))
     // each triangle supports its three edges, keyed unordered (u < v)
     val support = tri.select(explode(array(
         struct(least(col("wa"), col("wb")).as("u"),
@@ -1722,9 +1744,14 @@ object Warehouse {
           greatest(col("wa"), col("wc")).as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+    // support is |triangle-edges|-sized — EDGE scale, not dim scale, so
+    // it must never be broadcast (hinting it broadcast cost 1,100
+    // executor-CPU-s at 10×: every task of every downstream stage
+    // deserializes the multi-million-entry build map); the shuffle join
+    // moves each side once, keyed on the unordered edge
     val scored = edges // symmetric: every edge scored from both endpoints
       .join(degT.select(col("node").as("dst"), col("deg").as("deg_dst")), Seq("dst"))
-      .join(broadcast(support),
+      .join(support,
         least(col("src"), col("dst")) === col("u") &&
           greatest(col("src"), col("dst")) === col("v"), "left")
       .withColumn("common", coalesce(col("common"), lit(0L)))

@@ -665,10 +665,11 @@ class PlanSpec extends SparkSpec {
     assert(badEx.isEmpty, s"payload bytes crossed an exchange:\n$badEx")
   }
 
-  test("graph_edge_jaccard: wedge and support sides broadcast, never sort-merge") {
+  test("graph_edge_jaccard: wedge sides broadcast; top-2 rank prunes before the final window") {
     val p = planOf("graph_edge_jaccard")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"wedge enumeration degenerated to a sort-merge:\n$p")
+    // rank <= 2 must reach WindowGroupLimit so the |E| relation is
+    // pruned per partition before the final window sort
+    assert(p.contains("WindowGroupLimit"), s"top-2 pushdown missing:\n$p")
   }
 }
