@@ -215,6 +215,14 @@ object Bench {
         timed("_ann_stage") {
           graft.queries.Ext.stageAnnIndexes(spark, sfDir)
         },
+        // the graph family's staged relations (co-purchase edges + the
+        // per-edge triangle support incl. its wedge enumeration) are
+        // once-per-corpus builds shared by graph_triangles /
+        // graph_edge_jaccard / graph_pagerank / graph_assortativity —
+        // attributed here (r11 verdict What's-wrong #1)
+        timed("_graph_stage") {
+          graft.queries.Warehouse.stageGraphRelations(spark, sfDir)
+        },
       ) ++ ordered.map { case (name, fn) =>
         // noop SINK, not count() (r11 third session): under count(),
         // Catalyst legally prunes work the query exists to measure —
@@ -308,8 +316,12 @@ object Bench {
     def topDict(rs: Seq[Timing], n: Int): String =
       rs.sortBy(t => -t.wallSec).take(n)
         .map(t => s"\"" + t.name + "\":" + t.wallSec).mkString("{", ",", "}")
+    // "action" stamps the timing convention into the artifact: r1–r11
+    // records were count()-actioned (Catalyst could prune work), r11+
+    // records are noop-sink actioned (every output column evaluated) —
+    // cross-era comparisons must read this field (ADVICE r11)
     val shared =
-      s""""cpu_total":${cpuSum(results)},"total_2nd":$total2,"cpu_total_2nd":${cpuSum(results2)},"n_entries":${results.size},"load_avg_end":$loadAvg,"calib_st_sec":$calibSt,"calib_mt_sec":$calibMt,"calib_end_st_sec":$calibSt2,"calib_end_mt_sec":$calibMt2,"calib_mem_st_sec":$calibMemSt,"calib_mem_mt_sec":$calibMemMt,"calib_mem_end_st_sec":$calibMemSt2,"calib_mem_end_mt_sec":$calibMemMt2,"errors":$errs,"errors_2nd":$errs2,"excluded":${excluded.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir""""
+      s""""action":"noop","cpu_total":${cpuSum(results)},"total_2nd":$total2,"cpu_total_2nd":${cpuSum(results2)},"n_entries":${results.size},"load_avg_end":$loadAvg,"calib_st_sec":$calibSt,"calib_mt_sec":$calibMt,"calib_end_st_sec":$calibSt2,"calib_end_mt_sec":$calibMt2,"calib_mem_st_sec":$calibMemSt,"calib_mem_mt_sec":$calibMemMt,"calib_mem_end_st_sec":$calibMemSt2,"calib_mem_end_mt_sec":$calibMemMt2,"errors":$errs,"errors_2nd":$errs2,"excluded":${excluded.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir""""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${topDict(results, 5)},"queries_2nd":${topDict(results2, 5)},$shared,"full":"$outPath"}"""
     val fullJson =

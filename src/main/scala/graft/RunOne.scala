@@ -20,8 +20,13 @@ object RunOne {
     (1 to reps).foreach { i =>
       StageProbe.reset()
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[graft] run $i: $name rows=$n in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // noop sink, not count() — the Bench r11+ convention: count() lets
+      // Catalyst prune the very work being probed (unique-key left joins
+      // eliminated, value arithmetic column-pruned), so probe numbers
+      // here stay comparable to BENCH entries
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[graft] run $i: $name in ${(System.nanoTime() - t0) / 1e9}%.2f s")
       StageProbe.printTop(s"run $i")
       System.gc()
     }

@@ -20,7 +20,9 @@ final class IntVec(initialCapacity: Int) {
 
   def add(v: Int): Unit = {
     if (n == arr.length) {
-      val next = new Array[Int](arr.length << 1)
+      // max(..., 1): a wrap()ed zero-length array would otherwise grow
+      // to capacity 0 << 1 = 0 and the write below would throw
+      val next = new Array[Int](math.max(arr.length << 1, 1))
       System.arraycopy(arr, 0, next, 0, n)
       arr = next
     }

@@ -5812,6 +5812,14 @@ object Ext {
           timestamp_micros(lit(tsUs)).as("t"), lit(tsUs).as("ts_us"),
           lit(-1L).as("event_id"), lit(0L).as("cents"))
       val now = System.currentTimeMillis()
+      // STAGING INVARIANT (ADVICE r11): every real event rides in the
+      // SINGLE first file — `cusumStep` drops arrivals below the
+      // current watermark (exactly-once semantics for honest late data)
+      // while the batch oracle replays every event, so the two agree
+      // only because all real rows land in one micro-batch BEFORE the
+      // sentinel files advance the watermark. Splitting the real input
+      // across files would make post-watermark drops diverge from the
+      // oracle; keep f0 as the one real-event file.
       stageMtimeFile(ev, inDir, "f0.parquet", now - 60000L)
       stageMtimeFile(sentinel(maxTs + 100L * wmUs), inDir, "f1.parquet", now - 40000L)
       stageMtimeFile(sentinel(maxTs + 200L * wmUs), inDir, "f2.parquet", now - 20000L)
