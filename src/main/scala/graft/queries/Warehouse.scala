@@ -800,7 +800,11 @@ object Warehouse {
 
   /** SEASONAL-NAIVE FORECAST BACKTEST — the baseline every forecasting
     * pipeline scores against before anything learned ships: predict
-    * each day's event count by the SAME WEEKDAY LAST WEEK (lag 7),
+    * each day's event count by the 7TH PRIOR OBSERVED DAY (lag 7 over
+    * the observed daily series — on a gap-free series that is the same
+    * weekday last week; with gaps it is simply the 7th prior
+    * observation, the convention both engines share here; densify on a
+    * day spine first if calendar-weekday alignment is required), and
     * score per type against the naive lag-1 baseline. Every error is
     * an exact |BIGINT| difference, and the MASE verdict ("is seasonal
     * better than naive?") is the cross-multiplied integer comparison
@@ -1581,10 +1585,14 @@ object Warehouse {
     * regroup shuffles. Every node in the symmetric graph has outdeg ≥ 1 —
     * no dangling mass. 10⁹-scale ranks keep `85·Σ` < 2⁶³ up to ~10⁸
     * nodes. */
-  /** The co-purchase edge relation `(src, dst, deg)` — symmetric distinct
-    * part pairs sharing an order, out-degree attached at stage time (AQE
-    * broadcasts the |nodes|-sized count side), staged once per (JVM, sf)
-    * and shared by [[graphPagerank]] and [[graphTriangles]]. */
+  /** The co-purchase edge relation `(src, dst, deg, deg_dst)` — symmetric
+    * distinct part pairs sharing an order, BOTH endpoint out-degrees
+    * attached at stage time (AQE broadcasts the |nodes|-sized count
+    * side; r12 added deg_dst so no consumer re-joins the degree table
+    * per query — [[graphAssortativity]], [[orientEdges]] and
+    * [[graphEdgeJaccard]] each used to pay that node-scale join on
+    * every invocation), staged once per (JVM, sf) and shared by the
+    * whole graph family. */
   private def stagedEdges(s: SparkSession, dir: String): DataFrame =
     Ext.stage("pr_edges", s, dir)({
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
@@ -1593,7 +1601,11 @@ object Warehouse {
             col("a.l_partkey") =!= col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
         .distinct()
-      pairs.join(pairs.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+      val deg = pairs.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      pairs.join(deg, Seq("src"))
+        .join(deg.select(col("src").as("dst"), col("deg").as("deg_dst")),
+          Seq("dst"))
+        .select(col("src"), col("dst"), col("deg"), col("deg_dst"))
     })
 
   /** DEGREE ASSORTATIVITY of the co-purchase graph — the one-number
@@ -1607,10 +1619,8 @@ object Warehouse {
     * Scale: one |edges| join keyed on dst (AQE broadcasts the
     * |nodes|-sized degree side) and a 1-row map-side-combined rollup. */
   def graphAssortativity(s: SparkSession, dir: String): DataFrame = {
-    val edges = stagedEdges(s, dir) // (src, dst, deg) — symmetric
-    val degT = edges.select(col("src").as("dst"), col("deg").as("deg_dst"))
-      .distinct()
-    edges.join(degT, Seq("dst"))
+    val edges = stagedEdges(s, dir) // (src, dst, deg, deg_dst) — symmetric
+    edges
       .select(col("deg").as("x"), col("deg_dst").as("y"))
       .groupBy()
       .agg(count(lit(1)).as("n"),
@@ -1652,17 +1662,18 @@ object Warehouse {
     * its edges orient INTO it. Every count is a long and the
     * coefficient's one division is the same IEEE op both sides —
     * hash-exact, no tolerance. */
-  /** Degree-oriented edge relation shared by the triangle family. */
-  private def orientEdges(edges: DataFrame): DataFrame = {
-    val degT = edges.select(col("src").as("node"), col("deg")).distinct()
+  /** Degree-oriented edge relation shared by the triangle family (both
+    * degrees ride [[stagedEdges]] — no per-call degree join). */
+  private def orientEdges(edges: DataFrame): DataFrame =
     edges
-      .join(degT.select(col("node").as("dst"), col("deg").as("deg_dst")), Seq("dst"))
       .filter(col("deg") < col("deg_dst") ||
         (col("deg") === col("deg_dst") && col("src") < col("dst")))
       .select(col("src").as("a"), col("dst").as("b"))
-  }
 
-  /** Triangle instances `(wa, wb, wc)` from a degree-oriented edge set.
+  /** Triangle instances `(wa, wb, wc)` from a degree-oriented edge set,
+    * plus the bloom-broadcast handle so the one caller (the
+    * [[stagedTriSupport]] build) can destroy it once the staged write
+    * lands (ADVICE r11: the handle used to leak per invocation).
     *
     * The wedge relation is O(Σ out²) rows and must NEVER land anywhere:
     * with the continuation (y) and closing (z) edge sets both BROADCAST
@@ -1682,8 +1693,8 @@ object Warehouse {
     * verifies every survivor, so false positives drop out and the
     * output is bit-identical. Measured 66 → 11 s for the forced
     * triangle count at 10×. */
-  private def triangleInstances(
-      s: SparkSession, oriented: DataFrame): DataFrame = {
+  private def triangleInstances(s: SparkSession, oriented: DataFrame)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[_]) = {
     import org.apache.spark.sql.graft.Bridge
     val nE = oriented.count() // one |E|-scan action: sizes the filter
     val bf = oriented.select(xxhash64(col("a"), col("b")).as("k"))
@@ -1691,21 +1702,71 @@ object Warehouse {
     val bfBc = s.sparkContext.broadcast(bf)
     def might(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       Bridge.column(graft.functions.BloomMightContainLong(Bridge.expression(c), bfBc))
-    oriented.as("x")
+    val tri = oriented.as("x")
       .join(broadcast(oriented.as("y")), col("x.b") === col("y.a"))
       .select(col("x.a").as("wa"), col("x.b").as("wb"), col("y.b").as("wc"))
       .filter(might(xxhash64(col("wa"), col("wc"))))
       .join(broadcast(oriented.as("z")),
         col("wa") === col("z.a") && col("wc") === col("z.b"))
       .select(col("wa"), col("wb"), col("wc"))
+    (tri, bfBc)
+  }
+
+  /** PER-EDGE TRIANGLE SUPPORT `(u, v, common)` with u < v — the one
+    * triangle-family relation both [[graphTriangles]] and
+    * [[graphEdgeJaccard]] consume, STAGED once per (JVM, sf) like
+    * [[stagedEdges]] (r11 verdict What's-wrong #1: each query used to
+    * re-run the whole wedge enumeration + the eager bloom build at
+    * DataFrame-construction time; at 10× that made edge-Jaccard alone
+    * a third of the suite's CPU). The wedge pipeline now runs exactly
+    * once per corpus generation; every later consumer reads an
+    * edge-scale parquet with MATERIALIZED unordered-edge key columns,
+    * so downstream joins are plain column equi-joins, not
+    * least/greatest expression keys. The bloom broadcast is destroyed
+    * as soon as the staged write lands. */
+  private def stagedTriSupport(s: SparkSession, dir: String): DataFrame = {
+    var bloom: Option[org.apache.spark.broadcast.Broadcast[_]] = None
+    val out = Ext.stage("tri_support", s, dir)({
+      val (tri, bfBc) = triangleInstances(s, orientEdges(stagedEdges(s, dir)))
+      bloom = Some(bfBc)
+      // each triangle supports its three edges, keyed unordered (u < v)
+      tri.select(explode(array(
+          struct(least(col("wa"), col("wb")).as("u"),
+            greatest(col("wa"), col("wb")).as("v")),
+          struct(least(col("wb"), col("wc")).as("u"),
+            greatest(col("wb"), col("wc")).as("v")),
+          struct(least(col("wa"), col("wc")).as("u"),
+            greatest(col("wa"), col("wc")).as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+    })
+    bloom.foreach(_.destroy())
+    out
+  }
+
+  /** Bench hook ([[graft.Bench]]'s `_graph_stage` entry): force the
+    * graph family's once-per-(JVM, sf) staged relations — the co-purchase
+    * edge list and the per-edge triangle support — so their build cost is
+    * attributed to an explicit staging entry, not to whichever graph
+    * query runs first alphabetically ([[Ext.stageDedupRelations]]
+    * precedent). */
+  def stageGraphRelations(s: SparkSession, dir: String): Unit = {
+    stagedEdges(s, dir)
+    stagedTriSupport(s, dir)
+    ()
   }
 
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
     val edges = stagedEdges(s, dir) // (src, dst, deg) — symmetric, deg = out-deg
     val degT = edges.select(col("src").as("node"), col("deg")).distinct()
-    val tri = triangleInstances(s, orientEdges(edges))
-    val cnt = tri.select(explode(array(col("wa"), col("wb"), col("wc"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    // per-node count from the staged per-edge support: every triangle at
+    // node u lies on exactly TWO support edges incident to u, so
+    // n_tri(u) = Σ_{v∈N(u)} support{u,v} / 2 — an exact-integer identity
+    // that turns the old per-query wedge re-enumeration into a
+    // support-scale explode + node-keyed rollup over staged parquet
+    val cnt = stagedTriSupport(s, dir)
+      .select(explode(array(col("u"), col("v"))).as("node"), col("common"))
+      .groupBy(col("node")).agg((sum(col("common")) / 2).cast("long").as("tri"))
     degT.join(broadcast(cnt), Seq("node"), "left")
       .withColumn("n_tri", coalesce(col("tri"), lit(0L)))
       .select(col("node"), col("deg"), col("n_tri"),
@@ -1718,42 +1779,34 @@ object Warehouse {
   /** EDGE-JACCARD SPARSIFICATION — per-edge tie strength over the
     * co-purchase graph: for every edge {u, v}, the Jaccard similarity
     * of the endpoint neighborhoods (|N(u)∩N(v)| = the edge's triangle
-    * support, reusing [[graphTriangles]]'s degree-oriented wedge
-    * enumeration so the support count is O(Σ out²) streamed, never
-    * landed), then each node keeps its top-2 strongest ties — the
+    * support, read from the shared [[stagedTriSupport]] relation — the
+    * degree-oriented wedge enumeration runs once per corpus, streamed,
+    * never landed), then each node keeps its top-2 strongest ties — the
     * local-sparsification primitive that prunes a graph to its
     * community backbone before any expensive downstream pass. Fully
     * integer: support and degrees are counts and the score is ppm by
     * integer division, so ranking and output are hash-exact (rank ties
     * broken by neighbor id).
     *
-    * Scale: identical shape to [[graphTriangles]] (broadcast oriented
-    * edges; bucketed sort-merge when m outgrows a broadcast); the
-    * rank/top-k runs on the |E| scored relation. */
+    * Scale: the wedge enumeration lives in [[stagedTriSupport]], paid
+    * once per corpus; this query is ONE edge-scale equi-join (support
+    * on the materialized unordered key; both endpoint degrees already
+    * ride the staged edge relation) and the rank/top-k window on the
+    * |E| scored relation. */
   def graphEdgeJaccard(s: SparkSession, dir: String): DataFrame = {
-    val edges = stagedEdges(s, dir) // (src, dst, deg) — symmetric
-    val degT = edges.select(col("src").as("node"), col("deg")).distinct()
-    val tri = triangleInstances(s, orientEdges(edges))
-    // each triangle supports its three edges, keyed unordered (u < v)
-    val support = tri.select(explode(array(
-        struct(least(col("wa"), col("wb")).as("u"),
-          greatest(col("wa"), col("wb")).as("v")),
-        struct(least(col("wb"), col("wc")).as("u"),
-          greatest(col("wb"), col("wc")).as("v")),
-        struct(least(col("wa"), col("wc")).as("u"),
-          greatest(col("wa"), col("wc")).as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+    val edges = stagedEdges(s, dir) // (src, dst, deg, deg_dst) — symmetric
+    val support = stagedTriSupport(s, dir) // (u, v, common), u < v
     // support is |triangle-edges|-sized — EDGE scale, not dim scale, so
     // it must never be broadcast (hinting it broadcast cost 1,100
     // executor-CPU-s at 10×: every task of every downstream stage
     // deserializes the multi-million-entry build map); the shuffle join
-    // moves each side once, keyed on the unordered edge
+    // moves each side once, keyed on the MATERIALIZED unordered-edge
+    // columns — expression keys (least/greatest inside the join
+    // condition) planned an extra projection per probe row at 10×
     val scored = edges // symmetric: every edge scored from both endpoints
-      .join(degT.select(col("node").as("dst"), col("deg").as("deg_dst")), Seq("dst"))
-      .join(support,
-        least(col("src"), col("dst")) === col("u") &&
-          greatest(col("src"), col("dst")) === col("v"), "left")
+      .withColumn("u", least(col("src"), col("dst")))
+      .withColumn("v", greatest(col("src"), col("dst")))
+      .join(support, Seq("u", "v"), "left")
       .withColumn("common", coalesce(col("common"), lit(0L)))
       .withColumn("jaccard_ppm",
         expr("(common * 1000000) div (deg + deg_dst - common)"))
@@ -1761,9 +1814,7 @@ object Warehouse {
       .orderBy(col("jaccard_ppm").desc, col("common").desc, col("dst"))
     scored.withColumn("rk", row_number().over(byNode))
       .filter(col("rk") <= 2)
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"),
-        col("common"), col("jaccard_ppm"))
+      .select(col("u"), col("v"), col("common"), col("jaccard_ppm"))
       .distinct() // an edge may be a top tie of BOTH endpoints
       .orderBy(col("u"), col("v"))
   }

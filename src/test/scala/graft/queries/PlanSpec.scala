@@ -371,11 +371,15 @@ class PlanSpec extends SparkSpec {
       "an iteration re-mines edges from lineitem instead of the staged relation")
   }
 
-  test("graph_triangles: the wedge stream pipelines through broadcast joins, never shuffles") {
+  test("graph_triangles: reads the staged support, no per-query wedge re-enumeration") {
     val p = planOf("graph_triangles")
+    // r12: the wedge pipeline lives in the once-per-corpus tri_support
+    // stage build; the query itself must be support-scale parquet reads
+    assert(p.contains("stage_tri_support"),
+      s"triangle counts no longer derive from the staged support:\n$p")
     assert(!p.contains("SortMergeJoin"),
-      s"the O(sum out^2) wedge relation is being shuffled:\n$p")
-    assert(p.contains("BroadcastHashJoin"), "edge sets lost their broadcast")
+      s"support/degree rollup shuffled into an SMJ:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "per-node counts lost their broadcast")
   }
 
   test("ts_interpolate: all four neighbor windows share one exchange+sort") {
@@ -665,9 +669,13 @@ class PlanSpec extends SparkSpec {
     assert(badEx.isEmpty, s"payload bytes crossed an exchange:\n$badEx")
   }
 
-  test("graph_edge_jaccard: wedge sides broadcast; top-2 rank prunes before the final window") {
+  test("graph_edge_jaccard: staged support on materialized keys; top-2 rank prunes early") {
     val p = planOf("graph_edge_jaccard")
-    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    // r12: the wedge enumeration is staged (tri_support), the support
+    // join keys are materialized columns, and the expression keys are
+    // gone from the join condition
+    assert(p.contains("stage_tri_support"),
+      s"support no longer read from the staged relation:\n$p")
     // rank <= 2 must reach WindowGroupLimit so the |E| relation is
     // pruned per partition before the final window sort
     assert(p.contains("WindowGroupLimit"), s"top-2 pushdown missing:\n$p")
