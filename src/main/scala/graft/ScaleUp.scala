@@ -41,6 +41,14 @@ import org.apache.spark.sql.functions._
   * consistency is preserved (every l_partkey still resolves in `part`);
   * part-dim queries simply see the honestly-bigger catalog.
   *
+  * The GPS-fleet LINE keyspace scales the same way (r11 verdict missing
+  * #1): `Pipeline.syntheticFleet` derives the bus line from the user-id
+  * replica block (`user_id div 100M`, the offset applied to events
+  * here), so a factor× corpus has factor× the lines at constant
+  * per-line fleet density — the per-line DBSCAN pair grid stays
+  * schedule-bounded instead of growing factor² under a fixed-8-line
+  * keyspace.
+  *
   * Probe data only: nothing under /root/testdata is touched, and the
   * driver's own gates never read this output.
   */

@@ -17,15 +17,30 @@ import graft.ops.{BlindZone, PatternExtraction, TrajectoryClustering}
   */
 object Pipeline {
 
-  /** events → GPS pings: vehicle = user, line = user%8, position advances
-    * with time-of-day along the line's track; real inter-event gaps supply
-    * the signal-loss structure. */
+  /** events → GPS pings: vehicle = user, line = 8 per user-id replica
+    * block, position advances with time-of-day along the line's track;
+    * real inter-event gaps supply the signal-loss structure.
+    *
+    * LINE KEYSPACE SCALES WITH THE CORPUS (r11 verdict missing #1): the
+    * old `user_id % 8` derivation kept 8 lines at every scale, so a
+    * grow-parts probe corpus (ScaleUp: replicas get user ids offset by
+    * 100 000 000, a multiple of 8) multiplied per-line fleet size by the
+    * factor and per-line DBSCAN pair work by factor² — a corpus
+    * artifact, not an operator cost. Deriving the line from the replica
+    * block (`user_id div 100M`, always 0 on driver testdata) gives each
+    * replica its own 8 lines — factor× the lines at CONSTANT per-line
+    * density, the way a real larger fleet grows (more routes, not
+    * 100× the buses on route 7). On every driver corpus (user ids far
+    * below 100M) the derivation is bit-identical to `user_id % 8`, so
+    * the pinned sf0.01 oracle literal is untouched. */
   private[queries] def syntheticFleet(s: SparkSession, dir: String): DataFrame =
     Tables.eventsTsUs(s, dir)
       .filter(col("event_type") === "click")
       .select(
         concat(lit("V"), col("user_id")).as("id"),
-        concat(lit("L"), col("user_id") % 8).as("linenumber"),
+        concat(lit("L"),
+          expr("(user_id div 100000000) * 8 + user_id % 8"))
+          .as("linenumber"),
         (lit(114.0) + (col("ts_us") % 86400000000L) / lit(86400000000.0) * 0.2)
           .as("lng"),
         (lit(22.5) + (col("user_id") % 8).cast("double") * 0.01).as("lat"),
@@ -66,8 +81,14 @@ object Pipeline {
       PatternExtraction.run(syntheticFleet(s, dir), busLine = None,
         cfg = PatternExtraction.Config(qualify = false)))
     logPhase("stage1 patterns materialized")
-    val params = (0 until 8)
-      .map(i => s"L$i" -> TrajectoryClustering.Params(eps = 5.0, minSamples = 2))
+    // one Params row per line, like the reference's per-line parameter
+    // CSV (driver-sized by contract: |lines| rows — the line keyspace
+    // scales with the corpus since r12, so the map is derived from the
+    // fleet instead of a hardcoded 0-until-8)
+    val params = syntheticFleet(s, dir)
+      .select(col("linenumber")).distinct().collect()
+      .map(r => r.getString(0) ->
+        TrajectoryClustering.Params(eps = 5.0, minSamples = 2))
       .toMap
     val (clustered, clusteredStore) = Stage.materialize(
       TrajectoryClustering.run(pats, params))
