@@ -156,10 +156,24 @@ object Similarity {
 
   // --- IVF (inverted-file) index -----------------------------------------
 
+  /** Fixed-point scale for the Lloyd mean accumulators (2²⁴): each
+    * component is floored to a 24-fraction-bit integer before summing
+    * (`floor(x * 2^24)` — floor(double) is a native LongType expression
+    * and `math.floor` replicates it exactly in twin implementations),
+    * so the per-cell sums are exact BIGINTs in ANY partial-agg merge
+    * order and the trained model is bit-deterministic run-to-run —
+    * `avg(double)` folds in Spark's (non-contractual) merge order, which
+    * kept the whole float-model family rows-only for rounds (r11
+    * verdict Next #5). One double division per dimension at publication.
+    * Exact while Σ|x|·2²⁴ stays under 2⁶³ ≈ |x|≤100 over ~10¹² rows per
+    * cell — far beyond any cell this engine will see. */
+  val MeanScale: Long = 1L << 24
+
   /** Train `nlist` coarse centroids with `iters` Lloyd iterations.
     * Deterministic init: the `nlist` lowest-id vectors seed the centroids.
     * Assignment/update are DataFrame ops (broadcast-model scoring +
-    * per-dim avg); only the k×dim centroid table ever reaches the driver.
+    * per-dim fixed-point sums, [[MeanScale]]); only the k×dim centroid
+    * table ever reaches the driver.
     *
     * At corpus scale this is the standard IVF training loop: centroids are
     * a broadcast-sized model, each iteration is one scan + one shuffle of
@@ -184,20 +198,25 @@ object Similarity {
       val model = broadcastModel(clean.sparkSession, centroids)
       val assigned = clean.withColumn("cid",
         nearestCentroid(col("embedding"), model))
-      // per-dimension means as d parallel avg aggregates over element
+      // per-dimension means as d parallel FIXED-POINT sums over element
       // extracts — one codegen'd hash-agg of |corpus| rows, where the
       // posexplode formulation it replaces shuffled |corpus|·d rows to
-      // compute the same 512 numbers
+      // compute the same 512 numbers; integer sums + one count make the
+      // mean merge-order-exact (see [[MeanScale]])
       val dims = assigned
         .groupBy(col("cid"))
-        .agg(array((0 until d).map(i =>
-          avg(col("embedding").getItem(i).cast("double"))): _*).as("m"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until d).map(i =>
+            sum(floor(col("embedding").getItem(i).cast("double")
+              * MeanScale))): _*).as("sums"))
         .collect()
       model.destroy()
       // a vector with null ELEMENTS nulls every centroid score → null cid;
       // such a group trains nothing (guard mirrors the old implicit drop)
-      val updated = dims.filter(!_.isNullAt(0)).map(r =>
-        r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      val updated = dims.filter(!_.isNullAt(0)).map { r =>
+        val n = r.getLong(1).toDouble * MeanScale
+        r.getInt(0) -> r.getSeq[Long](2).map(_.toDouble / n).toSeq
+      }.toMap
       // empty cells keep their previous centroid
       centroids = centroids.map { case (cid, c) => cid -> updated.getOrElse(cid, c) }
     }
@@ -364,18 +383,24 @@ object Similarity {
     }
     (0 until iters).foreach { _ =>
       val bc = broadcastPq(clean.sparkSession, m, subDim, books)
+      // fixed-point sums + count, not avg(double): merge-order-exact
+      // means, same construction as [[trainCentroids]] ([[MeanScale]])
       val means = clean
         .select(col("embedding"),
           posexplode(pqCodes(col("embedding"), bc)).as(Seq("b", "code")))
         .withColumn("subvec",
           slice(col("embedding"), col("b") * subDim + 1, lit(subDim)))
         .groupBy(col("b"), col("code"))
-        .agg(array((0 until subDim).map(j =>
-          avg(col("subvec").getItem(j).cast("double"))): _*).as("mean"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until subDim).map(j =>
+            sum(floor(col("subvec").getItem(j).cast("double")
+              * MeanScale))): _*).as("sums"))
         .collect()
       bc.destroy()
-      val updated = means.map(r =>
-        (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+      val updated = means.map { r =>
+        val n = r.getLong(2).toDouble * MeanScale
+        (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](3).map(_.toDouble / n).toArray
+      }.toMap
       // empty cells keep their previous centroid (trainCentroids contract)
       books = Array.tabulate(m)(b => books(b).zipWithIndex.map {
         case (c, code) => updated.getOrElse((b, code), c) })
