@@ -1693,6 +1693,14 @@ object Warehouse {
     * verifies every survivor, so false positives drop out and the
     * output is bit-identical. Measured 66 → 11 s for the forced
     * triangle count at 10×. */
+  /** Above this edge count the oriented relation stops being broadcast
+    * (Spark's hard broadcast cap is 8 GiB; the 100× probe's 120 M-edge
+    * relation hashed to 11.2 GiB and failed loudly) and the wedge joins
+    * fall back to sort-merge. The wedge stream then DOES shuffle once —
+    * but only the ~4 % bloom survivors reach the closing exchange, so
+    * the landed relation is edge-scale, not Σ out²-scale. */
+  private val BroadcastEdgeCap = 40000000L
+
   private def triangleInstances(s: SparkSession, oriented: DataFrame)
       : (DataFrame, org.apache.spark.broadcast.Broadcast[_]) = {
     import org.apache.spark.sql.graft.Bridge
@@ -1702,11 +1710,13 @@ object Warehouse {
     val bfBc = s.sparkContext.broadcast(bf)
     def might(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       Bridge.column(graft.functions.BloomMightContainLong(Bridge.expression(c), bfBc))
+    def side(df: DataFrame): DataFrame =
+      if (nE > BroadcastEdgeCap) df else broadcast(df)
     val tri = oriented.as("x")
-      .join(broadcast(oriented.as("y")), col("x.b") === col("y.a"))
+      .join(side(oriented.as("y")), col("x.b") === col("y.a"))
       .select(col("x.a").as("wa"), col("x.b").as("wb"), col("y.b").as("wc"))
       .filter(might(xxhash64(col("wa"), col("wc"))))
-      .join(broadcast(oriented.as("z")),
+      .join(side(oriented.as("z")),
         col("wa") === col("z.a") && col("wc") === col("z.b"))
       .select(col("wa"), col("wb"), col("wc"))
     (tri, bfBc)
