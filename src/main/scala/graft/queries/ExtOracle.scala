@@ -13,8 +13,10 @@ package graft.queries
   * SQL twin; since r11 they gate against LITERAL tables captured from
   * the independent [[graft.queries]] test-scope reimplementations
   * (public-spec xxHash64 / FNV-1a — the BpeRef precedent, see
-  * `SketchCapturedRows`). Engine-state queries (hyperplane LSH, IVF/PQ
-  * float models) stay rows-only with hash-green recall twins.
+  * `SketchCapturedRows`; `IvfCapturedRows` extends it to the IVF
+  * searches since the r12 fixed-point training rewrite). Remaining
+  * engine-state queries (the PQ float codebooks) stay rows-only with
+  * hash-green recall twins.
   */
 object ExtOracle {
 
@@ -1696,6 +1698,26 @@ object ExtOracle {
          SELECT qid, "rank", vec_id, cos FROM ranked WHERE "rank" <= 10
          ORDER BY qid, "rank"""",
 
+    // captured-literal oracles ([[IvfCapturedRows]], the CaptureIvf
+    // twin — rows-only through r11 while float-avg training was
+    // merge-order-dependent): BOTH IVF forms gate against ONE literal,
+    // so the hash gate also pins train-inline == staged-model
+    "sim_ivf_topk" ->
+      s"""SELECT CAST(qid AS BIGINT) AS qid,
+             CAST("rank" AS INTEGER) AS "rank",
+             CAST(vec_id AS BIGINT) AS vec_id, CAST(cos AS DOUBLE) AS cos
+         FROM (VALUES ${IvfCapturedRows.ivfTop10})
+           AS t(qid, "rank", vec_id, cos)
+         ORDER BY qid, "rank"""",
+
+    "sim_ivf_warm" ->
+      s"""SELECT CAST(qid AS BIGINT) AS qid,
+             CAST("rank" AS INTEGER) AS "rank",
+             CAST(vec_id AS BIGINT) AS vec_id, CAST(cos AS DOUBLE) AS cos
+         FROM (VALUES ${IvfCapturedRows.ivfTop10})
+           AS t(qid, "rank", vec_id, cos)
+         ORDER BY qid, "rank"""",
+
     // greedy MMR replayed as a recursive CTE (the balance_bins
     // first-fit precedent): each iteration's correlated subquery elects
     // the integer-score argmax given the picks list so far
@@ -2584,7 +2606,8 @@ object ExtOracle {
     // IEEE-identical across engines, so no tolerance anywhere
     "geo_radius_join" ->
       """WITH p AS (SELECT event_id AS pid,
-             CAST(22.0 AS DOUBLE) + (event_id % 9973) * CAST(0.00001 AS DOUBLE) AS lat,
+             CAST(22.0 AS DOUBLE) + (event_id // 100000000) * CAST(0.2 AS DOUBLE)
+               + (event_id % 9973) * CAST(0.00001 AS DOUBLE) AS lat,
              CAST(114.0 AS DOUBLE) + ((user_id * 7919) % 9973) * CAST(0.00001 AS DOUBLE) AS lng
            FROM events),
          c AS (SELECT pid, lat, lng,

@@ -140,10 +140,14 @@ object Pipeline {
     * verbatim behind `Config(restoredNumbering = false)`), while the
     * restored gaps-and-islands numbering is the default. One summary row
     * per mode — count, distinct patterns, order-invariant checksum — so
-    * the driver's rows-only gate pins BOTH behaviors: the bug-compat
-    * mode must stay exactly empty, the restored mode's checksum pins the
-    * full numbering. Not SQL-expressible as a semantic (the point is the
-    * engine's mode flag), hence no oracle. */
+    * the driver gate pins BOTH behaviors: the bug-compat mode must stay
+    * exactly empty, the restored mode's checksum pins the full
+    * numbering. HASH-GREEN since r12 via the blindzone-digest
+    * precedent: the numbering semantic itself is not SQL-expressible,
+    * but its summary on the deterministic synthetic fleet is a fixed
+    * 2-row relation, captured at sf0.01 as a literal the driver hashes
+    * (correctness of the numbering is PipelineSpec fixture territory;
+    * the literal pins stability and the mode contrast). */
   def patternModes(s: SparkSession, dir: String): DataFrame = {
     val fleet = syntheticFleet(s, dir)
     def summarize(mode: String, restored: Boolean): DataFrame =
@@ -223,5 +227,19 @@ object PipelineOracle {
            ('L6', 1, -1.0, 45),
            ('L7', -1, -1.0, 12), ('L7', 0, -1.0, 108), ('L7', 1, -1.0, 120))
            AS t(linenumber, cluster, signal, cnt)
-         ORDER BY linenumber, cluster, signal""")
+         ORDER BY linenumber, cluster, signal""",
+
+    // the sf0.01 mode-contrast literal (r12, same capture discipline):
+    // the bug-compat row is structurally all-zero; the restored row's
+    // checksum is the order-invariant sum of per-row int hashes over
+    // the full stage-1 numbering
+    "pipeline_pattern_modes" ->
+      """SELECT mode, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_patterns AS BIGINT) AS n_patterns,
+           CAST(checksum AS BIGINT) AS checksum
+         FROM (VALUES
+           ('reference_as_committed', 0, 0, 0),
+           ('restored', 2006, 150, -36406199639))
+           AS t(mode, n_rows, n_patterns, checksum)
+         ORDER BY mode""")
 }
