@@ -3901,8 +3901,8 @@ object Ext {
     * scan reads the 16-byte staged code table, never the raw floats;
     * full vectors are fetched only for the ~50 re-rank candidates per
     * query). ADC-rank to top-50, then exact-cosine re-rank to top-10.
-    * No value oracle — the codebook is engine state like the IVF model;
-    * quality is gated by [[simPqRecall]]. */
+    * HASH-GREEN since r12 (the `CapturePq` literal, bit-equal to the
+    * independent `PqRef` twin); quality is gated by [[simPqRecall]]. */
   def simPqTopk(s: SparkSession, dir: String): DataFrame = {
     val bc = Similarity.broadcastPq(s, 4, 16, pq64Model(s, dir))
     Similarity.pqTopK(annQueries(s, dir), pqCodes64(s, dir, bc),
@@ -4007,7 +4007,8 @@ object Ext {
     * probe 8 of 64 cells, ADC-score the probed cells' 16-byte rows,
     * exact re-rank the shortlist. The composition of [[simIvfTopk]]'s
     * pruning and [[simPqTopk]]'s compression — at 100 TB the scored
-    * bytes shrink by BOTH factors. Rows-only (two engine-state models);
+    * bytes shrink by BOTH factors. HASH-GREEN since r12 (the
+    * `CapturePq` literal, bit-equal to the independent `PqRef` twin);
     * quality gated by [[simIvfPqRecall]]. */
   def simIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
     val resBc = Similarity.broadcastPq(s, 4, 16, pqRes64Model(s, dir))

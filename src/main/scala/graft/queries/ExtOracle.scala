@@ -13,10 +13,10 @@ package graft.queries
   * SQL twin; since r11 they gate against LITERAL tables captured from
   * the independent [[graft.queries]] test-scope reimplementations
   * (public-spec xxHash64 / FNV-1a — the BpeRef precedent, see
-  * `SketchCapturedRows`; `IvfCapturedRows` extends it to the IVF
-  * searches since the r12 fixed-point training rewrite). Remaining
-  * engine-state queries (the PQ float codebooks) stay rows-only with
-  * hash-green recall twins.
+  * `SketchCapturedRows`; `IvfCapturedRows`/`PqCapturedRows` extend it
+  * to every ANN search since the r12 fixed-point training rewrite —
+  * no registered query is rows-only by design anymore except
+  * whatever a future round adds before its capture lands).
   */
 object ExtOracle {
 
@@ -1715,6 +1715,26 @@ object ExtOracle {
              CAST("rank" AS INTEGER) AS "rank",
              CAST(vec_id AS BIGINT) AS vec_id, CAST(cos AS DOUBLE) AS cos
          FROM (VALUES ${IvfCapturedRows.ivfTop10})
+           AS t(qid, "rank", vec_id, cos)
+         ORDER BY qid, "rank"""",
+
+    // the PQ family under the same captured-literal discipline
+    // ([[PqCapturedRows]], the CapturePq twins) — with these, every
+    // ANN path carries a full value oracle and the registry's
+    // rows-only set is empty
+    "sim_pq_topk" ->
+      s"""SELECT CAST(qid AS BIGINT) AS qid,
+             CAST("rank" AS INTEGER) AS "rank",
+             CAST(vec_id AS BIGINT) AS vec_id, CAST(cos AS DOUBLE) AS cos
+         FROM (VALUES ${PqCapturedRows.pqTop10})
+           AS t(qid, "rank", vec_id, cos)
+         ORDER BY qid, "rank"""",
+
+    "sim_ivfpq_topk" ->
+      s"""SELECT CAST(qid AS BIGINT) AS qid,
+             CAST("rank" AS INTEGER) AS "rank",
+             CAST(vec_id AS BIGINT) AS vec_id, CAST(cos AS DOUBLE) AS cos
+         FROM (VALUES ${PqCapturedRows.ivfPqTop10})
            AS t(qid, "rank", vec_id, cos)
          ORDER BY qid, "rank"""",
 

@@ -37,6 +37,37 @@ class Round12OpsSpec extends SparkSpec {
         s"firstDiff=${got.zip(twin).find(p => p._1 != p._2)}")
   }
 
+  test("sim_pq_topk == the independent PqRef twin at sf0.001") {
+    val raw = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding").collect().toSeq
+      .map { r =>
+        val id = r.getLong(0)
+        if (r.isNullAt(1)) id -> null
+        else {
+          val s = r.getSeq[Any](1)
+          if (s.contains(null)) id -> null
+          else id -> s.map(_.asInstanceOf[AnyVal]).toArray
+        }
+      }
+    val floats = raw.map { case (id, v) =>
+      id -> (if (v == null) null else v.map(_.asInstanceOf[Float]))
+    }
+    val valid = floats.filter(v => v._2 != null && v._2.length == 64)
+    val queries = floats.filter(v => v._1 % 50 == 0 && v._2 != null)
+      .sortBy(_._1).take(200)
+    val books = PqRef.trainPq(raw, m = 4, subDim = 16, nlist = 64, iters = 2)
+    val codes = valid.map { case (id, v) =>
+      id -> PqRef.encode(v.map(x => x: AnyVal), books, 16).get
+    }
+    val twin = PqRef.pqTopK(queries, codes, valid.toMap,
+      k = 10, oversample = 20, books, subDim = 16)
+    val got = graft.SparkEntry.queries("sim_pq_topk")(spark, sf0001)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got == twin,
+      s"engine=${got.size} twin=${twin.size} " +
+        s"firstDiff=${got.zip(twin).find(p => p._1 != p._2)}")
+  }
+
   test("fixed-point Lloyd training is run-to-run deterministic under repartition") {
     // the r11 blocker was partial-agg merge order; vary the physical
     // partitioning and demand an identical trained model
