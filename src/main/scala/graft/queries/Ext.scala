@@ -1946,7 +1946,14 @@ object Ext {
     val path = Option(stagedPaths.get(key)).getOrElse(stageLock.synchronized {
       Option(stagedPaths.get(key)).getOrElse {
         val p = graft.core.Tmp.jvmScopedDir(s"stage_$what", dir)
-        build.write.mode("overwrite").parquet(p)
+        val df = build
+        // stage builds never surface in a query's explain — this hook
+        // prints their physical plan on demand (r12: used to find the
+        // bloom filter stranded above an exchange in the SMJ wedge path)
+        if (sys.env.contains("SPARK_GRAFT_EXPLAIN_STAGE"))
+          println(s"[stage-plan] $what:\n" +
+            df.queryExecution.executedPlan.toString)
+        df.write.mode("overwrite").parquet(p)
         stagedPaths.put(key, p)
         p
       }

@@ -1699,7 +1699,11 @@ object Warehouse {
     * fall back to sort-merge. The wedge stream then DOES shuffle once —
     * but only the ~4 % bloom survivors reach the closing exchange, so
     * the landed relation is edge-scale, not Σ out²-scale. */
-  private val BroadcastEdgeCap = 40000000L
+  private val BroadcastEdgeCap =
+    // env-overridable so the SMJ fallback plan can be probed at gate
+    // scale (the default only activates past 40 M edges)
+    sys.env.get("SPARK_GRAFT_EDGE_BCAST_CAP").map(_.toLong)
+      .getOrElse(40000000L)
 
   private def triangleInstances(s: SparkSession, oriented: DataFrame)
       : (DataFrame, org.apache.spark.broadcast.Broadcast[_]) = {
@@ -1737,31 +1741,53 @@ object Warehouse {
   private def stagedTriSupport(s: SparkSession, dir: String): DataFrame = {
     var bloom: Option[org.apache.spark.broadcast.Broadcast[_]] = None
     val out = Ext.stage("tri_support", s, dir)({
-      val (tri, bfBc) = triangleInstances(s, orientEdges(stagedEdges(s, dir)))
+      // the wedge pipeline runs ONCE and its triangle instances land as
+      // a staged table; the per-edge rollup then runs as THREE
+      // SEQUENTIAL per-position aggregations (each staged, so one
+      // partial-agg spill is paid and freed before the next starts)
+      // instead of one 3|T|-row explode+groupBy — at the 100× probe
+      // the single-shot form needed ~80-100 GB of concurrent sort
+      // spill (more than a single box's scratch; the first attempt
+      // filled the disk twice), while the sequenced form peaks at
+      // ~|T| parquet + one position's spill. Σ of the three position
+      // counts ≡ the exploded count, so values are bit-identical.
+      val (tri0, bfBc) = triangleInstances(s, orientEdges(stagedEdges(s, dir)))
       bloom = Some(bfBc)
-      // each triangle supports its three edges, keyed unordered (u < v)
-      tri.select(explode(array(
-          struct(least(col("wa"), col("wb")).as("u"),
-            greatest(col("wa"), col("wb")).as("v")),
-          struct(least(col("wb"), col("wc")).as("u"),
-            greatest(col("wb"), col("wc")).as("v")),
-          struct(least(col("wa"), col("wc")).as("u"),
-            greatest(col("wa"), col("wc")).as("v")))).as("e"))
-        .select(col("e.u").as("u"), col("e.v").as("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+      val tri = Ext.stage("tri_inst", s, dir)(tri0)
+      def posAgg(x: String, y: String, name: String): DataFrame =
+        Ext.stage(name, s, dir)(
+          tri.select(least(col(x), col(y)).as("u"),
+              greatest(col(x), col(y)).as("v"))
+            .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c")))
+      val p1 = posAgg("wa", "wb", "tri_p1")
+      val p2 = posAgg("wb", "wc", "tri_p2")
+      val p3 = posAgg("wa", "wc", "tri_p3")
+      p1.unionByName(p2).unionByName(p3)
+        .groupBy(col("u"), col("v")).agg(sum(col("c")).as("common"))
     })
     bloom.foreach(_.destroy())
     out
   }
 
   /** Bench hook ([[graft.Bench]]'s `_graph_stage` entry): force the
-    * graph family's once-per-(JVM, sf) staged relations — the co-purchase
-    * edge list and the per-edge triangle support — so their build cost is
-    * attributed to an explicit staging entry, not to whichever graph
-    * query runs first alphabetically ([[Ext.stageDedupRelations]]
-    * precedent). */
+    * co-purchase edge relation — consumed by the whole graph family —
+    * so its build cost is attributed to an explicit staging entry, not
+    * to whichever graph query runs first alphabetically
+    * ([[Ext.stageDedupRelations]] precedent). */
   def stageGraphRelations(s: SparkSession, dir: String): Unit = {
     stagedEdges(s, dir)
+    ()
+  }
+
+  /** Bench hook (`_graph_tri_stage`): the per-edge triangle support —
+    * consumed only by [[graphTriangles]] / [[graphEdgeJaccard]], and
+    * split from [[stageGraphRelations]] because its wedge-enumeration
+    * spill is the family's one single-box scale boundary (the 100×
+    * probe needs ~80–100 GB of scratch for the 1.5 B-row support
+    * partial aggregation — distributed scratch on a real cluster, more
+    * than this box's disk): a probe that excludes the two consumers
+    * must be able to skip the build. */
+  def stageTriSupport(s: SparkSession, dir: String): Unit = {
     stagedTriSupport(s, dir)
     ()
   }
