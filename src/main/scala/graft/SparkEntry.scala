@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Ext, ExtOracle, Pipeline, PipelineOracle, Rel, RelOracle, Warehouse, WarehouseOracle}
+import graft.queries.{Ext, ExtOracle, Learn, LearnOracle, Pipeline, PipelineOracle, Rel, RelOracle, Warehouse, WarehouseOracle}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,11 +19,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Rel.all ++ Ext.all ++ Pipeline.all ++ Warehouse.all
+    Rel.all ++ Ext.all ++ Pipeline.all ++ Warehouse.all ++ Learn.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     RelOracle.all ++ ExtOracle.all ++ WarehouseOracle.all ++
-      PipelineOracle.all
+      PipelineOracle.all ++ LearnOracle.all
 }

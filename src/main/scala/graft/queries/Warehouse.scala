@@ -575,7 +575,7 @@ object Warehouse {
     * broadcast back. The staged relation pins one range partitioning
     * for both passes (repartitionByRange samples boundaries per job).
     * Adds `rn` (1-based rank within group) and `n` (group size). */
-  private def groupedRank(name: String, s: SparkSession, dir: String,
+  private[queries] def groupedRank(name: String, s: SparkSession, dir: String,
       df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
     val g = groupCols.map(col)
     val local = Ext.stage(name, s, dir)(

@@ -669,6 +669,33 @@ class PlanSpec extends SparkSpec {
     assert(badEx.isEmpty, s"payload bytes crossed an exchange:\n$badEx")
   }
 
+  test("ml_centroid_classify: the model folds into a broadcast; inference is scan-local") {
+    val p = planOf("ml_centroid_classify")
+    // the k-centroid model must arrive as a broadcast (one folded row),
+    // not a shuffle join against the test scan
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"model not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "inference shuffles the corpus to join")
+    // the confusion rollup is map-side combined
+    assert(p.contains("partial"), s"confusion rollup not map-side combined:\n$p")
+  }
+
+  test("ml_target_encode: category stats and prior broadcast back onto the scan") {
+    val p = planOf("ml_target_encode")
+    assert(p.contains("BroadcastHashJoin"), s"category table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shuffled to join a |categories|-row table")
+  }
+
+  test("ml_stump_split: the corpus collapses to the histogram in one combined groupBy") {
+    val p = planOf("ml_stump_split")
+    // one corpus-scale aggregation with map-side partials; every window
+    // and the comparator join run on the <=61-row histogram
+    assert(p.contains("partial"), s"histogram build not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "candidate comparator fell back to a cartesian product")
+  }
+
   test("graph_edge_jaccard: staged support on materialized keys; top-2 rank prunes early") {
     val p = planOf("graph_edge_jaccard")
     // r12: the wedge enumeration is staged (tri_support), the support
