@@ -241,6 +241,52 @@ object Learn {
       .orderBy(col("bucket"))
   }
 
+  /** PRECISION/RECALL SWEEP over decile thresholds — the PR-curve table
+    * next to [[mlCalibrationBins]]'s reliability diagram, on the same
+    * score (o_totalprice percentile rank, ppm) and outcome (priority =
+    * '1-URGENT'). "Predict positive at score ≥ t" for t = 0, 0.1, …,
+    * 0.9: per threshold the exact confusion counts and integer-ppm
+    * precision/recall.
+    *
+    * Scale: shares the STAGED "calib" rank relation with
+    * [[mlCalibrationBins]] verbatim (whichever runs first pays the
+    * landing — the [[Warehouse.aggWinsorize]] reuse story); the corpus
+    * rolls up to an 11-bucket histogram and every threshold's counts
+    * are cumulative sums over that bounded relation, so the sweep costs
+    * one corpus pass regardless of how many thresholds it reports. */
+  def mlPrCurve(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      lit(1L).as("g"), col("o_totalprice"), col("o_orderkey"),
+      when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("y"))
+    val ranked = Warehouse.groupedRank("calib", s, dir, o,
+      Seq("g"), Seq(col("o_totalprice").asc, col("o_orderkey").asc))
+    val buckets = ranked
+      .withColumn("score_ppm",
+        expr("((rn - 1) * 1000000) div greatest(n - 1, 1)"))
+      .withColumn("bucket", expr("score_ppm div 100000")) // 0..10
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    // cumulative-from-above over the <=11-row histogram: rows predicted
+    // positive at threshold t = buckets >= t
+    val wAbove = Window.partitionBy(lit(1)).orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    buckets
+      .withColumn("pred_n", sum(col("cnt")).over(wAbove))
+      .withColumn("tp", sum(col("pos")).over(wAbove))
+      .withColumn("n_all", sum(col("cnt")).over(wAll))
+      .withColumn("pos_all", sum(col("pos")).over(wAll))
+      .filter(col("bucket") <= 9)
+      .select(
+        (col("bucket") * 100000).as("threshold_ppm"),
+        col("tp"), (col("pred_n") - col("tp")).as("fp"),
+        (col("pos_all") - col("tp")).as("fn"),
+        (col("n_all") - col("pred_n") - col("pos_all") + col("tp")).as("tn"),
+        expr("(1000000 * tp) div pred_n").as("precision_ppm"),
+        expr("(1000000 * tp) div greatest(pos_all, 1)").as("recall_ppm"))
+      .orderBy(col("threshold_ppm"))
+  }
+
   // ===== classification =====
 
   /** NEAREST-CENTROID CLASSIFICATION over the embedding corpus —
@@ -344,6 +390,7 @@ object Learn {
     "ml_auc_exact" -> mlAucExact _,
     "ml_stump_split" -> mlStumpSplit _,
     "ml_calibration_bins" -> mlCalibrationBins _,
+    "ml_pr_curve" -> mlPrCurve _,
     "ml_centroid_classify" -> mlCentroidClassify _,
     "text_readability" -> textReadability _,
   )

@@ -135,6 +135,38 @@ object LearnOracle {
              - sum(score_ppm) // count(*) AS BIGINT) AS gap_ppm
          FROM b GROUP BY bucket ORDER BY bucket""",
 
+    // PR sweep over decile thresholds on the percentile-rank score;
+    // cumulative-from-above sums over the 11-bucket histogram
+    "ml_pr_curve" ->
+      """WITH r AS (
+           SELECT CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS y,
+             CAST(row_number() OVER
+               (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+             count(*) OVER () AS n
+           FROM orders),
+         b AS (
+           SELECT (((rn - 1) * 1000000) // greatest(n - 1, 1)) // 100000
+               AS bucket, y
+           FROM r),
+         h AS (
+           SELECT bucket, count(*) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+           FROM b GROUP BY bucket),
+         c AS (
+           SELECT bucket,
+             CAST(sum(cnt) OVER wa AS BIGINT) AS pred_n,
+             CAST(sum(pos) OVER wa AS BIGINT) AS tp,
+             CAST(sum(cnt) OVER wall AS BIGINT) AS n_all,
+             CAST(sum(pos) OVER wall AS BIGINT) AS pos_all
+           FROM h
+           WINDOW wa AS (ORDER BY bucket DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wall AS ())
+         SELECT bucket * 100000 AS threshold_ppm, tp, pred_n - tp AS fp,
+           pos_all - tp AS fn, n_all - pred_n - pos_all + tp AS tn,
+           (1000000 * tp) // pred_n AS precision_ppm,
+           (1000000 * tp) // greatest(pos_all, 1) AS recall_ppm
+         FROM c WHERE bucket <= 9 ORDER BY threshold_ppm""",
+
     // integer nearest-centroid lifecycle: fixed-point quantize, exact
     // integer centroid means (+2^30 shift), integer squared distance,
     // lowest-label tie-break

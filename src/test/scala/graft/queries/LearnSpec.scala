@@ -145,6 +145,29 @@ class LearnSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("ml_pr_curve equals the naive confusion sweep") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_totalprice"), col("o_orderkey"), col("o_orderpriority"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getString(2) == "1-URGENT"))
+      .sortBy(x => (x._1, x._2))
+    val n = o.size.toLong
+    val scored = o.zipWithIndex.map { case ((_, _, y), i) =>
+      (i.toLong * 1000000L / math.max(n - 1, 1), y)
+    }
+    val posAll = scored.count(_._2).toLong
+    val expect = (0L to 9L).map { b =>
+      val t = b * 100000
+      val pred = scored.filter(_._1 / 100000 >= b)
+      val tp = pred.count(_._2).toLong
+      val fp = pred.size - tp
+      (t, tp, fp, posAll - tp, n - pred.size - posAll + tp,
+        1000000L * tp / pred.size, 1000000L * tp / math.max(posAll, 1))
+    }
+    val got = rowsOf("ml_pr_curve").map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got == expect)
+  }
+
   test("text_readability equals the Java-regex recomputation") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
