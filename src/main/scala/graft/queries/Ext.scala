@@ -5568,6 +5568,60 @@ object Ext {
       .orderBy(col("user_id"), col("window_start_us"))
   }
 
+  /** STREAMING OHLC CANDLES — nineteenth Structured Streaming sink
+    * under the driver's DuckDB gate: per finalized tumbling hour and
+    * event type, open/high/low/close/volume
+    * ([[graft.streaming.StreamOps.tumblingOhlc]]), hash-equal to the
+    * batch [[Warehouse.tsOhlc]] semantics on the same corpus. Open and
+    * close are `min_by`/`max_by` on the (ts_us, event_id) struct — the
+    * same event-time total order the batch row-number selection uses,
+    * but folded as constant-width aggregate state: the stream never
+    * buffers a window's values, where a sort-based open/close would.
+    * Sentinel staging and mtime ladder as in [[streamTumblingSink]]
+    * (sentinel rows carry event_type '_sentinel', dropped on
+    * read-back; their own windows never close). */
+  def streamOhlcSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Tmp
+    val log = graft.core.PhaseLog.start("stream_ohlc")
+    val winUs = 3600000000L // 1 hour tumble
+    val ev = events(s, dir)
+      .select(col("event_type"), col("ts_us"), col("event_id"), col("value"))
+    val inDir = Tmp.jvmScopedDir("stream_ohlc_in", dir)
+    val outDir = Tmp.jvmScopedDir("stream_ohlc_out", dir)
+    val ckDir = Tmp.jvmScopedDir("stream_ohlc_ck", dir)
+    val stagedMarker = new java.io.File(inDir, "_graft_staged")
+    if (!stagedMarker.exists()) {
+      val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0)
+      Tmp.deleteRecursively(inDir)
+      new java.io.File(inDir).mkdirs()
+      def sentinel(tsUs: Long): DataFrame =
+        ev.sparkSession.range(1).select(
+          lit("_sentinel").as("event_type"), lit(tsUs).as("ts_us"),
+          lit(0L).as("event_id"), lit(0.0).as("value"))
+      val now = System.currentTimeMillis()
+      stageMtimeFile(ev, inDir, "f0.parquet", now - 60000L)
+      stageMtimeFile(sentinel(maxTs + 100L * winUs), inDir, "f1.parquet", now - 40000L)
+      stageMtimeFile(sentinel(maxTs + 200L * winUs), inDir, "f2.parquet", now - 20000L)
+      java.nio.file.Files.createFile(stagedMarker.toPath): Unit
+      log("staged input")
+    } else log("reusing staged input")
+
+    runStreamToParquet(s, outDir, ckDir,
+      Map("spark.sql.shuffle.partitions" -> "1"), log) {
+      val stream = s.readStream
+        .schema("event_type STRING, ts_us BIGINT, event_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .withColumn("t", timestamp_micros(col("ts_us")))
+      graft.streaming.StreamOps.tumblingOhlc(stream, "1 hour")
+    }
+    s.read.parquet(outDir)
+      .filter(col("event_type") =!= "_sentinel")
+      .select(col("event_type"), col("window_start_us"), col("open"),
+        col("high"), col("low"), col("close"), col("n"), col("volume_cents"))
+      .orderBy(col("event_type"), col("window_start_us"))
+  }
+
   /** STREAMING WINDOWED TOP-K — per finalized tumbling hour, the top-3
     * event types by count. The stream side is an append-mode windowed
     * aggregation ([[graft.streaming.StreamOps.tumblingTypeCounts]] —
@@ -6225,6 +6279,7 @@ object Ext {
     "stream_interval_join_sink" -> streamIntervalJoinSink _,
     "stream_interval_outer_sink" -> streamIntervalOuterSink _,
     "stream_tumbling_sink" -> streamTumblingSink _,
+    "stream_ohlc_sink" -> streamOhlcSink _,
     "stream_topk_sink" -> streamTopkSink _,
     "stream_cdc_sink" -> streamCdcSink _,
     "stream_geofence_sink" -> streamGeofenceSink _,

@@ -2415,6 +2415,26 @@ object ExtOracle {
            round(sum(CAST(event_id AS DOUBLE)), 2) AS value_sum
          FROM events GROUP BY 1, 2 ORDER BY user_id, window_start_us""",
 
+    // batch twin of the streaming OHLC candles: the ts_ohlc selection
+    // keyed on the window start instead of the hour index
+    "stream_ohlc_sink" ->
+      """WITH e AS (SELECT event_type,
+             (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+             epoch_us(ts) AS ts_us, event_id, value,
+             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         r AS (SELECT *, row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY event_type, window_start_us) AS nn
+           FROM e
+           WINDOW w AS (PARTITION BY event_type, window_start_us
+             ORDER BY ts_us, event_id))
+         SELECT event_type, window_start_us,
+           max(CASE WHEN rn = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn = nn THEN value END) AS close,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS volume_cents
+         FROM r GROUP BY event_type, window_start_us
+         ORDER BY event_type, window_start_us""",
+
     // batch twin of the landed-then-ranked streaming leaderboard: exact
     // per-hour type counts, top-3 by (count desc, type)
     "stream_topk_sink" ->

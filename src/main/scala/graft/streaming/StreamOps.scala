@@ -229,6 +229,34 @@ object StreamOps {
         unix_micros(col("window.start")).as("window_start_us"),
         col("n_events"))
 
+  /** Tumbling OHLC candles per event type — the streaming twin of
+    * `queries.Warehouse.tsOhlc`: open/close are `min_by`/`max_by` on the
+    * (ts_us, event_id) struct — declarative, merge-safe aggregates
+    * whose total order (event time, id-disambiguated) matches the batch
+    * row-number selection exactly — high/low are plain min/max, and
+    * volume folds exact floor-cents. Append mode: each (type, window)
+    * candle emits exactly once when the watermark passes the window
+    * end. State is one fixed-width row per open (type, window) — no
+    * value buffering, unlike a sort-based open/close. */
+  def tumblingOhlc(
+      events: DataFrame, // needs (t: timestamp, event_type, ts_us, event_id, value)
+      windowLen: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("t", watermarkDelay)
+      .groupBy(col("event_type"), window(col("t"), windowLen))
+      .agg(
+        min_by(col("value"), struct(col("ts_us"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts_us"), col("event_id"))).as("close"),
+        count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("volume_cents"))
+      .select(col("event_type"),
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n"), col("volume_cents"))
+
   /** [[sessionize]] on the `transformWithState` API (Spark 4's arbitrary
     * stateful processing v2): explicit `ValueState` + event-time timers
     * instead of `GroupState` — state lives in the (RocksDB-backed) store,

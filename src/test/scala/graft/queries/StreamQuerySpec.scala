@@ -80,6 +80,35 @@ class StreamQuerySpec extends SparkSpec {
       s"stream emitted ${got.size} windows, batch has ${want.size}")
   }
 
+  test("stream_ohlc_sink reproduces the batch OHLC selection on every window") {
+    val winUs = 3600000000L
+    val got = Ext.all("stream_ohlc_sink")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("window_start_us"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val want = graft.core.Tables.eventsTsUs(spark, sf0001)
+      .select(col("event_type"),
+        (expr(s"ts_us div $winUs") * winUs).as("window_start_us"),
+        col("ts_us"), col("event_id"), col("value"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"), col("window_start_us"))))
+      .groupBy(col("event_type"), col("window_start_us"))
+      .agg(max(when(col("rn") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max(when(col("rn") === col("nn"), col("value"))).as("close"),
+        count(lit(1)).as("n"), sum(col("cents")).as("volume_cents"))
+      .orderBy(col("event_type"), col("window_start_us"))
+      .collect().map(_.toString).toSeq
+    // the min_by/max_by fold must equal the batch row-number selection
+    // on EVERY closed window, ties included
+    assert(got.nonEmpty && got == want,
+      s"stream emitted ${got.size} candles, batch has ${want.size}")
+  }
+
   test("stream_topk_sink: landed-then-ranked leaderboard equals the batch top-3 per hour") {
     val winUs = 3600000000L
     val got = Ext.all("stream_topk_sink")(spark, sf0001)
