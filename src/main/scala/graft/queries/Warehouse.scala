@@ -2069,6 +2069,94 @@ object Warehouse {
       .orderBy(col("part_key"))
   }
 
+  /** MAXIMUM-WEIGHT SPANNING FOREST (Borůvka) over the repeat
+    * co-purchase graph — the "backbone" extraction a graph pipeline
+    * runs before visualization or hierarchy building: keep, per
+    * component, the spanning tree of STRONGEST co-purchase ties.
+    * Borůvka is the distribution-native MST algorithm (Kruskal needs a
+    * global edge sort + sequential union-find; Prim grows one frontier):
+    * every component picks its best incident edge SIMULTANEOUSLY, the
+    * picked edges merge components, and the component count at least
+    * halves per round — ⌈log₂ V⌉ rounds total, each round one |E| ⋈ |V|
+    * label join plus a per-component argmax.
+    *
+    * Determinism: the edge total order is the composite
+    * (−w, min(u,v), max(u,v)) — strict (no two edges tie on all
+    * three), so the forest is UNIQUE and both the independent Kruskal
+    * twin ([[MstRef]] in test scope) and any round schedule agree
+    * edge-for-edge. Contraction reuses
+    * [[graft.ext.Dedup.connectedComponents]] on the ≤|components|-row
+    * chosen-edge relation (min-label components). Bounded contract
+    * (the [[graphKcore]] discipline): ≤ 10 rounds plus a `converged`
+    * flag — a round that picks zero cross-component edges is the
+    * fixpoint; all three SFs converge well inside the bound.
+    *
+    * Output is the per-tree summary (node/edge counts, total weight,
+    * and an order-free integer digest of the edge set —
+    * Σ cu·1000003 + cv·97 + w — so the gate pins every chosen edge
+    * without corpus-scale output); the oracle is the captured sf0.01
+    * literal (the [[graft.queries.Pipeline]] pattern-modes stability
+    * pin; forest correctness itself is [[MstRef]] twin territory).
+    *
+    * Scale: per round the |E| relation joins the |V| label relation
+    * (AQE broadcasts the label side while it fits; co-bucketing on a
+    * cluster removes the edge shuffle), the argmax is a map-side-
+    * combinable min(struct) per component, and the contraction CC runs
+    * on a relation no larger than the component count. localCheckpoint
+    * per round truncates the iterative lineage. */
+  def graphMst(s: SparkSession, dir: String): DataFrame = {
+    val pairs = repeatEdges(s, dir) // (id1 < id2, w = co-purchase count)
+    val sym = pairs.select(col("id1").as("src"), col("id2").as("dst"), col("w"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst"), col("w")))
+    var comp = sym.select(col("src").as("node")).distinct()
+      .withColumn("c", col("node")).localCheckpoint()
+    var chosen: DataFrame = null
+    var rounds = 0
+    var converged = false
+    while (rounds < 10 && !converged) {
+      val e2 = sym
+        .join(comp.select(col("node").as("src"), col("c").as("cs")), Seq("src"))
+        .join(comp.select(col("node").as("dst"), col("c").as("cd")), Seq("dst"))
+        .filter(col("cs") =!= col("cd"))
+      // per component: the (−w, cu, cv)-minimal incident edge; cd rides
+      // along for the contraction (never compared: (cu, cv) is unique)
+      val best = e2
+        .groupBy(col("cs"))
+        .agg(min(struct((-col("w")).as("nw"),
+          least(col("src"), col("dst")).as("cu"),
+          greatest(col("src"), col("dst")).as("cv"),
+          col("cd").as("cd"))).as("m"))
+        .select(col("cs"), col("m.cd").as("cd"), col("m.cu").as("cu"),
+          col("m.cv").as("cv"), (-col("m.nw")).as("w"))
+        .localCheckpoint()
+      if (best.isEmpty) converged = true
+      else {
+        val edges = best.select(col("cu"), col("cv"), col("w")).distinct()
+          .localCheckpoint()
+        chosen = if (chosen == null) edges else
+          chosen.unionByName(edges).localCheckpoint()
+        val contr = graft.ext.Dedup.connectedComponents(
+          best.select(col("cs").as("id1"), col("cd").as("id2")).distinct())
+        comp = comp
+          .join(broadcast(contr.select(col("id").as("c"),
+            col("component").as("c2"))), Seq("c"), "left")
+          .select(col("node"), coalesce(col("c2"), col("c")).as("c"))
+          .localCheckpoint()
+      }
+      rounds += 1
+    }
+    val treeOf = comp.select(col("node").as("cu"), col("c"))
+    chosen
+      .join(treeOf, Seq("cu"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n_edges"), sum(col("w")).as("total_w"),
+        sum(col("cu") * 1000003L + col("cv") * 97L + col("w")).as("edge_digest"))
+      .join(comp.groupBy(col("c")).agg(count(lit(1)).as("n_nodes")), Seq("c"))
+      .select(col("c").as("component"), col("n_nodes"), col("n_edges"),
+        col("total_w"), col("edge_digest"), lit(converged).as("converged"))
+      .orderBy(col("component"))
+  }
+
   /** RANDOM-WALK SAMPLING (node2vec/DeepWalk corpus generation) — one
     * 4-step walk per node of the repeat co-purchase graph, the sequence
     * corpus an embedding trainer feeds to skip-gram. "Random" is
@@ -2108,6 +2196,9 @@ object Warehouse {
   /** The repeat-co-purchase pair relation `(id1 < id2, ≥ 2 shared
     * orders)` — staged once per (JVM, sf) and shared by
     * [[graphComponents]] and [[graphKcore]]. */
+  /** Repeat co-purchase pairs (id1 < id2, ≥ 2 shared orders), the
+    * co-purchase COUNT kept as `w` (r12: [[graphMst]] weights the
+    * backbone by it; set consumers just never select it). */
   private def repeatEdges(s: SparkSession, dir: String): DataFrame =
     Ext.stage("cc_edges", s, dir)({
       val op = t(s, dir, "lineitem")
@@ -2118,7 +2209,6 @@ object Warehouse {
         .groupBy(col("a.l_partkey").as("id1"), col("b.l_partkey").as("id2"))
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
-        .select(col("id1"), col("id2"))
     })
 
   /** K-CORE DECOMPOSITION (k = 2, bounded peel) over the repeat
@@ -2739,6 +2829,7 @@ object Warehouse {
     "graph_edge_jaccard" -> graphEdgeJaccard _,
     "graph_label_prop" -> graphLabelProp _,
     "graph_rw_sample" -> graphRwSample _,
+    "graph_mst" -> graphMst _,
     "ts_seasonal_naive" -> tsSeasonalNaive _,
     "mix_quantile_normalize" -> mixQuantileNormalize _,
     "agg_seasonality" -> aggSeasonality _,

@@ -32,6 +32,32 @@ object WarehouseOracle {
          FROM f ORDER BY user_id, ts_us, event_id"""
 
   val all: Map[String, String] = Map(
+
+    // Maximum-spanning-forest summary, pinned to the sf0.01 literal
+    // captured after LearnSpec's two-scale Kruskal-twin parity (the
+    // pattern-modes stability-pin playbook: forest CORRECTNESS is the
+    // MstRef twin's job; this literal pins the engine output for the
+    // driver's sf0.01 gate).
+    "graph_mst" ->
+      """SELECT CAST(component AS BIGINT) AS component,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(total_w AS BIGINT) AS total_w,
+           CAST(edge_digest AS BIGINT) AS edge_digest,
+           converged
+         FROM (VALUES
+           (0, 1860, 1859, 3783, 801348813815, TRUE),
+           (34, 2, 1, 2, 34191291, TRUE),
+           (147, 2, 1, 2, 147176401, TRUE),
+           (304, 5, 4, 8, 1583322529, TRUE),
+           (366, 2, 1, 2, 366144854, TRUE),
+           (516, 2, 1, 2, 516151997, TRUE),
+           (575, 3, 2, 4, 1150250222, TRUE),
+           (676, 2, 1, 2, 676137442, TRUE),
+           (794, 2, 1, 2, 794124410, TRUE))
+           AS t(component, n_nodes, n_edges, total_w, edge_digest, converged)
+         ORDER BY component""",
+
     "merge_upsert" ->
       """WITH upd AS (
            SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice, 'U' AS src

@@ -168,6 +168,33 @@ class LearnSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("graph_mst == the independent Kruskal twin at two scales") {
+    for (dir <- Seq(sf0001, sf001)) {
+      val op = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct
+      val edges = op.groupBy(_._1).values.toSeq
+        .flatMap { grp =>
+          val ps = grp.map(_._2).distinct.sorted
+          for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+        }
+        .groupBy(identity).toSeq
+        .collect { case ((u, v), hits) if hits.size >= 2 =>
+          (u, v, hits.size.toLong) }
+      val want = MstRef.maxSpanningForest(edges)
+      val got = graft.SparkEntry.queries("graph_mst")(spark, dir)
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      assert(got.forall(_._6), s"$dir: Borůvka did not converge in bound")
+      // every tree spans: edges = nodes − 1
+      assert(got.forall(t => t._3 == t._2 - 1), s"$dir: non-tree component")
+      assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)) == want,
+        s"$dir: engine=${got.size} twin=${want.size} " +
+          s"firstDiff=${got.map(t => (t._1, t._2, t._3, t._4, t._5))
+            .zip(want).find(p => p._1 != p._2)}")
+    }
+  }
+
   test("text_readability equals the Java-regex recomputation") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
