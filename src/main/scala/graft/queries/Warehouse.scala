@@ -834,6 +834,57 @@ object Warehouse {
       .orderBy(col("event_type"))
   }
 
+  /** CLASSICAL SEASONAL DECOMPOSITION (trend / weekly seasonal /
+    * remainder) of the daily cents series per event type — the
+    * moving-average decomposition an anomaly or forecasting pipeline
+    * runs before modeling, INTEGER-EXACT throughout by working in
+    * 7×-units: the series densifies onto the full day spine (missing
+    * days are true zeros — the [[tsSeasonalNaive]] observed-day caveat
+    * done right), trend7 = the centered 7-day SUM (7× the moving
+    * average, so no division), detrended7 = 7·cents − trend7, the
+    * seasonal component is the per-weekday floor-mean of detrended7
+    * (the +2⁴⁰ shift keeps the floor division's numerator positive, so
+    * Spark `div` ≡ DuckDB `//` despite negative detrended values), and
+    * remainder7 = detrended7 − seasonal7. Weekday is `day mod 7`
+    * (epoch-day classes — an arbitrary but engine-identical labeling).
+    *
+    * Output is the (type × weekday) seasonal profile plus exact
+    * remainder-magnitude stats — the decomposition quality report.
+    * Scale: ONE corpus pass (the daily rollup); the spine, windows, and
+    * rollups all run on the |types × days| histogram relation. */
+  def tsDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dense = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val det = dense
+      .withColumn("trend7", sum(col("cents")).over(w7))
+      .withColumn("nw", count(lit(1)).over(w7))
+      .filter(col("nw") === 7) // full centered windows only
+      .withColumn("det7", col("cents") * 7 - col("trend7"))
+      .withColumn("weekday", expr("day % 7"))
+    val seas = det.groupBy(col("event_type"), col("weekday"))
+      .agg(count(lit(1)).as("n_days"), sum(col("det7")).as("s7"))
+      .withColumn("seasonal7", expr(
+        "(s7 + n_days * 1099511627776) div n_days - 1099511627776"))
+    det.join(seas.select(col("event_type"), col("weekday"), col("seasonal7")),
+        Seq("event_type", "weekday"))
+      .withColumn("rem7", col("det7") - col("seasonal7"))
+      .groupBy(col("event_type"), col("weekday"))
+      .agg(count(lit(1)).as("n_days"), max(col("seasonal7")).as("seasonal7"),
+        sum(abs(col("rem7"))).as("sum_abs_rem7"),
+        max(abs(col("rem7"))).as("max_abs_rem7"))
+      .orderBy(col("event_type"), col("weekday"))
+  }
+
   /** LTTB DOWNSAMPLING (largest-triangle-three-buckets) — the standard
     * series downsampler every dashboard layer runs before plotting a
     * 100 TB metric: keep first and last, split the interior into m−2
@@ -2831,6 +2882,7 @@ object Warehouse {
     "graph_rw_sample" -> graphRwSample _,
     "graph_mst" -> graphMst _,
     "ts_seasonal_naive" -> tsSeasonalNaive _,
+    "ts_decompose" -> tsDecompose _,
     "mix_quantile_normalize" -> mixQuantileNormalize _,
     "agg_seasonality" -> aggSeasonality _,
     "profile_columns" -> profileColumns _,

@@ -1430,6 +1430,42 @@ object WarehouseOracle {
              CAST(ae_seasonal AS DOUBLE) / CAST(ae_naive AS DOUBLE) END AS mase
          FROM m ORDER BY event_type""",
 
+    // classical decomposition in 7x-units on the dense day spine; the
+    // +2^40 shift makes the seasonal floor-mean's numerator positive so
+    // // matches Spark's div on negative detrended values
+    "ts_decompose" ->
+      """WITH daily AS (SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM events GROUP BY 1, 2),
+         spine AS (SELECT event_type, unnest(generate_series(min(day), max(day)))
+               AS day
+           FROM daily GROUP BY event_type),
+         dense AS (SELECT s.event_type, s.day,
+             coalesce(d.cents, 0) AS cents
+           FROM spine s LEFT JOIN daily d
+             ON s.event_type = d.event_type AND s.day = d.day),
+         det AS (SELECT event_type, day, cents,
+             CAST(sum(cents) OVER w7 AS BIGINT) AS trend7,
+             count(*) OVER w7 AS nw
+           FROM dense
+           WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         dd AS (SELECT event_type, day, day % 7 AS weekday,
+             cents * 7 - trend7 AS det7
+           FROM det WHERE nw = 7),
+         seas AS (SELECT event_type, weekday, count(*) AS n_days,
+             CAST((sum(det7) + count(*) * 1099511627776) // count(*)
+               - 1099511627776 AS BIGINT) AS seasonal7
+           FROM dd GROUP BY event_type, weekday)
+         SELECT dd.event_type, dd.weekday, s.n_days, s.seasonal7,
+           CAST(sum(abs(dd.det7 - s.seasonal7)) AS BIGINT) AS sum_abs_rem7,
+           CAST(max(abs(dd.det7 - s.seasonal7)) AS BIGINT) AS max_abs_rem7
+         FROM dd JOIN seas s
+           ON dd.event_type = s.event_type AND dd.weekday = s.weekday
+         GROUP BY dd.event_type, dd.weekday, s.n_days, s.seasonal7
+         ORDER BY dd.event_type, dd.weekday""",
+
     // hash-seeded deterministic walks: at step t the walk at v (from s)
     // takes v's neighbor of rank (s*31 + t*17 + v) mod deg(v)
     "graph_rw_sample" ->

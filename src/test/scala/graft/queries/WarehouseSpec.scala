@@ -378,4 +378,29 @@ class WarehouseSpec extends SparkSpec {
       assert(math.abs(full(k)._2 - sv) <= 0.011, s"group $k") // one post-round ulp
     }
   }
+
+  test("ts_decompose equals the naive dense-spine recomputation") {
+    val daily = graft.core.Tables.eventsTsUs(spark, sf0001)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = daily.keySet.groupBy(_._1).toSeq.flatMap { case (tpe, ks) =>
+      val (d0, d1) = (ks.map(_._2).min, ks.map(_._2).max)
+      val dense = (d0 to d1).map(d => d -> daily.getOrElse((tpe, d), 0L))
+      val det = dense.zipWithIndex.collect {
+        case ((d, c), i) if i >= 3 && i + 3 < dense.size =>
+          (d % 7, c * 7 - dense.slice(i - 3, i + 4).map(_._2).sum)
+      }
+      det.groupBy(_._1).toSeq.map { case (wd, rs) =>
+        val n = rs.size.toLong
+        val s7 = (rs.map(_._2).sum + n * 1099511627776L) / n - 1099511627776L
+        (tpe, wd, n, s7, rs.map(r => math.abs(r._2 - s7)).sum,
+          rs.map(r => math.abs(r._2 - s7)).max)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.SparkEntry.queries("ts_decompose")(spark, sf0001)
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got == expect)
+  }
 }
