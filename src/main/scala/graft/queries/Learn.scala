@@ -287,6 +287,51 @@ object Learn {
       .orderBy(col("threshold_ppm"))
   }
 
+  /** BOOTSTRAP CONFIDENCE INTERVAL for the per-type mean — the
+    * uncertainty quantification an eval pipeline attaches to every
+    * reported metric, as a DETERMINISTIC Poisson-style bootstrap (the
+    * dataset-pipeline requirement: re-running must reproduce the
+    * interval bit-for-bit): replicate b resamples each row with weight
+    * w = #{j ∈ 0..2 : ((id mod 2²⁰)·2654435761 + b·1000003 + j·97)
+    * mod 1024 < 341} — Binomial(3, ⅓), mean ≈ 1, pure integer
+    * arithmetic both engines evaluate identically (no engine RNG, no
+    * xxhash dependency in the oracle). 32 replicates; the CI is the
+    * [2nd, 31st] order statistic of the replicate means (≈ 90 %
+    * central), every mean an exact integer milli-cent floor division.
+    *
+    * Scale: the 32 replicates FUSE into one corpus pass — the explode
+    * inflates rows scan-side but the partial aggregation combines
+    * map-side, so the shuffle carries |types|·32 rows; the order
+    * statistics run on that bounded relation. This is the
+    * one-pass-B-replicates bootstrap a 100 TB metric job runs, vs B
+    * full passes. */
+  def mlBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+      (col("event_id") % 1048576L).as("hid"))
+    val reps = ev
+      .select(col("event_type"), col("cents"), col("hid"),
+        explode(sequence(lit(0L), lit(31L))).as("b"))
+      .withColumn("w", (0 to 2).map(j =>
+        when((col("hid") * 2654435761L + col("b") * 1000003L + j * 97L)
+          % 1024 < 341, 1L).otherwise(0L)).reduce(_ + _))
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w") * col("cents")).as("swc"), sum(col("w")).as("sw"))
+      .withColumn("mean_milli", expr("(1000 * swc) div greatest(sw, 1)"))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("mean_milli"), col("b"))
+    val ci = reps
+      .withColumn("rk", row_number().over(wRank))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rk") === 2, col("mean_milli"))).as("ci_lo_milli"),
+        max(when(col("rk") === 31, col("mean_milli"))).as("ci_hi_milli"))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("(1000 * sum(cents)) div count(1)").as("mean_milli"))
+      .join(broadcast(ci), Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
   // ===== classification =====
 
   /** NEAREST-CENTROID CLASSIFICATION over the embedding corpus —
@@ -391,6 +436,7 @@ object Learn {
     "ml_stump_split" -> mlStumpSplit _,
     "ml_calibration_bins" -> mlCalibrationBins _,
     "ml_pr_curve" -> mlPrCurve _,
+    "ml_bootstrap_ci" -> mlBootstrapCi _,
     "ml_centroid_classify" -> mlCentroidClassify _,
     "text_readability" -> textReadability _,
   )

@@ -167,6 +167,53 @@ object LearnOracle {
            (1000000 * tp) // greatest(pos_all, 1) AS recall_ppm
          FROM c WHERE bucket <= 9 ORDER BY threshold_ppm""",
 
+    // deterministic Poisson-style bootstrap: Binomial(3, 1/3) weights
+    // from portable integer hashing, 32 replicates, CI = [2nd, 31st]
+    // order statistic of the replicate means
+    "ml_bootstrap_ci" ->
+      """WITH ev AS (
+           SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+                  event_id % 1048576 AS hid
+           FROM events),
+         reps AS (
+           SELECT event_type, b.b,
+             CAST(sum(((CASE WHEN (hid * 2654435761 + b.b * 1000003) % 1024 < 341
+                    THEN 1 ELSE 0 END)
+                + (CASE WHEN (hid * 2654435761 + b.b * 1000003 + 97) % 1024 < 341
+                    THEN 1 ELSE 0 END)
+                + (CASE WHEN (hid * 2654435761 + b.b * 1000003 + 194) % 1024 < 341
+                    THEN 1 ELSE 0 END)) * cents) AS BIGINT) AS swc,
+             CAST(sum((CASE WHEN (hid * 2654435761 + b.b * 1000003) % 1024 < 341
+                    THEN 1 ELSE 0 END)
+                + (CASE WHEN (hid * 2654435761 + b.b * 1000003 + 97) % 1024 < 341
+                    THEN 1 ELSE 0 END)
+                + (CASE WHEN (hid * 2654435761 + b.b * 1000003 + 194) % 1024 < 341
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS sw
+           FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+           GROUP BY event_type, b.b),
+         m AS (
+           SELECT event_type, b,
+             (1000 * swc) // greatest(sw, 1) AS mean_milli
+           FROM reps),
+         r AS (
+           SELECT event_type, mean_milli,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY mean_milli, b) AS rk
+           FROM m),
+         ci AS (
+           SELECT event_type,
+             CAST(max(CASE WHEN rk = 2 THEN mean_milli END) AS BIGINT)
+               AS ci_lo_milli,
+             CAST(max(CASE WHEN rk = 31 THEN mean_milli END) AS BIGINT)
+               AS ci_hi_milli
+           FROM r GROUP BY event_type)
+         SELECT ev.event_type, count(*) AS n,
+           CAST((1000 * sum(cents)) // count(*) AS BIGINT) AS mean_milli,
+           ci_lo_milli, ci_hi_milli
+         FROM ev JOIN ci ON ev.event_type = ci.event_type
+         GROUP BY ev.event_type, ci_lo_milli, ci_hi_milli
+         ORDER BY ev.event_type""",
+
     // integer nearest-centroid lifecycle: fixed-point quantize, exact
     // integer centroid means (+2^30 shift), integer squared distance,
     // lowest-label tie-break

@@ -168,6 +168,30 @@ class LearnSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("ml_bootstrap_ci equals the naive replicate recomputation") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_type"), col("value"), col("event_id")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100),
+        r.getLong(2) % 1048576L))
+    val expect = ev.groupBy(_._1).toSeq.map { case (tpe, rows) =>
+      val means = (0L to 31L).map { b =>
+        val ws = rows.map { case (_, c, hid) =>
+          val w = (0 to 2).count(j =>
+            (hid * 2654435761L + b * 1000003L + j * 97L) % 1024 < 341).toLong
+          (w * c, w)
+        }
+        (1000L * ws.map(_._1).sum / math.max(ws.map(_._2).sum, 1L), b)
+      }.sorted
+      (tpe, rows.size.toLong, 1000L * rows.map(_._2).sum / rows.size,
+        means(1)._1, means(30)._1)
+    }.sortBy(_._1)
+    val got = rowsOf("ml_bootstrap_ci").map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got == expect)
+    // the 90% interval should bracket the full-sample mean
+    got.foreach(t => assert(t._4 <= t._3 && t._3 <= t._5, s"CI misses mean: $t"))
+  }
+
   test("graph_mst == the independent Kruskal twin at two scales") {
     for (dir <- Seq(sf0001, sf001)) {
       val op = spark.read.parquet(s"$dir/lineitem.parquet")
