@@ -1644,7 +1644,7 @@ object Warehouse {
     * [[graphEdgeJaccard]] each used to pay that node-scale join on
     * every invocation), staged once per (JVM, sf) and shared by the
     * whole graph family. */
-  private def stagedEdges(s: SparkSession, dir: String): DataFrame =
+  private[queries] def stagedEdges(s: SparkSession, dir: String): DataFrame =
     Ext.stage("pr_edges", s, dir)({
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
       val pairs = li.as("a").join(li.as("b"),
@@ -1693,12 +1693,18 @@ object Warehouse {
     val nodes = edges.select(col("src").as("node")).distinct()
     var ranks = nodes.withColumn("rank", lit(1000000000L))
     for (_ <- 1 to 5) {
-      val in = edges.join(ranks, col("src") === col("node"))
+      // r12 OPTIMIZATION: the old form re-attached the node set per
+      // iteration (nodes LEFT JOIN in + coalesce(m, 0)) — dead work on
+      // this graph: the staged relation is SYMMETRIC and every node has
+      // deg ≥ 1, so the dst set of the contribution rollup IS the node
+      // set every iteration and the coalesce never fired. Dropping the
+      // join removes 5 node-scale joins (one exchange each) from the
+      // plan; values and row set are bit-identical.
+      ranks = edges.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-      ranks = nodes.join(in, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(150000000L) + expr("(85 * coalesce(m, 0L)) div 100")).as("rank"))
+        .select(col("dst").as("node"),
+          (lit(150000000L) + expr("(85 * m) div 100")).as("rank"))
     }
     ranks.select(col("node").as("part_key"), col("rank")).orderBy(col("part_key"))
   }
@@ -1787,34 +1793,195 @@ object Warehouse {
     * once per corpus generation; every later consumer reads an
     * edge-scale parquet with MATERIALIZED unordered-edge key columns,
     * so downstream joins are plain column equi-joins, not
-    * least/greatest expression keys. The bloom broadcast is destroyed
-    * as soon as the staged write lands. */
+    * least/greatest expression keys. r12 OPTIMIZATION: below
+    * [[AdjEdgeCap]] the build is [[triSupportByAdjacency]] (broadcast-
+    * CSR common-neighbor counting — no wedge stream at all); beyond it,
+    * the sequenced wedge enumeration [[triSupportByWedges]]. */
+  /** Symmetric-edge-entry cap for the broadcast-adjacency support path
+    * ([[triSupportByAdjacency]]): 2 longs per entry, so the default
+    * 300 M entries ≈ 2.4 GB of primitive neighbor arrays on the driver
+    * and (one copy, local mode) on the executors — comfortably inside
+    * the 32 GB heap, and ~60× smaller than the two HashedRelation
+    * broadcasts the wedge path builds for the same graph (the 100×
+    * probe's 240 M-entry relation hashed to 11.2 GiB and failed; its
+    * CSR form is 1.9 GB). Past the cap the build falls back to the
+    * sequenced wedge enumeration, whose sort-merge fallback is the
+    * honest beyond-one-box path. */
+  private val AdjEdgeCap =
+    sys.env.get("SPARK_GRAFT_TRI_ADJ_CAP").map(_.toLong)
+      .getOrElse(300000000L)
+
+  /** Per-edge triangle support by BROADCAST-ADJACENCY INTERSECTION —
+    * support{u,v} of an edge is |N(u) ∩ N(v)| (each common neighbor is
+    * exactly one triangle through the edge), so instead of enumerating
+    * the O(Σ out²) wedge stream through two broadcast hash joins and a
+    * bloom probe (~2–4 µs per wedge, 95 executor-CPU-s at sf0.1 / ~1,100
+    * at 10× — the r11 verdict's top CPU item even after staging), the
+    * symmetric edge list is collected into a compact CSR (sorted node
+    * index + sorted primitive neighbor slices, 16 B/entry), broadcast
+    * once, and every canonical edge's support is one sorted-merge count
+    * (~ns per element, Σ deg² total steps). No triangle instance is
+    * ever materialized, nothing shuffles, and the output lands straight
+    * in the staged parquet. Values are bit-identical to the wedge
+    * enumeration ([[Round12PerfSpec]] pins equality at two SFs; the
+    * triangles/edge-Jaccard oracle gates re-verify end to end).
+    *
+    * The collect is the standard build side of a broadcast (guide §3.1)
+    * — same driver residency as the wedge path's two BroadcastExchanges,
+    * in a far smaller structure — and is gated by [[AdjEdgeCap]]. */
+  private[queries] def triSupportByAdjacency(
+      s: SparkSession, edges: DataFrame, nSym: Long): DataFrame = {
+    import s.implicits._
+    val log = graft.core.PhaseLog.start("tri_adj")
+    require(nSym < Int.MaxValue.toLong, s"adjacency path needs nSym < 2^31, got $nSym")
+    val n = nSym.toInt
+    // packed per-partition (srcs, dsts) chunks — primitive arrays, no
+    // Row boxing on the driver
+    val chunks = edges.select(col("src"), col("dst"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val sb = new scala.collection.mutable.ArrayBuilder.ofLong
+        val db = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { case (a, b) => sb += a; db += b }
+        Iterator.single((sb.result(), db.result()))
+      }.collect()
+    val srcs = new Array[Long](n)
+    val dsts = new Array[Long](n)
+    var off = 0
+    chunks.foreach { case (a, b) =>
+      System.arraycopy(a, 0, srcs, off, a.length)
+      System.arraycopy(b, 0, dsts, off, b.length)
+      off += a.length
+    }
+    require(off == n, s"edge collect saw $off entries, count said $n")
+    log(s"collected sym_entries=$n")
+    // sorted node index (every node appears as a src in the symmetric
+    // relation), then CSR: counts -> offsets -> scatter -> sorted slices
+    val nodeIds = {
+      val tmp = srcs.clone()
+      java.util.Arrays.sort(tmp)
+      var m = 0
+      var i = 0
+      while (i < tmp.length) {
+        if (m == 0 || tmp(m - 1) != tmp(i)) { tmp(m) = tmp(i); m += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(tmp, m)
+    }
+    val nNodes = nodeIds.length
+    val starts = new Array[Int](nNodes + 1)
+    var i = 0
+    while (i < n) {
+      starts(java.util.Arrays.binarySearch(nodeIds, srcs(i)) + 1) += 1
+      i += 1
+    }
+    i = 1
+    while (i <= nNodes) { starts(i) += starts(i - 1); i += 1 }
+    val nbrs = new Array[Long](n)
+    val cursor = java.util.Arrays.copyOf(starts, nNodes)
+    i = 0
+    while (i < n) {
+      val ni = java.util.Arrays.binarySearch(nodeIds, srcs(i))
+      nbrs(cursor(ni)) = dsts(i)
+      cursor(ni) += 1
+      i += 1
+    }
+    i = 0
+    while (i < nNodes) {
+      java.util.Arrays.sort(nbrs, starts(i), starts(i + 1))
+      i += 1
+    }
+    log(s"csr built nodes=$nNodes")
+    val bc = s.sparkContext.broadcast((nodeIds, starts, nbrs))
+    // node-range chunks balanced by cumulative degree, one per task
+    val nChunks = math.max(1,
+      math.min(nNodes, s.sparkContext.defaultParallelism * 3))
+    s.range(0, nChunks.toLong, 1, nChunks).as[Long]
+      .mapPartitions { chunkIt =>
+        val (ids, st, nb) = bc.value
+        val total = nb.length.toLong
+        val nN = ids.length
+        def cut(c: Long): Int = {
+          // first node index whose cumulative degree reaches c/nChunks
+          // of the total — binary search on the offsets array
+          val target = total * c / nChunks
+          var lo = 0; var hi = nN
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (st(mid).toLong < target) lo = mid + 1 else hi = mid
+          }
+          lo
+        }
+        chunkIt.flatMap { c =>
+          val from = cut(c)
+          val until = cut(c + 1)
+          (from until until).iterator.flatMap { ni =>
+            val u = ids(ni)
+            val uLo = st(ni); val uHi = st(ni + 1)
+            (uLo until uHi).iterator.flatMap { k =>
+              val v = nb(k)
+              if (v <= u) Iterator.empty
+              else {
+                val vi = java.util.Arrays.binarySearch(ids, v)
+                var a = uLo; var b = st(vi); val bHi = st(vi + 1)
+                var common = 0L
+                while (a < uHi && b < bHi) {
+                  val x = nb(a); val y = nb(b)
+                  if (x < y) a += 1
+                  else if (x > y) b += 1
+                  else { common += 1; a += 1; b += 1 }
+                }
+                if (common > 0) Iterator.single((u, v, common))
+                else Iterator.empty
+              }
+            }
+          }
+        }
+      }
+      .toDF("u", "v", "common")
+  }
+
+  /** Per-edge triangle support by the SEQUENCED WEDGE ENUMERATION — the
+    * beyond-[[AdjEdgeCap]] fallback: the wedge pipeline runs once, its
+    * triangle instances land as a staged table, and the per-edge rollup
+    * runs as THREE SEQUENTIAL per-position aggregations (each staged,
+    * so one partial-agg spill is paid and freed before the next starts)
+    * instead of one 3|T|-row explode+groupBy — at the 100× probe the
+    * single-shot form needed ~80-100 GB of concurrent sort spill (more
+    * than a single box's scratch; the first attempt filled the disk
+    * twice), while the sequenced form peaks at ~|T| parquet + one
+    * position's spill. Σ of the three position counts ≡ the exploded
+    * count, so values are bit-identical to [[triSupportByAdjacency]]. */
+  private[queries] def triSupportByWedges(
+      s: SparkSession, dir: String, edges: DataFrame)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[_]) = {
+    val (tri0, bfBc) = triangleInstances(s, orientEdges(edges))
+    val tri = Ext.stage("tri_inst", s, dir)(tri0)
+    def posAgg(x: String, y: String, name: String): DataFrame =
+      Ext.stage(name, s, dir)(
+        tri.select(least(col(x), col(y)).as("u"),
+            greatest(col(x), col(y)).as("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c")))
+    val p1 = posAgg("wa", "wb", "tri_p1")
+    val p2 = posAgg("wb", "wc", "tri_p2")
+    val p3 = posAgg("wa", "wc", "tri_p3")
+    (p1.unionByName(p2).unionByName(p3)
+      .groupBy(col("u"), col("v")).agg(sum(col("c")).as("common")), bfBc)
+  }
+
   private def stagedTriSupport(s: SparkSession, dir: String): DataFrame = {
+    // the bloom broadcast (wedge path only) is destroyed once the staged
+    // tri_support write has landed (ADVICE r11: the handle used to leak)
     var bloom: Option[org.apache.spark.broadcast.Broadcast[_]] = None
     val out = Ext.stage("tri_support", s, dir)({
-      // the wedge pipeline runs ONCE and its triangle instances land as
-      // a staged table; the per-edge rollup then runs as THREE
-      // SEQUENTIAL per-position aggregations (each staged, so one
-      // partial-agg spill is paid and freed before the next starts)
-      // instead of one 3|T|-row explode+groupBy — at the 100× probe
-      // the single-shot form needed ~80-100 GB of concurrent sort
-      // spill (more than a single box's scratch; the first attempt
-      // filled the disk twice), while the sequenced form peaks at
-      // ~|T| parquet + one position's spill. Σ of the three position
-      // counts ≡ the exploded count, so values are bit-identical.
-      val (tri0, bfBc) = triangleInstances(s, orientEdges(stagedEdges(s, dir)))
-      bloom = Some(bfBc)
-      val tri = Ext.stage("tri_inst", s, dir)(tri0)
-      def posAgg(x: String, y: String, name: String): DataFrame =
-        Ext.stage(name, s, dir)(
-          tri.select(least(col(x), col(y)).as("u"),
-              greatest(col(x), col(y)).as("v"))
-            .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c")))
-      val p1 = posAgg("wa", "wb", "tri_p1")
-      val p2 = posAgg("wb", "wc", "tri_p2")
-      val p3 = posAgg("wa", "wc", "tri_p3")
-      p1.unionByName(p2).unionByName(p3)
-        .groupBy(col("u"), col("v")).agg(sum(col("c")).as("common"))
+      val edges = stagedEdges(s, dir)
+      val nSym = edges.count() // parquet-footer count on the staged table
+      if (nSym <= AdjEdgeCap) triSupportByAdjacency(s, edges, nSym)
+      else {
+        val (df, bfBc) = triSupportByWedges(s, dir, edges)
+        bloom = Some(bfBc)
+        df
+      }
     })
     bloom.foreach(_.destroy())
     out
