@@ -18,8 +18,16 @@ object Ext {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  // documents carry the corpus TEXT, and nearly every consumer fuses
+  // CPU-heavy per-row work (tokenize + explode/shingle, codec synth +
+  // decode, BPE encode) into the scan stage — the scale-adaptive spread
+  // keeps that work at core parallelism when the input is fewer splits
+  // than cores (see Tables.loadSpread; no-op at production split counts)
+  private[queries] def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.loadSpread(s, dir, "documents")
+
   private[queries] def docsTok(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").withColumn("toks", Text.tokens(col("text")))
+    docsSpread(s, dir).withColumn("toks", Text.tokens(col("text")))
 
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.eventsTsUs(s, dir)
@@ -981,7 +989,7 @@ object Ext {
         D + m._2 + m._3 + D)).toArray
     val bc = s.sparkContext.broadcast(ladder)
     import s.implicits._
-    t(s, dir, "documents")
+    docsSpread(s, dir)
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -4091,7 +4099,7 @@ object Ext {
     * partition pass, and only the |docs|-sized metadata relation flows
     * downstream. */
   def mmDecodeMeta(s: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeImages(Multimodal.synthImages(t(s, dir, "documents")))
+    Multimodal.decodeImages(Multimodal.synthImages(docsSpread(s, dir)))
       .toDF()
       .withColumn("pix_sum",
         when(col("fmt") === "jpg", lit(-1L)).otherwise(col("pix_sum")))
@@ -4118,7 +4126,7 @@ object Ext {
   def mmResize(s: SparkSession, dir: String): DataFrame =
     Multimodal.resizeImages(
       Multimodal.synthImages(
-        t(s, dir, "documents").filter(col("doc_id") % 3 =!= 2)),
+        docsSpread(s, dir).filter(col("doc_id") % 3 =!= 2)),
       dw = 16, dh = 12)
       .orderBy(col("doc_id"))
 
@@ -4138,7 +4146,7 @@ object Ext {
     * the one-function swap described at the CODEC BOUNDARY note atop
     * this section. */
   def mmAudioMeta(s: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeAudio(Multimodal.synthAudio(t(s, dir, "documents")))
+    Multimodal.decodeAudio(Multimodal.synthAudio(docsSpread(s, dir)))
       .toDF()
       .orderBy(col("doc_id"))
 
@@ -4149,7 +4157,7 @@ object Ext {
     * replays every window from the synthetic sample expression. */
   def mmAudioEnergy(s: SparkSession, dir: String): DataFrame =
     Multimodal.audioEnergyWindows(
-      Multimodal.synthAudio(t(s, dir, "documents")), win = 160)
+      Multimodal.synthAudio(docsSpread(s, dir)), win = 160)
       .orderBy(col("doc_id"), col("win"))
 
   /** REAL video-frame sampling (r11 — the last multimodal leg): per doc
@@ -4169,7 +4177,7 @@ object Ext {
     * section. */
   def mmVideoFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleVideoFrames(
-      Multimodal.synthVideos(t(s, dir, "documents")), stride = 2)
+      Multimodal.synthVideos(docsSpread(s, dir)), stride = 2)
       .orderBy(col("doc_id"), col("frame_idx"))
 
   /** SCENE-CUT DETECTION over real multi-frame video — the shot-change
@@ -4192,7 +4200,7 @@ object Ext {
     * argmax window. */
   def mmVideoSceneCut(s: SparkSession, dir: String): DataFrame = {
     val diffs = Multimodal.videoFrameDiffs(
-      Multimodal.synthVideosScenes(t(s, dir, "documents")))
+      Multimodal.synthVideosScenes(docsSpread(s, dir)))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("sad").desc, col("frame_idx"))
     diffs
@@ -4217,7 +4225,7 @@ object Ext {
   def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
     val hashes = Multimodal.averageHash(
       Multimodal.synthImages(
-        t(s, dir, "documents").filter(col("doc_id") % 3 =!= 2)))
+        docsSpread(s, dir).filter(col("doc_id") % 3 =!= 2)))
     val w = Window.partitionBy(col("ahash_hi"), col("ahash_lo"))
     hashes
       .withColumn("cluster_id", min(col("doc_id")).over(w))
@@ -4240,7 +4248,7 @@ object Ext {
     * per-(doc, window) energy relation moves for the lag window. */
   def mmAudioFingerprint(s: SparkSession, dir: String): DataFrame = {
     val en = Multimodal.audioEnergyWindows(
-      Multimodal.synthAudio(t(s, dir, "documents")), win = 40)
+      Multimodal.synthAudio(docsSpread(s, dir)), win = 40)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("win"))
     val bits = en
       .withColumn("nxt", lead(col("sumsq"), 1).over(w))
@@ -4271,7 +4279,7 @@ object Ext {
   def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
     val hashes = Multimodal.averageHash(
       Multimodal.synthImages(
-        t(s, dir, "documents").filter(col("doc_id") % 3 =!= 2)))
+        docsSpread(s, dir).filter(col("doc_id") % 3 =!= 2)))
     val bands = hashes.select(
       col("doc_id"), col("ahash_hi"), col("ahash_lo"),
       explode(array((0 to 3).map(lit): _*)).as("b"))
@@ -5449,7 +5457,7 @@ object Ext {
     val outDir = Tmp.jvmScopedDir("stream_mm_out", dir)
     val ckDir = Tmp.jvmScopedDir("stream_mm_ck", dir)
     if (!new java.io.File(inDir, "_SUCCESS").exists()) {
-      Multimodal.synthImages(t(s, dir, "documents"))
+      Multimodal.synthImages(docsSpread(s, dir))
         .coalesce(1).write.mode("overwrite").parquet(inDir)
       log("staged payloads")
     } else log("reusing staged input")

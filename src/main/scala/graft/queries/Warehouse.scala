@@ -1689,17 +1689,34 @@ object Warehouse {
   }
 
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    // r12 OPTIMIZATION 2 (guide §2.4 — remove shuffles outright): the
+    // iteration join `edges ⋈ ranks ON src = node` used to re-shuffle and
+    // re-sort the |E| relation EVERY iteration (plan audit: iterations
+    // 3–5 planned as SortMergeJoin with a fresh Exchange+Sort of the
+    // edge scan each — Catalyst's size estimate of the rank relation
+    // inflates through the nested agg chain until the broadcast it chose
+    // for iterations 1–2 no longer fires). The edge relation is
+    // iteration-INVARIANT, so it is shuffled and sorted by src ONCE and
+    // materialized via localCheckpoint — LogicalRDD preserves both the
+    // hash partitioning and the sort order, so all five joins plan with
+    // ZERO exchange and ZERO sort on the edge side; the rank side reuses
+    // its own aggregation partitioning (node == dst). The only remaining
+    // per-iteration shuffle is the contribution rollup by dst — the one
+    // shuffle pagerank fundamentally requires (§1.1). The node set also
+    // derives from the checkpointed relation, so its distinct reuses the
+    // same partitioning (no exchange). 20 → 7 Exchanges; values and row
+    // set are bit-identical (same expressions, same integer arithmetic).
     val edges = stagedEdges(s, dir)
+      .select(col("src"), col("dst"), col("deg"))
+      .repartition(col("src"))
+      .sortWithinPartitions(col("src"))
+      .localCheckpoint()
     val nodes = edges.select(col("src").as("node")).distinct()
     var ranks = nodes.withColumn("rank", lit(1000000000L))
     for (_ <- 1 to 5) {
-      // r12 OPTIMIZATION: the old form re-attached the node set per
-      // iteration (nodes LEFT JOIN in + coalesce(m, 0)) — dead work on
-      // this graph: the staged relation is SYMMETRIC and every node has
-      // deg ≥ 1, so the dst set of the contribution rollup IS the node
-      // set every iteration and the coalesce never fired. Dropping the
-      // join removes 5 node-scale joins (one exchange each) from the
-      // plan; values and row set are bit-identical.
+      // (r12, kept from the interrupted session): no per-iteration node
+      // re-attach — the staged relation is SYMMETRIC with deg ≥ 1
+      // everywhere, so the rollup's dst set IS the node set.
       ranks = edges.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
