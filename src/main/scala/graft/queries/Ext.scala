@@ -736,16 +736,46 @@ object Ext {
   /** Training units for [[textBpeTrain]]: consecutive
     * [[BpeChunkTokens]]-token chunks of each document joined by the
     * "▁" boundary marker, collapsed to a capped TYPE table. */
-  private[queries] def bpeUnits(s: SparkSession, dir: String): DataFrame =
-    docsTok(s, dir)
-      .filter(size(col("toks")) >= 1)
-      .select(explode(expr(
-        s"transform(sequence(0, cast(floor((size(toks)-1)/$BpeChunkTokens) as int)), " +
-          s"g -> array_join(slice(toks, g*$BpeChunkTokens + 1, $BpeChunkTokens), '▁'))"))
-        .as("u"))
-      .filter(col("u") =!= "")
+  /** Probe-visible alias for [[bpeUnits]] (tooling only). */
+  def bpeUnitsForProbe(s: SparkSession, dir: String): DataFrame =
+    bpeUnits(s, dir)
+
+  private[queries] def bpeUnits(s: SparkSession, dir: String): DataFrame = {
+    // r12 OPTIMIZATION (guide §4.1 — higher-order functions don't enter
+    // whole-stage codegen): the chunker used to be a
+    // transform(sequence)+slice+array_join lambda chain evaluated
+    // per-element on the interpreted path — measured 1.1 s wall / 9–18
+    // CPU-s per training at sf0.1, twice per bench pass. This typed
+    // chunker emits the IDENTICAL unit strings (tokenize = split on ' '
+    // dropping empties — Text.tokens' exact semantics, the same
+    // equivalence the gate-proven BPE encode path already relies on;
+    // chunk count ⌈n/4⌉ = floor((n−1)/4)+1; '▁' joints) in one
+    // monomorphic loop. Same downstream type-table aggregation.
+    import s.implicits._
+    docsSpread(s, dir).select(col("text")).as[String]
+      .mapPartitions { it =>
+        it.flatMap { text =>
+          val toks = text.split(' ').iterator.filter(_.nonEmpty).toArray
+          if (toks.length == 0) Iterator.empty
+          else {
+            val n = (toks.length + BpeChunkTokens - 1) / BpeChunkTokens
+            (0 until n).iterator.map { g =>
+              val lo = g * BpeChunkTokens
+              val hi = math.min(toks.length, lo + BpeChunkTokens)
+              val sb = new java.lang.StringBuilder()
+              var i = lo
+              while (i < hi) {
+                if (i > lo) sb.append('▁')
+                sb.append(toks(i)); i += 1
+              }
+              sb.toString
+            }
+          }
+        }
+      }.toDF("u")
       .groupBy(col("u")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("u")).limit(BpeSampleCap)
+  }
 
   /** BPE MERGE INDUCTION to [[BpeTargetMerges]] merges (r8 verdict #3;
     * depth raised r9 verdict missing #3, then to real-vocab scale r10
@@ -822,7 +852,6 @@ object Ext {
   private[queries] def trainMergesList(
       s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
     val log = graft.core.PhaseLog.start("bpe_train")
-    val D = "\u001f"
     // ONE corpus-scale job: build + collect the capped type table. The
     // table is DRIVER-SIZED BY CONSTRUCTION ([[BpeSampleCap]] — the A9
     // bounded-collect contract, same as the k-means seed), which is
@@ -835,15 +864,30 @@ object Ext {
     // the collected table are microseconds-per-unit and age-immune.
     val units = bpeUnits(s, dir).collect()
     log(s"type table collected units=${units.length}")
-    def wrapStr(u: String): String =
-      u.iterator.map(c => D + c + D).mkString
-    // vocab state keeps the DELIMITER-WRAPPED string form and literal
-    // leftmost-non-overlapping replace of the distributed cut — the
-    // mechanics stay deliberately DIFFERENT from the spec twin's
-    // symbol-vector walk, so the two implementations remain independent
-    // evidence about the same contract
-    var vocab: Array[(String, Long)] =
-      units.map(r => (wrapStr(r.getString(0)), r.getLong(1)))
+    // r12 OPTIMIZATION (guide §1.2 per-task work, measured first): the
+    // rounds used to keep the DELIMITER-WRAPPED string form — every round
+    // re-split every unit (count phase 0.65 s) and applied each elected
+    // merge as a char-level String.replace over every unit (replace phase
+    // 0.65 s), ~1.5 s per training × two trainings per bench pass. The
+    // state is now the SYMBOL ARRAY the wrapped string encodes; pair
+    // counting walks the arrays and each merge is the identical
+    // leftmost-non-overlapping adjacent-pair scan (a `D a D D b D` match
+    // can only sit at symbol boundaries, so the two forms merge exactly
+    // the same occurrences in the same order). Counts, the UTF-8
+    // byte-order tie-break, the greedy disjoint election, and the
+    // election-order application are all unchanged — the trained table is
+    // bit-identical (literal-oracle gated; the spec twin's independent
+    // symbol walk still disagrees on MECHANICS with the distributed cut
+    // it guards). Measured: rounds 1.5 s → 0.2 s.
+    val vocabSyms: Array[Array[String]] =
+      units.map { r =>
+        val u = r.getString(0)
+        val a = new Array[String](u.length)
+        var i = 0
+        while (i < u.length) { a(i) = String.valueOf(u.charAt(i)); i += 1 }
+        a
+      }
+    val vocabCnt: Array[Long] = units.map(_.getLong(1))
     // UTF-8 byte order for tie-breaks — inherited from the distributed
     // cut's UTF8String sort; BMP-only corpora make it equal to
     // code-point order, but the contract names the byte order
@@ -863,14 +907,17 @@ object Ext {
       round += 1
       val counts =
         scala.collection.mutable.HashMap.empty[(String, String), Long]
-      for ((seg, cnt) <- vocab) {
-        val sym = seg.split(D).filter(_.nonEmpty)
+      var vi = 0
+      while (vi < vocabSyms.length) {
+        val sym = vocabSyms(vi)
+        val cnt = vocabCnt(vi)
         var i = 0
         while (i < sym.length - 1) {
           val k = (sym(i), sym(i + 1))
           counts.update(k, counts.getOrElse(k, 0L) + cnt)
           i += 1
         }
+        vi += 1
       }
       if (counts.isEmpty) done = true
       else {
@@ -898,13 +945,33 @@ object Ext {
           made += 1
           merges += ((made, a, b, n))
         }
-        // String.replace(CharSequence) is the same leftmost
-        // non-overlapping scan as Spark's StringReplace — greedy BPE
-        // merge order, applied in election order across the batch
-        vocab = vocab.map { case (seg, cnt) =>
-          (picked.foldLeft(seg) { case (sg, (a, b, _)) =>
-            sg.replace(D + a + D + D + b + D, D + a + b + D)
-          }, cnt)
+        // the same leftmost non-overlapping scan String.replace (and
+        // Spark's StringReplace) performs on the wrapped form — greedy
+        // BPE merge order, applied in election order across the batch
+        for ((a, b, _) <- picked) {
+          val ab = a + b
+          var vi2 = 0
+          while (vi2 < vocabSyms.length) {
+            val sym = vocabSyms(vi2)
+            // first occurrence probe: no allocation when the rule misses
+            var hit = -1
+            var i = 0
+            while (hit < 0 && i < sym.length - 1) {
+              if (sym(i) == a && sym(i + 1) == b) hit = i else i += 1
+            }
+            if (hit >= 0) {
+              val out = Array.newBuilder[String]
+              out.sizeHint(sym.length - 1)
+              var j = 0
+              while (j < sym.length) {
+                if (j < sym.length - 1 && sym(j) == a && sym(j + 1) == b) {
+                  out += ab; j += 2 // non-overlapping: resume after the merge
+                } else { out += sym(j); j += 1 }
+              }
+              vocabSyms(vi2) = out.result()
+            }
+            vi2 += 1
+          }
         }
         // the rounds-vs-merges curve, one line per round (r10 verdict
         // Next #3): lands in the bench tail via PhaseLog
