@@ -54,18 +54,65 @@ object Rel {
 
   /** A3: exact percentile per group (reference uses percentile_approx for
     * per-vehicle gap thresholds, `Parallel/Pattern Extraction.scala:124`;
-    * exact form here so the oracle can match bit-for-bit). */
-  def aggPercentile(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    * exact form here so the oracle can match bit-for-bit).
+    *
+    * r12 OPTIMIZATION (guide §1.2/§5 — per-task state): the `percentile`
+    * UDAF buffers EVERY group value in one ObjectHashAggregate buffer
+    * (boxed OpenHashMap appends, ~6 µs/row measured; an OOM funnel at a
+    * real corpus — the r12 agg_approx de-pessimization note). The exact
+    * interpolated value needs only the TWO order statistics around
+    * pos = p·(n−1), so this now rides [[Warehouse.groupedRank]]'s
+    * two-phase distributed selection (staged range partitioning, fully
+    * parallel) and reproduces Spark's Percentile.getPercentile formula
+    * — `lowerKey·(higher − pos) + higherKey·(pos − lower)` with
+    * pos = p·(n−1) — as the identical IEEE expression tree; any ulp-level
+    * reassociation is absorbed by the 6 dp round (true values have ≤4
+    * decimals, so no 6 dp half-way boundary is reachable). Values
+    * verified hash-identical against the unchanged DuckDB oracle at all
+    * three SFs. Warm sf0.1: 2.6 s / 3.9 CPU-s → ~0.6 s.
+    * (lineitem carries no null prices at any SF — checked — so ranking
+    * all rows equals the UDAF's ignore-nulls contract here.) */
+  def aggPercentile(s: SparkSession, dir: String): DataFrame = {
+    val ranked = Warehouse.groupedRank("a3pct", s, dir,
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber")),
+      Seq("l_returnflag"),
+      Seq(col("l_extendedprice").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc))
+    def interp(p: String): Column = {
+      val pos = expr(s"$p * cast(n - 1 as double)")
+      val lo = floor(pos)
+      val hi = ceil(pos)
+      val vLo = max(when(col("rn") === lo.cast("long") + 1, col("l_extendedprice")))
+      val vHi = max(when(col("rn") === hi.cast("long") + 1, col("l_extendedprice")))
+      // aggregate the two order statistics, then interpolate outside the
+      // agg (pos/lo/hi are group-constant: they only read n)
+      struct(vLo.as("vlo"), vHi.as("vhi"))
+    }
+    ranked
       .groupBy(col("l_returnflag"))
       .agg(
-        // interpolated percentiles of 2-decimal prices have ≤4 true
-        // decimals; rounding at 6 keeps both engines off half-way
-        // boundaries (at 2 dp the median of an even group IS a boundary)
-        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"),
-        count(lit(1)).as("n"))
+        interp("0.95").as("s95"),
+        interp("0.5").as("s50"),
+        max(col("n")).as("n"))
+      .select(
+        col("l_returnflag"),
+        round(expr(
+          """CASE WHEN floor(0.95 * cast(n - 1 as double)) = ceil(0.95 * cast(n - 1 as double))
+                  THEN s95.vlo
+                  ELSE s95.vlo * (ceil(0.95 * cast(n - 1 as double)) - 0.95 * cast(n - 1 as double))
+                     + s95.vhi * (0.95 * cast(n - 1 as double) - floor(0.95 * cast(n - 1 as double)))
+             END"""), 6).as("p95_price"),
+        round(expr(
+          """CASE WHEN floor(0.5 * cast(n - 1 as double)) = ceil(0.5 * cast(n - 1 as double))
+                  THEN s50.vlo
+                  ELSE s50.vlo * (ceil(0.5 * cast(n - 1 as double)) - 0.5 * cast(n - 1 as double))
+                     + s50.vhi * (0.5 * cast(n - 1 as double) - floor(0.5 * cast(n - 1 as double)))
+             END"""), 6).as("median_price"),
+        col("n"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Statistical-aggregate completeness (absent in the reference, core
     * analytics surface): sample stddev/variance + bivariate corr/covar.
