@@ -394,4 +394,64 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
     assert(got(id) == got(twin), "byte-identical images must collide")
   }
+
+  // ---- r12 optimization pins: the per-partition AudioOpener must be
+  // semantics-identical to AudioSystem's per-call provider discovery ----
+
+  test("decodeAudio == AudioSystem per-row decode, incl. preferred-reader fallback") {
+    // payload 0: PCM float WAV (written by the JDK's float wave writer) —
+    // establishes a float-reader preference in the partition's opener;
+    // payload 1: plain 16-bit PCM WAV — the preferred reader REJECTS it,
+    // so the opener must fall through the provider list exactly like
+    // AudioSystem. Both run in ONE partition to exercise the cache.
+    def floatWav(): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT,
+        8000f, 32, 1, 4, 8000f, false)
+      val n = 64
+      val bb = java.nio.ByteBuffer.allocate(n * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach(i => bb.putFloat(i.toFloat / n))
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bb.array()), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def pcmWav(id: Long): Array[Byte] = {
+      val row = Multimodal.synthAudio(Seq(id).toDF("doc_id"))
+        .select("payload").as[Array[Byte]].head()
+      row
+    }
+    val payloads = Seq((0L, floatWav()), (1L, pcmWav(7L)), (2L, pcmWav(8L)),
+      (3L, "not audio at all".getBytes("UTF-8")),
+      (4L, ("RIFF" + "\u0000" * 4 + "WAVEtruncated").getBytes("ISO-8859-1")))
+    // ground truth via AudioSystem, row at a time (the pre-r12 mechanics)
+    def truth(id: Long, bytes: Array[Byte]): (Long, String, Long, Long, Long) =
+      if (Multimodal.sniffAudio(bytes) == "unknown") (id, "unknown", 0L, 0L, 0L)
+      else
+        try {
+          val ais = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          val f = ais.getFormat
+          val pcm = ais.readAllBytes()
+          ais.close()
+          var sum = 0L
+          var k = 0
+          while (k + 1 < pcm.length) {
+            sum += ((pcm(2 * (k / 2)) & 0xff) |
+              (pcm(2 * (k / 2) + 1).toInt << 8)).toShort.toLong
+            k += 2
+          }
+          (id, "wav", f.getSampleRate.toLong, f.getChannels.toLong, sum)
+        } catch { case scala.util.control.NonFatal(_) => (id, "corrupt", 0L, 0L, 0L) }
+    val expected = payloads.map { case (id, b) => truth(id, b) }.toSet
+    val got = Multimodal.decodeAudio(
+        payloads.toDF("doc_id", "payload").coalesce(1))
+      .collect()
+      .map(m => (m.doc_id, m.fmt, m.sample_rate, m.channels, m.amp_sum)).toSet
+    assert(got == expected,
+      s"opener diverged from AudioSystem:\ngot      $got\nexpected $expected")
+  }
 }

@@ -321,9 +321,14 @@ class PlanSpec extends SparkSpec {
     val probeIdx = lines.indexWhere(_.contains("bloom_might_contain_long"))
     assert(probeIdx >= 0)
     // everything below the probe filter down to its scan is narrow:
-    // no Exchange between the probe and the Generate feeding it
+    // no KEYED Exchange between the probe and the Generate feeding it.
+    // (The r12 scale-adaptive scan spread — Tables.loadSpread — may
+    // round-robin the PRE-shingle id+text rows when the input is fewer
+    // splits than cores; the invariant here is that the SHINGLE relation
+    // is never moved to test membership, i.e. no hash/range exchange.)
     val below = lines.drop(probeIdx).takeWhile(!_.contains("Scan parquet"))
-    assert(!below.exists(_.contains("Exchange ")),
+    assert(!below.exists(l =>
+        l.contains("Exchange ") && !l.contains("RoundRobinPartitioning")),
       s"shuffle below the bloom probe:\n${below.mkString("\n")}")
   }
 
@@ -520,8 +525,14 @@ class PlanSpec extends SparkSpec {
 
   test("text_quality_model: scan-local scoring — no shuffle except the driver-facing sort") {
     val p = planOf("text_quality_model")
+    // rangepartitioning = the driver-facing ORDER BY;
+    // RoundRobinPartitioning = the r12 scale-adaptive scan spread of the
+    // pre-tokenize id+text rows (Tables.loadSpread; absent at production
+    // split counts). Any KEYED hash exchange would mean the scoring
+    // re-shuffled the corpus — the regression this pin guards.
     val exchanges = p.linesIterator.filter(_.contains("Exchange ")).toSeq
-    assert(exchanges.forall(_.contains("rangepartitioning")),
+    assert(exchanges.forall(l => l.contains("rangepartitioning") ||
+        l.contains("RoundRobinPartitioning")),
       s"the model apply must add no shuffle beyond the ORDER BY:\n$p")
     assert(!p.contains("Join"), s"a literal weight table must not join:\n$p")
   }
@@ -561,11 +572,17 @@ class PlanSpec extends SparkSpec {
     // partition pass; the only exchange anywhere is the driver-facing
     // ORDER BY (rangepartitioning). A hash exchange would mean payload
     // bytes crossed the network — wrong at any scale, fatal at 100 TB.
+    // RoundRobinPartitioning is the r12 scale-adaptive scan spread: it
+    // sits BELOW the synth mapPartitions and moves only the pre-payload
+    // doc_id/text rows (Tables.loadSpread; absent at production split
+    // counts). A keyed hash exchange would still mean payload bytes
+    // crossed the network — that stays fatal.
     for (q <- Seq("mm_audio_meta", "mm_audio_energy", "mm_video_frames",
         "mm_decode_meta", "mm_resize")) {
       val p = planOf(q)
       val exchanges = p.linesIterator.filter(_.contains("Exchange ")).toSeq
-      assert(exchanges.forall(_.contains("rangepartitioning")),
+      assert(exchanges.forall(l => l.contains("rangepartitioning") ||
+          l.contains("RoundRobinPartitioning")),
         s"$q shuffles payloads (non-sort exchange):\n$p")
       assert(!p.contains("Join"), s"$q must not join:\n$p")
     }
@@ -601,7 +618,11 @@ class PlanSpec extends SparkSpec {
     // crossed the network.
     val p = planOf("mm_phash_dedup")
     val exchanges = p.linesIterator.filter(_.contains("Exchange ")).toSeq
-    val hashEx = exchanges.filterNot(_.contains("rangepartitioning"))
+    // RoundRobinPartitioning = the pre-payload scan spread (see the
+    // multimodal codec pin above); the keyed-exchange census below is
+    // what guards payload movement
+    val hashEx = exchanges.filterNot(l => l.contains("rangepartitioning") ||
+      l.contains("RoundRobinPartitioning"))
     assert(hashEx.size == 1, s"expected one cluster-window exchange:\n$p")
     assert(hashEx.head.contains("ahash"),
       s"cluster exchange not keyed on the fingerprint:\n${hashEx.head}")
