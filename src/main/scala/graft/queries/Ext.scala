@@ -4974,6 +4974,28 @@ object Ext {
     * checkpoint would make the NEXT run resume past its staged input and
     * emit nothing). Callers own input staging/cleanup — that is where
     * the three queries genuinely differ. */
+  /** Scale-adaptive shuffle/state partition count for the streaming sink
+    * harnesses (r12, guide §2 — replace a constant tuned to one
+    * environment): ≈ one state partition per 4 MB of the corpus's event
+    * table, floored at 1 and capped at default parallelism. The old
+    * hard-coded "1" was right at bench SF (each extra state partition
+    * adds per-micro-batch delta-file round trips that dominate tiny
+    * inputs — the measured state-store I/O floor) but pushed the 10×
+    * corpus's ~1 M-row first batch through ONE state partition. At
+    * sf0.1 this still evaluates to 1, so driver bench numbers stay
+    * comparable; both inputs to the formula come from the corpus and
+    * the session, not the machine. */
+  private def sinkPartitions(s: SparkSession, dir: String): String = {
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong,
+      bytes / (4L << 20))).toString
+  }
+
   private def runStreamToParquet(
       s: SparkSession, outDir: String, ckDir: String,
       confs: Map[String, String], log: String => Unit)(
@@ -5087,7 +5109,7 @@ object Ext {
     // into the checkpoint): a streaming job sizes it to active-key volume,
     // not to the batch session's shuffle width — 32 state stores for this
     // feed is pure per-partition overhead (open/commit per micro-batch).
-    val confs = Map("spark.sql.shuffle.partitions" -> "1") ++
+    val confs = Map("spark.sql.shuffle.partitions" -> sinkPartitions(s, dir)) ++
       (if (tws) Map("spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       else Map.empty)
@@ -5200,7 +5222,7 @@ object Ext {
     // which an inner join draining a finite input needs — measured, it
     // was half the stream's wall time (state commit across all stores).
     runStreamToParquet(s, outDir, ckDir,
-      Map("spark.sql.shuffle.partitions" -> "1",
+      Map("spark.sql.shuffle.partitions" -> sinkPartitions(s, dir),
         "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"), log) {
       StreamOps.intervalJoin(rd(lDir, "l"), rd(rDir, "r"), "10 minutes")
         .select(col("l_id").as("click_id"), col("l_user").as("user_id"),
@@ -5273,7 +5295,7 @@ object Ext {
       .option("maxFilesPerTrigger", "1")
       .parquet(path)
     runStreamToParquet(s, outDir, ckDir,
-      Map("spark.sql.shuffle.partitions" -> "1"), log) {
+      Map("spark.sql.shuffle.partitions" -> sinkPartitions(s, dir)), log) {
       StreamOps.intervalJoin(rd(lDir, "l"), rd(rDir, "r"),
           "10 minutes", joinType = "leftOuter")
         .select(col("l_id").as("click_id"), col("l_user").as("user_id"),
@@ -5350,7 +5372,7 @@ object Ext {
       .option("maxFilesPerTrigger", "1")
       .parquet(path)
     runStreamToParquet(s, outDir, ckDir,
-      Map("spark.sql.shuffle.partitions" -> "1"), log) {
+      Map("spark.sql.shuffle.partitions" -> sinkPartitions(s, dir)), log) {
       graft.streaming.StreamOps
         .asofJoinStream(rd(pDir), rd(bDir), "10 minutes")
         .toDF()
@@ -5421,7 +5443,7 @@ object Ext {
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
       .as[graft.streaming.StreamOps.FunnelEvent]
-    val confs = Map("spark.sql.shuffle.partitions" -> "1") ++
+    val confs = Map("spark.sql.shuffle.partitions" -> sinkPartitions(s, dir)) ++
       (if (tws) Map("spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       else Map.empty)
@@ -5458,7 +5480,7 @@ object Ext {
       log("staged input")
     } else log("reusing staged input")
     runStreamToParquet(s, outDir, ckDir,
-      Map("spark.sql.shuffle.partitions" -> "1"), log) {
+      Map("spark.sql.shuffle.partitions" -> sinkPartitions(s, dir)), log) {
       val stream = s.readStream
         .schema("user_id BIGINT, ts_us BIGINT, event_id BIGINT")
         .parquet(inDir)
@@ -5491,7 +5513,7 @@ object Ext {
       log("staged input")
     } else log("reusing staged input")
     runStreamToParquet(s, outDir, ckDir,
-      Map("spark.sql.shuffle.partitions" -> "1"), log) {
+      Map("spark.sql.shuffle.partitions" -> sinkPartitions(s, dir)), log) {
       s.readStream
         .schema("doc_id BIGINT, text STRING")
         .parquet(inDir)
@@ -5529,7 +5551,7 @@ object Ext {
       log("staged payloads")
     } else log("reusing staged input")
     runStreamToParquet(s, outDir, ckDir,
-      Map("spark.sql.shuffle.partitions" -> "1"), log) {
+      Map("spark.sql.shuffle.partitions" -> sinkPartitions(s, dir)), log) {
       Multimodal.decodeImages(
         s.readStream
           .schema("doc_id BIGINT, payload BINARY")
@@ -5566,7 +5588,7 @@ object Ext {
       log("staged doubled input")
     } else log("reusing staged input")
     runStreamToParquet(s, outDir, ckDir,
-      Map("spark.sql.shuffle.partitions" -> "1",
+      Map("spark.sql.shuffle.partitions" -> sinkPartitions(s, dir),
         "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"), log) {
       val stream = s.readStream
         .schema("user_id BIGINT, ts_us BIGINT, event_id BIGINT")
@@ -5628,7 +5650,7 @@ object Ext {
     } else log("reusing staged input")
 
     runStreamToParquet(s, outDir, ckDir,
-      Map("spark.sql.shuffle.partitions" -> "1"), log) {
+      Map("spark.sql.shuffle.partitions" -> sinkPartitions(s, dir)), log) {
       val stream = s.readStream
         .schema("user_id BIGINT, ts_us BIGINT, value DOUBLE")
         .option("maxFilesPerTrigger", "1")
@@ -5682,7 +5704,7 @@ object Ext {
     } else log("reusing staged input")
 
     runStreamToParquet(s, outDir, ckDir,
-      Map("spark.sql.shuffle.partitions" -> "1"), log) {
+      Map("spark.sql.shuffle.partitions" -> sinkPartitions(s, dir)), log) {
       val stream = s.readStream
         .schema("event_type STRING, ts_us BIGINT, event_id BIGINT, value DOUBLE")
         .option("maxFilesPerTrigger", "1")
@@ -5738,7 +5760,7 @@ object Ext {
     } else log("reusing staged input")
 
     runStreamToParquet(s, outDir, ckDir,
-      Map("spark.sql.shuffle.partitions" -> "1"), log) {
+      Map("spark.sql.shuffle.partitions" -> sinkPartitions(s, dir)), log) {
       val stream = s.readStream
         .schema("event_type STRING, ts_us BIGINT")
         .option("maxFilesPerTrigger", "1")
@@ -5801,7 +5823,7 @@ object Ext {
     // here (the sole sink that needs it; measured: with it off the sink
     // emits nothing)
     runStreamToParquet(s, outDir, ckDir,
-      Map("spark.sql.shuffle.partitions" -> "1",
+      Map("spark.sql.shuffle.partitions" -> sinkPartitions(s, dir),
         "spark.sql.streaming.noDataMicroBatches.enabled" -> "true"), log) {
       val stream = s.readStream
         .schema("user_id BIGINT, ts_us BIGINT, event_id BIGINT, " +
@@ -5873,7 +5895,7 @@ object Ext {
       java.nio.file.Files.createFile(stagedMarker.toPath): Unit
       log("staged inputs")
     } else log("reusing staged inputs")
-    val confs = Map("spark.sql.shuffle.partitions" -> "1") ++
+    val confs = Map("spark.sql.shuffle.partitions" -> sinkPartitions(s, dir)) ++
       (if (tws) Map("spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       else Map.empty)
@@ -5937,7 +5959,7 @@ object Ext {
       log("staged inputs")
     } else log("reusing staged inputs")
     runStreamToParquet(s, outDir, ckDir,
-      Map("spark.sql.shuffle.partitions" -> "1"), log) {
+      Map("spark.sql.shuffle.partitions" -> sinkPartitions(s, dir)), log) {
       val pings = s.readStream
         .schema("user_id BIGINT, t TIMESTAMP, ts_us BIGINT, " +
           "event_id BIGINT, cents BIGINT")
@@ -6000,7 +6022,7 @@ object Ext {
       log("staged inputs")
     } else log("reusing staged inputs")
     runStreamToParquet(s, outDir, ckDir,
-      Map("spark.sql.shuffle.partitions" -> "1"), log) {
+      Map("spark.sql.shuffle.partitions" -> sinkPartitions(s, dir)), log) {
       val pings = s.readStream
         .schema("user_id BIGINT, t TIMESTAMP, ts_us BIGINT, " +
           "event_id BIGINT, cents BIGINT")
